@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship query on /root/testdata/sf0.001 (smoke check).
+queries()       — one entry per implemented operator from SURVEY.md §2
+                  (+ pipeline operators), each (spark, sf_dir) -> DataFrame.
+oracle_sql()    — matching DuckDB SQL for the value-hash correctness gate.
+
+Implementations live in nexusbase_spark/queries.py.
 """
 
 from __future__ import annotations
@@ -15,24 +16,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-series 1-day downsample (count/sum/avg/min/max) over the
+    click metric — the reference's core query shape (AGGREGATE BY interval,
+    iterator/multi_field_downsampling_iterator.go)."""
+    from nexusbase_spark.queries import all_queries
+
+    return all_queries()["downsample_1d"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from nexusbase_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nexusbase_spark.queries import all_oracle_sql
+
+    return all_oracle_sql()

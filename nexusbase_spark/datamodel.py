@@ -1,0 +1,106 @@
+"""The points data model: tagged, multi-field time-series events.
+
+Reference: ``core/datapoint.go:7-12`` — a DataPoint is
+``(Metric string, Tags map[string]string, Timestamp int64 ns, Fields map)``.
+A *series* is the unique combination (metric, sorted tags); the canonical
+series key mirrors the sorted-tag encoding of ``core/tsdb_keys.go:116-151``
+(string form ``metric|k=v,k=v`` with keys sorted). MVCC: every write carries a
+monotonic sequence number (``engine2/adapter.go:465``); reads resolve
+duplicates last-write-wins by highest seq (``iterator/iterator.go:61-62``).
+
+Spark layout (wide form): one row per point with meta columns
+``(metric string, tags map<string,string>, series_key string, ts long /*ns*/,
+seq long)`` plus one typed column per field. Spark maps are monotyped, so
+fields live as typed top-level columns (FIXTURES.md wide view); the long
+format of FIXTURES.md is derivable via ``stack``/melt when needed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_COLS = ("metric", "tags", "series_key", "ts", "seq")
+
+# Reference core/validator.go:13 — metric and tag-key name pattern; tag keys
+# must not start with the reserved "__" prefix (core/validator.go:16,68-70).
+NAME_RE = re.compile(r"^[^\W\d][\w:.]*$", re.UNICODE)
+
+
+def validate_name(name: str) -> bool:
+    """Name validity per core/validator.go:13 (unicode letters, _, :, then
+    also digits and dots)."""
+    return bool(NAME_RE.match(name.replace(":", "_")))
+
+
+def series_key_expr(metric: Column, tags: Column) -> Column:
+    """Canonical series key: metric + '|' + sorted 'k=v' pairs.
+
+    Mirrors core/tsdb_keys.go:116-151 (legacy string series key with sorted
+    tags); deterministic and group-able. Pure built-in expressions so it
+    stays inside whole-stage codegen.
+    """
+    kv = F.transform(
+        F.array_sort(F.map_entries(tags)),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+    )
+    return F.concat(metric, F.lit("|"), F.array_join(kv, ","))
+
+
+def with_series_key(df: DataFrame) -> DataFrame:
+    return df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
+
+
+def events_to_points(events: DataFrame) -> DataFrame:
+    """Map the driver's ``events`` table onto the points model.
+
+    events(event_id, ts timestamp, user_id, event_type, value double,
+    props json) becomes::
+
+        metric     = event_type
+        tags       = {"user": str(user_id)}
+        ts         = epoch nanoseconds
+        seq        = event_id            (ingest order -> MVCC order)
+        fields     = value double, k long (from props JSON)
+    """
+    ts_type = dict(events.dtypes)["ts"]
+    # with spark.sql.legacy.parquet.nanosAsLong the driver's TIMESTAMP(NANOS)
+    # column arrives as long ns already; otherwise convert micros -> ns.
+    # ts is truncated to whole microseconds (still ns units): DuckDB — the
+    # correctness oracle — reads TIMESTAMP_NS parquet at microsecond
+    # resolution, so sub-microsecond digits would be unverifiable.
+    if ts_type in ("bigint", "long"):
+        raw = F.col("ts").cast("long")
+        ts_ns = raw - raw % F.lit(1000)
+    else:
+        ts_ns = F.unix_micros(F.col("ts")) * F.lit(1000)
+    df = events.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
+        ts_ns.alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.col("value").cast("double").alias("value"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return with_series_key(df)
+
+
+def field_columns(df: DataFrame) -> list[str]:
+    """The field columns of a wide points frame = everything not meta."""
+    return [c for c in df.columns if c not in META_COLS]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The caller may hand us a vanilla session (the driver does). The
+    # testdata's TIMESTAMP(NANOS) parquet is unreadable without nanosAsLong,
+    # and UTC keeps any timestamp rendering deterministic. Both are plain
+    # runtime SQL confs — safe to set here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_to_points(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,28 @@
+from nexusbase_spark.operators.scan import (  # noqa: F401
+    metric_filter,
+    tag_filter,
+    time_range,
+    relative_range,
+    get_point,
+)
+from nexusbase_spark.operators.mvcc import (  # noqa: F401
+    dedup_latest,
+    apply_point_deletes,
+    apply_series_deletes,
+    apply_range_deletes,
+)
+from nexusbase_spark.operators.aggregate import final_aggregate  # noqa: F401
+from nexusbase_spark.operators.downsample import downsample  # noqa: F401
+from nexusbase_spark.operators.order import (  # noqa: F401
+    order_points,
+    keyset_after,
+    encode_cursor,
+    decode_cursor,
+    paginate,
+)
+from nexusbase_spark.operators.metadata import (  # noqa: F401
+    show_metrics,
+    show_tag_keys,
+    show_tag_values,
+    series_by_tags,
+)

@@ -1,0 +1,98 @@
+"""Windowed downsampling: AGGREGATE BY <interval>.
+
+Reference: ``iterator/multi_field_downsampling_iterator.go:92-475`` —
+tumbling windows, EPOCH-ALIGNED (first window start = qStart - qStart mod
+interval, :190), grouped PER SERIES within each window (:109,265-268),
+result key = series_key ++ window_start (:429-432); windows enumerate while
+windowStart < qEnd (:180). Optional EmitEmptyWindows emits zero/NaN rows for
+dataless windows (:305-333).
+
+Epoch alignment means each point's window is simply floor(ts / interval) *
+interval — a pure projection, so the groupBy shuffles once on
+(series_key, window_start) with map-side partial aggregation. No
+sessionization, no sort: this is the shape that survives 100TB.
+
+Divergence note (documented): when the reference emits an empty window it
+emits it ONCE, attributed to the last SEEN series key (:307-311) — an
+artifact of its single stream cursor. We emit empty windows for EVERY series
+selected by the query (a superset that is deterministic and per-series
+correct). Empty-window values: count/sum -> 0, everything else -> NaN
+(:314-319).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexusbase_spark.functions.fidelity import AggSpec, build_agg_exprs
+from nexusbase_spark.operators.aggregate import _field_types, _order_key
+
+
+def align(ts: int, interval_ns: int) -> int:
+    return ts - (ts % interval_ns)
+
+
+def downsample(
+    df: DataFrame,
+    interval_ns: int,
+    specs: list[AggSpec],
+    *,
+    emit_empty: bool = False,
+    q_start: int | None = None,
+    q_end: int | None = None,
+    approx_percentile: bool = False,
+) -> DataFrame:
+    """Per-series tumbling-window aggregation.
+
+    Output columns: metric, series_key, tags, window_start (ns, inclusive),
+    window_end (= start + interval, engine2/adapter.go:1579-1601), then one
+    column per spec. ``emit_empty`` requires q_start/q_end.
+    """
+    if interval_ns <= 0:
+        raise ValueError("interval must be positive")
+    win = (F.col("ts") - F.col("ts") % F.lit(interval_ns)).alias("window_start")
+    exprs = build_agg_exprs(
+        specs,
+        _field_types(df),
+        _order_key(),
+        skip_non_finite=False,  # the downsampler does NOT skip NaN/Inf inputs
+        approx_percentile=approx_percentile,
+    )
+    agg = (
+        df.groupBy(F.col("metric"), F.col("series_key"), F.col("tags"), win)
+        .agg(*exprs)
+    )
+
+    if emit_empty:
+        if q_start is None or q_end is None:
+            raise ValueError("emit_empty requires q_start and q_end")
+        if q_end <= q_start:
+            raise ValueError("emit_empty requires q_start < q_end")
+        first = align(q_start, interval_ns)
+        # windows enumerate while windowStart < qEnd (:180); sequence() is
+        # inclusive so step back one interval from the first start >= qEnd.
+        last = q_end - 1 - ((q_end - 1 - first) % interval_ns)
+        # map columns can't be DISTINCTed; series_key determines tags, so an
+        # any-value per key is exact.
+        series = (df.groupBy("metric", "series_key")
+                  .agg(F.first("tags").alias("tags")))
+        grid = series.select(
+            "metric", "series_key", "tags",
+            F.explode(
+                F.sequence(F.lit(first), F.lit(last), F.lit(interval_ns))
+            ).alias("window_start"),
+        )
+        zero_or_nan = {
+            s.out_name: F.lit(0.0) if s.func in ("count", "sum") else F.lit(float("nan"))
+            for s in specs
+        }
+        # map columns aren't joinable; series_key determines tags, so join on
+        # the key and keep the grid's tags column.
+        agg = grid.join(agg.drop("tags"),
+                        ["metric", "series_key", "window_start"], "left")
+        for s in specs:
+            name = s.out_name
+            agg = agg.withColumn(name, F.coalesce(F.col(name), zero_or_nan[name]))
+
+    return agg.withColumn("window_end", F.col("window_start") + F.lit(interval_ns))

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults target a large cluster run (AQE on, skew-join handling, partial
+aggregation via Catalyst) while remaining correct on local[N]. Everything
+here is plain public Spark configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # UTC everywhere: parquet naive timestamps must decode identically in
+    # Spark and the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing, skew-join splitting, dynamic join strategy —
+    # this is the 100TB insurance policy (skewed series keys, lopsided tags).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # On a real cluster this would be ~2-3x total cores; local default keeps
+    # shuffles cheap while still exercising multi-partition plans.
+    "spark.sql.shuffle.partitions": "32",
+    # Arrow for any pandas_udf / toPandas path (vectorized, not row-at-a-time).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast small dimension/tombstone tables automatically.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The driver's parquet writes timestamps as TIMESTAMP(NANOS), which Spark
+    # has no native type for; read them as long nanoseconds — exactly the
+    # reference's representation (core/datapoint.go:10, int64 UnixNano).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet pushdown knobs are on by default in Spark; stated explicitly
+    # because the engine depends on them (SURVEY.md §4: key-range pruning ->
+    # row-group min/max stats).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def get_spark(app_name: str = "nexusbase-spark", master: str | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the session. Honors SPARK_GRAFT_CPUS for local runs."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
