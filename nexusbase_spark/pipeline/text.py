@@ -1,0 +1,101 @@
+"""Text analysis operators: tokenization, language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, no UDFs) so they vectorize inside
+whole-stage codegen and scale linearly with the scan — at 100TB these run
+at parquet-read speed with zero shuffles (except fingerprint's per-doc
+aggregation, which is map-side combinable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+# Kept to a regex subset with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB), so the oracle can mirror it.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# tiny per-language stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "que", "de", "es", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of normalized (lower/trimmed) text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-grams; empty when the doc has fewer than n tokens.
+
+    Spark's sequence(1, 0) yields a DEcreasing sequence rather than an empty
+    one, hence the explicit size guard.
+    """
+    toks = tokens_col(text)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, shingles).otherwise(F.array().cast("array<string>"))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation singles."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Heuristic language ID: stopword-hit voting with deterministic
+    tie-break by language code order (en < de/es/fr by score, then
+    alphabetical). Returns a language code or 'und'."""
+    toks = tokens_col(text)
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = None
+    # deterministic fold: strictly-greater wins, ties keep earlier
+    # (alphabetical) language
+    expr = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):
+        s = scores[lang]
+        expr = F.when(s > best_score, F.lit(lang)).otherwise(expr)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    del best
+    return expr
+
+
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """Document quality signals: length, token stats, punctuation/digit
+    ratios, stopword ratio — the usual pre-training filter features."""
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop_all = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop_all)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": (n_chars - n_tokens + 1) / n_tokens,
+        "punct_ratio": n_punct / n_chars,
+        "digit_ratio": n_digit / n_chars,
+        "stopword_ratio": n_stop / n_tokens,
+    }
+
+
+def fingerprint_mink(text: Column, n: int = 3, k: int = 4) -> Column:
+    """Document fingerprint: bottom-k sketch of word-n-gram hashes,
+    concatenated to one hex string. A winnowing-style content signature:
+    stable under small edits, mergeable, and constant-size per doc."""
+    hashes = F.transform(word_shingles(text, n), F.md5)
+    bottom = F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
+    return F.array_join(bottom, "")

@@ -457,8 +457,16 @@ def q_cursor_page(spark, sf_dir):
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extra_registries()
     return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def all_oracle_sql() -> dict[str, str]:
+    _load_extra_registries()
     return {name: sql for name, (fn, sql) in QUERIES.items() if sql is not None}
+
+
+def _load_extra_registries() -> None:
+    """Import the sibling registry modules for their @register side effects
+    (deferred to avoid a circular import at module load)."""
+    import nexusbase_spark.queries_pipeline  # noqa: F401

@@ -1,0 +1,368 @@
+"""Pipeline-operator queries (dedup / similarity / text / multimodal) with
+DuckDB oracles.
+
+The documents table has no natural duplicates, so the dedup queries
+synthesize them deterministically INSIDE the query (union with truncated
+copies at shifted ids) — both engines build the identical augmented corpus,
+so the operators are exercised with guaranteed positives.
+
+Every hash is md5-derived (identical hex in both engines); the DuckDB side
+mirrors the exact MinHash/LSH/SimHash constructions, not just the end
+semantics, so candidate sets match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexusbase_spark.datamodel import load_table
+from nexusbase_spark.pipeline.dedup import (
+    exact_dedup_groups,
+    near_dup_pairs,
+    simhash,
+)
+from nexusbase_spark.pipeline.multimodal import attach_payload, extract_meta
+from nexusbase_spark.pipeline.similarity import cosine_topk, ivf_topk
+from nexusbase_spark.pipeline.text import (
+    BPE_PATTERN,
+    LANG_STOPWORDS,
+    fingerprint_mink,
+    lang_id_expr,
+    quality_exprs,
+    token_count_bpe,
+    tokens_col,
+)
+from nexusbase_spark.queries import register, _r4
+
+# deterministic synthetic duplicates: every doc_id % 5 == 0 gets a copy at
+# doc_id + 1000000 holding the first max(floor(0.6*n_tokens), 3) tokens
+DOCS_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(t[1:greatest(CAST(floor(len(t) * 0.6) AS INT), 3)], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE doc_id % 5 = 0)
+"""
+
+EXACT_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+# distinct word-3-gram shingles per doc over the augmented corpus
+SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({DOCS_AUG_SQL}))
+"""
+
+
+def _docs_aug(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col(F.col("text"))
+    ncut = F.greatest(F.floor(F.size(toks) * 0.6).cast("int"), F.lit(3))
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                F.array_join(F.slice(toks, 1, ncut), " ").alias("text"))
+    )
+    return docs.unionByName(copies)
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+
+@register("doc_dedup_exact", f"""
+    WITH d AS ({EXACT_AUG_SQL}),
+    h AS (SELECT doc_id, md5(trim(lower(text))) AS content_hash FROM d),
+    g AS (SELECT content_hash, min(doc_id) AS keeper, count(*) AS group_size
+          FROM h GROUP BY content_hash)
+    SELECT h.doc_id, h.content_hash, g.keeper, g.group_size
+    FROM h JOIN g USING (content_hash)
+""")
+def q_doc_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(normalized text) hash-groupBy; one shuffle on the
+    16-byte hash, never on the text (the 100TB shape)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = (docs.filter(F.col("doc_id") % 10 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return exact_dedup_groups(docs.unionByName(copies))
+
+
+@register("doc_dedup_minhash_lsh", f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(8))}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig"
+            for b in range(4))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 4) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.3
+""")
+def q_doc_dedup_minhash(spark, sf_dir):
+    """MinHash(k=8) + LSH(4 bands x 2 rows) near-dup pairs with exact
+    Jaccard verification at threshold 0.3 — candidate generation is
+    O(n·bands), only candidates pay the verification join."""
+    out = near_dup_pairs(_docs_aug(spark, sf_dir), num_hashes=8, bands=4, threshold=0.3)
+    return _r4(out, "jaccard")
+
+
+@register("doc_dedup_simhash", f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM ({DOCS_AUG_SQL})),
+    v AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), {i+1}, 1)) - 1 >= 8 "
+                   f"THEN 1 ELSE -1 END) AS v{i}" for i in range(16))}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ({" + ".join(f"CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))})::BIGINT AS simhash
+    FROM v
+""")
+def q_doc_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signatures from frequency-weighted tokens (bit i =
+    sign of summed ±1 votes from md5 hex digit i)."""
+    return simhash(_docs_aug(spark, sf_dir), bits=16)
+
+
+@register("doc_ngram_jaccard_probe", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+    probe AS (SELECT tok FROM s WHERE doc_id = 0),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (
+        SELECT s.doc_id, count(*) AS i
+        FROM s JOIN probe USING (tok)
+        WHERE s.doc_id <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT i.doc_id,
+           round(CAST(i.i AS DOUBLE)
+                 / ((SELECT sz FROM sizes WHERE doc_id = 0) + z.sz - i.i), 4) AS jaccard
+    FROM inter i JOIN sizes z ON z.doc_id = i.doc_id
+    WHERE i.i > 0
+""")
+def q_doc_ngram_jaccard(spark, sf_dir):
+    """Token-set (1-gram) Jaccard of every doc against probe doc 0 —
+    the exact-verification primitive of the n-gram dedup family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = docs.select("doc_id", F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"))
+    probe = s.filter(F.col("doc_id") == 0).select("tok")
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    probe_sz = sizes.filter(F.col("doc_id") == 0).collect()[0]["sz"]
+    inter = (
+        s.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(probe), "tok")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes, "doc_id")
+        .filter(F.col("i") > 0)
+        .select("doc_id",
+                F.round(F.col("i") / (F.lit(probe_sz) + F.col("sz") - F.col("i")), 4).alias("jaccard"))
+    )
+    return out
+
+
+@register("doc_fingerprint", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+           FROM t),
+    fp AS (SELECT doc_id,
+                  array_to_string(list_sort(list(DISTINCT md5(shingle)))[1:4], '') AS fingerprint
+           FROM sh GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(fp.fingerprint, '') AS fingerprint
+    FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+""")
+def q_doc_fingerprint(spark, sf_dir):
+    """Bottom-4 sketch of word-3-gram md5s — constant-size per-doc content
+    signature, stable under small edits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_mink(F.col("text"), 3, 4).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    hits = {
+        lang: f"len(list_intersect(toks, [{', '.join(repr(w) for w in LANG_STOPWORDS[lang])}]))"
+        for lang in langs
+    }
+    branches = []
+    for idx, lang in enumerate(langs):
+        later = langs[idx + 1:]
+        conds = [f"h_{lang} >= h_{m}" for m in later] + [f"h_{lang} > 0"]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents),
+        h AS (SELECT doc_id, {hit_cols} FROM t)
+        SELECT doc_id, CASE {' '.join(branches)} ELSE 'und' END AS lang_pred FROM h
+    """
+
+
+@register("text_lang_id", _lang_case_sql())
+def q_text_lang_id(spark, sf_dir):
+    """Stopword-voting language ID (first-argmax deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+_STOP_ALL = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+
+
+@register("text_quality", f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           len(toks)::BIGINT AS n_tokens,
+           round((length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+           round(len(list_filter(toks, x -> list_contains([{", ".join(repr(w) for w in _STOP_ALL)}], x)))
+                 / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio
+    FROM t
+""")
+def q_text_quality(spark, sf_dir):
+    """Pre-training quality features: length/token stats, punctuation &
+    digit ratios, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    qx = quality_exprs(F.col("text"))
+    out = docs.select("doc_id", *[v.alias(k) for k, v in qx.items()])
+    return _r4(out, "avg_token_len", "punct_ratio", "digit_ratio", "stopword_ratio")
+
+
+@register("text_token_count", f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens
+    FROM documents
+""")
+def q_text_token_count(spark, sf_dir):
+    """Whitespace token count + BPE-ish pre-tokenizer count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_COS_SQL = """
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    m AS (
+        SELECT v.vec_id,
+               (SELECT sum(CAST(v.embedding[r.i] AS DOUBLE) * CAST(probe.p[r.i] AS DOUBLE))
+                FROM range(1, 65) r(i)) /
+               (sqrt((SELECT sum(CAST(v.embedding[r.i] AS DOUBLE) ** 2) FROM range(1, 65) r(i))) *
+                sqrt((SELECT sum(CAST(probe.p[r.i] AS DOUBLE) ** 2) FROM range(1, 65) r(i)))) AS c
+        FROM embeddings v, probe
+        WHERE v.vec_id <> 0 {extra}
+    )
+    SELECT vec_id, round(c, 4) AS cosine FROM m
+    ORDER BY c DESC, vec_id LIMIT {k}
+"""
+
+
+def _probe_vec(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+
+@register("embed_cosine_topk", _COS_SQL.format(extra="", k=20))
+def q_embed_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-20 (double precision; DuckDB's
+    list_cosine_similarity is float32 so the oracle spells out the math)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, _probe_vec(spark, sf_dir), k=20, exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+@register("embed_ivf_topk", """
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    pr AS (SELECT r.i AS pos, CAST(p[r.i] AS DOUBLE) AS pv
+           FROM probe, range(1, 65) r(i)),
+    pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM pr),
+    dim AS (SELECT label, r.i AS pos, avg(CAST(embedding[r.i] AS DOUBLE)) AS m
+            FROM embeddings, range(1, 65) r(i) GROUP BY label, r.i),
+    cs AS (
+        SELECT d.label, sum(d.m * pr.pv) / (sqrt(sum(d.m * d.m)) * any_value(pn.n)) AS c
+        FROM dim d JOIN pr ON pr.pos = d.pos, pn GROUP BY d.label
+    ),
+    best AS (SELECT label FROM cs ORDER BY c DESC, label LIMIT 2),
+    m AS (
+        SELECT v.vec_id,
+               sum(CAST(v.embedding[pr.pos] AS DOUBLE) * pr.pv) AS dot,
+               sqrt(sum(CAST(v.embedding[pr.pos] AS DOUBLE) ** 2)) AS vn
+        FROM embeddings v, pr
+        WHERE v.vec_id <> 0 AND v.label IN (SELECT label FROM best)
+        GROUP BY v.vec_id
+    )
+    SELECT vec_id, round(dot / (vn * (SELECT n FROM pn)), 4) AS cosine FROM m
+    ORDER BY dot / (vn * (SELECT n FROM pn)) DESC, vec_id LIMIT 10
+""")
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF-pruned top-10: rank coarse partitions (label column as the
+    k-means stand-in) by centroid cosine, scan only the best 2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, _probe_vec(spark, sf_dir), k=10, nprobe=2, exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+@register("multimodal_meta", """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS sha256,
+           (1 + octet_length(encode(text)) % 640)::BIGINT AS fake_width,
+           (1 + octet_length(encode(text)) * 7 % 480)::BIGINT AS fake_height
+    FROM documents
+""")
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata extraction through the real Arrow/mapInPandas
+    path (decode stubbed deterministically — codecs absent here; the
+    schema/batching/partition plumbing is what's exercised)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_meta(attach_payload(docs))

@@ -5,9 +5,10 @@ from __future__ import annotations
 
 import pytest
 
-from nexusbase_spark.queries import QUERIES
+from nexusbase_spark.queries import QUERIES, all_queries
 from tests.parity import compare
 
+all_queries()  # trigger registration of sibling registries
 ORACLE_CASES = sorted(name for name, (_fn, sql) in QUERIES.items() if sql is not None)
 
 
