@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures the BASELINE.md metric shapes on $SPARK_GRAFT_SF_DIR (default
+sf0.1) with local[$SPARK_GRAFT_CPUS]:
+
+1. ingest points/sec — events table -> points layout -> parquet append
+   (the reference's PutBatch shape, cmd/perf-client/main.go:52-56);
+2. per-query wall seconds for one headline query per operator family
+   (fully drained, like cmd/query-perf-client drains its stream);
+3. repeated-scan throughput: qps + P50/P90/P99 over randomized
+   range+tag scans (the reference's query-perf workload scaled down).
+
+Output: {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ..., plus ingest/scan stats}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    # reference operator families (SURVEY.md §2)
+    "raw_scan_range_tag",
+    "final_agg_basic",
+    "final_agg_firstlast",
+    "downsample_1d",
+    "downsample_emit_empty",
+    "mvcc_dedup_latest",
+    "tombstone_series",
+    "cursor_page",
+    "show_metrics",
+    # warehouse analytics
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "events_user_daily_activity",
+    # training-data pipeline
+    "doc_dedup_exact",
+    "doc_dedup_minhash_lsh",
+    "doc_dedup_simhash",
+    "text_quality",
+    "embed_cosine_topk",
+    "embed_ivf_topk",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from nexusbase_spark.session import get_spark
+    from nexusbase_spark.datamodel import load_points, load_table
+    from nexusbase_spark.queries import all_queries
+    from nexusbase_spark.operators import metric_filter, tag_filter, time_range
+
+    spark = get_spark("nexusbase-bench", master=f"local[{cpus}]",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + page cache so measurements reflect steady state
+    for t in ("events", "lineitem", "orders", "customer", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+
+    # 1. ingest: events -> points layout -> parquet append, partitioned by
+    # metric (the at-scale layout: metric+time-bucket partition pruning)
+    out_dir = tempfile.mkdtemp(prefix="nexusbase_ingest_")
+    try:
+        pts = load_points(spark, sf_dir)
+        n_points = pts.count()
+        t0 = time.time()
+        pts.write.mode("overwrite").partitionBy("metric").parquet(f"{out_dir}/points")
+        ingest_s = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # 2. headline queries, fully drained
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 3. repeated randomized scans (query-throughput shape)
+    rng = random.Random(42)
+    pts = load_points(spark, sf_dir)
+    lo, hi = pts.agg({"ts": "min"}).collect()[0][0], pts.agg({"ts": "max"}).collect()[0][0]
+    metrics = [r["metric"] for r in pts.select("metric").distinct().collect()]
+    lat: list[float] = []
+    n_scans = 30
+    for _ in range(n_scans):
+        m = rng.choice(metrics)
+        user = str(rng.randrange(0, 20))
+        start = rng.randrange(lo, hi - 3_600_000_000_000)
+        t0 = time.time()
+        time_range(tag_filter(metric_filter(pts, m), {"user": user}),
+                   start, start + 3_600_000_000_000).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    pct = lambda p: round(lat[min(int(len(lat) * p), len(lat) - 1)], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query suite wall time (fully drained)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ingest_points_per_sec": round(n_points / ingest_s, 1),
+        "ingest_points": n_points,
+        "scan_qps": round(n_scans / sum(lat), 2),
+        "scan_p50_s": pct(0.50),
+        "scan_p90_s": pct(0.90),
+        "scan_p99_s": pct(0.99),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

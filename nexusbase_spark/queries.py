@@ -469,4 +469,5 @@ def all_oracle_sql() -> dict[str, str]:
 def _load_extra_registries() -> None:
     """Import the sibling registry modules for their @register side effects
     (deferred to avoid a circular import at module load)."""
+    import nexusbase_spark.queries_analytics  # noqa: F401
     import nexusbase_spark.queries_pipeline  # noqa: F401

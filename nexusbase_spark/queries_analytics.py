@@ -1,0 +1,145 @@
+"""General analytics queries over the TPC-H-ish star schema.
+
+The reference has NO joins or scalar expressions (SURVEY.md §2.4/2.9) — its
+surface stops at single-metric scans and per-series aggregation. An engine
+claiming to replace it *at 100TB* needs the standard warehouse shapes too,
+so these exercise multi-way joins (broadcast for dims, shuffle for facts),
+grouped aggregation over computed expressions, and top-k.
+
+Precision note: large float sums are rounded to 2 decimals (money) — at
+sf0.1 a 600k-term double sum carries ~1e-5 accumulated error, which is
+safely below the 5e-3 rounding boundary but NOT below 5e-5 (so 4-decimal
+rounding would be a hash-flip risk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexusbase_spark.datamodel import load_table
+from nexusbase_spark.queries import register
+
+
+@register("tpch_q1_pricing_summary", """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+""")
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: single-pass grouped aggregation over computed
+    expressions — partial (map-side) agg + one shuffle on a 4-value key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+@register("tpch_q3_top_orders", """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 50
+""")
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact join,
+    grouped revenue, distributed top-k (TakeOrderedAndProject)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    out = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(50)
+    )
+    return out
+
+
+@register("tpch_q5_region_revenue", """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+""")
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: multi-way star join — every dimension broadcast,
+    the fact table never shuffles until the final small groupBy."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return out
+
+
+@register("events_user_daily_activity", """
+    SELECT user_id,
+           CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id, day
+""")
+def q_events_user_daily(spark, sf_dir):
+    """Sessionization-lite rollup: per-user daily activity with a distinct
+    aggregate — the shape of a behavioral feature pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / F.lit(86_400_000_000_000)).cast("bigint")
+    # integer floor-division parity: both engines floor toward -inf on
+    # positive operands (all ts are positive here)
+    day = F.floor(F.col("ts").cast("long") / F.lit(86_400_000_000_000)).cast("bigint")
+    return (
+        ev.groupBy(F.col("user_id"), day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("event_type").alias("n_types"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
