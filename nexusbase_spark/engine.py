@@ -1,0 +1,293 @@
+"""NexusEngine: the stateful engine — PUSH / QUERY / REMOVE / SHOW /
+SNAPSHOT / RESTORE over a parquet warehouse.
+
+Storage layout (the Spark translation of the reference's LSM, SURVEY.md §4):
+
+    <warehouse>/points/       long-format points, partitioned by metric
+    <warehouse>/tomb_point/   point tombstones   (series_key, ts, seq)
+    <warehouse>/tomb_series/  series tombstones  (series_key, seq)
+    <warehouse>/tomb_range/   range tombstones   (series_key, min_ts, max_ts, seq)
+
+Long-format points row (FIXTURES.md; Spark maps are monotyped so each field
+value carries exactly one typed column per core/fields.go:15-21):
+
+    (metric, tags, series_key, ts, seq, field, vtype,
+     f_double, f_long, f_string, f_bool)
+
+Every ingest batch appends files with a fresh monotonic seq range — the
+append-only + MVCC-read design of the reference's WAL/memtable/SSTable
+stack (engine2/adapter.go:465), with parquet appends playing the role of
+L0 flushes and read-side dedup playing the merge. ``compact()`` is the
+OPTIMIZE analog: it materializes the dedup+tombstone view and rewrites.
+
+Reads resolve: (a) MVCC last-write-wins at (series_key, ts) — a re-push
+replaces the WHOLE point, all fields (iterator/iterator.go:270-289);
+(b) point/series/range tombstones with seq cutoffs, so re-pushed data
+resurrects (engine2/adapter.go:2773-2791).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, LongType, MapType, StringType, StructField,
+    StructType,
+)
+
+from nexusbase_spark.datamodel import series_key_expr, validate_name
+from nexusbase_spark.functions.fidelity import parse_agg_func
+from nexusbase_spark.nbql.ast import AggregationSpec, QueryStatement
+
+POINTS_SCHEMA = StructType([
+    StructField("metric", StringType(), False),
+    StructField("tags", MapType(StringType(), StringType()), True),
+    StructField("ts", LongType(), False),
+    StructField("seq", LongType(), False),
+    StructField("field", StringType(), False),
+    StructField("vtype", StringType(), False),
+    StructField("f_double", DoubleType(), True),
+    StructField("f_long", LongType(), True),
+    StructField("f_string", StringType(), True),
+    StructField("f_bool", BooleanType(), True),
+])
+
+_NAN = float("nan")
+
+
+def _typed(value) -> tuple[str, float | None, int | None, str | None, bool | None]:
+    """Literal -> (vtype, f_double, f_long, f_string, f_bool); float32
+    promotes to float64, int to int64 (core/fields.go:177-182)."""
+    if value is None:
+        return ("null", None, None, None, None)
+    if isinstance(value, bool):
+        return ("bool", None, None, None, value)
+    if isinstance(value, int):
+        return ("int", None, int(value), None, None)
+    if isinstance(value, float):
+        return ("float", float(value), None, None, None)
+    if isinstance(value, str):
+        return ("string", None, None, value, None)
+    raise TypeError(f"unsupported field value type: {type(value).__name__}")
+
+
+class NexusEngine:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+        self._points_path = os.path.join(warehouse, "points")
+        self._tomb = {
+            "point": os.path.join(warehouse, "tomb_point"),
+            "series": os.path.join(warehouse, "tomb_series"),
+            "range": os.path.join(warehouse, "tomb_range"),
+        }
+        self._seq = self._load_max_seq() + 1
+
+    # ------------------------------------------------------------- ingest
+
+    def _load_max_seq(self) -> int:
+        best = -1
+        for path in [self._points_path, *self._tomb.values()]:
+            if os.path.isdir(path):
+                row = self.spark.read.parquet(path).agg(F.max("seq")).collect()[0]
+                if row[0] is not None:
+                    best = max(best, row[0])
+        return best
+
+    def _next_seq(self) -> int:
+        s = self._seq
+        self._seq += 1
+        return s
+
+    @staticmethod
+    def _now_ns() -> int:
+        return time.time_ns()
+
+    def put(self, metric: str, tags: dict[str, str] | None,
+            fields: dict[str, object], ts: int | None = None) -> int:
+        """Single-point ingest (gRPC Put / NBQL PUSH —
+        engine2/adapter.go:436-633). Returns the assigned seq."""
+        return self.put_batch([(metric, tags or {}, fields, ts)])
+
+    def put_batch(self, points: list[tuple]) -> int:
+        """Atomic batch ingest (PutBatch — engine2/adapter.go:635-749).
+        One seq per point, one parquet append per batch (the WAL-batch
+        analog). Returns the last assigned seq."""
+        rows = []
+        last_seq = -1
+        for metric, tags, fields, ts in points:
+            if not validate_name(metric):
+                raise ValueError(f"invalid metric name: {metric!r}")
+            for k in (tags or {}):
+                if k.startswith("__") or not validate_name(k):
+                    raise ValueError(f"invalid tag key: {k!r}")
+            last_seq = self._next_seq()
+            ts = self._now_ns() if ts is None else int(ts)
+            for fname, fval in fields.items():
+                vtype, fd, fl, fs, fb = _typed(fval)
+                rows.append((metric, dict(tags or {}), ts, last_seq,
+                             fname, vtype, fd, fl, fs, fb))
+        df = self.spark.createDataFrame(rows, POINTS_SCHEMA)
+        df = df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
+        df.write.mode("append").partitionBy("metric").parquet(self._points_path)
+        return last_seq
+
+    # ------------------------------------------------------------ deletes
+
+    def delete_series(self, metric: str, tags: dict[str, str]) -> int:
+        """Whole-series tombstone with seq cutoff (engine2/adapter.go:950-1030)."""
+        sk = self._series_key(metric, tags)
+        seq = self._next_seq()
+        self._append_tomb("series", [(sk, seq)], "series_key string, seq long")
+        return seq
+
+    def delete_point(self, metric: str, tags: dict[str, str], ts: int) -> int:
+        """Point tombstone ('D' entry — engine2/adapter.go:909-948)."""
+        sk = self._series_key(metric, tags)
+        seq = self._next_seq()
+        self._append_tomb("point", [(sk, int(ts), seq)],
+                          "series_key string, ts long, seq long")
+        return seq
+
+    def delete_range(self, metric: str, tags: dict[str, str],
+                     start: int, end: int) -> int:
+        """Range tombstone [start,end] inclusive (engine2/adapter.go:1032-1101)."""
+        sk = self._series_key(metric, tags)
+        seq = self._next_seq()
+        self._append_tomb("range", [(sk, int(start), int(end), seq)],
+                          "series_key string, min_ts long, max_ts long, seq long")
+        return seq
+
+    @staticmethod
+    def _series_key(metric: str, tags: dict[str, str]) -> str:
+        kv = ",".join(f"{k}={v}" for k, v in sorted((tags or {}).items()))
+        return f"{metric}|{kv}"
+
+    def _append_tomb(self, kind: str, rows: list[tuple], schema: str) -> None:
+        self.spark.createDataFrame(rows, schema).write.mode("append").parquet(self._tomb[kind])
+
+    # -------------------------------------------------------------- reads
+
+    def _raw(self) -> DataFrame | None:
+        if not os.path.isdir(self._points_path):
+            return None
+        return self.spark.read.parquet(self._points_path)
+
+    def _tomb_df(self, kind: str, schema: str) -> DataFrame:
+        if os.path.isdir(self._tomb[kind]):
+            return self.spark.read.parquet(self._tomb[kind])
+        return self.spark.createDataFrame([], schema)
+
+    def points(self) -> DataFrame:
+        """The visible long-format points view: MVCC dedup (whole-point
+        last-write-wins) + all three tombstone kinds, seq-aware."""
+        from nexusbase_spark.operators.mvcc import (
+            apply_point_deletes, apply_range_deletes, apply_series_deletes,
+        )
+        df = self._raw()
+        if df is None:
+            return self.spark.createDataFrame(
+                [], POINTS_SCHEMA.add(StructField("series_key", StringType())))
+        # whole-point LWW: the latest seq at (series_key, ts) supersedes ALL
+        # rows (= the whole fields map) of older seqs
+        w = Window.partitionBy("series_key", "ts")
+        df = (df.withColumn("__maxseq", F.max("seq").over(w))
+              .filter(F.col("seq") == F.col("__maxseq")).drop("__maxseq"))
+        df = apply_point_deletes(
+            df, self._tomb_df("point", "series_key string, ts long, seq long"))
+        df = apply_series_deletes(
+            df, self._tomb_df("series", "series_key string, seq long"))
+        df = apply_range_deletes(
+            df, self._tomb_df("range",
+                              "series_key string, min_ts long, max_ts long, seq long"))
+        return df
+
+    # ------------------------------------------------------- maintenance
+
+    def flush(self, target: str = "all") -> None:
+        """FLUSH shim: parquet appends are already durable; the reference's
+        memtable->L0 flush has no residue to persist here."""
+
+    def compact(self) -> None:
+        """OPTIMIZE analog of leveled compaction + retention
+        (levels/compaction.go:48-140): materialize the resolved view,
+        rewrite the points dir, drop consumed tombstones."""
+        resolved = self.points().cache()
+        resolved.count()
+        tmp = self._points_path + ".compact"
+        resolved.write.mode("overwrite").partitionBy("metric").parquet(tmp)
+        shutil.rmtree(self._points_path)
+        os.rename(tmp, self._points_path)
+        for path in self._tomb.values():
+            shutil.rmtree(path, ignore_errors=True)
+        resolved.unpersist()
+
+    def snapshot(self) -> str:
+        """Full snapshot = directory copy (snapshot/manager.go; Delta
+        time-travel would subsume this on a Delta-enabled cluster)."""
+        dest = os.path.join(self.warehouse, "snapshots", uuid.uuid4().hex[:12])
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.makedirs(dest)
+        for name in ["points", "tomb_point", "tomb_series", "tomb_range"]:
+            src = os.path.join(self.warehouse, name)
+            if os.path.isdir(src):
+                shutil.copytree(src, os.path.join(dest, name))
+        return dest
+
+    def restore(self, path: str, overwrite: bool = False) -> None:
+        for name in ["points", "tomb_point", "tomb_series", "tomb_range"]:
+            dst = os.path.join(self.warehouse, name)
+            if os.path.isdir(dst):
+                if not overwrite:
+                    raise ValueError("restore target not empty; use WITH OVERWRITE")
+                shutil.rmtree(dst)
+            src = os.path.join(path, name)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+        self._seq = self._load_max_seq() + 1
+
+    # ------------------------------------------------------------- query
+
+    def query(self, q: QueryStatement) -> DataFrame:
+        from nexusbase_spark.nbql.planner import plan_query
+        return plan_query(self, q)
+
+    def execute(self, nbql: str, params: tuple | list = ()):
+        """Parse + dispatch one NBQL statement (api/nbql/executor.go:29-50).
+        Returns a DataFrame for QUERY/SHOW, None for manipulations."""
+        from nexusbase_spark.nbql.parser import parse, substitute_params
+        from nexusbase_spark.nbql import ast as A
+        if params:
+            nbql = substitute_params(nbql, params)
+        stmt = parse(nbql)
+        if isinstance(stmt, A.PushStatement):
+            self.put(stmt.metric, stmt.tags, stmt.fields, stmt.timestamp)
+            return None
+        if isinstance(stmt, A.QueryStatement):
+            return self.query(stmt)
+        if isinstance(stmt, A.RemoveStatement):
+            if stmt.kind == "series":
+                self.delete_series(stmt.metric, stmt.tags)
+            elif stmt.kind == "point":
+                self.delete_point(stmt.metric, stmt.tags, stmt.at)
+            else:
+                self.delete_range(stmt.metric, stmt.tags, stmt.start, stmt.end)
+            return None
+        if isinstance(stmt, A.ShowStatement):
+            from nexusbase_spark.nbql.planner import plan_show
+            return plan_show(self, stmt)
+        if isinstance(stmt, A.FlushStatement):
+            self.flush(stmt.target)
+            return None
+        if isinstance(stmt, A.SnapshotStatement):
+            return self.snapshot()
+        if isinstance(stmt, A.RestoreStatement):
+            self.restore(stmt.path, stmt.overwrite)
+            return None
+        raise TypeError(f"unhandled statement {type(stmt).__name__}")

@@ -1,0 +1,85 @@
+"""NBQL AST.
+
+The reference's parser lives in a missing submodule (SURVEY.md caveat:
+``go.mod:34`` replaces ``github.com/INLOpen/nexuscore`` with an empty
+directory), so the statement shapes here are reconstructed from every usage
+site: the executor's AST consumption (``api/nbql/executor.go:29-50``),
+query strings in tests and client examples (``cmd/testparser/main.go:4``,
+``clients/nbql/golang/example/main.go:88``,
+``clients/nbql/python/tests/test_client.py:88``,
+``api/nbql/executor_e2e_test.go:136-282``, ``server/nbql_flush_test.go``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class AggregationSpec:
+    func: str               # count|sum|avg|min|max|first|last|frac|stddev|p<N>
+    field: str              # field name or '*'
+    alias: str | None = None
+
+
+@dataclass
+class PushStatement:
+    metric: str
+    tags: dict[str, str] = field(default_factory=dict)
+    fields: dict[str, object] = field(default_factory=dict)  # typed literals
+    timestamp: int | None = None     # ns; None -> now (executor.go:85-88)
+    batch: bool = False              # PUSHS
+
+
+@dataclass
+class QueryStatement:
+    metric: str
+    start: int | None = None         # ns, inclusive
+    end: int | None = None           # ns, inclusive
+    relative: int | None = None      # ns duration (FROM RELATIVE(dur))
+    tags: dict[str, str] = field(default_factory=dict)
+    aggregations: list[AggregationSpec] = field(default_factory=list)
+    downsample_interval: int | None = None   # ns (AGGREGATE BY <interval>)
+    emit_empty_windows: bool = False
+    limit: int | None = None
+    sort_desc: bool = False
+    after_cursor: str | None = None  # base64 keyset cursor
+
+
+@dataclass
+class RemoveStatement:
+    metric: str
+    tags: dict[str, str] = field(default_factory=dict)
+    kind: str = "series"             # series | point | range
+    at: int | None = None            # point delete ts
+    start: int | None = None         # range delete
+    end: int | None = None
+
+
+@dataclass
+class ShowStatement:
+    what: str                        # metrics | tag_keys | tag_values
+    metric: str | None = None
+    key: str | None = None
+
+
+@dataclass
+class FlushStatement:
+    target: str = "all"              # memtable | disk | all
+
+
+@dataclass
+class SnapshotStatement:
+    pass
+
+
+@dataclass
+class RestoreStatement:
+    path: str
+    overwrite: bool = False
+
+
+Statement = (
+    PushStatement | QueryStatement | RemoveStatement | ShowStatement
+    | FlushStatement | SnapshotStatement | RestoreStatement
+)

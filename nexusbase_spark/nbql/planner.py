@@ -1,0 +1,208 @@
+"""NBQL planner: AST -> DataFrame over the engine's long-format points view.
+
+This is the Spark translation of the reference's inline physical plan
+(engine2/adapter.go:1103-1397): series resolution and range scan become
+declarative filters (Catalyst pushes them into the parquet scan), the k-way
+merge + dedup happened in NexusEngine.points(), aggregation wraps become
+groupBy, and cursor/limit become a keyset predicate + TakeOrderedAndProject.
+
+Aggregation over the long format uses CONDITIONAL aggregates — one pass,
+no pivot, no join: every spec compiles to agg expressions gated on its
+field name. count(*) counts POINTS (distinct series_key+ts+seq), not field
+rows (iterator/multi_field_aggregator.go:181-184).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nexusbase_spark.functions.fidelity import parse_agg_func
+from nexusbase_spark.nbql.ast import AggregationSpec, QueryStatement, ShowStatement
+
+_NAN = float("nan")
+
+
+def _nan() -> Column:
+    return F.lit(_NAN)
+
+
+def _order_key() -> Column:
+    # global stream order (ts, series_key, seq desc) — iterator/iterator.go:41-63
+    return F.struct(F.col("ts"), F.col("series_key"), (-F.col("seq")).alias("nseq"))
+
+
+def _long_agg_exprs(specs: list[AggregationSpec], *, skip_non_finite: bool,
+                    approx_percentile: bool = False) -> list[Column]:
+    exprs: list[Column] = []
+    for spec in specs:
+        func, q = parse_agg_func(spec.func)
+        name = spec.alias or f"{spec.func}_{spec.field}"
+        if func == "count" and spec.field == "*":
+            # count of points, not field rows
+            exprs.append(F.countDistinct("series_key", "ts", "seq").alias(name))
+            continue
+        here = F.col("field") == spec.field
+        present = here & (F.col("vtype") != "null")
+        if func == "count":
+            exprs.append(F.count(F.when(present, F.lit(1))).alias(name))
+            continue
+        num = F.when(here, F.coalesce(F.col("f_double"), F.col("f_long").cast("double")))
+        if skip_non_finite:
+            num = F.when(F.isnan(num) | num.isin(float("inf"), float("-inf")),
+                         F.lit(None)).otherwise(num)
+        key = F.when(num.isNotNull(), _order_key())
+        if func == "sum":
+            exprs.append(F.coalesce(F.sum(num), F.lit(0.0)).alias(name))
+        elif func == "avg":
+            exprs.append(F.coalesce(F.avg(num), _nan()).alias(name))
+        elif func in ("min", "max"):
+            v = num if skip_non_finite else F.when(F.isnan(num), F.lit(None)).otherwise(num)
+            exprs.append(F.coalesce(F.min(v) if func == "min" else F.max(v), _nan()).alias(name))
+        elif func == "first":
+            exprs.append(F.coalesce(F.min_by(num, key), _nan()).alias(name))
+        elif func == "last":
+            exprs.append(F.coalesce(F.max_by(num, key), _nan()).alias(name))
+        elif func == "frac":
+            n = F.count(num)
+            first, last = F.min_by(num, key), F.max_by(num, key)
+            exprs.append(
+                F.when(n < 2, _nan())
+                .when(first == 0.0,
+                      F.when(last == 0.0, F.lit(0.0))
+                      .when(last > 0.0, F.lit(float("inf")))
+                      .otherwise(F.lit(float("-inf"))))
+                .otherwise((last - first) / first)
+                .alias(name))
+        elif func == "stddev":
+            exprs.append(F.coalesce(F.stddev_samp(num), _nan()).alias(name))
+        elif func == "percentile":
+            agg = (F.percentile_approx(num, F.lit(q)) if approx_percentile
+                   else F.percentile(num, F.lit(q)))
+            exprs.append(F.coalesce(agg, _nan()).alias(name))
+        else:  # pragma: no cover
+            raise ValueError(func)
+    return exprs
+
+
+def _display(vtype: str = "vtype") -> Column:
+    return (
+        F.when(F.col(vtype) == "float", F.col("f_double").cast("string"))
+        .when(F.col(vtype) == "int", F.col("f_long").cast("string"))
+        .when(F.col(vtype) == "string", F.col("f_string"))
+        .when(F.col(vtype) == "bool", F.when(F.col("f_bool"), "true").otherwise("false"))
+        .otherwise(F.lit(None))
+    )
+
+
+def plan_query(engine, q: QueryStatement) -> DataFrame:
+    df = engine.points().filter(F.col("metric") == q.metric)
+    for k, v in q.tags.items():
+        df = df.filter(F.col("tags").getItem(k) == v)
+
+    start, end = q.start, q.end
+    if q.relative is not None:
+        # End anchors to data max-ts when <= now (engine2/adapter.go:1236-1276)
+        now = engine._now_ns()
+        row = df.agg(F.max("ts")).collect()[0]
+        if row[0] is None:
+            return df.filter(F.lit(False)) if not q.aggregations else _empty_agg(engine, q)
+        end = min(row[0], now)
+        start = end - q.relative
+    if end is None and (start is not None or q.aggregations):
+        end = engine._now_ns()  # default EndTime=now (engine2/adapter.go:1117-1120)
+    if start is not None:
+        df = df.filter(F.col("ts") >= start)
+    if end is not None:
+        df = df.filter(F.col("ts") <= end)
+
+    if q.aggregations:
+        if q.downsample_interval:
+            return _plan_downsample(df, q, start, end)
+        return _plan_final(df, q)
+
+    return _plan_raw(df, q)
+
+
+def _empty_agg(engine, q: QueryStatement) -> DataFrame:
+    df = engine.points().filter(F.lit(False))
+    if q.downsample_interval:
+        return _plan_downsample(df, q, 0, 1)
+    return _plan_final(df, q)
+
+
+def _plan_final(df: DataFrame, q: QueryStatement) -> DataFrame:
+    """One row across ALL matching series, keyed by the bare metric
+    (engine2/adapter.go:1349-1364); final agg skips NaN/Inf inputs."""
+    exprs = _long_agg_exprs(q.aggregations, skip_non_finite=True)
+    return df.groupBy(F.lit(q.metric).alias("metric")).agg(*exprs)
+
+
+def _plan_downsample(df: DataFrame, q: QueryStatement,
+                     start: int | None, end: int | None) -> DataFrame:
+    """Per-series epoch-aligned tumbling windows; the downsampler does NOT
+    skip NaN/Inf inputs (multi_field_downsampling_iterator.go:44-90)."""
+    iv = q.downsample_interval
+    win = (F.col("ts") - F.col("ts") % F.lit(iv)).alias("window_start")
+    exprs = _long_agg_exprs(q.aggregations, skip_non_finite=False)
+    agg = (df.groupBy(F.col("metric"), F.col("series_key"), win)
+           .agg(F.first("tags").alias("tags"), *exprs))
+
+    if q.emit_empty_windows:
+        if start is None or end is None or end <= start:
+            raise ValueError("EMIT EMPTY WINDOWS requires a bounded FROM..TO range")
+        first = start - (start % iv)
+        last = end - 1 - ((end - 1 - first) % iv)
+        series = (df.groupBy("metric", "series_key")
+                  .agg(F.first("tags").alias("tags")))
+        grid = series.select(
+            "metric", "series_key", "tags",
+            F.explode(F.sequence(F.lit(first), F.lit(last), F.lit(iv))).alias("window_start"))
+        agg = grid.join(agg.drop("tags"), ["metric", "series_key", "window_start"], "left")
+        for spec in q.aggregations:
+            name = spec.alias or f"{spec.func}_{spec.field}"
+            fill = F.lit(0.0) if spec.func in ("count", "sum") else _nan()
+            agg = agg.withColumn(name, F.coalesce(F.col(name).cast("double"), fill))
+
+    agg = agg.withColumn("window_end", F.col("window_start") + F.lit(iv))
+    order = [F.col("window_start"), F.col("series_key")]
+    if q.sort_desc:
+        order = [F.col("window_start").desc(), F.col("series_key").desc()]
+    agg = agg.orderBy(*order)
+    if q.limit:
+        agg = agg.limit(q.limit)
+    return agg
+
+
+def _plan_raw(df: DataFrame, q: QueryStatement) -> DataFrame:
+    """Raw points: long rows -> one row per point with a display fields map
+    (the QueryResult shape — engine2/adapter.go:1490-1621)."""
+    from nexusbase_spark.operators.order import decode_cursor, keyset_after, order_points
+
+    pts = (
+        df.groupBy("metric", "series_key", "ts", "seq")
+        .agg(F.first("tags").alias("tags"),
+             F.map_from_entries(
+                 F.array_sort(F.collect_list(F.struct(F.col("field"), _display().alias("v"))))
+             ).alias("fields"))
+    )
+    if q.after_cursor:
+        pts = keyset_after(pts, decode_cursor(q.after_cursor), q.sort_desc)
+    pts = order_points(pts, q.sort_desc)
+    if q.limit:
+        pts = pts.limit(q.limit)
+    return pts.select("metric", "series_key", "tags", "ts", "seq", "fields")
+
+
+def plan_show(engine, s: ShowStatement) -> DataFrame:
+    from nexusbase_spark.operators.metadata import (
+        show_metrics, show_tag_keys, show_tag_values,
+    )
+    pts = engine.points()
+    if s.what == "metrics":
+        return show_metrics(pts)
+    if s.what == "tag_keys":
+        return show_tag_keys(pts, s.metric)
+    if s.what == "tag_values":
+        return show_tag_values(pts, s.key, s.metric)
+    raise ValueError(s.what)

@@ -470,4 +470,5 @@ def _load_extra_registries() -> None:
     """Import the sibling registry modules for their @register side effects
     (deferred to avoid a circular import at module load)."""
     import nexusbase_spark.queries_analytics  # noqa: F401
+    import nexusbase_spark.queries_nbql  # noqa: F401
     import nexusbase_spark.queries_pipeline  # noqa: F401

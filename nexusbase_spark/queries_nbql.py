@@ -1,0 +1,135 @@
+"""Oracle-checked queries that go through the FULL NBQL path: text ->
+parser -> AST -> planner -> DataFrame. Proves the language front end on
+real data (the events table mapped to the long points format), not just
+the operator library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexusbase_spark.datamodel import load_table, series_key_expr
+from nexusbase_spark.nbql.parser import parse
+from nexusbase_spark.queries import DAY_NS, T1, T2, register
+
+
+class StaticEngine:
+    """Read-only engine facade over a fixed long-format points frame —
+    what NexusEngine.points() returns, minus the warehouse."""
+
+    def __init__(self, spark: SparkSession, points: DataFrame):
+        self.spark = spark
+        self._points = points
+
+    def points(self) -> DataFrame:
+        return self._points
+
+    @staticmethod
+    def _now_ns() -> int:
+        import time
+        return time.time_ns()
+
+    def query(self, q) -> DataFrame:
+        from nexusbase_spark.nbql.planner import plan_query
+        return plan_query(self, q)
+
+    def execute(self, nbql: str) -> DataFrame:
+        return self.query(parse(nbql))
+
+
+def events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> long points: each event is ONE point with two fields
+    (value float, k int) -> two long rows sharing (series_key, ts, seq)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.col("ts").cast("long")
+    base = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
+        (raw - raw % F.lit(1000)).alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.col("value").cast("double").alias("value"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    ).withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
+    val = base.select(
+        "metric", "tags", "series_key", "ts", "seq",
+        F.lit("value").alias("field"), F.lit("float").alias("vtype"),
+        F.col("value").alias("f_double"), F.lit(None).cast("long").alias("f_long"),
+        F.lit(None).cast("string").alias("f_string"),
+        F.lit(None).cast("boolean").alias("f_bool"),
+    )
+    kf = base.select(
+        "metric", "tags", "series_key", "ts", "seq",
+        F.lit("k").alias("field"), F.lit("int").alias("vtype"),
+        F.lit(None).cast("double").alias("f_double"), F.col("k").alias("f_long"),
+        F.lit(None).cast("string").alias("f_string"),
+        F.lit(None).cast("boolean").alias("f_bool"),
+    )
+    return val.unionByName(kf)
+
+
+def _engine(spark, sf_dir) -> StaticEngine:
+    return StaticEngine(spark, events_long(spark, sf_dir))
+
+
+@register("nbql_downsample", f"""
+    SELECT 'click' AS metric,
+           ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+           epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) AS window_start,
+           epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) + {DAY_NS} AS window_end,
+           count(*) AS "count_*",
+           round(coalesce(sum(value), 0), 4) AS sum_value,
+           round(avg(value), 4) AS avg_value,
+           round(coalesce(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0), 4) AS sum_k
+    FROM events
+    WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
+    GROUP BY series_key, window_start
+""")
+def q_nbql_downsample(spark, sf_dir):
+    """Full NBQL text -> parse -> plan: AGGREGATE BY 1d over two typed
+    fields (float value + int k), per-series epoch-aligned windows."""
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(
+        f"QUERY click FROM {T1} TO {T2} "
+        "AGGREGATE BY 1d (count(*), sum(value), avg(value), sum(k))")
+    df = df.select("metric", "series_key", "window_start", "window_end",
+                   "count_*", F.round("sum_value", 4).alias("sum_value"),
+                   F.round("avg_value", 4).alias("avg_value"),
+                   F.round("sum_k", 4).alias("sum_k"))
+    return df
+
+
+@register("nbql_final_agg", f"""
+    SELECT 'purchase' AS metric,
+           count(*) AS "count_*",
+           round(coalesce(sum(value), 0), 4) AS sum_value,
+           round(quantile_cont(value, 0.95), 4) AS p95_value,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS count_k
+    FROM events
+    WHERE event_type = 'purchase' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
+""")
+def q_nbql_final_agg(spark, sf_dir):
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(
+        f"QUERY purchase FROM {T1} TO {T2} "
+        "AGGREGATE (count(*), sum(value), p95(value), count(k))")
+    return df.select("metric", "count_*", F.round("sum_value", 4).alias("sum_value"),
+                     F.round("p95_value", 4).alias("p95_value"), "count_k")
+
+
+@register("nbql_raw_limit", f"""
+    SELECT event_type AS metric,
+           ('error|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+           epoch_ns(ts) AS ts,
+           event_id AS seq
+    FROM events
+    WHERE event_type = 'error' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
+    ORDER BY ts, series_key, seq DESC
+    LIMIT 25
+""")
+def q_nbql_raw_limit(spark, sf_dir):
+    """NBQL raw query with enforced LIMIT through the parser/planner
+    (engine2 never enforced it — SURVEY.md §2.7)."""
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(f"QUERY error FROM {T1} TO {T2} LIMIT 25")
+    return df.select("metric", "series_key", "ts", "seq")

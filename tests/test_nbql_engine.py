@@ -1,0 +1,272 @@
+"""End-to-end NBQL engine tests, mirroring the reference's e2e suite
+(server/e2e_test.go): put/query, tag filtering, downsampling with golden
+aggregate values, empty windows, deletes (series/range/point) with
+resurrection, metadata, snapshot/restore, pagination."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nexusbase_spark.engine import NexusEngine
+from nexusbase_spark.nbql.parser import NBQLError, parse, parse_duration, substitute_params
+from nexusbase_spark.nbql import ast as A
+
+MIN = 60_000_000_000  # ns
+
+
+# ----------------------------------------------------------------- parser
+
+
+def test_parse_push():
+    s = parse('PUSH system.logs TAGGED (app="api", dc="us-east-1") '
+              'SET (level="info", status=200, success=TRUE, lat=1.5) AT 12345;')
+    assert isinstance(s, A.PushStatement)
+    assert s.metric == "system.logs"
+    assert s.tags == {"app": "api", "dc": "us-east-1"}
+    assert s.fields == {"level": "info", "status": 200, "success": True, "lat": 1.5}
+    assert s.timestamp == 12345
+
+
+def test_parse_query_forms():
+    q = parse("QUERY cpu.usage FROM 1672531200 TO 1672534800 LIMIT 10;")
+    assert (q.metric, q.start, q.end, q.limit) == ("cpu.usage", 1672531200, 1672534800, 10)
+
+    # parameterized form substitutes client-side first (raw '?' never
+    # reaches the parser — clients/nbql/python/nbql/client.py:60-79)
+    q = parse(substitute_params(
+        "QUERY ? FROM ? TO ? TAGGED (region=?) AGGREGATE BY 1m (avg(load1), max(load5));",
+        ("system.load", 0, 100, "eu")))
+    assert q.metric == "system.load"
+    assert q.tags == {"region": "eu"}
+    assert q.downsample_interval == MIN
+    assert [(a.func, a.field) for a in q.aggregations] == [("avg", "load1"), ("max", "load5")]
+
+    q = parse("QUERY cpu.usage FROM RELATIVE(1m)")
+    assert q.relative == MIN
+
+    q = parse('QUERY m AGGREGATE (count(*), p95(lat) AS p95) DESC LIMIT 5 AFTER "abc"')
+    assert q.aggregations[0].field == "*"
+    assert q.aggregations[1].alias == "p95"
+    assert q.sort_desc and q.limit == 5 and q.after_cursor == "abc"
+
+
+def test_parse_remove_show_admin():
+    r = parse('REMOVE SERIES "e2e.remove" TAGGED (host="a");')
+    assert (r.kind, r.metric, r.tags) == ("series", "e2e.remove", {"host": "a"})
+    r = parse('REMOVE FROM "e2e.remove" TAGGED (host="c") AT 200;')
+    assert (r.kind, r.at) == ("point", 200)
+    r = parse('REMOVE FROM "e2e.remove" TAGGED (host="d") FROM 200 TO 400;')
+    assert (r.kind, r.start, r.end) == ("range", 200, 400)
+    assert parse("SHOW METRICS").what == "metrics"
+    assert parse("SHOW TAG KEYS FROM m").metric == "m"
+    s = parse("SHOW TAG VALUES FROM m WITH KEY = host")
+    assert (s.what, s.key) == ("tag_values", "host")
+    assert parse("FLUSH MEMTABLE").target == "memtable"
+    assert isinstance(parse("SNAPSHOT"), A.SnapshotStatement)
+    r = parse("RESTORE FROM '/tmp/snap' WITH OVERWRITE")
+    assert r.path == "/tmp/snap" and r.overwrite
+
+
+def test_parse_duration():
+    assert parse_duration("1m") == MIN
+    assert parse_duration("1h30m") == 90 * MIN
+    assert parse_duration("500ms") == 500_000_000
+    with pytest.raises(NBQLError):
+        parse_duration("xyz")
+
+
+def test_parse_errors():
+    for bad in ["PUSH m", "QUERY", "BOGUS", "QUERY m EMIT EMPTY WINDOWS",
+                "REMOVE m", "FLUSH everything"]:
+        with pytest.raises(NBQLError):
+            parse(bad)
+
+
+# ------------------------------------------------------------ engine e2e
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("warehouse")))
+    # fixture modeled on server/e2e_test.go:541-643 — 2 one-minute windows
+    # of e2e.test.requests{service,method} with latency_ms/status/path
+    base = 1_700_000_040 * 1_000_000_000  # NOT minute-aligned (epoch align check)
+    rows = []
+    for i, lat in enumerate([10.0, 20.0, 30.0]):            # window 0
+        rows.append(("e2e.test.requests", {"service": "api", "method": "GET"},
+                     {"latency_ms": lat, "status": 200, "path": f"/x{i}"},
+                     base + i * 5_000_000_000))
+    for i, lat in enumerate([100.0, 200.0]):                # window 1 (next minute)
+        rows.append(("e2e.test.requests", {"service": "api", "method": "GET"},
+                     {"latency_ms": lat, "status": 500, "path": f"/y{i}"},
+                     base + MIN + i * 5_000_000_000))
+    # second series, same windows
+    rows.append(("e2e.test.requests", {"service": "auth", "method": "POST"},
+                 {"latency_ms": 50.0, "status": 200, "path": "/z"}, base + 1))
+    eng.put_batch(rows)
+    return eng
+
+
+def test_raw_query_and_tag_filter(engine):
+    df = engine.execute(
+        'QUERY e2e.test.requests FROM 0 TO 3000000000000000000 TAGGED (service="api")')
+    rows = df.collect()
+    assert len(rows) == 5
+    assert rows[0]["fields"]["latency_ms"] == "10.0"
+    assert rows[0]["fields"]["status"] == "200"
+    # ascending ts, fields map carries all three typed fields
+    ts = [r["ts"] for r in rows]
+    assert ts == sorted(ts)
+    auth = engine.execute(
+        'QUERY e2e.test.requests FROM 0 TO 3000000000000000000 TAGGED (service="auth")')
+    assert auth.count() == 1
+
+
+def test_downsample_golden(engine):
+    """Golden window values like server/e2e_test.go:625-643, epoch-aligned
+    windows (start - start%interval), per-series grouping."""
+    df = engine.execute(
+        "QUERY e2e.test.requests FROM 0 TO 3000000000000000000 "
+        'TAGGED (service="api") AGGREGATE BY 1m '
+        "(count(latency_ms), sum(latency_ms), avg(latency_ms), "
+        "min(latency_ms), max(latency_ms), count(*))")
+    rows = {r["window_start"]: r for r in df.collect()}
+    assert len(rows) == 2
+    w0, w1 = sorted(rows)
+    assert w0 % MIN == 0 and w1 == w0 + MIN
+    r0, r1 = rows[w0], rows[w1]
+    assert r0["count_latency_ms"] == 3 and r0["sum_latency_ms"] == 60.0
+    assert r0["avg_latency_ms"] == 20.0 and (r0["min_latency_ms"], r0["max_latency_ms"]) == (10.0, 30.0)
+    assert r0["count_*"] == 3
+    assert r1["count_latency_ms"] == 2 and r1["sum_latency_ms"] == 300.0
+    assert r1["avg_latency_ms"] == 150.0
+    assert r1["window_end"] == w1 + MIN
+
+
+def test_final_agg_across_series(engine):
+    """Final aggregation collapses ALL matching series to one row keyed by
+    the bare metric (engine2/adapter.go:1349-1364)."""
+    df = engine.execute(
+        "QUERY e2e.test.requests FROM 0 TO 3000000000000000000 "
+        "AGGREGATE (count(*), sum(latency_ms), first(latency_ms), last(latency_ms), "
+        "frac(latency_ms), count(path), count(status))")
+    row = df.collect()[0]
+    assert row["metric"] == "e2e.test.requests"
+    assert row["count_*"] == 6
+    assert row["sum_latency_ms"] == 410.0
+    # stream order: (ts, series_key) — base+1 (auth) sorts after base (api)
+    assert row["first_latency_ms"] == 10.0
+    assert row["last_latency_ms"] == 200.0
+    assert row["frac_latency_ms"] == pytest.approx(19.0)
+    # strings and ints both countable (non-null any-type count)
+    assert row["count_path"] == 6 and row["count_status"] == 6
+
+
+def test_emit_empty_windows(engine):
+    base = 1_700_000_040 * 1_000_000_000
+    start, end = base - 2 * MIN, base + 2 * MIN
+    df = engine.execute(
+        f'QUERY e2e.test.requests FROM {start} TO {end} TAGGED (service="auth") '
+        "AGGREGATE BY 1m (count(value_missing), sum(latency_ms), avg(latency_ms)) "
+        "EMIT EMPTY WINDOWS")
+    rows = sorted(df.collect(), key=lambda r: r["window_start"])
+    # windows enumerate from align(start) while window_start < end
+    assert len(rows) == 4
+    empty = rows[0]
+    assert empty["count_value_missing"] == 0.0 and empty["sum_latency_ms"] == 0.0
+    assert math.isnan(empty["avg_latency_ms"])
+    assert rows[2]["sum_latency_ms"] == 50.0
+
+
+def test_mvcc_whole_point_replacement(engine, spark):
+    """A re-push at the same (series, ts) replaces the ENTIRE fields map
+    (iterator/iterator.go:270-289 — value = whole encoded fields)."""
+    ts = 1_800_000_000 * 1_000_000_000
+    engine.put("e2e.mvcc", {"h": "a"}, {"x": 1.0, "y": 2.0}, ts)
+    engine.put("e2e.mvcc", {"h": "a"}, {"x": 9.0}, ts)
+    rows = engine.execute(f"QUERY e2e.mvcc FROM {ts} TO {ts}").collect()
+    assert len(rows) == 1
+    assert rows[0]["fields"] == {"x": "9.0"}  # y is GONE, not merged
+
+
+def test_remove_series_and_resurrect(engine):
+    ts0 = 1_810_000_000 * 1_000_000_000
+    for i in range(3):
+        engine.put("e2e.remove", {"host": "a"}, {"value": float(i)}, ts0 + i)
+    engine.execute('REMOVE SERIES "e2e.remove" TAGGED (host="a")')
+    assert engine.execute(f"QUERY e2e.remove FROM 0 TO {ts0 + 10}").count() == 0
+    # re-push AFTER the tombstone -> higher seq -> visible again
+    engine.put("e2e.remove", {"host": "a"}, {"value": 42.0}, ts0 + 1)
+    rows = engine.execute(f"QUERY e2e.remove FROM 0 TO {ts0 + 10}").collect()
+    assert len(rows) == 1 and rows[0]["fields"]["value"] == "42.0"
+
+
+def test_remove_point_and_range_inclusive(engine):
+    ts0 = 1_820_000_000 * 1_000_000_000
+    engine.put_batch([
+        ("e2e.remove2", {"host": "c"}, {"value": float(t)}, ts0 + t)
+        for t in range(0, 1100, 100)
+    ])
+    engine.execute(f'REMOVE FROM "e2e.remove2" TAGGED (host="c") AT {ts0 + 200}')
+    left = {r["ts"] - ts0 for r in engine.execute(
+        f"QUERY e2e.remove2 FROM {ts0} TO {ts0 + 2000}").collect()}
+    assert 200 not in left and len(left) == 10
+    # range delete inclusive both ends (engine2/adapter.go:2784)
+    engine.execute(f'REMOVE FROM "e2e.remove2" TAGGED (host="c") FROM {ts0 + 400} TO {ts0 + 600}')
+    left = {r["ts"] - ts0 for r in engine.execute(
+        f"QUERY e2e.remove2 FROM {ts0} TO {ts0 + 2000}").collect()}
+    assert left == {0, 100, 300, 700, 800, 900, 1000}
+
+
+def test_show_metadata(engine):
+    metrics = [r[0] for r in engine.execute("SHOW METRICS").collect()]
+    assert "e2e.test.requests" in metrics and "e2e.mvcc" in metrics
+    keys = [r[0] for r in engine.execute("SHOW TAG KEYS FROM e2e.test.requests").collect()]
+    assert keys == ["method", "service"]
+    vals = [r[0] for r in engine.execute(
+        "SHOW TAG VALUES FROM e2e.test.requests WITH KEY = service").collect()]
+    assert vals == ["api", "auth"]
+
+
+def test_limit_and_cursor_pagination(engine, spark):
+    from nexusbase_spark.operators.order import encode_cursor
+    df = engine.execute("QUERY e2e.remove2 FROM 0 TO 3000000000000000000 LIMIT 3")
+    page1 = df.collect()
+    assert len(page1) == 3
+    last = page1[-1]
+    cur = encode_cursor(last["ts"], last["series_key"], last["seq"])
+    page2 = engine.execute(
+        f'QUERY e2e.remove2 FROM 0 TO 3000000000000000000 LIMIT 3 AFTER "{cur}"').collect()
+    assert len(page2) == 3
+    assert {r["ts"] for r in page1}.isdisjoint({r["ts"] for r in page2})
+
+
+def test_relative_query(engine):
+    """FROM RELATIVE(dur): End anchors to max data ts (quirk,
+    engine2/adapter.go:1236-1276)."""
+    # data must be in the PAST: End = min(max data ts, clock-now)
+    ts0 = 1_600_000_000 * 1_000_000_000
+    engine.put_batch([
+        ("e2e.rel", {}, {"v": 1.0}, ts0),
+        ("e2e.rel", {}, {"v": 2.0}, ts0 + 10 * MIN),
+    ])
+    rows = engine.execute("QUERY e2e.rel FROM RELATIVE(1m)").collect()
+    assert len(rows) == 1 and rows[0]["fields"]["v"] == "2.0"
+
+
+def test_snapshot_restore(engine):
+    snap = engine.execute("SNAPSHOT")
+    before = engine.execute("SHOW METRICS").count()
+    engine.put("e2e.extra", {}, {"v": 1.0}, 1)
+    assert engine.execute("SHOW METRICS").count() == before + 1
+    engine.execute(f"RESTORE FROM '{snap}' WITH OVERWRITE")
+    assert engine.execute("SHOW METRICS").count() == before
+
+
+def test_validation_rejected(engine):
+    with pytest.raises(ValueError):
+        engine.put("bad metric!", {}, {"v": 1.0}, 1)
+    with pytest.raises(ValueError):
+        engine.put("ok.metric", {"__reserved": "x"}, {"v": 1.0}, 1)
