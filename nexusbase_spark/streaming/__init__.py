@@ -1,0 +1,12 @@
+from nexusbase_spark.streaming.subscribe import (  # noqa: F401
+    match_expr,
+    subscription_filter,
+    subscribe,
+    stream_ingest,
+    live_downsample,
+)
+from nexusbase_spark.streaming.hooks import (  # noqa: F401
+    HookBus,
+    OutlierDetector,
+    CardinalityAlerter,
+)

@@ -1,0 +1,107 @@
+"""Hook bus: lifecycle callbacks on the ingest stream.
+
+Reference: ``hooks/hooks.go:17-71`` — sync/async listeners on ~30 lifecycle
+events (PrePutBatch, PostPutBatch, OnSeriesCreate, PreQuery, ...), with two
+built-in listeners rebuilt here:
+
+- OutlierDetector (``hooks/listeners/outlier_detector.go:19-100``):
+  min/max threshold rules per (metric, field), evaluated on PrePutBatch.
+- CardinalityAlerter (``hooks/listeners/cardinality_alerter.go:14-52``):
+  warns when a batch creates a previously-unseen series.
+
+Spark mapping: listeners run inside ``foreachBatch`` on the ingest stream
+(micro-batch = the reference's batch hook granularity). Filters are
+DataFrame expressions, so the detection work happens distributed; only the
+(tiny) violation sets come back to the driver callbacks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Listener = Callable[[str, DataFrame, int], None]
+
+EVENTS = ("pre_put_batch", "post_put_batch", "on_series_create",
+          "pre_query", "post_query", "on_delete")
+
+
+class HookBus:
+    """Synchronous listener registry keyed by event name."""
+
+    def __init__(self) -> None:
+        self._listeners: dict[str, list[Listener]] = {e: [] for e in EVENTS}
+
+    def register(self, event: str, listener: Listener) -> None:
+        if event not in self._listeners:
+            raise ValueError(f"unknown hook event {event!r}; known: {EVENTS}")
+        self._listeners[event].append(listener)
+
+    def publish(self, event: str, df: DataFrame, batch_id: int = -1) -> None:
+        for listener in self._listeners.get(event, ()):
+            listener(event, df, batch_id)
+
+    def for_each_batch(self, inner: Callable[[DataFrame, int], None] | None = None):
+        """Wrap a foreachBatch sink: pre hooks -> sink -> post hooks."""
+        def run(batch: DataFrame, batch_id: int) -> None:
+            self.publish("pre_put_batch", batch, batch_id)
+            if inner is not None:
+                inner(batch, batch_id)
+            self.publish("post_put_batch", batch, batch_id)
+        return run
+
+
+@dataclass
+class ThresholdRule:
+    metric: str
+    field: str           # field column name in the points frame
+    min_value: float | None = None
+    max_value: float | None = None
+
+
+@dataclass
+class OutlierDetector:
+    """Flags rows outside [min, max] per (metric, field) rule; violations
+    are handed to ``on_violation`` as a small collected list."""
+
+    rules: list[ThresholdRule]
+    on_violation: Callable[[list], None]
+    violations_seen: int = 0
+
+    def __call__(self, event: str, batch: DataFrame, batch_id: int) -> None:
+        pred = None
+        for r in self.rules:
+            cond = F.col("metric") == r.metric
+            bounds = F.lit(False)
+            if r.min_value is not None:
+                bounds = bounds | (F.col(r.field) < r.min_value)
+            if r.max_value is not None:
+                bounds = bounds | (F.col(r.field) > r.max_value)
+            c = cond & bounds
+            pred = c if pred is None else (pred | c)
+        if pred is None:
+            return
+        bad = batch.filter(pred).collect()
+        if bad:
+            self.violations_seen += len(bad)
+            self.on_violation(bad)
+
+
+@dataclass
+class CardinalityAlerter:
+    """Detects new series per batch. Driver-side seen-set state mirrors the
+    reference's in-memory map; at real scale this becomes a streaming
+    dedup on series_key with state-store backing."""
+
+    on_new_series: Callable[[list[str]], None]
+    seen: set = field(default_factory=set)
+
+    def __call__(self, event: str, batch: DataFrame, batch_id: int) -> None:
+        keys = {r["series_key"] for r in batch.select("series_key").distinct().collect()}
+        new = sorted(keys - self.seen)
+        if new:
+            self.seen |= keys
+            self.on_new_series(new)

@@ -1,0 +1,88 @@
+"""Real-time subscription surface on Structured Streaming.
+
+Reference: ``engine2/pubsub.go:13-126`` — subscribers register a metric
+filter and tag filters; both support PREFIX wildcards (``foo*`` —
+pubsub.go:33-60). Every Put/Delete matching the filter is pushed; the
+per-subscriber channel drops on overflow (best-effort, at-most-once —
+pubsub.go:104-120).
+
+Spark mapping: the ingest stream IS the pub/sub bus. A subscription is a
+streaming filter over it; delivery guarantees come from the sink
+(foreachBatch = at-least-once with checkpointing — stronger than the
+reference's drop-on-overflow, documented divergence). Watermarks are NOT
+needed for parity (the reference accepts any timestamp and computes windows
+at query time — SURVEY.md §2.10); ``live_downsample`` shows the watermarked
+variant for true streaming aggregation at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def match_expr(col: Column, pattern: str) -> Column:
+    """Exact match, or prefix match when the pattern ends with '*'
+    (engine2/pubsub.go:33-60). '*' alone matches everything."""
+    if pattern == "*":
+        return F.lit(True)
+    if pattern.endswith("*"):
+        return col.startswith(pattern[:-1])
+    return col == pattern
+
+
+def subscription_filter(df: DataFrame, metric: str = "*",
+                        tags: dict[str, str] | None = None) -> DataFrame:
+    """Apply subscription semantics to a (batch or streaming) points frame."""
+    out = df.filter(match_expr(F.col("metric"), metric))
+    for k, v in (tags or {}).items():
+        out = out.filter(match_expr(F.col("tags").getItem(k), v))
+    return out
+
+
+def stream_ingest(spark: SparkSession, source_dir: str, schema) -> DataFrame:
+    """File-source ingest stream: new parquet files appearing under
+    ``source_dir`` become micro-batches — the WAL-tail analog. On a real
+    cluster this is the same code with a Kafka source swapped in."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def subscribe(stream: DataFrame, on_batch: Callable[[DataFrame, int], None],
+              metric: str = "*", tags: dict[str, str] | None = None,
+              name: str = "subscription",
+              checkpoint: str | None = None) -> StreamingQuery:
+    """Start a subscription: filtered stream -> foreachBatch callback
+    (the gRPC Subscribe push loop — server/grpc_server.go:456-491)."""
+    filtered = subscription_filter(stream, metric, tags)
+    writer = (filtered.writeStream.queryName(name)
+              .foreachBatch(on_batch).outputMode("append"))
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def live_downsample(stream: DataFrame, interval_ns: int,
+                    watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming per-series tumbling aggregation with late-data handling —
+    the scale path for continuous rollups (the reference recomputes windows
+    at query time instead; SURVEY.md §2.10).
+
+    Works on event-time derived from the ns ts column; emits
+    (metric, series_key, window_start, count/sum/avg) per closed window.
+    """
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    iv_sec = max(interval_ns // 1_000_000_000, 1)
+    return (
+        with_time.withWatermark("event_time", watermark_delay)
+        .groupBy(F.window("event_time", f"{iv_sec} seconds"),
+                 F.col("metric"), F.col("series_key"))
+        .agg(F.count(F.lit(1)).alias("count_*"),
+             F.sum("value").alias("sum_value"),
+             F.avg("value").alias("avg_value"))
+        .withColumn("window_start", F.unix_micros(F.col("window.start")) * 1000)
+        .drop("window")
+    )

@@ -1,0 +1,107 @@
+"""Streaming surface tests: subscription wildcard semantics, live ingest ->
+subscribe delivery, hook-bus listeners, watermarked live downsample.
+Mirrors server/e2e_test.go:1015 (Subscribe) and engine2/pubsub.go:33-60."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexusbase_spark.datamodel import events_to_points, load_table
+from nexusbase_spark.streaming import (
+    CardinalityAlerter,
+    HookBus,
+    OutlierDetector,
+    live_downsample,
+    stream_ingest,
+    subscribe,
+    subscription_filter,
+)
+from nexusbase_spark.streaming.hooks import ThresholdRule
+
+
+def test_wildcard_semantics(spark, sf_dir):
+    pts = events_to_points(load_table(spark, sf_dir, "events"))
+    total = pts.count()
+    assert subscription_filter(pts, "*").count() == total
+    assert subscription_filter(pts, "click").count() == pts.filter("metric = 'click'").count()
+    c_star = subscription_filter(pts, "c*").count()
+    assert c_star == pts.filter(F.col("metric").startswith("c")).count() > 0
+    t = subscription_filter(pts, "*", {"user": "1*"})
+    assert t.count() == pts.filter(F.col("tags")["user"].startswith("1")).count() > 0
+    assert subscription_filter(pts, "nope*").count() == 0
+
+
+@pytest.fixture()
+def point_stream(spark, tmp_path):
+    """File-source micro-batch stream fed by parquet drops."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = ("metric string, tags map<string,string>, series_key string, "
+              "ts long, seq long, value double")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a", 1_000, 1, 10.0)])
+    stream = stream_ingest(spark, str(src), schema)
+    return stream, feed
+
+
+def test_subscribe_delivery_and_hooks(spark, point_stream, tmp_path):
+    stream, feed = point_stream
+    delivered: list = []
+    outliers: list = []
+    new_series: list = []
+
+    bus = HookBus()
+    bus.register("pre_put_batch", OutlierDetector(
+        [ThresholdRule("cpu.usage", "value", max_value=90.0)],
+        on_violation=outliers.extend))
+    bus.register("post_put_batch", CardinalityAlerter(on_new_series=new_series.extend))
+
+    def sink(batch, batch_id):
+        delivered.extend(batch.collect())
+
+    q = subscribe(stream, bus.for_each_batch(sink), metric="cpu.*",
+                  tags={"host": "a"}, name="t_sub",
+                  checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        n0 = len(delivered)
+        assert n0 == 1
+        feed([
+            ("cpu.usage", {"host": "a"}, "cpu.usage|host=a", 2_000, 2, 95.5),   # outlier
+            ("cpu.usage", {"host": "b"}, "cpu.usage|host=b", 2_000, 3, 50.0),   # filtered out
+            ("mem.usage", {"host": "a"}, "mem.usage|host=a", 2_000, 4, 1.0),    # filtered out
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # prefix metric + exact tag filter: only cpu.usage|host=a delivered
+    assert len(delivered) == 2
+    assert {r["seq"] for r in delivered} == {1, 2}
+    # outlier detector fired on the >90 value (post-filter stream)
+    assert [r["seq"] for r in outliers] == [2]
+    # cardinality alerter saw the series once
+    assert new_series == ["cpu.usage|host=a"]
+
+
+def test_live_downsample_watermarked(spark, point_stream):
+    stream, feed = point_stream
+    agg = live_downsample(stream, 60 * 1_000_000_000, watermark_delay="0 seconds")
+    q = (agg.writeStream.queryName("t_ds").outputMode("update")
+         .format("memory").start())
+    try:
+        feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a",
+               120 * 1_000_000_000 + i, 10 + i, float(i)) for i in range(4)])
+        q.processAllAvailable()
+        rows = spark.sql("select * from t_ds").collect()
+    finally:
+        q.stop()
+    got = {(r["series_key"], r["window_start"]): (r["count_*"], r["sum_value"]) for r in rows}
+    # the 4 fed points share the 120s-aligned window
+    key = ("cpu.usage|host=a", 120 * 1_000_000_000)
+    assert key in got and got[key] == (4, 6.0)
