@@ -75,11 +75,17 @@ def events_to_points(events: DataFrame) -> DataFrame:
         raw = F.col("ts").cast("long")
         ts_ns = raw - raw % F.lit(1000)
     else:
-        ts_ns = F.unix_micros(F.col("ts")) * F.lit(1000)
+        raw = F.unix_micros(F.col("ts")) * F.lit(1000)
+        ts_ns = raw
+    # __raw_ts carries the UNtruncated source column: predicates on the
+    # truncated ts can't push through the arithmetic to the parquet scan,
+    # so time_range() adds widened raw-ts bounds for row-group pruning
+    # (see operators/scan.py).
     df = events.select(
         F.col("event_type").alias("metric"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
         ts_ns.alias("ts"),
+        raw.alias("__raw_ts"),
         F.col("event_id").cast("long").alias("seq"),
         F.col("value").cast("double").alias("value"),
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),

@@ -31,12 +31,27 @@ def tag_filter(df: DataFrame, tags: dict[str, str]) -> DataFrame:
 
 def time_range(df: DataFrame, start: int | None, end: int | None) -> DataFrame:
     """Inclusive BOTH ends: keys scanned in [start, end+1)
-    (engine2/adapter.go:2798-2803)."""
+    (engine2/adapter.go:2798-2803).
+
+    When the frame carries ``__raw_ts`` (the untruncated source column —
+    datamodel.events_to_points), redundant WIDENED bounds are added on it:
+    the canonical ``ts`` is µs-truncated via arithmetic the optimizer can't
+    invert, so a predicate on it never reaches the parquet scan. The raw
+    bounds are a strict superset (ts >= s implies raw >= s; ts <= e implies
+    raw <= e+999), semantically a no-op — but they ARE pushable, restoring
+    row-group min/max pruning (the SSTable min/max-key skip analog,
+    SURVEY.md §4).
+    """
     out = df
+    has_raw = "__raw_ts" in df.columns
     if start is not None:
         out = out.filter(F.col("ts") >= start)
+        if has_raw:
+            out = out.filter(F.col("__raw_ts") >= start)
     if end is not None:
         out = out.filter(F.col("ts") <= end)
+        if has_raw:
+            out = out.filter(F.col("__raw_ts") <= end + 999)
     return out
 
 

@@ -117,8 +117,13 @@ def jaccard_pairs(pairs: DataFrame, shingles: DataFrame,
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    n: int = 3, num_hashes: int = 8, bands: int = 4,
                    threshold: float = 0.5) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification."""
-    sh = shingle_sets(df, id_col, text_col, n)
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    The shingle set feeds three consumers (signatures + both sides of the
+    intersection join); persisting it avoids re-tokenizing the corpus three
+    times — locally a cache, at 100TB a checkpointed intermediate table.
+    """
+    sh = shingle_sets(df, id_col, text_col, n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)

@@ -34,15 +34,19 @@ def tokens_col(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-grams; empty when the doc has fewer than n tokens.
 
-    Spark's sequence(1, 0) yields a DEcreasing sequence rather than an empty
-    one, hence the explicit size guard.
+    Implemented as an elementwise zip of n shifted slices rather than
+    ``transform(sequence, i -> element_at(toks, i+j))``: expressions inside
+    a higher-order-function lambda are not common-subexpression-eliminated,
+    so the element_at form re-evaluates the split() per element — O(n²)
+    per document and ~6x slower end-to-end.
     """
     toks = tokens_col(text)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(toks) >= n, shingles).otherwise(F.array().cast("array<string>"))
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(toks, j + 1, cnt),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return out
 
 
 def token_count_bpe(text: Column) -> Column:
