@@ -214,11 +214,17 @@ class NexusEngine:
         """FLUSH shim: parquet appends are already durable; the reference's
         memtable->L0 flush has no residue to persist here."""
 
-    def compact(self) -> None:
-        """OPTIMIZE analog of leveled compaction + retention
-        (levels/compaction.go:48-140): materialize the resolved view,
-        rewrite the points dir, drop consumed tombstones."""
-        resolved = self.points().cache()
+    def compact(self, retention_cutoff_ns: int | None = None) -> None:
+        """OPTIMIZE analog of leveled compaction + retention-on-compaction
+        (levels/compaction.go:48-140, engine2/compaction_manager.go:734-757
+        drops entries older than the retention cutoff during merge):
+        materialize the resolved view, optionally drop rows with
+        ts < retention_cutoff_ns, rewrite the points dir, drop consumed
+        tombstones."""
+        resolved = self.points()
+        if retention_cutoff_ns is not None:
+            resolved = resolved.filter(F.col("ts") >= retention_cutoff_ns)
+        resolved = resolved.cache()
         resolved.count()
         tmp = self._points_path + ".compact"
         resolved.write.mode("overwrite").partitionBy("metric").parquet(tmp)

@@ -348,6 +348,48 @@ def q_embed_ivf_topk(spark, sf_dir):
     return out.withColumn("cosine", F.round(F.col("cosine"), 4))
 
 
+@register("embed_neardup_pairs", """
+    WITH aug AS (
+        SELECT vec_id, label,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS e
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, label,
+               list_transform(range(1, 65),
+                   i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.01
+                             ELSE CAST(embedding[i] AS DOUBLE) END) AS e
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    pos AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               sum(a.e[r.i] * b.e[r.i]) AS dot,
+               sqrt(sum(a.e[r.i] * a.e[r.i])) AS na,
+               sqrt(sum(b.e[r.i] * b.e[r.i])) AS nb
+        FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id,
+             range(1, 65) r(i)
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id_a, id_b, round(dot / (na * nb), 4) AS cosine
+    FROM pos WHERE dot / (na * nb) >= 0.99
+""")
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-bucketed (no all-pairs join).
+    Synthetic near-dups: every 10th vector gets a copy with its first
+    component scaled 1.01x (cos ~0.9999) at id+1000000, same bucket."""
+    from nexusbase_spark.pipeline.embdedup import cosine_near_dup_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", as_double.alias("embedding"))
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") * 1.01).otherwise(x.cast("double")))
+    copies = (emb.filter(F.col("vec_id") % 10 == 0)
+              .select((F.col("vec_id") + 1000000).alias("vec_id"), "label",
+                      perturbed.alias("embedding")))
+    out = cosine_near_dup_pairs(base.unionByName(copies), threshold=0.99)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

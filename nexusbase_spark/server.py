@@ -1,0 +1,98 @@
+"""HTTP query façade: POST /query {"query": "...", "params": [...]} -> JSON.
+
+Reference: ``server/http_server.go:107-155`` — parse the NBQL string,
+execute, drain the iterator, return ``{"results": [...], "next_cursor"}``.
+This is a thin service layer over the Spark session (SURVEY.md §2.1: "thin
+TCP/HTTP façade over the Spark session — not Spark itself"); the gRPC and
+framed-TCP entry points of the reference would wrap the same NexusEngine
+calls and are deliberately out of scope for the engine library.
+
+Result encoding mirrors the reference's JSON rows: raw queries yield
+``{metric, tags, timestamp, fields}`` per point; aggregation queries yield
+the aggregate columns plus window bounds when downsampling
+(engine2/adapter.go:1579-1601).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from nexusbase_spark.engine import NexusEngine
+from nexusbase_spark.nbql.parser import NBQLError
+from nexusbase_spark.operators.order import encode_cursor
+
+
+def _json_cell(v):
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return str(v)  # JSON has no NaN/Inf literals; reference emits strings
+    if isinstance(v, dict):
+        return v
+    return v
+
+
+def execute_to_json(engine: NexusEngine, query: str, params=()) -> dict:
+    """Run one NBQL statement, return the HTTP response body dict."""
+    out = engine.execute(query, params)
+    if out is None:
+        return {"results": [], "status": "OK"}
+    if isinstance(out, str):  # SNAPSHOT returns a path
+        return {"results": [{"snapshot_path": out}], "status": "OK"}
+    rows = out.collect()
+    results = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        d.pop("__raw_ts", None)
+        results.append({k: _json_cell(v) for k, v in d.items()})
+    body: dict = {"results": results, "status": "OK"}
+    # keyset cursor for raw point pages (api/nbql/executor.go:347-351)
+    if rows and {"ts", "series_key", "seq"} <= set(rows[0].asDict()):
+        last = rows[-1]
+        body["next_cursor"] = encode_cursor(last["ts"], last["series_key"], last["seq"])
+    return body
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: NexusEngine  # set by serve()
+
+    def do_POST(self):  # noqa: N802 (http.server API)
+        if self.path != "/query":
+            self._reply(404, {"error": "not found"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            query = payload.get("query")
+            if not query:
+                self._reply(400, {"error": "missing 'query'"})
+                return
+            body = execute_to_json(self.engine, query, tuple(payload.get("params", ())))
+            self._reply(200, body)
+        except (NBQLError, ValueError) as exc:
+            self._reply(400, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001 — surface engine errors as 500s
+            self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def log_message(self, *args):  # silence per-request stderr noise
+        pass
+
+    def _reply(self, code: int, body: dict) -> None:
+        data = json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def serve(engine: NexusEngine, host: str = "127.0.0.1",
+          port: int = 8088) -> ThreadingHTTPServer:
+    """Start the façade in a daemon thread; returns the server (call
+    ``.shutdown()`` to stop). Default port matches the reference's
+    http-query port (cmd/server/config.yaml:84)."""
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    srv = ThreadingHTTPServer((host, port), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

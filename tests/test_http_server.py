@@ -1,0 +1,66 @@
+"""HTTP façade e2e: a live server over a live engine, driven with real
+POSTs (mirrors server/http_server.go:107-155 behavior)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from nexusbase_spark.engine import NexusEngine
+from nexusbase_spark.server import serve
+
+
+@pytest.fixture(scope="module")
+def http_engine(spark, tmp_path_factory):
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("http_wh")))
+    srv = serve(eng, port=0)
+    port = srv.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _post(base, payload):
+    req = urllib.request.Request(
+        f"{base}/query", json.dumps(payload).encode(),
+        {"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_push_then_query_roundtrip(http_engine):
+    code, _ = _post(http_engine, {
+        "query": 'PUSH web.hits TAGGED (site="a") SET (n=1, ok=TRUE) AT 1000'})
+    assert code == 200
+    code, _ = _post(http_engine, {
+        "query": "PUSH web.hits TAGGED (site=?) SET (n=2) AT 2000", "params": ["a"]})
+    assert code == 200
+    code, body = _post(http_engine, {"query": "QUERY web.hits FROM 0 TO 5000"})
+    assert code == 200
+    assert [r["fields"]["n"] for r in body["results"]] == ["1", "2"]
+    assert body["results"][0]["fields"]["ok"] == "true"
+    assert "next_cursor" in body
+
+    code, body = _post(http_engine, {
+        "query": "QUERY web.hits FROM 0 TO 5000 AGGREGATE (count(*), sum(n), avg(missing))"})
+    assert code == 200
+    agg = body["results"][0]
+    assert agg["count_*"] == 2 and agg["sum_n"] == 3.0
+    assert agg["avg_missing"] == "nan"  # NaN serialized as string (no JSON literal)
+
+
+def test_error_paths(http_engine):
+    code, body = _post(http_engine, {"query": "QUERY FROM nonsense"})
+    assert code == 400 and "error" in body
+    code, body = _post(http_engine, {})
+    assert code == 400
+    req = urllib.request.Request(f"{http_engine}/nope", b"{}")
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

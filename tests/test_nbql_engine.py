@@ -265,6 +265,21 @@ def test_snapshot_restore(engine):
     assert engine.execute("SHOW METRICS").count() == before
 
 
+def test_compact_with_retention(spark, tmp_path_factory):
+    """compact() folds tombstones in and drops rows older than the
+    retention cutoff (engine2/compaction_manager.go:734-757)."""
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("compact_wh")))
+    eng.put_batch([("m.r", {}, {"v": 1.0}, 100), ("m.r", {}, {"v": 2.0}, 200),
+                   ("m.r", {}, {"v": 3.0}, 300)])
+    eng.delete_point("m.r", {}, 200)
+    eng.compact(retention_cutoff_ns=150)
+    rows = eng.execute("QUERY m.r FROM 0 TO 1000").collect()
+    assert [r["ts"] for r in rows] == [300]  # 100 aged out, 200 tombstoned
+    # tombstones consumed by the rewrite; data still correct afterwards
+    import os
+    assert not os.path.isdir(eng._tomb["point"])
+
+
 def test_validation_rejected(engine):
     with pytest.raises(ValueError):
         engine.put("bad metric!", {}, {"v": 1.0}, 1)
