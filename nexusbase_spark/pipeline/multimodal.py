@@ -63,6 +63,12 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id",
     Arrow batch, and wide rows never round-trip more than once.
     """
     id_name, payload_name = id_col, payload_col
+    # single-file sources arrive as one partition -> one Python worker;
+    # spread across the cluster before the Arrow exchange
+    spark = df.sparkSession
+    target = max(spark.sparkContext.defaultParallelism, 1)
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -321,6 +321,62 @@ def q_downsample_emit_empty(spark, sf_dir):
     return _r4(out, "sum_value")
 
 
+@register("downsample_p95_stddev", f"""
+    SELECT user,
+           ts - (ts % {DAY_NS}) AS window_start,
+           round(quantile_cont(value, 0.95), 4) AS p95_value,
+           round(stddev_samp(value), 4) AS stddev_value,
+           count(value) AS count_value
+    FROM ({POINTS_SQL})
+    WHERE metric = 'purchase' AND ts BETWEEN {T1} AND {T2}
+    GROUP BY user, window_start
+    HAVING count(value) >= 2
+""")
+def q_downsample_p95(spark, sf_dir):
+    """Percentile + stddev inside tumbling windows (the downsampler accepts
+    the same function set as final aggregation —
+    multi_field_downsampling_iterator.go:348-417)."""
+    pts = load_points(spark, sf_dir)
+    sel = time_range(metric_filter(pts, "purchase"), T1, T2)
+    out = downsample(sel, DAY_NS, [
+        AggSpec("p95", "value"), AggSpec("stddev", "value"), AggSpec("count", "value"),
+    ])
+    out = out.filter(F.col("count_value") >= 2)
+    out = out.withColumn("user", F.col("tags").getItem("user"))
+    out = out.select("user", "window_start", "p95_value", "stddev_value", "count_value")
+    return _r4(out, "p95_value", "stddev_value")
+
+
+@register("multi_tag_scan", f"""
+    SELECT metric, user, kb, ts, seq, value
+    FROM (SELECT event_type AS metric,
+                 CAST(user_id AS VARCHAR) AS user,
+                 CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS VARCHAR) AS kb,
+                 epoch_ns(ts) AS ts, event_id AS seq, value
+          FROM events)
+    WHERE metric = 'view' AND user = '7' AND kb = '2'
+""")
+def q_multi_tag_scan(spark, sf_dir):
+    """Conjunctive multi-tag AND (the tag-index bitmap intersection across
+    MULTIPLE predicates — indexer/tag_index_manager2.go:253-275), on a
+    two-tag points mapping (user + k-bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.col("ts").cast("long")
+    pts = ev.select(
+        F.col("event_type").alias("metric"),
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("kb"), (F.get_json_object("props", "$.k").cast("long") % 4).cast("string"),
+        ).alias("tags"),
+        (raw - raw % 1000).alias("ts"), raw.alias("__raw_ts"),
+        F.col("event_id").cast("long").alias("seq"), F.col("value"),
+    )
+    out = tag_filter(metric_filter(pts, "view"), {"user": "7", "kb": "2"})
+    return out.select(
+        "metric", F.col("tags")["user"].alias("user"), F.col("tags")["kb"].alias("kb"),
+        "ts", "seq", "value")
+
+
 # ---------------------------------------------------------------------------
 # §1.4/2.3 MVCC + tombstones
 

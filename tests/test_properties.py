@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) — the rebuild's analog of the
+reference's wire-protocol fuzzing (api/nbql/nbqlfuzz_test.go:16-44):
+parser total-function behavior on arbitrary input, AST->text->AST
+roundtrips, duration parsing, cursor pagination completeness.
+"""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nexusbase_spark.nbql import ast as A
+from nexusbase_spark.nbql.parser import NBQLError, parse, parse_duration, substitute_params
+
+IDENT = st.text(alphabet=string.ascii_lowercase + ".", min_size=1, max_size=12).filter(
+    lambda s: s[0] not in "." and ".." not in s and not s.endswith("."))
+TAGK = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+TAGV = st.text(alphabet=string.ascii_lowercase + string.digits + "-_ ", min_size=1, max_size=10)
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_crashes(garbage):
+    """Total function: any input either parses or raises NBQLError —
+    never an unhandled exception (the fuzz-test contract)."""
+    try:
+        parse(garbage)
+    except NBQLError:
+        pass
+
+
+@given(
+    metric=IDENT,
+    tags=st.dictionaries(TAGK, TAGV, max_size=3),
+    start=st.integers(min_value=0, max_value=2**62),
+    dur=st.integers(min_value=1, max_value=2**40),
+    limit=st.integers(min_value=1, max_value=10**6),
+    desc=st.booleans(),
+    funcs=st.lists(st.sampled_from(["count", "sum", "avg", "min", "max",
+                                    "first", "last", "frac", "stddev", "p95"]),
+                   min_size=1, max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_query_roundtrip(metric, tags, start, dur, limit, desc, funcs):
+    """Rendered QUERY statements parse back to the same AST fields."""
+    tag_sql = ", ".join(f'{k}="{v}"' for k, v in tags.items())
+    aggs = ", ".join(f"{f}(lat)" for f in funcs)
+    text = (f"QUERY {metric} FROM {start} TO {start + dur} "
+            + (f"TAGGED ({tag_sql}) " if tags else "")
+            + f"AGGREGATE BY 1m ({aggs}) "
+            + ("DESC " if desc else "")
+            + f"LIMIT {limit};")
+    q = parse(text)
+    assert isinstance(q, A.QueryStatement)
+    assert q.metric == metric
+    assert q.tags == tags
+    assert (q.start, q.end) == (start, start + dur)
+    assert q.downsample_interval == 60_000_000_000
+    assert [a.func for a in q.aggregations] == funcs
+    assert q.limit == limit and q.sort_desc == desc
+
+
+@given(h=st.integers(0, 99), m=st.integers(0, 59), s=st.integers(0, 59),
+       ms=st.integers(0, 999))
+@settings(max_examples=100, deadline=None)
+def test_duration_compositional(h, m, s, ms):
+    text = f"{h}h{m}m{s}s{ms}ms"
+    assert parse_duration(text) == ((h * 3600 + m * 60 + s) * 1_000_000_000
+                                    + ms * 1_000_000)
+
+
+@given(params=st.lists(
+    st.one_of(st.integers(-10**9, 10**9), st.floats(allow_nan=False, allow_infinity=False),
+              st.booleans(), st.text(max_size=15)),
+    min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_param_substitution_count(params):
+    q = "QUERY m " + " ".join("?" for _ in params)
+    out = substitute_params(q, params)
+    assert "?" not in out.replace("\\?", "")
+    with pytest.raises(NBQLError):
+        substitute_params(q, list(params) + [1])
+
+
+@pytest.mark.slow
+@given(limit=st.sampled_from([1, 7, 37, 40]))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagination_no_dup_no_loss(spark, limit):
+    """Keyset pagination partitions the full result: no duplicates, no
+    losses, any page size (fixture 6's contract, FIXTURES.md)."""
+    from nexusbase_spark.datamodel import with_series_key
+    from nexusbase_spark.operators.order import paginate
+    # cross-series ts ties everywhere: the order tie-break does the work
+    rows = [("m", {"h": str(h)}, ts, h * 100 + ts, float(ts))
+            for h in range(3) for ts in range(37)]
+    df = with_series_key(spark.createDataFrame(
+        rows, "metric string, tags map<string,string>, ts long, seq long, value double"))
+    seen, cursor, pages = [], None, 0
+    while True:
+        page, cursor = paginate(df, limit, after=cursor)
+        got = page.collect()
+        seen.extend((r["ts"], r["series_key"], r["seq"]) for r in got)
+        pages += 1
+        if cursor is None or pages > 200:
+            break
+    assert len(seen) == len(rows)
+    assert len(set(seen)) == len(rows)
