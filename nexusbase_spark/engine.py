@@ -208,6 +208,31 @@ class NexusEngine:
                               "series_key string, min_ts long, max_ts long, seq long"))
         return df
 
+    def points_wide(self, fields: dict[str, str]) -> DataFrame:
+        """Wide-format view: one row per point, one TYPED column per
+        requested field (``{"latency_ms": "double", "status": "long",
+        "level": "string", "ok": "boolean"}``).
+
+        The long format is the storage truth (points are schemaless —
+        core/fields.go); a wide projection needs the caller to pin each
+        field's type. One groupBy over the point key with conditional
+        max() per field — no pivot machinery, partial-aggregatable.
+        """
+        col_for = {"double": "f_double", "long": "f_long",
+                   "string": "f_string", "boolean": "f_bool"}
+        aggs = []
+        for fname, ftype in fields.items():
+            if ftype not in col_for:
+                raise ValueError(f"unsupported wide type {ftype!r} for {fname!r}")
+            src = F.when(F.col("field") == fname,
+                         F.col(col_for[ftype]).cast(ftype))
+            aggs.append(F.max(src).alias(fname))
+        return (
+            self.points()
+            .groupBy("metric", "series_key", "ts", "seq")
+            .agg(F.first("tags").alias("tags"), *aggs)
+        )
+
     # ------------------------------------------------------- maintenance
 
     def flush(self, target: str = "all") -> None:

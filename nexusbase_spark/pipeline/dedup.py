@@ -129,6 +129,54 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
+                   id_col_b: str = "id_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, canonical_id).
+
+    The dedup endgame: pairs say "these two match"; keeping one doc per
+    GROUP needs the transitive closure. Iterative min-label propagation:
+    every node adopts the smallest label among itself and its neighbors
+    until fixpoint — O(diameter) joins, each a plain shuffle join, the
+    standard large-graph CC formulation for data-parallel engines (no
+    driver-side union-find). Near-dup graphs have tiny diameters
+    (dup chains), so this converges in a handful of rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
+        .union(pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels = labels.persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        # persist + materialize each round: without it the lineage doubles
+        # per iteration and every convergence check recomputes from scratch
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(F.col("node"),
+                    F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 16) -> DataFrame:
     """SimHash signature from frequency-weighted tokens.

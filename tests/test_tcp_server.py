@@ -1,0 +1,84 @@
+"""Framed-TCP NBQL protocol e2e: live server, real sockets, CRC checks.
+Mirrors the reference's primary query path (server/tcp2_server.go)."""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+
+import pytest
+
+from nexusbase_spark.engine import NexusEngine
+from nexusbase_spark.tcp_server import (
+    CMD_QUERY, RESP_ERROR, NBQLClient, crc32c, read_frame, serve_tcp, write_frame,
+)
+
+
+def test_crc32c_vectors():
+    # published Castagnoli check values
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+@pytest.fixture(scope="module")
+def tcp(spark, tmp_path_factory):
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("tcp_wh")))
+    srv = serve_tcp(eng, port=0)
+    port = srv.server_address[1]
+    yield "127.0.0.1", port
+    srv.shutdown()
+
+
+def test_push_query_stream(tcp):
+    host, port = tcp
+    c = NBQLClient(host, port)
+    try:
+        c.push('PUSH net.rx TAGGED (if="eth0") SET (bytes=100) AT 1000')
+        c.push('PUSH net.rx TAGGED (if="eth0") SET (bytes=250) AT 2000')
+        rows, end = c.query("QUERY net.rx FROM 0 TO 5000")
+        assert end["total_rows"] == 2 and len(rows) == 2
+        assert rows[0]["fields"]["bytes"] == "100"
+        assert "next_cursor" in end
+        rows, end = c.query(
+            "QUERY net.rx FROM 0 TO 5000 AGGREGATE (count(*), sum(bytes))")
+        assert rows[0]["count_*"] == 2 and rows[0]["sum_bytes"] == 350.0
+    finally:
+        c.close()
+
+
+def test_error_frame_and_corrupt_crc(tcp):
+    host, port = tcp
+    c = NBQLClient(host, port)
+    try:
+        with pytest.raises(RuntimeError, match="unknown statement"):
+            c.query("EXPLODE EVERYTHING")
+        # connection survives an NBQL error
+        rows, end = c.query("SHOW METRICS")
+        assert end["total_rows"] >= 1
+    finally:
+        c.close()
+
+    # corrupt CRC: server answers an error frame, then drops the connection
+    s = socket.create_connection((host, port))
+    payload = b"SHOW METRICS"
+    s.sendall(struct.pack(">BI", CMD_QUERY, len(payload)) + payload
+              + struct.pack(">I", crc32c(payload) ^ 0xDEAD))
+    cmd, body = read_frame(s)
+    assert cmd == RESP_ERROR and "CRC" in json.loads(body)["error"]
+    assert s.recv(1) == b""  # closed
+    s.close()
+
+
+def test_manipulate_remove_via_tcp(tcp):
+    host, port = tcp
+    c = NBQLClient(host, port)
+    try:
+        c.push('PUSH tmp.m TAGGED (h="x") SET (v=1) AT 10')
+        write_frame(c.sock, 0x20, b'REMOVE SERIES "tmp.m" TAGGED (h="x")')
+        cmd, _ = read_frame(c.sock)
+        rows, end = c.query("QUERY tmp.m FROM 0 TO 100")
+        assert end["total_rows"] == 0
+    finally:
+        c.close()
