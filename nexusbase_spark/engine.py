@@ -138,6 +138,27 @@ class NexusEngine:
         df.write.mode("append").partitionBy("metric").parquet(self._points_path)
         return last_seq
 
+    def ingest_frame(self, df: DataFrame) -> None:
+        """Bulk ingest: append a long-format DataFrame WITHOUT routing rows
+        through the driver (put/put_batch are the API-parity single/small
+        paths; this is the 100TB loader).
+
+        The frame needs (metric, tags, ts, field, vtype, f_*) — seq and
+        series_key are assigned here. Seqs use the current base plus
+        monotonically_increasing_id(): unique within the batch and,
+        because the base is re-read from storage afterwards, strictly
+        above every previously stored seq (monotonic ACROSS batches, which
+        is all MVCC needs — iterator/iterator.go:61 orders by seq only
+        within identical (series, ts) keys).
+        """
+        base = self._seq
+        out = (
+            df.withColumn("seq", F.lit(base) + F.monotonically_increasing_id())
+            .withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
+        )
+        out.write.mode("append").partitionBy("metric").parquet(self._points_path)
+        self._seq = self._load_max_seq() + 1
+
     # ------------------------------------------------------------ deletes
 
     def delete_series(self, metric: str, tags: dict[str, str]) -> int:
@@ -184,9 +205,20 @@ class NexusEngine:
             return self.spark.read.parquet(self._tomb[kind])
         return self.spark.createDataFrame([], schema)
 
-    def points(self) -> DataFrame:
+    def points(self, metric: str | None = None,
+               tags: dict[str, str] | None = None,
+               start: int | None = None, end: int | None = None) -> DataFrame:
         """The visible long-format points view: MVCC dedup (whole-point
-        last-write-wins) + all three tombstone kinds, seq-aware."""
+        last-write-wins) + all three tombstone kinds, seq-aware.
+
+        Selection predicates are applied BEFORE the dedup window and the
+        anti-joins: the window partitions by (series_key, ts) and
+        metric/tags are constant per series while ts is a partition key,
+        so pre-filtering keeps whole partitions — same results, but the
+        MVCC shuffle covers only the selected slice instead of the table
+        (without this, the window blocks predicate pushdown and every
+        query pays a full-table shuffle).
+        """
         from nexusbase_spark.operators.mvcc import (
             apply_point_deletes, apply_range_deletes, apply_series_deletes,
         )
@@ -194,18 +226,31 @@ class NexusEngine:
         if df is None:
             return self.spark.createDataFrame(
                 [], POINTS_SCHEMA.add(StructField("series_key", StringType())))
+        if metric is not None:
+            df = df.filter(F.col("metric") == metric)
+        for k, v in (tags or {}).items():
+            df = df.filter(F.col("tags").getItem(k) == v)
+        if start is not None:
+            df = df.filter(F.col("ts") >= start)
+        if end is not None:
+            df = df.filter(F.col("ts") <= end)
         # whole-point LWW: the latest seq at (series_key, ts) supersedes ALL
         # rows (= the whole fields map) of older seqs
         w = Window.partitionBy("series_key", "ts")
         df = (df.withColumn("__maxseq", F.max("seq").over(w))
               .filter(F.col("seq") == F.col("__maxseq")).drop("__maxseq"))
-        df = apply_point_deletes(
-            df, self._tomb_df("point", "series_key string, ts long, seq long"))
-        df = apply_series_deletes(
-            df, self._tomb_df("series", "series_key string, seq long"))
-        df = apply_range_deletes(
-            df, self._tomb_df("range",
-                              "series_key string, min_ts long, max_ts long, seq long"))
+        # anti-joins only for tombstone kinds that exist: an empty broadcast
+        # join still costs a job, and fresh warehouses have none
+        if os.path.isdir(self._tomb["point"]):
+            df = apply_point_deletes(
+                df, self._tomb_df("point", "series_key string, ts long, seq long"))
+        if os.path.isdir(self._tomb["series"]):
+            df = apply_series_deletes(
+                df, self._tomb_df("series", "series_key string, seq long"))
+        if os.path.isdir(self._tomb["range"]):
+            df = apply_range_deletes(
+                df, self._tomb_df("range",
+                                  "series_key string, min_ts long, max_ts long, seq long"))
         return df
 
     def points_wide(self, fields: dict[str, str]) -> DataFrame:

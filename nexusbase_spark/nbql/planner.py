@@ -96,25 +96,25 @@ def _display(vtype: str = "vtype") -> Column:
 
 
 def plan_query(engine, q: QueryStatement) -> DataFrame:
-    df = engine.points().filter(F.col("metric") == q.metric)
-    for k, v in q.tags.items():
-        df = df.filter(F.col("tags").getItem(k) == v)
+    from nexusbase_spark.operators.scan import time_range
 
     start, end = q.start, q.end
     if q.relative is not None:
         # End anchors to data max-ts when <= now (engine2/adapter.go:1236-1276)
+        df = engine.points(q.metric, q.tags)
         now = engine._now_ns()
         row = df.agg(F.max("ts")).collect()[0]
         if row[0] is None:
             return df.filter(F.lit(False)) if not q.aggregations else _empty_agg(engine, q)
         end = min(row[0], now)
         start = end - q.relative
-    if end is None and (start is not None or q.aggregations):
-        end = engine._now_ns()  # default EndTime=now (engine2/adapter.go:1117-1120)
-    if start is not None:
-        df = df.filter(F.col("ts") >= start)
-    if end is not None:
-        df = df.filter(F.col("ts") <= end)
+        df = time_range(df, start, end)  # inclusive
+    else:
+        if end is None and (start is not None or q.aggregations):
+            end = engine._now_ns()  # default EndTime=now (engine2/adapter.go:1117-1120)
+        # predicates ride INTO points(): the engine applies them before its
+        # MVCC window so the dedup shuffle covers only the selected slice
+        df = engine.points(q.metric, q.tags, start, end)
 
     if q.aggregations:
         if q.downsample_interval:

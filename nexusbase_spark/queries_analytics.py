@@ -120,6 +120,57 @@ def q_tpch_q5(spark, sf_dir):
     return out
 
 
+@register("tpch_q6_forecast_revenue", """
+    SELECT round(coalesce(sum(l_extendedprice * l_discount), 0), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""")
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter+sum, zero joins — the query that lives
+    or dies on predicate pushdown (all four predicates reach the scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                                F.lit(0.0)), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+    return out
+
+
+@register("orders_rank_window", """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+""")
+def q_orders_rank(spark, sf_dir):
+    """Analytic window function (top-3 orders per customer) — absent from
+    the reference entirely (SURVEY §2.6); standard warehouse capability."""
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+    )
+
+
 @register("events_user_daily_activity", """
     SELECT user_id,
            CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,

@@ -22,8 +22,20 @@ class StaticEngine:
         self.spark = spark
         self._points = points
 
-    def points(self) -> DataFrame:
-        return self._points
+    def points(self, metric: str | None = None,
+               tags: dict[str, str] | None = None,
+               start: int | None = None, end: int | None = None) -> DataFrame:
+        from pyspark.sql import functions as F
+        df = self._points
+        if metric is not None:
+            df = df.filter(F.col("metric") == metric)
+        for k, v in (tags or {}).items():
+            df = df.filter(F.col("tags").getItem(k) == v)
+        if start is not None:
+            df = df.filter(F.col("ts") >= start)
+        if end is not None:
+            df = df.filter(F.col("ts") <= end)
+        return df
 
     @staticmethod
     def _now_ns() -> int:
