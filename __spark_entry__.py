@@ -10,9 +10,17 @@ Implementations live in nexusbase_spark/queries.py.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the driver may import this file by path from another cwd; make the
+# sibling package importable regardless
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry(spark: SparkSession) -> DataFrame:

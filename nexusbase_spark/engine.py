@@ -159,6 +159,26 @@ class NexusEngine:
         out.write.mode("append").partitionBy("metric").parquet(self._points_path)
         self._seq = self._load_max_seq() + 1
 
+    def start_stream_ingest(self, source_dir: str, checkpoint: str,
+                            bus=None):
+        """Continuous ingest: a file-source stream of long-format rows
+        (metric, tags, ts, field, vtype, f_*) feeding the warehouse via
+        foreachBatch — the WAL-tail -> memtable path as a streaming job
+        (SURVEY.md §7 step 9). Optional hook bus wraps each micro-batch
+        (pre_put_batch listeners see the batch before it lands)."""
+        from nexusbase_spark.streaming.subscribe import stream_ingest
+        schema = StructType([f for f in POINTS_SCHEMA.fields if f.name != "seq"])
+        stream = stream_ingest(self.spark, source_dir, schema)
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            self.ingest_frame(batch)
+
+        on_batch = bus.for_each_batch(sink) if bus is not None else sink
+        return (stream.writeStream.queryName("nexusbase_ingest")
+                .foreachBatch(on_batch)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append").start())
+
     # ------------------------------------------------------------ deletes
 
     def delete_series(self, metric: str, tags: dict[str, str]) -> int:

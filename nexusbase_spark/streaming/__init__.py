@@ -9,4 +9,5 @@ from nexusbase_spark.streaming.hooks import (  # noqa: F401
     HookBus,
     OutlierDetector,
     CardinalityAlerter,
+    WafListener,
 )

@@ -91,6 +91,31 @@ class OutlierDetector:
 
 
 @dataclass
+class WafListener:
+    """Write firewall (hooks/listeners/waf.go): blocks points whose metric
+    matches a denied prefix or whose tag value matches a denied exact
+    value. ``blocked_filter()`` is the predicate an ingest pipeline applies
+    (rows to DROP); the listener reports what would be blocked."""
+
+    deny_metric_prefixes: list[str]
+    deny_tag_values: dict[str, str]
+    on_blocked: Callable[[int, int], None] | None = None  # (batch_id, n)
+
+    def blocked_filter(self):
+        pred = F.lit(False)
+        for p in self.deny_metric_prefixes:
+            pred = pred | F.col("metric").startswith(p)
+        for k, v in self.deny_tag_values.items():
+            pred = pred | (F.col("tags").getItem(k) == v)
+        return pred
+
+    def __call__(self, event: str, batch: DataFrame, batch_id: int) -> None:
+        n = batch.filter(self.blocked_filter()).count()
+        if n and self.on_blocked:
+            self.on_blocked(batch_id, n)
+
+
+@dataclass
 class CardinalityAlerter:
     """Detects new series per batch. Driver-side seen-set state mirrors the
     reference's in-memory map; at real scale this becomes a streaming

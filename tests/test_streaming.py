@@ -89,6 +89,42 @@ def test_subscribe_delivery_and_hooks(spark, point_stream, tmp_path):
     assert new_series == ["cpu.usage|host=a"]
 
 
+def test_stream_ingest_into_engine(spark, tmp_path):
+    """Live stream -> engine warehouse: rows fed while the stream runs are
+    queryable through NBQL afterwards; WAF listener counts denials."""
+    from nexusbase_spark.engine import NexusEngine
+    from nexusbase_spark.streaming.hooks import WafListener
+
+    src = tmp_path / "ing_src"
+    src.mkdir()
+    schema = ("metric string, tags map<string,string>, ts long, "
+              "field string, vtype string, f_double double, f_long long, "
+              "f_string string, f_bool boolean")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    eng = NexusEngine(spark, str(tmp_path / "wh"))
+    blocked: list = []
+    bus = HookBus()
+    waf = WafListener(deny_metric_prefixes=["__evil"], deny_tag_values={},
+                      on_blocked=lambda b, n: blocked.append(n))
+    bus.register("pre_put_batch", waf)
+
+    feed([("s.m", {"h": "a"}, 1_000, "v", "float", 1.5, None, None, None)])
+    q = eng.start_stream_ingest(str(src), str(tmp_path / "ckpt"), bus=bus)
+    try:
+        q.processAllAvailable()
+        feed([("s.m", {"h": "a"}, 2_000, "v", "float", 2.5, None, None, None),
+              ("__evil.m", {"h": "z"}, 2_000, "v", "float", 0.0, None, None, None)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = eng.execute("QUERY s.m FROM 0 TO 10000").collect()
+    assert [r["fields"]["v"] for r in rows] == ["1.5", "2.5"]
+    assert blocked == [1]  # the __evil row was flagged by the WAF listener
+
+
 def test_live_downsample_watermarked(spark, point_stream):
     stream, feed = point_stream
     agg = live_downsample(stream, 60 * 1_000_000_000, watermark_delay="0 seconds")
