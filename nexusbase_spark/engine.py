@@ -43,6 +43,7 @@ from pyspark.sql.types import (
 from nexusbase_spark.datamodel import series_key_expr, validate_name
 from nexusbase_spark.functions.fidelity import parse_agg_func
 from nexusbase_spark.nbql.ast import AggregationSpec, QueryStatement
+from nexusbase_spark.operators.tagindex import SeriesCatalog
 
 POINTS_SCHEMA = StructType([
     StructField("metric", StringType(), False),
@@ -88,6 +89,12 @@ class NexusEngine:
             "range": os.path.join(warehouse, "tomb_range"),
         }
         self._seq = self._load_max_seq() + 1
+        # Tag-index analog (operators/tagindex.py). Invariant: while the
+        # engine is live the catalog is COMPLETE (every ingested series
+        # present) or absent; a legacy warehouse without one is indexed here.
+        self._catalog = SeriesCatalog(os.path.join(warehouse, "catalog"))
+        if os.path.isdir(self._points_path) and not self._catalog.exists():
+            self._catalog.rebuild(self._raw())
 
     # ------------------------------------------------------------- ingest
 
@@ -136,6 +143,9 @@ class NexusEngine:
         df = self.spark.createDataFrame(rows, POINTS_SCHEMA)
         df = df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
         df.write.mode("append").partitionBy("metric").parquet(self._points_path)
+        self._catalog.append_points(
+            [(p[0], p[1] or {}, self._series_key(p[0], p[1] or {}))
+             for p in points])
         return last_seq
 
     def ingest_frame(self, df: DataFrame) -> None:
@@ -157,6 +167,7 @@ class NexusEngine:
             .withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
         )
         out.write.mode("append").partitionBy("metric").parquet(self._points_path)
+        self._catalog.append_df(out)
         self._seq = self._load_max_seq() + 1
 
     def start_stream_ingest(self, source_dir: str, checkpoint: str,
@@ -248,8 +259,17 @@ class NexusEngine:
                 [], POINTS_SCHEMA.add(StructField("series_key", StringType())))
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
-        for k, v in (tags or {}).items():
-            df = df.filter(F.col("tags").getItem(k) == v)
+        if tags:
+            # Two-phase tag resolution (tag-index analog): resolve series
+            # keys from the catalog driver-side, then push a series_key
+            # IN-list into the parquet scan. Map access (tags[k] = v) never
+            # reaches the scan; the IN-list does (row-group min/max skip).
+            keys = self._catalog.resolve(metric, tags)
+            if keys is not None:
+                df = df.filter(F.col("series_key").isin(keys))
+            else:  # catalog absent or too many series: scan-side filter
+                for k, v in tags.items():
+                    df = df.filter(F.col("tags").getItem(k) == v)
         if start is not None:
             df = df.filter(F.col("ts") >= start)
         if end is not None:
@@ -322,6 +342,9 @@ class NexusEngine:
         os.rename(tmp, self._points_path)
         for path in self._tomb.values():
             shutil.rmtree(path, ignore_errors=True)
+        # rebuild the catalog from the surviving view: prunes tombstoned
+        # series and merges the tiny per-put index files
+        self._catalog.rebuild(self._raw())
         resolved.unpersist()
 
     def snapshot(self) -> str:
@@ -330,14 +353,16 @@ class NexusEngine:
         dest = os.path.join(self.warehouse, "snapshots", uuid.uuid4().hex[:12])
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         os.makedirs(dest)
-        for name in ["points", "tomb_point", "tomb_series", "tomb_range"]:
+        for name in ["points", "tomb_point", "tomb_series", "tomb_range",
+                     "catalog"]:
             src = os.path.join(self.warehouse, name)
             if os.path.isdir(src):
                 shutil.copytree(src, os.path.join(dest, name))
         return dest
 
     def restore(self, path: str, overwrite: bool = False) -> None:
-        for name in ["points", "tomb_point", "tomb_series", "tomb_range"]:
+        for name in ["points", "tomb_point", "tomb_series", "tomb_range",
+                     "catalog"]:
             dst = os.path.join(self.warehouse, name)
             if os.path.isdir(dst):
                 if not overwrite:
@@ -347,6 +372,10 @@ class NexusEngine:
             if os.path.isdir(src):
                 shutil.copytree(src, dst)
         self._seq = self._load_max_seq() + 1
+        # snapshots from before the catalog existed restore without one;
+        # re-index so the completeness invariant holds
+        if os.path.isdir(self._points_path) and not self._catalog.exists():
+            self._catalog.rebuild(self._raw())
 
     # ------------------------------------------------------------- query
 
