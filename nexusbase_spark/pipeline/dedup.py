@@ -123,6 +123,10 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     intersection join); persisting it avoids re-tokenizing the corpus three
     times — locally a cache, at 100TB a checkpointed intermediate table.
     """
+    from nexusbase_spark.plans import spread
+    # shingling + k md5s per shingle is per-row expensive: a narrow input
+    # (one small file = one split) would serialize it onto one core
+    df = spread(df, compute_heavy=True)
     sh = shingle_sets(df, id_col, text_col, n).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
@@ -185,7 +189,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     -1 (each hex digit contributes its high bit); the signature bit is 1
     when the summed vote is positive. Constant per-doc state -> one
     groupBy, map-side combinable."""
-    tok = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    from nexusbase_spark.plans import spread
+    tok = spread(df, compute_heavy=True).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
     h = F.md5(F.col("tok"))
     votes = [
         F.sum(

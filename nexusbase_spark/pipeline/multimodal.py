@@ -64,11 +64,11 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id",
     """
     id_name, payload_name = id_col, payload_col
     # single-file sources arrive as one partition -> one Python worker;
-    # spread across the cluster before the Arrow exchange
-    spark = df.sparkSession
-    target = max(spark.sparkContext.defaultParallelism, 1)
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    # spread across the cluster before the Arrow exchange — size-aware, so
+    # a tiny input keeps one partition (each extra one costs a Python
+    # worker spin-up) while a 100TB source already arrives wide (no-op).
+    from nexusbase_spark.plans import spread
+    df = spread(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
