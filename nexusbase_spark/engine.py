@@ -154,17 +154,24 @@ class NexusEngine:
         paths; this is the 100TB loader).
 
         The frame needs (metric, tags, ts, field, vtype, f_*) — seq and
-        series_key are assigned here. Seqs use the current base plus
-        monotonically_increasing_id(): unique within the batch and,
-        because the base is re-read from storage afterwards, strictly
-        above every previously stored seq (monotonic ACROSS batches, which
-        is all MVCC needs — iterator/iterator.go:61 orders by seq only
-        within identical (series, ts) keys).
+        series_key are assigned here. All long rows of one POINT (same
+        series_key + ts, one row per field) must share one seq, or the
+        MVCC read (max seq per point) would drop every field but one; a
+        per-point seq is derived as base + hash(series_key, ts) mod 2^32 —
+        deterministic, shuffle-free, driver-free. Because the base is
+        re-read from storage afterwards, every later batch's seqs are
+        strictly above this batch's (monotonic ACROSS batches, which is
+        all MVCC needs — iterator/iterator.go:61 orders by seq only
+        within identical (series, ts) keys). Contract: a bulk batch
+        carries at most one row per (point, field) — within-batch
+        last-write-wins ordering is a WAL/put_batch semantics, not a bulk
+        loader's.
         """
         base = self._seq
         out = (
-            df.withColumn("seq", F.lit(base) + F.monotonically_increasing_id())
-            .withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
+            df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
+            .withColumn("seq", F.lit(base)
+                        + F.pmod(F.xxhash64("series_key", "ts"), F.lit(1 << 32)))
         )
         out.write.mode("append").partitionBy("metric").parquet(self._points_path)
         self._catalog.append_df(out)

@@ -300,3 +300,23 @@ def test_validation_rejected(engine):
         engine.put("bad metric!", {}, {"v": 1.0}, 1)
     with pytest.raises(ValueError):
         engine.put("ok.metric", {"__reserved": "x"}, {"v": 1.0}, 1)
+
+
+def test_bulk_ingest_multifield_point(spark, tmp_path_factory):
+    """All long rows of one bulk-ingested point share a seq: the MVCC read
+    must return BOTH fields, and a later batch's re-push must replace the
+    whole point (seqs monotonic across batches)."""
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("bulk_wh")))
+    schema = ("metric string, tags map<string,string>, ts long, field string, "
+              "vtype string, f_double double, f_long long, f_string string, "
+              "f_bool boolean")
+    eng.ingest_frame(spark.createDataFrame(
+        [("m", {"h": "a"}, 1000, "v", "float", 1.5, None, None, None),
+         ("m", {"h": "a"}, 1000, "k", "int", None, 7, None, None)], schema))
+    rows = eng.execute("QUERY m FROM 0 TO 10000").collect()
+    assert rows[0]["fields"] == {"k": "7", "v": "1.5"}
+    # re-push of the same point in a later batch wins wholesale (MVCC)
+    eng.ingest_frame(spark.createDataFrame(
+        [("m", {"h": "a"}, 1000, "v", "float", 9.9, None, None, None)], schema))
+    rows = eng.execute("QUERY m FROM 0 TO 10000").collect()
+    assert rows[0]["fields"] == {"v": "9.9"}
