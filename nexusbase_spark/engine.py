@@ -95,8 +95,31 @@ class NexusEngine:
         self._catalog = SeriesCatalog(os.path.join(warehouse, "catalog"))
         if os.path.isdir(self._points_path) and not self._catalog.exists():
             self._catalog.rebuild(self._raw())
+        # Format v2: every point carries a marker row (field='',
+        # vtype='marker') so count(*) is a plain count, not a distinct.
+        # Fresh warehouses start at v2; pre-marker warehouses stay v1
+        # (mixed markers would undercount) until compact() upgrades them.
+        self._format_path = os.path.join(warehouse, "_format")
+        if not os.path.isdir(self._points_path) and not os.path.isfile(self._format_path):
+            self._write_format()
+        self.point_markers = self._read_format().get("point_markers") == "1"
 
     # ------------------------------------------------------------- ingest
+
+    def _write_format(self) -> None:
+        with open(self._format_path, "w") as f:
+            f.write("point_markers=1\n")
+
+    def _read_format(self) -> dict[str, str]:
+        if not os.path.isfile(self._format_path):
+            return {}
+        out = {}
+        with open(self._format_path) as f:
+            for line in f:
+                if "=" in line:
+                    k, v = line.strip().split("=", 1)
+                    out[k] = v
+        return out
 
     def _load_max_seq(self) -> int:
         best = -1
@@ -140,6 +163,9 @@ class NexusEngine:
                 vtype, fd, fl, fs, fb = _typed(fval)
                 rows.append((metric, dict(tags or {}), ts, last_seq,
                              fname, vtype, fd, fl, fs, fb))
+            if self.point_markers:
+                rows.append((metric, dict(tags or {}), ts, last_seq,
+                             "", "marker", None, None, None, None))
         df = self.spark.createDataFrame(rows, POINTS_SCHEMA)
         df = df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
         df.write.mode("append").partitionBy("metric").parquet(self._points_path)
@@ -173,6 +199,19 @@ class NexusEngine:
             .withColumn("seq", F.lit(base)
                         + F.pmod(F.xxhash64("series_key", "ts"), F.lit(1 << 32)))
         )
+        if self.point_markers:
+            markers = (
+                out.groupBy("metric", "series_key", "ts", "seq")
+                .agg(F.first("tags").alias("tags"))
+                .withColumns({
+                    "field": F.lit(""), "vtype": F.lit("marker"),
+                    "f_double": F.lit(None).cast("double"),
+                    "f_long": F.lit(None).cast("long"),
+                    "f_string": F.lit(None).cast("string"),
+                    "f_bool": F.lit(None).cast("boolean"),
+                })
+            )
+            out = out.unionByName(markers.select(*out.columns))
         out.write.mode("append").partitionBy("metric").parquet(self._points_path)
         self._catalog.append_df(out)
         self._seq = self._load_max_seq() + 1
@@ -341,6 +380,21 @@ class NexusEngine:
         resolved = self.points()
         if retention_cutoff_ns is not None:
             resolved = resolved.filter(F.col("ts") >= retention_cutoff_ns)
+        # (re)build the per-point marker rows — also the v1 -> v2 upgrade
+        # path for warehouses created before markers existed
+        fields_rows = resolved.filter(F.col("vtype") != "marker")
+        markers = (
+            fields_rows.groupBy("metric", "series_key", "ts", "seq")
+            .agg(F.first("tags").alias("tags"))
+            .withColumns({
+                "field": F.lit(""), "vtype": F.lit("marker"),
+                "f_double": F.lit(None).cast("double"),
+                "f_long": F.lit(None).cast("long"),
+                "f_string": F.lit(None).cast("string"),
+                "f_bool": F.lit(None).cast("boolean"),
+            })
+        )
+        resolved = fields_rows.unionByName(markers.select(*fields_rows.columns))
         resolved = resolved.cache()
         resolved.count()
         tmp = self._points_path + ".compact"
@@ -353,6 +407,9 @@ class NexusEngine:
         # series and merges the tiny per-put index files
         self._catalog.rebuild(self._raw())
         resolved.unpersist()
+        if not self.point_markers:
+            self._write_format()
+            self.point_markers = True
 
     def snapshot(self) -> str:
         """Full snapshot = directory copy (snapshot/manager.go; Delta
@@ -365,6 +422,8 @@ class NexusEngine:
             src = os.path.join(self.warehouse, name)
             if os.path.isdir(src):
                 shutil.copytree(src, os.path.join(dest, name))
+        if os.path.isfile(self._format_path):
+            shutil.copy(self._format_path, os.path.join(dest, "_format"))
         return dest
 
     def restore(self, path: str, overwrite: bool = False) -> None:
@@ -383,6 +442,14 @@ class NexusEngine:
         # re-index so the completeness invariant holds
         if os.path.isdir(self._points_path) and not self._catalog.exists():
             self._catalog.rebuild(self._raw())
+        # the snapshot's format version wins: a v1 snapshot restored over a
+        # v2 warehouse must drop the marker flag (and vice versa)
+        src_fmt = os.path.join(path, "_format")
+        if os.path.isfile(src_fmt):
+            shutil.copy(src_fmt, self._format_path)
+        elif os.path.isfile(self._format_path):
+            os.unlink(self._format_path)
+        self.point_markers = self._read_format().get("point_markers") == "1"
 
     # ------------------------------------------------------------- query
 

@@ -33,14 +33,24 @@ def _order_key() -> Column:
 
 
 def _long_agg_exprs(specs: list[AggregationSpec], *, skip_non_finite: bool,
-                    approx_percentile: bool = False) -> list[Column]:
+                    approx_percentile: bool = False,
+                    point_markers: bool = False) -> list[Column]:
     exprs: list[Column] = []
     for spec in specs:
         func, q = parse_agg_func(spec.func)
         name = spec.alias or f"{spec.func}_{spec.field}"
         if func == "count" and spec.field == "*":
-            # count of points, not field rows
-            exprs.append(F.countDistinct("series_key", "ts", "seq").alias(name))
+            # count of points, not field rows. With per-point marker rows
+            # (engine format v2) this is a plain conditional count —
+            # map-side combinable, single-pass even mixed with other aggs.
+            # Without markers it needs a distinct, which Spark plans via
+            # Expand (doubles the agg input) when mixed with plain aggs.
+            if point_markers:
+                exprs.append(F.count(
+                    F.when(F.col("vtype") == "marker", F.lit(1))).alias(name))
+            else:
+                exprs.append(
+                    F.countDistinct("series_key", "ts", "seq").alias(name))
             continue
         here = F.col("field") == spec.field
         present = here & (F.col("vtype") != "null")
@@ -117,34 +127,40 @@ def plan_query(engine, q: QueryStatement) -> DataFrame:
         df = engine.points(q.metric, q.tags, start, end)
 
     if q.aggregations:
+        markers = getattr(engine, "point_markers", False)
         if q.downsample_interval:
-            return _plan_downsample(df, q, start, end)
-        return _plan_final(df, q)
+            return _plan_downsample(df, q, start, end, point_markers=markers)
+        return _plan_final(df, q, point_markers=markers)
 
     return _plan_raw(df, q)
 
 
 def _empty_agg(engine, q: QueryStatement) -> DataFrame:
     df = engine.points().filter(F.lit(False))
+    markers = getattr(engine, "point_markers", False)
     if q.downsample_interval:
-        return _plan_downsample(df, q, 0, 1)
-    return _plan_final(df, q)
+        return _plan_downsample(df, q, 0, 1, point_markers=markers)
+    return _plan_final(df, q, point_markers=markers)
 
 
-def _plan_final(df: DataFrame, q: QueryStatement) -> DataFrame:
+def _plan_final(df: DataFrame, q: QueryStatement, *,
+                point_markers: bool = False) -> DataFrame:
     """One row across ALL matching series, keyed by the bare metric
     (engine2/adapter.go:1349-1364); final agg skips NaN/Inf inputs."""
-    exprs = _long_agg_exprs(q.aggregations, skip_non_finite=True)
+    exprs = _long_agg_exprs(q.aggregations, skip_non_finite=True,
+                            point_markers=point_markers)
     return df.groupBy(F.lit(q.metric).alias("metric")).agg(*exprs)
 
 
 def _plan_downsample(df: DataFrame, q: QueryStatement,
-                     start: int | None, end: int | None) -> DataFrame:
+                     start: int | None, end: int | None, *,
+                     point_markers: bool = False) -> DataFrame:
     """Per-series epoch-aligned tumbling windows; the downsampler does NOT
     skip NaN/Inf inputs (multi_field_downsampling_iterator.go:44-90)."""
     iv = q.downsample_interval
     win = (F.col("ts") - F.col("ts") % F.lit(iv)).alias("window_start")
-    exprs = _long_agg_exprs(q.aggregations, skip_non_finite=False)
+    exprs = _long_agg_exprs(q.aggregations, skip_non_finite=False,
+                            point_markers=point_markers)
     agg = (df.groupBy(F.col("metric"), F.col("series_key"), win)
            .agg(F.first("tags").alias("tags"), *exprs))
 
@@ -179,8 +195,10 @@ def _plan_raw(df: DataFrame, q: QueryStatement) -> DataFrame:
     (the QueryResult shape — engine2/adapter.go:1490-1621)."""
     from nexusbase_spark.operators.order import decode_cursor, keyset_after, order_points
 
+    # per-point marker rows (format v2) are count(*) bookkeeping, not fields
     pts = (
-        df.groupBy("metric", "series_key", "ts", "seq")
+        df.filter(F.col("vtype") != "marker")
+        .groupBy("metric", "series_key", "ts", "seq")
         .agg(F.first("tags").alias("tags"),
              F.map_from_entries(
                  F.array_sort(F.collect_list(F.struct(F.col("field"), _display().alias("v"))))

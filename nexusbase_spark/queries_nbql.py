@@ -16,7 +16,10 @@ from nexusbase_spark.queries import DAY_NS, T1, T2, register
 
 class StaticEngine:
     """Read-only engine facade over a fixed long-format points frame —
-    what NexusEngine.points() returns, minus the warehouse."""
+    what NexusEngine.points() returns, minus the warehouse. The frame is
+    format v2 (per-point marker rows), so count(*) plans as a plain count."""
+
+    point_markers = True
 
     def __init__(self, spark: SparkSession, points: DataFrame):
         self.spark = spark
@@ -77,7 +80,15 @@ def events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("f_string"),
         F.lit(None).cast("boolean").alias("f_bool"),
     )
-    return val.unionByName(kf)
+    mk = base.select(
+        "metric", "tags", "series_key", "ts", "seq",
+        F.lit("").alias("field"), F.lit("marker").alias("vtype"),
+        F.lit(None).cast("double").alias("f_double"),
+        F.lit(None).cast("long").alias("f_long"),
+        F.lit(None).cast("string").alias("f_string"),
+        F.lit(None).cast("boolean").alias("f_bool"),
+    )
+    return val.unionByName(kf).unionByName(mk)
 
 
 def _engine(spark, sf_dir) -> StaticEngine:

@@ -320,3 +320,43 @@ def test_bulk_ingest_multifield_point(spark, tmp_path_factory):
         [("m", {"h": "a"}, 1000, "v", "float", 9.9, None, None, None)], schema))
     rows = eng.execute("QUERY m FROM 0 TO 10000").collect()
     assert rows[0]["fields"] == {"v": "9.9"}
+
+
+def test_count_star_markers_and_v1_upgrade(spark, tmp_path_factory):
+    """Format v2: count(*) rides per-point marker rows — a plain
+    conditional count, no Expand even mixed with other aggs. A v1
+    (marker-less) warehouse still answers via countDistinct and upgrades
+    to v2 through compact()."""
+    import os
+    wh = str(tmp_path_factory.mktemp("mark_wh"))
+    eng = NexusEngine(spark, wh)
+    assert eng.point_markers
+    eng.put_batch([("m.c", {"h": "a"}, {"v": 1.0, "k": 7}, 100),
+                   ("m.c", {"h": "a"}, {"v": 2.0}, 200),
+                   ("m.c", {"h": "b"}, {"v": 4.0}, 200)])
+    df = eng.execute("QUERY m.c FROM 0 TO 1000 AGGREGATE (count(*), sum(v))")
+    row = df.collect()[0]
+    assert (row["count_*"], row["sum_v"]) == (3, 7.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    # MVCC: re-push replaces the whole point INCLUDING its marker
+    eng.put("m.c", {"h": "a"}, {"v": 9.0}, 100)
+    row = eng.execute("QUERY m.c FROM 0 TO 1000 AGGREGATE (count(*), sum(v))").collect()[0]
+    assert (row["count_*"], row["sum_v"]) == (3, 15.0)
+
+    # simulate a v1 warehouse: no _format file, no marker rows
+    wh1 = str(tmp_path_factory.mktemp("mark_v1"))
+    e1 = NexusEngine(spark, wh1)
+    os.unlink(e1._format_path)
+    e1.point_markers = False
+    e1.put_batch([("m.c", {}, {"v": 1.0, "k": 2}, 100),
+                  ("m.c", {}, {"v": 2.0}, 200)])
+    e1 = NexusEngine(spark, wh1)  # reopen: detected as v1
+    assert not e1.point_markers
+    q = "QUERY m.c FROM 0 TO 1000 AGGREGATE (count(*), sum(v))"
+    assert e1.execute(q).collect()[0]["count_*"] == 2  # distinct fallback
+    e1.compact()  # v1 -> v2 upgrade synthesizes markers
+    assert e1.point_markers
+    row = e1.execute(q).collect()[0]
+    assert (row["count_*"], row["sum_v"]) == (2, 3.0)
+    assert "Expand" not in e1.execute(q)._jdf.queryExecution().executedPlan().toString()

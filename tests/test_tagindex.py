@@ -25,7 +25,7 @@ def eng(spark, tmp_path):
 
 
 def _vals(df):
-    return sorted(r["f_double"] for r in df.collect())
+    return sorted(r["f_double"] for r in df.collect() if r["vtype"] != "marker")
 
 
 def test_resolve_conjunctive_and(eng):
@@ -63,7 +63,8 @@ def test_prefix_tag_key_sort_edge(spark, tmp_path):
     prefix of another — 'a' vs 'a0' order differs under concat-sort."""
     e = NexusEngine(spark, str(tmp_path / "wh"))
     e.put("m", {"a": "1", "a0": "2"}, {"v": 9.0}, 5)
-    rows = e.points(metric="m", tags={"a": "1", "a0": "2"}).collect()
+    rows = [r for r in e.points(metric="m", tags={"a": "1", "a0": "2"}).collect()
+            if r["vtype"] != "marker"]
     assert [r["f_double"] for r in rows] == [9.0]
     assert rows[0]["series_key"] == "m|a=1,a0=2"
 
