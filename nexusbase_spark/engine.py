@@ -60,6 +60,8 @@ POINTS_SCHEMA = StructType([
 
 _NAN = float("nan")
 
+DAY_NS = 86_400 * 1_000_000_000
+
 
 def _typed(value) -> tuple[str, float | None, int | None, str | None, bool | None]:
     """Literal -> (vtype, f_double, f_long, f_string, f_bool); float32
@@ -95,20 +97,24 @@ class NexusEngine:
         self._catalog = SeriesCatalog(os.path.join(warehouse, "catalog"))
         if os.path.isdir(self._points_path) and not self._catalog.exists():
             self._catalog.rebuild(self._raw())
-        # Format v2: every point carries a marker row (field='',
-        # vtype='marker') so count(*) is a plain count, not a distinct.
-        # Fresh warehouses start at v2; pre-marker warehouses stay v1
-        # (mixed markers would undercount) until compact() upgrades them.
+        # Format v2: (a) every point carries a marker row (field='',
+        # vtype='marker') so count(*) is a plain count, not a distinct;
+        # (b) points are partitioned by (metric, day) so time-range scans
+        # prune whole day directories — the SSTable key-range skip at the
+        # directory level. Fresh warehouses start at v2; pre-v2 warehouses
+        # stay v1 (mixed markers would undercount) until compact() upgrades.
         self._format_path = os.path.join(warehouse, "_format")
         if not os.path.isdir(self._points_path) and not os.path.isfile(self._format_path):
             self._write_format()
-        self.point_markers = self._read_format().get("point_markers") == "1"
+        fmt = self._read_format()
+        self.point_markers = fmt.get("point_markers") == "1"
+        self.day_partitioned = fmt.get("layout") == "metric_day"
 
     # ------------------------------------------------------------- ingest
 
     def _write_format(self) -> None:
         with open(self._format_path, "w") as f:
-            f.write("point_markers=1\n")
+            f.write("point_markers=1\nlayout=metric_day\n")
 
     def _read_format(self) -> dict[str, str]:
         if not os.path.isfile(self._format_path):
@@ -139,6 +145,21 @@ class NexusEngine:
     def _now_ns() -> int:
         return time.time_ns()
 
+    def _write_points(self, df: DataFrame, path: str | None = None,
+                      mode: str = "append",
+                      day_partitioned: bool | None = None) -> None:
+        """Append/overwrite into the points layout. v2 layout adds a
+        ``day`` partition column (the point's UTC day start in ns,
+        arithmetic only — no float division of int64 timestamps)."""
+        day = self.day_partitioned if day_partitioned is None else day_partitioned
+        path = path or self._points_path
+        if day:
+            df = df.withColumn(
+                "day", F.col("ts") - F.pmod(F.col("ts"), F.lit(DAY_NS)))
+            df.write.mode(mode).partitionBy("metric", "day").parquet(path)
+        else:
+            df.write.mode(mode).partitionBy("metric").parquet(path)
+
     def put(self, metric: str, tags: dict[str, str] | None,
             fields: dict[str, object], ts: int | None = None) -> int:
         """Single-point ingest (gRPC Put / NBQL PUSH —
@@ -168,7 +189,7 @@ class NexusEngine:
                              "", "marker", None, None, None, None))
         df = self.spark.createDataFrame(rows, POINTS_SCHEMA)
         df = df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
-        df.write.mode("append").partitionBy("metric").parquet(self._points_path)
+        self._write_points(df)
         self._catalog.append_points(
             [(p[0], p[1] or {}, self._series_key(p[0], p[1] or {}))
              for p in points])
@@ -212,7 +233,7 @@ class NexusEngine:
                 })
             )
             out = out.unionByName(markers.select(*out.columns))
-        out.write.mode("append").partitionBy("metric").parquet(self._points_path)
+        self._write_points(out)
         self._catalog.append_df(out)
         self._seq = self._load_max_seq() + 1
 
@@ -318,8 +339,14 @@ class NexusEngine:
                     df = df.filter(F.col("tags").getItem(k) == v)
         if start is not None:
             df = df.filter(F.col("ts") >= start)
+            if self.day_partitioned:  # directory-level day pruning
+                df = df.filter(F.col("day") >= start - start % DAY_NS)
         if end is not None:
             df = df.filter(F.col("ts") <= end)
+            if self.day_partitioned:
+                df = df.filter(F.col("day") <= end - end % DAY_NS)
+        if "day" in df.columns:
+            df = df.drop("day")  # partition bookkeeping, not point data
         # whole-point LWW: the latest seq at (series_key, ts) supersedes ALL
         # rows (= the whole fields map) of older seqs
         w = Window.partitionBy("series_key", "ts")
@@ -398,18 +425,20 @@ class NexusEngine:
         resolved = resolved.cache()
         resolved.count()
         tmp = self._points_path + ".compact"
-        resolved.write.mode("overwrite").partitionBy("metric").parquet(tmp)
+        # compaction always rewrites into the v2 layout (markers + day
+        # partitioning) — the upgrade path for pre-v2 warehouses
+        self._write_points(resolved, path=tmp, mode="overwrite",
+                           day_partitioned=True)
         shutil.rmtree(self._points_path)
         os.rename(tmp, self._points_path)
         for path in self._tomb.values():
             shutil.rmtree(path, ignore_errors=True)
+        self._write_format()
+        self.point_markers = self.day_partitioned = True
         # rebuild the catalog from the surviving view: prunes tombstoned
         # series and merges the tiny per-put index files
         self._catalog.rebuild(self._raw())
         resolved.unpersist()
-        if not self.point_markers:
-            self._write_format()
-            self.point_markers = True
 
     def snapshot(self) -> str:
         """Full snapshot = directory copy (snapshot/manager.go; Delta
@@ -449,7 +478,9 @@ class NexusEngine:
             shutil.copy(src_fmt, self._format_path)
         elif os.path.isfile(self._format_path):
             os.unlink(self._format_path)
-        self.point_markers = self._read_format().get("point_markers") == "1"
+        fmt = self._read_format()
+        self.point_markers = fmt.get("point_markers") == "1"
+        self.day_partitioned = fmt.get("layout") == "metric_day"
 
     # ------------------------------------------------------------- query
 

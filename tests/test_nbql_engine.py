@@ -360,3 +360,23 @@ def test_count_star_markers_and_v1_upgrade(spark, tmp_path_factory):
     row = e1.execute(q).collect()[0]
     assert (row["count_*"], row["sum_v"]) == (2, 3.0)
     assert "Expand" not in e1.execute(q)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_day_partitioned_layout_prunes(spark, tmp_path_factory):
+    """v2 layout partitions points by (metric, day): time-range queries
+    carry a day partition filter (directory pruning), results unchanged
+    across day boundaries."""
+    from nexusbase_spark.engine import DAY_NS
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("day_wh")))
+    assert eng.day_partitioned
+    eng.put_batch([("m.d", {}, {"v": 1.0}, 10),
+                   ("m.d", {}, {"v": 2.0}, DAY_NS + 10),
+                   ("m.d", {}, {"v": 3.0}, 2 * DAY_NS + 10)])
+    import os
+    sub = os.listdir(os.path.join(eng._points_path, "metric=m.d"))
+    days = sorted(int(s[4:]) for s in sub if s.startswith("day="))
+    assert days == [0, DAY_NS, 2 * DAY_NS]
+    q = eng.execute(f"QUERY m.d FROM {DAY_NS} TO {2 * DAY_NS + 100}")
+    assert [r["fields"]["v"] for r in q.collect()] == ["2.0", "3.0"]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "day" in plan and "PartitionFilters" in plan
