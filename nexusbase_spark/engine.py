@@ -3,7 +3,10 @@ SNAPSHOT / RESTORE over a parquet warehouse.
 
 Storage layout (the Spark translation of the reference's LSM, SURVEY.md §4):
 
-    <warehouse>/points/       long-format points, partitioned by metric
+    <warehouse>/points/       long-format points, partitioned by (metric, day)
+    <warehouse>/l0/           small put/put_batch appends awaiting merge
+                              (memtable/L0 analog; merged after l0_trigger
+                              batches or FLUSH — only L0 data is rewritten)
     <warehouse>/tomb_point/   point tombstones   (series_key, ts, seq)
     <warehouse>/tomb_series/  series tombstones  (series_key, seq)
     <warehouse>/tomb_range/   range tombstones   (series_key, min_ts, max_ts, seq)
@@ -80,11 +83,20 @@ def _typed(value) -> tuple[str, float | None, int | None, str | None, bool | Non
 
 
 class NexusEngine:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 l0_trigger: int = 4):
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
         self._points_path = os.path.join(warehouse, "points")
+        # L0 tier: small put/put_batch appends land here (one coalesced
+        # file per partition dir) and are merged into points/ after
+        # ``l0_trigger`` batches — the memtable/L0 -> L1 compaction analog
+        # (cmd/server/config.yaml:37 triggers L0 at 4 files). Merging only
+        # rewrites L0 data, so ingest cost stays O(batch), not O(table).
+        self._l0_path = os.path.join(warehouse, "l0")
+        self._l0_count_path = os.path.join(warehouse, "_l0_batches")
+        self.l0_trigger = l0_trigger
         self._tomb = {
             "point": os.path.join(warehouse, "tomb_point"),
             "series": os.path.join(warehouse, "tomb_series"),
@@ -95,7 +107,8 @@ class NexusEngine:
         # engine is live the catalog is COMPLETE (every ingested series
         # present) or absent; a legacy warehouse without one is indexed here.
         self._catalog = SeriesCatalog(os.path.join(warehouse, "catalog"))
-        if os.path.isdir(self._points_path) and not self._catalog.exists():
+        has_data = os.path.isdir(self._points_path) or os.path.isdir(self._l0_path)
+        if has_data and not self._catalog.exists():
             self._catalog.rebuild(self._raw())
         # Format v2: (a) every point carries a marker row (field='',
         # vtype='marker') so count(*) is a plain count, not a distinct;
@@ -104,7 +117,7 @@ class NexusEngine:
         # directory level. Fresh warehouses start at v2; pre-v2 warehouses
         # stay v1 (mixed markers would undercount) until compact() upgrades.
         self._format_path = os.path.join(warehouse, "_format")
-        if not os.path.isdir(self._points_path) and not os.path.isfile(self._format_path):
+        if not has_data and not os.path.isfile(self._format_path):
             self._write_format()
         fmt = self._read_format()
         self.point_markers = fmt.get("point_markers") == "1"
@@ -127,9 +140,20 @@ class NexusEngine:
                     out[k] = v
         return out
 
+    def _l0_batches(self) -> int:
+        try:
+            with open(self._l0_count_path) as f:
+                return int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _set_l0_batches(self, n: int) -> None:
+        with open(self._l0_count_path, "w") as f:
+            f.write(str(n))
+
     def _load_max_seq(self) -> int:
         best = -1
-        for path in [self._points_path, *self._tomb.values()]:
+        for path in [self._points_path, self._l0_path, *self._tomb.values()]:
             if os.path.isdir(path):
                 row = self.spark.read.parquet(path).agg(F.max("seq")).collect()[0]
                 if row[0] is not None:
@@ -147,12 +171,15 @@ class NexusEngine:
 
     def _write_points(self, df: DataFrame, path: str | None = None,
                       mode: str = "append",
-                      day_partitioned: bool | None = None) -> None:
+                      day_partitioned: bool | None = None,
+                      coalesce: int | None = None) -> None:
         """Append/overwrite into the points layout. v2 layout adds a
         ``day`` partition column (the point's UTC day start in ns,
         arithmetic only — no float division of int64 timestamps)."""
         day = self.day_partitioned if day_partitioned is None else day_partitioned
         path = path or self._points_path
+        if coalesce is not None:
+            df = df.coalesce(coalesce)
         if day:
             df = df.withColumn(
                 "day", F.col("ts") - F.pmod(F.col("ts"), F.lit(DAY_NS)))
@@ -189,11 +216,32 @@ class NexusEngine:
                              "", "marker", None, None, None, None))
         df = self.spark.createDataFrame(rows, POINTS_SCHEMA)
         df = df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
-        self._write_points(df)
+        # driver-side batches are small by definition: one file per
+        # partition dir, into the L0 tier
+        self._write_points(df, path=self._l0_path, coalesce=1)
         self._catalog.append_points(
             [(p[0], p[1] or {}, self._series_key(p[0], p[1] or {}))
              for p in points])
+        n = self._l0_batches() + 1
+        self._set_l0_batches(n)
+        if n >= self.l0_trigger:
+            self.flush_l0()
         return last_seq
+
+    def flush_l0(self) -> None:
+        """Merge the L0 tier into the base table (memtable -> L0 flush +
+        L0 -> L1 compaction, engine2/adapter.go FlushMemtableToL0 +
+        levels/compaction.go). Rewrites ONLY L0 data — one coalesced
+        append to points/, then the tier is dropped."""
+        if not os.path.isdir(self._l0_path):
+            self._set_l0_batches(0)
+            return
+        df = self.spark.read.parquet(self._l0_path)
+        if "day" in df.columns:  # re-derived by _write_points
+            df = df.drop("day")
+        self._write_points(df, coalesce=1)
+        shutil.rmtree(self._l0_path)
+        self._set_l0_batches(0)
 
     def ingest_frame(self, df: DataFrame) -> None:
         """Bulk ingest: append a long-format DataFrame WITHOUT routing rows
@@ -294,9 +342,15 @@ class NexusEngine:
     # -------------------------------------------------------------- reads
 
     def _raw(self) -> DataFrame | None:
-        if not os.path.isdir(self._points_path):
-            return None
-        return self.spark.read.parquet(self._points_path)
+        base = self.spark.read.parquet(self._points_path) \
+            if os.path.isdir(self._points_path) else None
+        l0 = self.spark.read.parquet(self._l0_path) \
+            if os.path.isdir(self._l0_path) else None
+        if base is None:
+            return l0
+        if l0 is None:
+            return base
+        return base.unionByName(l0)
 
     def _tomb_df(self, kind: str, schema: str) -> DataFrame:
         if os.path.isdir(self._tomb[kind]):
@@ -394,8 +448,10 @@ class NexusEngine:
     # ------------------------------------------------------- maintenance
 
     def flush(self, target: str = "all") -> None:
-        """FLUSH shim: parquet appends are already durable; the reference's
-        memtable->L0 flush has no residue to persist here."""
+        """FLUSH MEMTABLE/DISK/ALL (executor.go:237-258): merge the L0
+        tier down regardless of the batch trigger. Durability needs no
+        extra work (appends are already on disk)."""
+        self.flush_l0()
 
     def compact(self, retention_cutoff_ns: int | None = None) -> None:
         """OPTIMIZE analog of leveled compaction + retention-on-compaction
@@ -429,8 +485,11 @@ class NexusEngine:
         # partitioning) — the upgrade path for pre-v2 warehouses
         self._write_points(resolved, path=tmp, mode="overwrite",
                            day_partitioned=True)
-        shutil.rmtree(self._points_path)
+        shutil.rmtree(self._points_path, ignore_errors=True)  # may be L0-only
         os.rename(tmp, self._points_path)
+        # L0 was folded into the resolved view (points() reads the union)
+        shutil.rmtree(self._l0_path, ignore_errors=True)
+        self._set_l0_batches(0)
         for path in self._tomb.values():
             shutil.rmtree(path, ignore_errors=True)
         self._write_format()
@@ -446,8 +505,8 @@ class NexusEngine:
         dest = os.path.join(self.warehouse, "snapshots", uuid.uuid4().hex[:12])
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         os.makedirs(dest)
-        for name in ["points", "tomb_point", "tomb_series", "tomb_range",
-                     "catalog"]:
+        for name in ["points", "l0", "tomb_point", "tomb_series",
+                     "tomb_range", "catalog"]:
             src = os.path.join(self.warehouse, name)
             if os.path.isdir(src):
                 shutil.copytree(src, os.path.join(dest, name))
@@ -456,8 +515,8 @@ class NexusEngine:
         return dest
 
     def restore(self, path: str, overwrite: bool = False) -> None:
-        for name in ["points", "tomb_point", "tomb_series", "tomb_range",
-                     "catalog"]:
+        for name in ["points", "l0", "tomb_point", "tomb_series",
+                     "tomb_range", "catalog"]:
             dst = os.path.join(self.warehouse, name)
             if os.path.isdir(dst):
                 if not overwrite:
@@ -467,9 +526,11 @@ class NexusEngine:
             if os.path.isdir(src):
                 shutil.copytree(src, dst)
         self._seq = self._load_max_seq() + 1
+        self._set_l0_batches(0)  # pending-batch count died with the old L0
         # snapshots from before the catalog existed restore without one;
         # re-index so the completeness invariant holds
-        if os.path.isdir(self._points_path) and not self._catalog.exists():
+        if ((os.path.isdir(self._points_path) or os.path.isdir(self._l0_path))
+                and not self._catalog.exists()):
             self._catalog.rebuild(self._raw())
         # the snapshot's format version wins: a v1 snapshot restored over a
         # v2 warehouse must drop the marker flag (and vice versa)

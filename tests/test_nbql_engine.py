@@ -362,6 +362,45 @@ def test_count_star_markers_and_v1_upgrade(spark, tmp_path_factory):
     assert "Expand" not in e1.execute(q)._jdf.queryExecution().executedPlan().toString()
 
 
+def test_l0_tier_merge_and_flush(spark, tmp_path_factory):
+    """put/put_batch land in l0/ (one file per partition dir); the 4th
+    batch triggers the L0->base merge (config.yaml:37 L0 trigger); FLUSH
+    merges eagerly; queries see identical data on both sides of the
+    merge; snapshot/restore carries a pending L0."""
+    import os
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("l0_wh")))
+    assert eng.l0_trigger == 4
+    for i in range(3):
+        eng.put("m.l0", {"h": "a"}, {"v": float(i)}, ts=i)
+    assert os.path.isdir(eng._l0_path) and not os.path.isdir(eng._points_path)
+    assert eng._l0_batches() == 3
+    # each batch contributed exactly ONE parquet file to the partition dir
+    part = os.path.join(eng._l0_path, "metric=m.l0", "day=0")
+    assert sum(f.endswith(".parquet") for f in os.listdir(part)) == 3
+    assert [r["fields"]["v"] for r in eng.execute("QUERY m.l0 FROM 0 TO 9").collect()] \
+        == ["0.0", "1.0", "2.0"]
+    eng.put("m.l0", {"h": "a"}, {"v": 3.0}, ts=3)  # 4th batch -> merge
+    assert not os.path.isdir(eng._l0_path) and eng._l0_batches() == 0
+    base = os.path.join(eng._points_path, "metric=m.l0", "day=0")
+    assert sum(f.endswith(".parquet") for f in os.listdir(base)) == 1
+    rows = eng.execute("QUERY m.l0 FROM 0 TO 9").collect()
+    assert [r["fields"]["v"] for r in rows] == ["0.0", "1.0", "2.0", "3.0"]
+    # pending L0 survives snapshot/restore; FLUSH merges it
+    eng.put("m.l0", {"h": "a"}, {"v": 4.0}, ts=4)
+    snap = eng.snapshot()
+    eng2 = NexusEngine(spark, str(tmp_path_factory.mktemp("l0_wh2")))
+    eng2.restore(snap, overwrite=True)
+    assert len(eng2.execute("QUERY m.l0 FROM 0 TO 9").collect()) == 5
+    eng2.execute("FLUSH MEMTABLE")
+    assert not os.path.isdir(eng2._l0_path)
+    assert len(eng2.execute("QUERY m.l0 FROM 0 TO 9").collect()) == 5
+    # MVCC across tiers: re-push of ts=0 sits in L0, base holds the old
+    # version; the union read must pick the L0 (higher-seq) version
+    eng2.put("m.l0", {"h": "a"}, {"v": 99.0}, ts=0)
+    rows = eng2.execute("QUERY m.l0 FROM 0 TO 0").collect()
+    assert [r["fields"]["v"] for r in rows] == ["99.0"]
+
+
 def test_day_partitioned_layout_prunes(spark, tmp_path_factory):
     """v2 layout partitions points by (metric, day): time-range queries
     carry a day partition filter (directory pruning), results unchanged
@@ -372,6 +411,7 @@ def test_day_partitioned_layout_prunes(spark, tmp_path_factory):
     eng.put_batch([("m.d", {}, {"v": 1.0}, 10),
                    ("m.d", {}, {"v": 2.0}, DAY_NS + 10),
                    ("m.d", {}, {"v": 3.0}, 2 * DAY_NS + 10)])
+    eng.flush_l0()  # land the batch in the base table before inspecting it
     import os
     sub = os.listdir(os.path.join(eng._points_path, "metric=m.d"))
     days = sorted(int(s[4:]) for s in sub if s.startswith("day="))
