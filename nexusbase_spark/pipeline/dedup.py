@@ -91,10 +91,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
-def jaccard_pairs(pairs: DataFrame, shingles: DataFrame,
+def _pair_overlap(pairs: DataFrame, shingles: DataFrame,
                   id_col: str = "doc_id") -> DataFrame:
-    """Exact Jaccard for candidate pairs via a shingle-set join:
-    |A∩B| / (|A| + |B| - |A∩B|). Only candidates pay this cost."""
+    """(id_a, id_b, inter, sz_a, sz_b) for candidate pairs via a
+    shingle-set join — the shared verification kernel; only candidates
+    pay this cost."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = shingles.withColumnRenamed(id_col, "id_a")
     sb = shingles.withColumnRenamed(id_col, "id_b")
@@ -105,12 +106,18 @@ def jaccard_pairs(pairs: DataFrame, shingles: DataFrame,
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
+    return (
         inter
         .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
     )
+
+
+def jaccard_pairs(pairs: DataFrame, shingles: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| / (|A| + |B| - |A∩B|)."""
+    out = _pair_overlap(pairs, shingles, id_col).withColumn(
+        "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
     return out.select("id_a", "id_b", "jaccard")
 
 
@@ -131,6 +138,27 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 8, bands: int = 4,
+                      threshold: float = 0.8) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT near-dup: |A∩B| / min(|A|, |B|) over
+    the same LSH candidate set. A truncated copy is fully contained in
+    its source (containment 1.0) while its Jaccard sits at the truncation
+    ratio — this catches subset/prefix duplicates any symmetric threshold
+    misses. Same shape as near_dup_pairs: O(n·bands) candidates, only
+    candidates pay the verification join."""
+    from nexusbase_spark.plans import spread
+    df = spread(df, compute_heavy=True)
+    sh = shingle_sets(df, id_col, text_col, n).persist()
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    out = _pair_overlap(cand, sh, id_col).withColumn(
+        "containment", F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")))
+    return (out.select("id_a", "id_b", "containment")
+            .filter(F.col("containment") >= threshold))
 
 
 def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",

@@ -54,6 +54,46 @@ def cosine_topk(df: DataFrame, probe: list[float], k: int = 20,
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  out_col: str = "q") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i * 127 / max|x|) ∈ [-127, 127]. Cuts ANN memory 4x
+    (the scale path for billion-vector corpora); cosine on the quantized
+    vectors needs no dequantize — the per-vector scale cancels.
+
+    The scale is materialized as a column BEFORE the transform: an
+    array_max inside the lambda would be re-evaluated per element
+    (no CSE inside higher-order functions).
+    """
+    s = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30))
+    return (
+        df.withColumn("__s", s)
+        .withColumn(out_col, F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 127 / F.col("__s"))))
+        .drop("__s")
+    )
+
+
+def int8_topk(df: DataFrame, k: int = 10, probe_id: int = 0,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by cosine over int8-quantized vectors. Integer
+    dot products are exact in double, so ranking is fully deterministic
+    (unlike float accumulation order). The probe is quantized by the same
+    expression, never round-tripped through the driver."""
+    q = quantize_int8(df, vec_col).select(id_col, "q")
+    probe = q.filter(F.col(id_col) == probe_id) \
+        .select(F.col("q").alias("p"))
+    out = (
+        q.filter(F.col(id_col) != probe_id)
+        .join(F.broadcast(probe))
+        .select(F.col(id_col), cosine_sim_expr(F.col("q"), F.col("p")).alias("cosine"))
+    )
+    return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def centroids(df: DataFrame, part_col: str = "label",
               vec_col: str = "embedding") -> DataFrame:
     """Per-partition mean vector via posexplode + groupBy(part, pos) —

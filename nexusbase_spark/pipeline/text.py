@@ -96,6 +96,27 @@ def quality_exprs(text: Column) -> dict[str, Column]:
     }
 
 
+def winnow_fingerprints(text: Column, n: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    word n-gram POSITIONALLY, slide a window of w hashes, keep each
+    window's minimum; the distinct selected hashes are the fingerprint.
+    Guarantees every shared run of n+w-1 tokens yields a shared
+    fingerprint — the positional upgrade of ``fingerprint_mink``.
+
+    Same shifted-slice zip as ``word_shingles`` (windows via w-1
+    ``zip_with(least)`` passes, no per-element lambda re-evaluation);
+    slices are clamped to size-(w-1) windows so no null padding enters
+    ``least``. Docs with fewer than n+w-1 tokens produce an empty array.
+    """
+    hashes = F.transform(word_shingles(text, n), F.md5)
+    cnt = F.greatest(F.size(hashes) - (w - 1), F.lit(0))
+    mins = F.slice(hashes, 1, cnt)
+    for j in range(1, w):
+        mins = F.zip_with(mins, F.slice(hashes, j + 1, cnt),
+                          lambda a, b: F.least(a, b))
+    return F.array_distinct(mins)
+
+
 def fingerprint_mink(text: Column, n: int = 3, k: int = 4) -> Column:
     """Document fingerprint: bottom-k sketch of word-n-gram hashes,
     concatenated to one hex string. A winnowing-style content signature:

@@ -247,6 +247,47 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint_mink(F.col("text"), 3, 4).alias("fingerprint"))
 
 
+@register("doc_winnow_fingerprint", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(t) - 1, 1)),
+                        i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS h
+          FROM t)
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(h) - 3, 0) + 1),
+                  i -> least(h[i], h[i+1], h[i+2], h[i+3]))) AS fp
+    FROM h
+""")
+def q_doc_winnow_fingerprint(spark, sf_dir):
+    """Winnowing: positional 3-gram hashes, window-of-4 minima, distinct
+    selected hashes per doc — every shared 6-token run guarantees a
+    shared fingerprint row (SIGMOD'03 winnowing on Spark arrays)."""
+    from nexusbase_spark.pipeline.text import winnow_fingerprints
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), 3, 4)).alias("fp"))
+
+
+@register("doc_containment_pairs", f"""
+    WITH {MINHASH_CTES}
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.i AS DOUBLE) / least(za.sz, zb.sz), 4) AS containment
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(i.i AS DOUBLE) / least(za.sz, zb.sz) >= 0.8
+""")
+def q_doc_containment_pairs(spark, sf_dir):
+    """n-gram containment |A∩B|/min(|A|,|B|) over the LSH candidates:
+    the truncated copies in the augmented corpus score 1.0 here while
+    their Jaccard is only the truncation ratio."""
+    from nexusbase_spark.pipeline.dedup import containment_pairs
+    out = containment_pairs(_docs_aug(spark, sf_dir), num_hashes=8,
+                            bands=4, threshold=0.8)
+    return _r4(out, "containment")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -380,6 +421,39 @@ def q_embed_ivf_topk(spark, sf_dir):
     k-means stand-in) by centroid cosine, scan only the best 2."""
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_topk(emb, _probe_vec(spark, sf_dir), k=10, nprobe=2, exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+@register("embed_int8_topk", """
+    WITH qv AS (
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                   i -> round(CAST(embedding[i] AS DOUBLE) * 127 / s)) AS q
+        FROM (SELECT vec_id, embedding,
+                     greatest((SELECT max(abs(CAST(embedding[r.i] AS DOUBLE)))
+                               FROM range(1, 65) r(i)), 1e-30) AS s
+              FROM embeddings)
+    ),
+    probe AS (SELECT q AS p FROM qv WHERE vec_id = 0),
+    m AS (
+        SELECT v.vec_id,
+               (SELECT sum(v.q[r.i] * probe.p[r.i]) FROM range(1, 65) r(i)) /
+               (sqrt((SELECT sum(v.q[r.i] ** 2) FROM range(1, 65) r(i))) *
+                sqrt((SELECT sum(probe.p[r.i] ** 2) FROM range(1, 65) r(i)))) AS c
+        FROM qv v, probe
+        WHERE v.vec_id <> 0
+    )
+    SELECT vec_id, round(c, 4) AS cosine FROM m
+    ORDER BY c DESC, vec_id LIMIT 10
+""")
+def q_embed_int8_topk(spark, sf_dir):
+    """Top-10 cosine over int8-quantized vectors (scale = max|x|/127,
+    round-half-away — identical in both engines; integer dots are exact
+    in double so the ranking is bit-deterministic). The 4x-memory ANN
+    path for billion-vector corpora."""
+    from nexusbase_spark.pipeline.similarity import int8_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = int8_topk(emb, k=10, probe_id=0)
     return out.withColumn("cosine", F.round(F.col("cosine"), 4))
 
 

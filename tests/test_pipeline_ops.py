@@ -1,0 +1,60 @@
+"""Semantic unit tests for the pipeline operators whose guarantees the
+oracle parity check can't express (it only checks value equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexusbase_spark.pipeline.dedup import containment_pairs, near_dup_pairs
+from nexusbase_spark.pipeline.similarity import int8_topk, quantize_int8
+from nexusbase_spark.pipeline.text import winnow_fingerprints
+
+
+def test_winnowing_guarantee(spark):
+    """Any shared run of n+w-1 = 6 tokens must yield at least one shared
+    fingerprint (the winnowing paper's correctness property)."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"intro words {shared} tail one"),
+         (2, f"completely different prefix {shared}")],
+        "doc_id long, text string")
+    fp = df.select("doc_id", F.explode(
+        winnow_fingerprints(F.col("text"), 3, 4)).alias("fp"))
+    a = {r["fp"] for r in fp.filter("doc_id = 1").collect()}
+    b = {r["fp"] for r in fp.filter("doc_id = 2").collect()}
+    assert a & b, "shared 6-token run produced no shared fingerprint"
+    # short doc (< n+w-1 tokens) -> empty fingerprint set, not a crash
+    short = spark.createDataFrame([(3, "just four tokens here")],
+                                  "doc_id long, text string")
+    assert short.select(F.explode(
+        winnow_fingerprints(F.col("text"), 3, 4))).count() == 0
+
+
+def test_containment_catches_truncation(spark):
+    """A 60%-prefix copy scores containment 1.0 but Jaccard ~0.55: the
+    asymmetric metric finds it at threshold 0.8, Jaccard at 0.8 doesn't."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    prefix = " ".join(base.split()[:11])
+    df = spark.createDataFrame([(1, base), (2, prefix)],
+                               "doc_id long, text string")
+    # 8 bands x 1 row: high-recall banding so the (deterministic) md5
+    # min-hashes of a J~0.53 pair certainly share a band
+    cont = containment_pairs(df, num_hashes=8, bands=8, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    jac = near_dup_pairs(df, num_hashes=8, bands=8, threshold=0.8).collect()
+    assert jac == []
+
+
+def test_int8_quantization_bounds_and_ranking(spark):
+    """Quantized components stay in [-127, 127]; an identical vector ranks
+    first with cosine 1.0."""
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 3.0]), (1, [1.0, -2.0, 3.0]), (2, [-3.0, 1.0, 0.5])],
+        "vec_id long, embedding array<double>")
+    q = quantize_int8(df).select(F.explode("q").alias("v")).collect()
+    assert all(-127 <= r["v"] <= 127 for r in q)
+    assert any(abs(r["v"]) == 127 for r in q)  # max component hits full scale
+    top = int8_topk(df, k=2, probe_id=0).collect()
+    assert top[0]["vec_id"] == 1 and abs(top[0]["cosine"] - 1.0) < 1e-12
