@@ -19,6 +19,11 @@ _DEFAULTS = {
     # this is the 100TB insurance policy (skewed series keys, lopsided tags).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # parallelismFirst keeps post-shuffle partitions tiny to fill idle
+    # cores; with 32 threads on small-to-medium shuffles that is pure task
+    # overhead (measured ~10-15% of warm query time here). False = respect
+    # the 64MB advisory size; at 100TB that still yields ample partitions.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # On a real cluster this would be ~2-3x total cores; local default keeps
     # shuffles cheap while still exercising multi-partition plans.
