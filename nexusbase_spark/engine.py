@@ -305,6 +305,24 @@ class NexusEngine:
                 .option("checkpointLocation", checkpoint)
                 .outputMode("append").start())
 
+    def start_kafka_ingest(self, bootstrap_servers: str, topic: str,
+                           checkpoint: str, bus=None, **source_opts):
+        """Kafka-source twin of ``start_stream_ingest`` (same sink, same
+        hook-bus wrapping); needs the spark-sql-kafka connector on the
+        classpath. See streaming/kafka.py for the wire format."""
+        from nexusbase_spark.streaming.kafka import kafka_stream_ingest
+        stream = kafka_stream_ingest(self.spark, bootstrap_servers, topic,
+                                     **source_opts)
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            self.ingest_frame(batch)
+
+        on_batch = bus.for_each_batch(sink) if bus is not None else sink
+        return (stream.writeStream.queryName("nexusbase_kafka_ingest")
+                .foreachBatch(on_batch)
+                .option("checkpointLocation", checkpoint)
+                .outputMode("append").start())
+
     # ------------------------------------------------------------ deletes
 
     def delete_series(self, metric: str, tags: dict[str, str]) -> int:

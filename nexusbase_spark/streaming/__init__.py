@@ -5,6 +5,11 @@ from nexusbase_spark.streaming.subscribe import (  # noqa: F401
     stream_ingest,
     live_downsample,
 )
+from nexusbase_spark.streaming.kafka import (  # noqa: F401
+    encode_point_json,
+    kafka_stream_ingest,
+    parse_kafka_points,
+)
 from nexusbase_spark.streaming.hooks import (  # noqa: F401
     HookBus,
     OutlierDetector,

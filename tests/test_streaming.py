@@ -125,6 +125,64 @@ def test_stream_ingest_into_engine(spark, tmp_path):
     assert blocked == [1]  # the __evil row was flagged by the WAF listener
 
 
+def test_kafka_wire_parse_batch(spark):
+    """The Kafka wire format round-trips: typed JSON point -> long-format
+    rows; malformed messages are dropped, not poison."""
+    from nexusbase_spark.streaming.kafka import encode_point_json, parse_kafka_points
+
+    msgs = [
+        encode_point_json("k.m", {"h": "a"}, {"v": 1.5, "status": 200,
+                                              "level": "info", "ok": True}, 1_000),
+        "{not json at all",
+        '{"other": "shape"}',
+    ]
+    df = spark.createDataFrame([(m.encode(),) for m in msgs], "value binary")
+    rows = {(r["field"]): r for r in parse_kafka_points(df).collect()}
+    assert set(rows) == {"v", "status", "level", "ok"}
+    assert rows["v"]["vtype"] == "float" and rows["v"]["f_double"] == 1.5
+    assert rows["status"]["vtype"] == "int" and rows["status"]["f_long"] == 200
+    assert rows["level"]["f_string"] == "info" and rows["ok"]["f_bool"] is True
+    assert all(r["metric"] == "k.m" and r["ts"] == 1_000 for r in rows.values())
+
+
+def test_kafka_shaped_stream_into_engine(spark, tmp_path):
+    """End-to-end with a kafka-SHAPED stream (a text file stream provides
+    the same ``value`` column the Kafka source yields — the reader swap is
+    one line): messages land in the warehouse and answer NBQL queries,
+    with per-point MVCC intact."""
+    from nexusbase_spark.engine import NexusEngine
+    from nexusbase_spark.streaming.kafka import encode_point_json, parse_kafka_points
+
+    src = tmp_path / "kafka_src"
+    src.mkdir()
+    eng = NexusEngine(spark, str(tmp_path / "kwh"))
+
+    def feed(name, msgs):
+        (src / name).write_text("\n".join(msgs) + "\n")
+
+    feed("b0.txt", [
+        encode_point_json("kk.m", {"h": "a"}, {"v": 1.0, "n": 10}, 1_000),
+        encode_point_json("kk.m", {"h": "b"}, {"v": 2.0}, 1_000),
+    ])
+    stream = parse_kafka_points(spark.readStream.text(str(src)))
+
+    q = (stream.writeStream.queryName("kafka_sim_ingest")
+         .foreachBatch(lambda b, _id: eng.ingest_frame(b))
+         .option("checkpointLocation", str(tmp_path / "kckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # second batch replaces the whole (h=a, ts=1000) point via MVCC
+        feed("b1.txt", [encode_point_json("kk.m", {"h": "a"}, {"v": 9.0}, 1_000)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = eng.execute('QUERY kk.m FROM 0 TO 10000 TAGGED (h="a")').collect()
+    assert len(rows) == 1 and rows[0]["fields"] == {"v": "9.0"}
+    rows = eng.execute('QUERY kk.m FROM 0 TO 10000 TAGGED (h="b")').collect()
+    assert [r["fields"]["v"] for r in rows] == ["2.0"]
+
+
 def test_live_downsample_watermarked(spark, point_stream):
     stream, feed = point_stream
     agg = live_downsample(stream, 60 * 1_000_000_000, watermark_delay="0 seconds")
