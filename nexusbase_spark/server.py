@@ -15,14 +15,31 @@ the aggregate columns plus window bounds when downsampling
 
 from __future__ import annotations
 
+import base64
+import binascii
 import json
 import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from nexusbase_spark.auth import (
+    ROLE_READER, ROLE_WRITER, AuthError, NonAuthenticator,
+)
 from nexusbase_spark.engine import NexusEngine
 from nexusbase_spark.nbql.parser import NBQLError
 from nexusbase_spark.operators.order import encode_cursor
+
+
+def required_role(query: str) -> str:
+    """Reader for QUERY/SHOW, writer for everything that mutates
+    (PUSH/PUSHS/REMOVE/FLUSH/SNAPSHOT/RESTORE) — the per-operation
+    authorization matrix of server/grpc_server.go:316-318."""
+    from nexusbase_spark.nbql import ast as A
+    from nexusbase_spark.nbql.parser import parse
+    stmt = parse(query)
+    if isinstance(stmt, (A.QueryStatement, A.ShowStatement)):
+        return ROLE_READER
+    return ROLE_WRITER
 
 
 def _json_cell(v):
@@ -55,7 +72,23 @@ def execute_to_json(engine: NexusEngine, query: str, params=()) -> dict:
 
 
 class _Handler(BaseHTTPRequestHandler):
-    engine: NexusEngine  # set by serve()
+    engine: NexusEngine   # set by serve()
+    authenticator = None  # set by serve()
+
+    def _authenticated_role(self) -> str:
+        """HTTP Basic credentials -> role; AuthError on missing/bad
+        creds (401) — the gRPC path's Basic-auth extraction
+        (auth/authenticator.go:105-141) over HTTP headers."""
+        if isinstance(self.authenticator, NonAuthenticator):
+            return ROLE_WRITER
+        header = self.headers.get("Authorization", "")
+        if not header.startswith("Basic "):
+            raise AuthError("missing credentials")
+        try:
+            user, _, pw = base64.b64decode(header[6:]).decode().partition(":")
+        except (binascii.Error, UnicodeDecodeError):
+            raise AuthError("invalid authorization header format") from None
+        return self.authenticator.authenticate_userpass(user, pw)
 
     def do_POST(self):  # noqa: N802 (http.server API)
         if self.path != "/query":
@@ -68,8 +101,16 @@ class _Handler(BaseHTTPRequestHandler):
             if not query:
                 self._reply(400, {"error": "missing 'query'"})
                 return
-            body = execute_to_json(self.engine, query, tuple(payload.get("params", ())))
+            role = self._authenticated_role()
+            params = tuple(payload.get("params", ()))
+            if params:  # role check needs a parseable (substituted) string
+                from nexusbase_spark.nbql.parser import substitute_params
+                query, params = substitute_params(query, params), ()
+            self.authenticator.authorize(role, required_role(query))
+            body = execute_to_json(self.engine, query, params)
             self._reply(200, body)
+        except AuthError as exc:
+            self._reply(403 if exc.denied else 401, {"error": str(exc)})
         except (NBQLError, ValueError) as exc:
             self._reply(400, {"error": str(exc)})
         except Exception as exc:  # noqa: BLE001 — surface engine errors as 500s
@@ -88,11 +129,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(engine: NexusEngine, host: str = "127.0.0.1",
-          port: int = 8088) -> ThreadingHTTPServer:
+          port: int = 8088, authenticator=None) -> ThreadingHTTPServer:
     """Start the façade in a daemon thread; returns the server (call
     ``.shutdown()`` to stop). Default port matches the reference's
-    http-query port (cmd/server/config.yaml:84)."""
-    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    http-query port (cmd/server/config.yaml:84). Pass an
+    ``auth.Authenticator`` to require Basic auth + role checks."""
+    handler = type("BoundHandler", (_Handler,),
+                   {"engine": engine,
+                    "authenticator": authenticator or NonAuthenticator()})
     srv = ThreadingHTTPServer((host, port), handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv

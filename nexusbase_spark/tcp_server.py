@@ -23,6 +23,9 @@ import socketserver
 import struct
 import threading
 
+from nexusbase_spark.auth import (
+    ROLE_READER, ROLE_WRITER, AuthError, NonAuthenticator,
+)
 from nexusbase_spark.engine import NexusEngine
 from nexusbase_spark.nbql.parser import NBQLError
 from nexusbase_spark.server import execute_to_json
@@ -34,6 +37,26 @@ CMD_MANIPULATE = 0x20
 RESP_PART = 0x11
 RESP_END = 0x12
 RESP_ERROR = 0x7F
+
+# auth handshake ops (tcp_connection_handler.go:40-114; the packet codec
+# lives in the missing nexuscore submodule, so the byte layout below —
+# header [1B version][1B op][2B BE payloadLen], u16-len-prefixed
+# username/password strings, response [1B status][u16-len message] — is
+# reconstructed from the handler's header reads, op checks and
+# status/message response fields)
+AUTH_REQUEST_OP = 0x01
+AUTH_RESPONSE_OP = 0x02
+AUTH_OK = 0x00
+AUTH_ERR = 0x01
+
+# role needed per command frame (grpc_server.go:316-318 checks writer for
+# Put/Delete and reader for Query before dispatch)
+_REQUIRED_ROLE = {
+    CMD_PUSH: ROLE_WRITER,
+    CMD_PUSHS: ROLE_WRITER,
+    CMD_MANIPULATE: ROLE_WRITER,
+    CMD_QUERY: ROLE_READER,
+}
 
 _MAX_FRAME = 16 * 1024 * 1024
 
@@ -86,10 +109,69 @@ def _read_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
+def _pack_str(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def _unpack_str(buf: bytes, off: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from(">H", buf, off)
+    return buf[off + 2:off + 2 + n].decode("utf-8"), off + 2 + n
+
+
+def send_auth_request(sock: socket.socket, username: str, password: str) -> None:
+    payload = _pack_str(username) + _pack_str(password)
+    sock.sendall(struct.pack(">BBH", 1, AUTH_REQUEST_OP, len(payload)) + payload)
+
+
+def read_auth_response(sock: socket.socket) -> tuple[int, str]:
+    ver, op, plen = struct.unpack(">BBH", _read_exact(sock, 4))
+    payload = _read_exact(sock, plen)
+    status = payload[0]
+    message, _ = _unpack_str(payload, 1)
+    return status, message
+
+
 class _Handler(socketserver.BaseRequestHandler):
-    engine: NexusEngine  # bound by serve_tcp()
+    engine: NexusEngine       # bound by serve_tcp()
+    authenticator = None      # bound by serve_tcp()
+
+    def _handshake(self) -> str | None:
+        """Authenticate the connection before any command frame
+        (tcp_connection_handler.go:40-114). Returns the role, or None
+        (connection dropped). Skipped entirely for NonAuthenticator —
+        like the reference with auth disabled, clients connect direct."""
+        if isinstance(self.authenticator, NonAuthenticator):
+            return ROLE_WRITER
+
+        def respond(status: int, message: str) -> None:
+            payload = bytes([status]) + _pack_str(message)
+            self.request.sendall(
+                struct.pack(">BBH", 1, AUTH_RESPONSE_OP, len(payload)) + payload)
+
+        try:
+            ver, op, plen = struct.unpack(">BBH", _read_exact(self.request, 4))
+            if op != AUTH_REQUEST_OP:
+                respond(AUTH_ERR, "Invalid operation during authentication")
+                return None
+            payload = _read_exact(self.request, plen)
+            username, off = _unpack_str(payload, 0)
+            password, _ = _unpack_str(payload, off)
+        except (ConnectionError, OSError, struct.error, UnicodeDecodeError):
+            return None
+        try:
+            role = self.authenticator.authenticate_userpass(username, password)
+        except AuthError:
+            respond(AUTH_ERR, "Invalid username or password")
+            return None
+        respond(AUTH_OK, "Authentication successful")
+        return role
 
     def handle(self) -> None:
+        role = self._handshake()
+        if role is None:
+            return
+        self._role = role
         while True:
             try:
                 cmd, payload = read_frame(self.request)
@@ -102,7 +184,13 @@ class _Handler(socketserver.BaseRequestHandler):
                 finally:
                     return
             try:
+                required = _REQUIRED_ROLE.get(cmd)
+                if required is not None:
+                    self.authenticator.authorize(self._role, required)
                 self._dispatch(cmd, payload)
+            except AuthError as exc:
+                write_frame(self.request, RESP_ERROR,
+                            json.dumps({"error": str(exc), "denied": True}).encode())
             except (NBQLError, ValueError) as exc:
                 write_frame(self.request, RESP_ERROR,
                             json.dumps({"error": str(exc)}).encode())
@@ -132,10 +220,14 @@ class _Handler(socketserver.BaseRequestHandler):
 
 
 def serve_tcp(engine: NexusEngine, host: str = "127.0.0.1",
-              port: int = 50052) -> socketserver.ThreadingTCPServer:
+              port: int = 50052,
+              authenticator=None) -> socketserver.ThreadingTCPServer:
     """Start the framed-TCP server in a daemon thread (default port =
-    the reference's NBQL TCP port, cmd/server/config.yaml)."""
-    handler = type("BoundTCPHandler", (_Handler,), {"engine": engine})
+    the reference's NBQL TCP port, cmd/server/config.yaml). Pass an
+    ``auth.Authenticator`` to require the handshake + role checks."""
+    handler = type("BoundTCPHandler", (_Handler,),
+                   {"engine": engine,
+                    "authenticator": authenticator or NonAuthenticator()})
     socketserver.ThreadingTCPServer.allow_reuse_address = True
     srv = socketserver.ThreadingTCPServer((host, port), handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
@@ -146,8 +238,17 @@ class NBQLClient:
     """Minimal client for the framed protocol (the shape of
     clients/nbql/python)."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int,
+                 username: str | None = None, password: str | None = None):
         self.sock = socket.create_connection((host, port))
+        if username is not None:
+            self.authenticate(username, password or "")
+
+    def authenticate(self, username: str, password: str) -> None:
+        send_auth_request(self.sock, username, password)
+        status, message = read_auth_response(self.sock)
+        if status != AUTH_OK:
+            raise RuntimeError(f"authentication failed: {message}")
 
     def query(self, nbql: str) -> tuple[list[dict], dict]:
         write_frame(self.sock, CMD_QUERY, nbql.encode())

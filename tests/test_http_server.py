@@ -64,3 +64,47 @@ def test_error_paths(http_engine):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_http_auth_roles(spark, tmp_path_factory):
+    """Basic-auth façade: 401 without/with bad creds, 403 when a reader
+    tries a write, 200 for allowed operations; user file round-trip."""
+    import base64
+
+    from nexusbase_spark.auth import read_user_file, write_user_file
+    from nexusbase_spark.server import serve as serve_http
+
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("httpauth_wh")))
+    ufile = str(tmp_path_factory.mktemp("users") / "users.json")
+    write_user_file(ufile, {"admin": ("s3cret", "writer"),
+                            "viewer": ("look", "reader")})
+    srv = serve_http(eng, port=0, authenticator=read_user_file(ufile))
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post_as(user_pass, payload):
+        req = urllib.request.Request(
+            f"{base}/query", json.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        if user_pass:
+            tok = base64.b64encode(user_pass.encode()).decode()
+            req.add_header("Authorization", f"Basic {tok}")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        push = {"query": 'PUSH ha.m SET (v=1) AT 100'}
+        assert post_as(None, push)[0] == 401
+        assert post_as("admin:wrong", push)[0] == 401
+        assert post_as("viewer:look", push)[0] == 403
+        assert post_as("admin:s3cret", push)[0] == 200
+        code, body = post_as("viewer:look", {"query": "QUERY ha.m FROM 0 TO 1000"})
+        assert code == 200 and len(body["results"]) == 1
+        # params are substituted before the role check parses the string
+        code, _ = post_as("viewer:look",
+                          {"query": "QUERY ha.m FROM ? TO ?", "params": [0, 1000]})
+        assert code == 200
+    finally:
+        srv.shutdown()

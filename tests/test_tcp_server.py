@@ -82,3 +82,40 @@ def test_manipulate_remove_via_tcp(tcp):
         assert end["total_rows"] == 0
     finally:
         c.close()
+
+
+def test_tcp_auth_handshake_and_roles(spark, tmp_path_factory):
+    """Authenticated server: handshake before frames (tcp_connection_
+    handler.go:40-114), bad password rejected, reader role denied writes
+    but allowed queries (grpc_server.go:316-318 authz matrix)."""
+    from nexusbase_spark.auth import Authenticator, hash_password
+
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("tcpauth_wh")))
+    authn = Authenticator({
+        "admin": (hash_password("s3cret"), "writer"),
+        "viewer": (hash_password("look"), "reader"),
+    })
+    srv = serve_tcp(eng, port=0, authenticator=authn)
+    host, port = "127.0.0.1", srv.server_address[1]
+    try:
+        # bad password: handshake error + dropped connection
+        with pytest.raises(RuntimeError, match="authentication failed"):
+            NBQLClient(host, port, "admin", "wrong")
+        # writer: full access
+        c = NBQLClient(host, port, "admin", "s3cret")
+        c.push('PUSH auth.m TAGGED (h="a") SET (v=7) AT 100')
+        rows, end = c.query("QUERY auth.m FROM 0 TO 1000")
+        assert end["total_rows"] == 1 and rows[0]["fields"]["v"] == "7"
+        c.close()
+        # reader: queries pass, writes get a denied error frame, and the
+        # connection stays usable afterwards
+        c = NBQLClient(host, port, "viewer", "look")
+        rows, end = c.query("QUERY auth.m FROM 0 TO 1000")
+        assert end["total_rows"] == 1
+        with pytest.raises(RuntimeError, match="may not perform"):
+            c.push('PUSH auth.m SET (v=9) AT 200')
+        rows, end = c.query("QUERY auth.m FROM 0 TO 1000")
+        assert end["total_rows"] == 1  # write was rejected
+        c.close()
+    finally:
+        srv.shutdown()
