@@ -517,32 +517,112 @@ class NexusEngine:
         self._catalog.rebuild(self._raw())
         resolved.unpersist()
 
-    def snapshot(self) -> str:
-        """Full snapshot = directory copy (snapshot/manager.go; Delta
-        time-travel would subsume this on a Delta-enabled cluster)."""
-        dest = os.path.join(self.warehouse, "snapshots", uuid.uuid4().hex[:12])
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        os.makedirs(dest)
-        for name in ["points", "l0", "tomb_point", "tomb_series",
-                     "tomb_range", "catalog"]:
-            src = os.path.join(self.warehouse, name)
-            if os.path.isdir(src):
-                shutil.copytree(src, os.path.join(dest, name))
+    _SNAPSHOT_DIRS = ["points", "l0", "tomb_point", "tomb_series",
+                      "tomb_range", "catalog"]
+
+    def _state_files(self) -> dict[str, tuple[int, int]]:
+        """relpath -> (size, mtime_ns) for every file of the current
+        warehouse state. Parquet part files are immutable and uniquely
+        named, so (path, size) identifies content."""
+        out: dict[str, tuple[int, int]] = {}
+        for name in self._SNAPSHOT_DIRS:
+            root = os.path.join(self.warehouse, name)
+            for dirpath, _dirs, files in os.walk(root):
+                for fn in files:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.warehouse)
+                    st = os.stat(full)
+                    out[rel] = (st.st_size, st.st_mtime_ns)
         if os.path.isfile(self._format_path):
-            shutil.copy(self._format_path, os.path.join(dest, "_format"))
+            st = os.stat(self._format_path)
+            out["_format"] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    def snapshot(self, incremental_from: str | None = None) -> str:
+        """Snapshot with a file manifest (snapshot/manager.go full +
+        incremental with manifest; Delta time-travel would subsume this
+        on a Delta-enabled cluster).
+
+        Full: copy every file. Incremental (``incremental_from`` = a
+        prior snapshot path): copy ONLY files the parent doesn't already
+        hold — sound because the warehouse is append-only between
+        compactions (parquet parts are immutable; compact() renames the
+        whole dir so rewritten files never collide with inherited paths).
+        The manifest records the full file set either way; restore
+        resolves inherited files through the parent chain."""
+        import json
+        dest = os.path.join(self.warehouse, "snapshots", uuid.uuid4().hex[:12])
+        os.makedirs(dest, exist_ok=True)
+        parent_files: set[str] = set()
+        if incremental_from is not None:
+            pm = os.path.join(incremental_from, "manifest.json")
+            with open(pm) as f:
+                parent_files = set(json.load(f)["files"])
+        files = self._state_files()
+        manifest = {"version": 1,
+                    "parent": os.path.abspath(incremental_from) if incremental_from else None,
+                    "files": {}}
+        for rel, (size, mtime) in files.items():
+            # _format is the one file mutated IN PLACE (version upgrades);
+            # everything else is immutable parquet parts — always store it
+            stored = rel not in parent_files or rel == "_format"
+            manifest["files"][rel] = {"size": size, "stored": stored}
+            if stored:
+                src = os.path.join(self.warehouse, rel)
+                dst = os.path.join(dest, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(src, dst)
+        with open(os.path.join(dest, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
         return dest
 
+    def _restore_manifest(self, path: str) -> None:
+        """Materialize a manifest snapshot: each file comes from the
+        nearest snapshot in the parent chain that stores it."""
+        import json
+        chain = []
+        cur: str | None = path
+        while cur is not None:
+            with open(os.path.join(cur, "manifest.json")) as f:
+                m = json.load(f)
+            chain.append((cur, m))
+            cur = m.get("parent")
+        top = chain[0][1]["files"]
+        for rel in top:
+            src = None
+            for snap_path, m in chain:
+                entry = m["files"].get(rel)
+                if entry is not None and entry["stored"]:
+                    src = os.path.join(snap_path, rel)
+                    break
+            if src is None or not os.path.isfile(src):
+                raise ValueError(f"snapshot chain is missing {rel!r}")
+            dst = os.path.join(self.warehouse, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+
     def restore(self, path: str, overwrite: bool = False) -> None:
-        for name in ["points", "l0", "tomb_point", "tomb_series",
-                     "tomb_range", "catalog"]:
-            dst = os.path.join(self.warehouse, name)
-            if os.path.isdir(dst):
-                if not overwrite:
-                    raise ValueError("restore target not empty; use WITH OVERWRITE")
-                shutil.rmtree(dst)
-            src = os.path.join(path, name)
-            if os.path.isdir(src):
-                shutil.copytree(src, dst)
+        have = any(os.path.isdir(os.path.join(self.warehouse, n))
+                   for n in self._SNAPSHOT_DIRS)
+        if have and not overwrite:
+            raise ValueError("restore target not empty; use WITH OVERWRITE")
+        for name in self._SNAPSHOT_DIRS:
+            shutil.rmtree(os.path.join(self.warehouse, name), ignore_errors=True)
+        # the snapshot's format version wins: a v1 snapshot restored over
+        # a v2 warehouse must drop the marker flag (and vice versa) — so
+        # clear the current _format and let the snapshot re-supply it
+        if os.path.isfile(self._format_path):
+            os.unlink(self._format_path)
+        if os.path.isfile(os.path.join(path, "manifest.json")):
+            self._restore_manifest(path)  # includes _format when captured
+        else:  # legacy manifest-less snapshot: plain directory copy
+            for name in self._SNAPSHOT_DIRS:
+                src = os.path.join(path, name)
+                if os.path.isdir(src):
+                    shutil.copytree(src, os.path.join(self.warehouse, name))
+            src_fmt = os.path.join(path, "_format")
+            if os.path.isfile(src_fmt):
+                shutil.copy(src_fmt, self._format_path)
         self._seq = self._load_max_seq() + 1
         self._set_l0_batches(0)  # pending-batch count died with the old L0
         # snapshots from before the catalog existed restore without one;
@@ -550,13 +630,6 @@ class NexusEngine:
         if ((os.path.isdir(self._points_path) or os.path.isdir(self._l0_path))
                 and not self._catalog.exists()):
             self._catalog.rebuild(self._raw())
-        # the snapshot's format version wins: a v1 snapshot restored over a
-        # v2 warehouse must drop the marker flag (and vice versa)
-        src_fmt = os.path.join(path, "_format")
-        if os.path.isfile(src_fmt):
-            shutil.copy(src_fmt, self._format_path)
-        elif os.path.isfile(self._format_path):
-            os.unlink(self._format_path)
         fmt = self._read_format()
         self.point_markers = fmt.get("point_markers") == "1"
         self.day_partitioned = fmt.get("layout") == "metric_day"

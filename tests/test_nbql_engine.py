@@ -362,6 +362,39 @@ def test_count_star_markers_and_v1_upgrade(spark, tmp_path_factory):
     assert "Expand" not in e1.execute(q)._jdf.queryExecution().executedPlan().toString()
 
 
+def test_incremental_snapshot_chain(spark, tmp_path_factory):
+    """Incremental snapshots store only new files (manifest chain,
+    snapshot/manager.go's full+incremental design); restoring the child
+    yields the full state, restoring the parent yields the old state."""
+    import json
+    import os
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("snap_wh")))
+    eng.put("sn.m", {}, {"v": 1.0}, 100)
+    eng.flush_l0()
+    full = eng.snapshot()
+    eng.put("sn.m", {}, {"v": 2.0}, 200)
+    eng.flush_l0()
+    inc = eng.snapshot(incremental_from=full)
+    with open(os.path.join(inc, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["parent"] == os.path.abspath(full)
+    stored = {p for p, e in m["files"].items() if e["stored"]}
+    inherited = {p for p, e in m["files"].items() if not e["stored"]}
+    assert inherited, "incremental stored everything (no sharing with parent)"
+    assert all(not os.path.isfile(os.path.join(inc, p)) for p in inherited)
+    assert "_format" in stored  # the one in-place-mutable file
+    # restore child -> both points; restore parent -> only the first
+    e2 = NexusEngine(spark, str(tmp_path_factory.mktemp("snap_wh2")))
+    e2.restore(inc, overwrite=True)
+    assert [r["ts"] for r in e2.execute("QUERY sn.m FROM 0 TO 1000").collect()] == [100, 200]
+    e2.restore(full, overwrite=True)
+    assert [r["ts"] for r in e2.execute("QUERY sn.m FROM 0 TO 1000").collect()] == [100]
+    # MVCC seq counter follows the restored state: a new put supersedes
+    e2.put("sn.m", {}, {"v": 9.0}, 100)
+    rows = e2.execute("QUERY sn.m FROM 0 TO 1000").collect()
+    assert [r["fields"]["v"] for r in rows] == ["9.0"]
+
+
 def test_l0_tier_merge_and_flush(spark, tmp_path_factory):
     """put/put_batch land in l0/ (one file per partition dir); the 4th
     batch triggers the L0->base merge (config.yaml:37 L0 trigger); FLUSH
