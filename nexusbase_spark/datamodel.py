@@ -81,7 +81,7 @@ def events_to_points(events: DataFrame) -> DataFrame:
     # truncated ts can't push through the arithmetic to the parquet scan,
     # so time_range() adds widened raw-ts bounds for row-group pruning
     # (see operators/scan.py).
-    df = events.select(
+    return events.select(
         F.col("event_type").alias("metric"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
         ts_ns.alias("ts"),
@@ -89,8 +89,13 @@ def events_to_points(events: DataFrame) -> DataFrame:
         F.col("event_id").cast("long").alias("seq"),
         F.col("value").cast("double").alias("value"),
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        # series_key written out directly: the tags map is built right here
+        # with the single key "user", so the generic sorted-map-entries
+        # expression of series_key_expr() collapses to a concat — much
+        # less codegen to JIT on every query over the events view
+        F.concat(F.col("event_type"), F.lit("|user="),
+                 F.col("user_id").cast("string")).alias("series_key"),
     )
-    return with_series_key(df)
 
 
 def field_columns(df: DataFrame) -> list[str]:

@@ -27,16 +27,17 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Exact dedup by md5 of normalized text: every doc mapped to its
     group's keeper (min id) and group size."""
+    from pyspark.sql import Window
     h = F.md5(F.trim(F.lower(F.col(text_col)))).alias("content_hash")
-    groups = (
-        df.select(F.col(id_col), h)
-        .groupBy("content_hash")
-        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("group_size"))
-    )
+    # window over the hash, not groupBy+join-back: every doc needs its
+    # group's stats attached, and a window computes them in the SAME
+    # exchange that the groupBy would need — halves the shuffles
+    w = Window.partitionBy("content_hash")
     return (
         df.select(F.col(id_col), h)
-        .join(groups, "content_hash")
-        .select(id_col, "content_hash", "keeper", "group_size")
+        .select(id_col, "content_hash",
+                F.min(id_col).over(w).alias("keeper"),
+                F.count(F.lit(1)).over(w).alias("group_size"))
     )
 
 
@@ -46,6 +47,18 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return (
         df.select(F.col(id_col), F.explode(
             F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"))
+    )
+
+
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shset: array<string>) — the doc's distinct shingles, computed
+    NARROWLY (no explode, no shuffle). Docs too short to have any shingle
+    are dropped, matching the explode form's semantics."""
+    return (
+        df.select(F.col(id_col),
+                  F.array_distinct(word_shingles(F.col(text_col), n)).alias("shset"))
+        .filter(F.size("shset") > 0)
     )
 
 
@@ -121,23 +134,79 @@ def jaccard_pairs(pairs: DataFrame, shingles: DataFrame,
     return out.select("id_a", "id_b", "jaccard")
 
 
-def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                   n: int = 3, num_hashes: int = 8, bands: int = 4,
-                   threshold: float = 0.5) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
+                        num_hashes: int, bands: int) -> DataFrame:
+    """Shared MinHash+LSH kernel -> (id_a, id_b, inter, sz_a, sz_b).
 
-    The shingle set feeds three consumers (signatures + both sides of the
-    intersection join); persisting it avoids re-tokenizing the corpus three
-    times — locally a cache, at 100TB a checkpointed intermediate table.
-    """
+    Scale shape: the per-doc shingle SET is kept as an array column, so
+    signatures (array_min over k per-element md5 transforms), set sizes
+    (F.size) and the exact intersection (array_intersect on the two
+    candidate docs' arrays) are all NARROW — the only shuffles left are
+    the band-bucket self-join, its distinct, and the two id-equi-joins
+    rehydrating candidate pairs with their arrays. The exploded form
+    would add a groupBy for signatures, a groupBy for sizes, and a
+    shingle-keyed join for the intersection (measured ~2x the wall time
+    at sf0.1). Hash j of a shingle = md5('<j>:'||shingle), min by hex
+    string order — identical in the DuckDB oracle."""
     from nexusbase_spark.plans import spread
     # shingling + k md5s per shingle is per-row expensive: a narrow input
     # (one small file = one split) would serialize it onto one core
     df = spread(df, compute_heavy=True)
-    sh = shingle_sets(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    return jaccard_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+    docs = shingle_arrays(df, id_col, text_col, n).persist()
+    rows_per = num_hashes // bands
+    assert rows_per * bands == num_hashes
+    # NOTE: the lambda must take exactly ONE parameter — PySpark infers the
+    # HOF arity from the python signature, so a captured `j=j` default arg
+    # would silently switch transform() to its (element, index) form and
+    # bind j to the array index. F.transform() invokes the lambda
+    # synchronously, so plain closure capture of the loop var is safe.
+    def hash_j(j: int):
+        return lambda x: F.md5(F.concat(F.lit(f"{j}:"), x))
+    sig_cols = [
+        F.array_min(F.transform("shset", hash_j(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sig = docs.select(F.col(id_col), F.size("shset").alias("sz"), *sig_cols)
+    band_entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per + r}") for r in range(rows_per)])).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.col("sz"), F.explode(band_entries).alias("e")
+    ).select(id_col, "sz", F.col("e.band_idx").alias("band_idx"),
+             F.col("e.band_key").alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col("a.sz").alias("sz_a"),
+                F.col(f"b.{id_col}").alias("id_b"), F.col("b.sz").alias("sz_b"))
+        .distinct()
+    )
+    return (
+        cand
+        .join(docs.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")), "id_a")
+        .join(docs.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+                "sz_a", "sz_b")
+    )
+
+
+def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3, num_hashes: int = 8, bands: int = 4,
+                   threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
+    (|A∩B| / |A∪B|) at `threshold`, via the narrow array kernel."""
+    out = _lsh_verified_pairs(df, id_col, text_col, n, num_hashes, bands)
+    out = out.withColumn(
+        "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return (out.select("id_a", "id_b", "jaccard")
+            .filter(F.col("jaccard") >= threshold))
 
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -148,14 +217,10 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     the same LSH candidate set. A truncated copy is fully contained in
     its source (containment 1.0) while its Jaccard sits at the truncation
     ratio — this catches subset/prefix duplicates any symmetric threshold
-    misses. Same shape as near_dup_pairs: O(n·bands) candidates, only
-    candidates pay the verification join."""
-    from nexusbase_spark.plans import spread
-    df = spread(df, compute_heavy=True)
-    sh = shingle_sets(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    out = _pair_overlap(cand, sh, id_col).withColumn(
+    misses. Same kernel as near_dup_pairs: O(n·bands) candidates, only
+    candidates pay the verification."""
+    out = _lsh_verified_pairs(df, id_col, text_col, n, num_hashes, bands)
+    out = out.withColumn(
         "containment", F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")))
     return (out.select("id_a", "id_b", "containment")
             .filter(F.col("containment") >= threshold))

@@ -409,8 +409,11 @@ def q_tombstone_series(spark, sf_dir):
     (engine2/adapter.go:950-1030)."""
     pts = _points_flat(spark, sf_dir)
     sel = metric_filter(pts, "error")
-    deletes = spark.createDataFrame(
-        [(f"error|user={u}", 500) for u in range(5)], "series_key string, seq long")
+    # spark.range, not createDataFrame: a python-list DF plans as a
+    # Python-RDD scan (slow extra job); this stays pure-JVM
+    deletes = spark.range(5).select(
+        F.concat(F.lit("error|user="), F.col("id")).alias("series_key"),
+        F.lit(500).cast("long").alias("seq"))
     out = apply_series_deletes(sel, deletes)
     return out.select("user", "ts", "seq", "value")
 
