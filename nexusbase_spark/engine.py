@@ -588,6 +588,7 @@ class NexusEngine:
             chain.append((cur, m))
             cur = m.get("parent")
         top = chain[0][1]["files"]
+        catalog_incomplete = False
         for rel in top:
             src = None
             for snap_path, m in chain:
@@ -596,10 +597,18 @@ class NexusEngine:
                     src = os.path.join(snap_path, rel)
                     break
             if src is None or not os.path.isfile(src):
+                # the catalog is derived state (rebuildable from points);
+                # a snapshot whose catalog files were pruned still restores
+                if rel.split(os.sep, 1)[0] == "catalog":
+                    catalog_incomplete = True
+                    continue
                 raise ValueError(f"snapshot chain is missing {rel!r}")
             dst = os.path.join(self.warehouse, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(src, dst)
+        if catalog_incomplete:  # drop the partial copy; restore() rebuilds
+            shutil.rmtree(os.path.join(self.warehouse, "catalog"),
+                          ignore_errors=True)
 
     def restore(self, path: str, overwrite: bool = False) -> None:
         have = any(os.path.isdir(os.path.join(self.warehouse, n))
