@@ -84,9 +84,19 @@ def _typed(value) -> tuple[str, float | None, int | None, str | None, bool | Non
 
 class NexusEngine:
     def __init__(self, spark: SparkSession, warehouse: str,
-                 l0_trigger: int = 4):
+                 l0_trigger: int = 4, cache_capacity: int = 0,
+                 hooks=None):
         self.spark = spark
         self.warehouse = warehouse
+        # Query-result cache (cache/cache.go + api/nbql/cache_key.go —
+        # built but unwired in the reference; wired here with write-
+        # generation invalidation). 0 = disabled. ``hooks`` is an optional
+        # HookBus; the engine publishes post_compaction events on it.
+        from nexusbase_spark.cache import LRUCache
+        self.result_cache = LRUCache(cache_capacity)
+        self.cache_max_rows = 100_000  # don't retain giant results
+        self._write_gen = 0
+        self.hooks = hooks
         os.makedirs(warehouse, exist_ok=True)
         self._points_path = os.path.join(warehouse, "points")
         # L0 tier: small put/put_batch appends land here (one coalesced
@@ -226,6 +236,7 @@ class NexusEngine:
         self._set_l0_batches(n)
         if n >= self.l0_trigger:
             self.flush_l0()
+        self._write_gen += 1
         return last_seq
 
     def flush_l0(self) -> None:
@@ -284,6 +295,7 @@ class NexusEngine:
         self._write_points(out)
         self._catalog.append_df(out)
         self._seq = self._load_max_seq() + 1
+        self._write_gen += 1
 
     def start_stream_ingest(self, source_dir: str, checkpoint: str,
                             bus=None):
@@ -356,6 +368,7 @@ class NexusEngine:
 
     def _append_tomb(self, kind: str, rows: list[tuple], schema: str) -> None:
         self.spark.createDataFrame(rows, schema).write.mode("append").parquet(self._tomb[kind])
+        self._write_gen += 1
 
     # -------------------------------------------------------------- reads
 
@@ -498,6 +511,7 @@ class NexusEngine:
         resolved = fields_rows.unionByName(markers.select(*fields_rows.columns))
         resolved = resolved.cache()
         resolved.count()
+        bytes_read = self._dir_bytes(self._points_path) + self._dir_bytes(self._l0_path)
         tmp = self._points_path + ".compact"
         # compaction always rewrites into the v2 layout (markers + day
         # partitioning) — the upgrade path for pre-v2 warehouses
@@ -516,6 +530,24 @@ class NexusEngine:
         # series and merges the tiny per-put index files
         self._catalog.rebuild(self._raw())
         resolved.unpersist()
+        self._write_gen += 1
+        if self.hooks is not None:
+            # PostCompaction payload: old/new table sizes, the inputs the
+            # write-amplification listener accumulates (hooks/listeners/
+            # waf.go:65-94 sums OldTables/NewTables sizes per event)
+            self.hooks.publish("post_compaction", {
+                "bytes_read": bytes_read,
+                "bytes_written": self._dir_bytes(self._points_path),
+                "source_level": "l0+points", "target_level": "points",
+            })
+
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+        return total
 
     _SNAPSHOT_DIRS = ["points", "l0", "tomb_point", "tomb_series",
                       "tomb_range", "catalog"]
@@ -642,12 +674,41 @@ class NexusEngine:
         fmt = self._read_format()
         self.point_markers = fmt.get("point_markers") == "1"
         self.day_partitioned = fmt.get("layout") == "metric_day"
+        self._write_gen += 1
 
     # ------------------------------------------------------------- query
 
     def query(self, q: QueryStatement) -> DataFrame:
         from nexusbase_spark.nbql.planner import plan_query
+        if self.result_cache.capacity > 0:
+            return self._query_cached(q)
         return plan_query(self, q)
+
+    def _query_cached(self, q: QueryStatement) -> DataFrame:
+        """Serve a QUERY through the result cache: the FULL (unpaginated)
+        result is cached under the canonical key; LIMIT/AFTER are applied
+        to the cached rows (cache_key.go:88-91). An entry is valid only at
+        the write generation it was computed at."""
+        import dataclasses
+        from nexusbase_spark.cache import CachedResult, paginate_rows, query_cache_key
+        from nexusbase_spark.nbql.planner import plan_query
+        key = query_cache_key(q)
+        entry, ok = self.result_cache.get(key)
+        if ok and entry.generation != self._write_gen:
+            ok = False  # stale entry counts as a miss in the metrics
+            self.result_cache.hits -= 1
+            self.result_cache.misses += 1
+        if not ok:
+            full = plan_query(
+                self, dataclasses.replace(q, limit=None, after_cursor=None))
+            rows = full.collect()
+            entry = CachedResult(self._write_gen, rows, full.schema)
+            if len(rows) <= self.cache_max_rows:
+                self.result_cache.put(key, entry)
+        rows = paginate_rows(entry.rows, q)
+        if not rows:
+            return self.spark.createDataFrame([], entry.schema)
+        return self.spark.createDataFrame(rows, entry.schema)
 
     def execute(self, nbql: str, params: tuple | list = ()):
         """Parse + dispatch one NBQL statement (api/nbql/executor.go:29-50).

@@ -14,5 +14,6 @@ from nexusbase_spark.streaming.hooks import (  # noqa: F401
     HookBus,
     OutlierDetector,
     CardinalityAlerter,
-    WafListener,
+    WriteAmplificationListener,
+    WriteFirewallListener,
 )

@@ -8,6 +8,9 @@ built-in listeners rebuilt here:
   min/max threshold rules per (metric, field), evaluated on PrePutBatch.
 - CardinalityAlerter (``hooks/listeners/cardinality_alerter.go:14-52``):
   warns when a batch creates a previously-unseen series.
+- WriteAmplificationListener (``hooks/listeners/waf.go:40-104``):
+  accumulates bytes read/written per PostCompaction event and exposes the
+  write-amplification factor written/read.
 
 Spark mapping: listeners run inside ``foreachBatch`` on the ingest stream
 (micro-batch = the reference's batch hook granularity). Filters are
@@ -23,10 +26,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-Listener = Callable[[str, DataFrame, int], None]
+Listener = Callable[[str, object, int], None]
 
 EVENTS = ("pre_put_batch", "post_put_batch", "on_series_create",
-          "pre_query", "post_query", "on_delete")
+          "pre_query", "post_query", "on_delete", "post_compaction")
 
 
 class HookBus:
@@ -40,9 +43,11 @@ class HookBus:
             raise ValueError(f"unknown hook event {event!r}; known: {EVENTS}")
         self._listeners[event].append(listener)
 
-    def publish(self, event: str, df: DataFrame, batch_id: int = -1) -> None:
+    def publish(self, event: str, payload, batch_id: int = -1) -> None:
+        """Payload is a DataFrame for batch events, a plain dict for
+        lifecycle events like post_compaction (old/new table sizes)."""
         for listener in self._listeners.get(event, ()):
-            listener(event, df, batch_id)
+            listener(event, payload, batch_id)
 
     def for_each_batch(self, inner: Callable[[DataFrame, int], None] | None = None):
         """Wrap a foreachBatch sink: pre hooks -> sink -> post hooks."""
@@ -91,10 +96,38 @@ class OutlierDetector:
 
 
 @dataclass
-class WafListener:
-    """Write firewall (hooks/listeners/waf.go): blocks points whose metric
-    matches a denied prefix or whose tag value matches a denied exact
-    value. ``blocked_filter()`` is the predicate an ingest pipeline applies
+class WriteAmplificationListener:
+    """Write-amplification (WAF) metrics on PostCompaction events —
+    ``hooks/listeners/waf.go:40-104``: per compaction, sum the sizes of the
+    consumed (old) tables as bytes_read and the produced (new) tables as
+    bytes_written; expose running totals and the ratio written/read, 0.0
+    when nothing has been read yet (waf.go:30-36). The reference publishes
+    these through expvar; here they're plain counters a metrics endpoint
+    can scrape."""
+
+    total_bytes_read: int = 0
+    total_bytes_written: int = 0
+    compaction_events: int = 0
+
+    def __call__(self, event: str, payload, batch_id: int = -1) -> None:
+        if not isinstance(payload, dict):  # only PostCompaction payloads
+            return
+        self.total_bytes_read += int(payload.get("bytes_read", 0))
+        self.total_bytes_written += int(payload.get("bytes_written", 0))
+        self.compaction_events += 1
+
+    def waf(self) -> float:
+        if self.total_bytes_read == 0:
+            return 0.0
+        return self.total_bytes_written / self.total_bytes_read
+
+
+@dataclass
+class WriteFirewallListener:
+    """Write firewall (beyond the reference — its WAF listener is the
+    write-amplification meter above): blocks points whose metric matches a
+    denied prefix or whose tag value matches a denied exact value.
+    ``blocked_filter()`` is the predicate an ingest pipeline applies
     (rows to DROP); the listener reports what would be blocked."""
 
     deny_metric_prefixes: list[str]

@@ -1,0 +1,148 @@
+"""Query-result cache (cache/cache.go + api/nbql/cache_key.go, wired) and
+write-amplification listener (hooks/listeners/waf.go)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nexusbase_spark.cache import LRUCache, query_cache_key
+from nexusbase_spark.engine import NexusEngine
+from nexusbase_spark.nbql.ast import AggregationSpec, QueryStatement
+from nexusbase_spark.streaming.hooks import HookBus, WriteAmplificationListener
+
+MIN = 60 * 1_000_000_000
+BASE = 1_700_000_040 * 1_000_000_000
+
+
+def test_lru_semantics():
+    evicted = []
+    c = LRUCache(2, on_evicted=lambda k, v: evicted.append(k))
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == (1, True)       # touches a -> b becomes LRU
+    c.put("c", 3)                        # evicts b
+    assert evicted == ["b"]
+    assert c.get("b") == (None, False)
+    assert (c.hits, c.misses) == (1, 1)
+    # disabled cache stores nothing and misses silently (cache/cache.go
+    # Get's capacity<=0 branch doesn't count a miss)
+    d = LRUCache(0)
+    d.put("x", 1)
+    assert d.get("x") == (None, False)
+    assert (d.hits, d.misses) == (0, 0)
+
+
+def test_cache_key_canonical():
+    """Tag order doesn't matter; limit/cursor excluded; everything else
+    differentiates (api/nbql/cache_key.go:17-95)."""
+    a = QueryStatement("cpu", start=1, end=2, tags={"h": "1", "r": "x"})
+    b = QueryStatement("cpu", start=1, end=2, tags={"r": "x", "h": "1"},
+                       limit=10, after_cursor="abc")
+    assert query_cache_key(a) == query_cache_key(b)
+    assert query_cache_key(a) != query_cache_key(
+        QueryStatement("cpu", start=1, end=3, tags={"h": "1", "r": "x"}))
+    assert query_cache_key(a) != query_cache_key(
+        QueryStatement("cpu", start=1, end=2, tags={"h": "1", "r": "x"},
+                       sort_desc=True))
+    ds = QueryStatement("cpu", start=1, end=2,
+                        aggregations=[AggregationSpec("avg", "v")],
+                        downsample_interval=MIN)
+    fin = QueryStatement("cpu", start=1, end=2,
+                         aggregations=[AggregationSpec("avg", "v")])
+    assert query_cache_key(ds) != query_cache_key(fin)
+    rel = QueryStatement("cpu", relative=MIN)
+    assert "REL:" in query_cache_key(rel)
+
+
+@pytest.fixture()
+def cached_engine(spark, tmp_path_factory):
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("cache_wh")),
+                      cache_capacity=8)
+    rows = []
+    for i in range(6):
+        rows.append(("cache.metric", {"host": "a"},
+                     {"v": float(i)}, BASE + i * 5_000_000_000))
+    eng.put_batch(rows)
+    return eng
+
+
+def test_cache_hit_and_write_invalidation(cached_engine):
+    eng = cached_engine
+    q = 'QUERY cache.metric FROM 0 TO 3000000000000000000 AGGREGATE (sum(v), count(v))'
+    r1 = eng.execute(q).collect()
+    assert eng.result_cache.misses == 1 and eng.result_cache.hits == 0
+    r2 = eng.execute(q).collect()
+    assert eng.result_cache.hits == 1
+    assert r1 == r2
+    # a write bumps the generation: same key, but the stale entry must NOT
+    # be served (it would miss the new point)
+    eng.put("cache.metric", {"host": "a"}, {"v": 100.0}, BASE + 7 * 5_000_000_000)
+    r3 = eng.execute(q).collect()
+    assert eng.result_cache.misses == 2
+    assert r3[0]["sum_v"] == r1[0]["sum_v"] + 100.0
+    assert r3[0]["count_v"] == r1[0]["count_v"] + 1
+    # a delete invalidates too (empty input -> zero groups, same as the
+    # uncached plan)
+    eng.execute('REMOVE SERIES "cache.metric" TAGGED (host="a")')
+    r4 = eng.execute(q).collect()
+    assert eng.result_cache.misses == 3
+    assert r4 == []
+
+
+def test_cache_pagination_from_cached_rows(cached_engine):
+    """LIMIT/AFTER are excluded from the key: page 2 must be a HIT served
+    from the cached full result, and identical to the uncached pages."""
+    from nexusbase_spark.operators.order import encode_cursor
+    eng = cached_engine
+    base_q = 'QUERY cache.metric FROM 0 TO 3000000000000000000'
+    p1 = eng.execute(base_q + ' LIMIT 3').collect()
+    assert len(p1) == 3 and eng.result_cache.misses == 1
+    last = p1[-1]
+    cur = encode_cursor(last["ts"], last["series_key"], last["seq"])
+    p2 = eng.execute(base_q + f' LIMIT 3 AFTER "{cur}"').collect()
+    assert eng.result_cache.hits == 1            # served from cache
+    assert len(p2) == 3
+    assert [r["ts"] for r in p2] > [r["ts"] for r in p1]
+    # no overlap, no loss across the two pages
+    all_ts = {r["ts"] for r in p1} | {r["ts"] for r in p2}
+    assert len(all_ts) == 6
+    # uncached engine agrees page-for-page
+    eng.result_cache.capacity = 0
+    q1 = eng.execute(base_q + ' LIMIT 3').collect()
+    q2 = eng.execute(base_q + f' LIMIT 3 AFTER "{cur}"').collect()
+    eng.result_cache.capacity = 8
+    assert q1 == p1 and q2 == p2
+
+
+def test_cache_relative_query(cached_engine):
+    """RELATIVE queries are cacheable (cache_key.go:27-30) and stay correct
+    because the data-max-ts anchor only moves on a write (= invalidation)."""
+    eng = cached_engine
+    q = 'QUERY cache.metric FROM RELATIVE(1m) AGGREGATE (count(v))'
+    r1 = eng.execute(q).collect()
+    r2 = eng.execute(q).collect()
+    assert eng.result_cache.hits == 1
+    assert r1 == r2
+    # new point moves the anchor; the cached entry must not be served
+    eng.put("cache.metric", {"host": "a"}, {"v": 1.0}, BASE + 120 * 1_000_000_000)
+    r3 = eng.execute(q).collect()
+    assert r3[0]["count_v"] == 1  # only the new anchor-minute point
+
+
+def test_write_amplification_listener(spark, tmp_path_factory):
+    bus = HookBus()
+    waf = WriteAmplificationListener()
+    bus.register("post_compaction", waf)
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("waf_wh")), hooks=bus)
+    for i in range(3):
+        eng.put("waf.metric", {"host": "a"}, {"v": float(i)}, BASE + i * MIN)
+    assert waf.waf() == 0.0                      # nothing read yet (waf.go:30-36)
+    eng.compact()
+    assert waf.compaction_events == 1
+    assert waf.total_bytes_read > 0 and waf.total_bytes_written > 0
+    first_read = waf.total_bytes_read
+    eng.put("waf.metric", {"host": "a"}, {"v": 9.0}, BASE + 10 * MIN)
+    eng.compact()
+    assert waf.compaction_events == 2
+    assert waf.total_bytes_read > first_read     # totals accumulate
+    assert waf.waf() == waf.total_bytes_written / waf.total_bytes_read

@@ -93,7 +93,7 @@ def test_stream_ingest_into_engine(spark, tmp_path):
     """Live stream -> engine warehouse: rows fed while the stream runs are
     queryable through NBQL afterwards; WAF listener counts denials."""
     from nexusbase_spark.engine import NexusEngine
-    from nexusbase_spark.streaming.hooks import WafListener
+    from nexusbase_spark.streaming.hooks import WriteFirewallListener
 
     src = tmp_path / "ing_src"
     src.mkdir()
@@ -107,7 +107,7 @@ def test_stream_ingest_into_engine(spark, tmp_path):
     eng = NexusEngine(spark, str(tmp_path / "wh"))
     blocked: list = []
     bus = HookBus()
-    waf = WafListener(deny_metric_prefixes=["__evil"], deny_tag_values={},
+    waf = WriteFirewallListener(deny_metric_prefixes=["__evil"], deny_tag_values={},
                       on_blocked=lambda b, n: blocked.append(n))
     bus.register("pre_put_batch", waf)
 
