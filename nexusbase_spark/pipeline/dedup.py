@@ -135,7 +135,8 @@ def jaccard_pairs(pairs: DataFrame, shingles: DataFrame,
 
 
 def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
-                        num_hashes: int, bands: int) -> DataFrame:
+                        num_hashes: int, bands: int,
+                        max_bucket: int | None = None) -> DataFrame:
     """Shared MinHash+LSH kernel -> (id_a, id_b, inter, sz_a, sz_b).
 
     Scale shape: the per-doc shingle SET is kept as an array column, so
@@ -147,12 +148,34 @@ def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
     would add a groupBy for signatures, a groupBy for sizes, and a
     shingle-keyed join for the intersection (measured ~2x the wall time
     at sf0.1). Hash j of a shingle = md5('<j>:'||shingle), min by hex
-    string order — identical in the DuckDB oracle."""
+    string order — identical in the DuckDB oracle.
+
+    ``max_bucket``: drop LSH buckets holding more than this many docs
+    before the self-join. A hot bucket (boilerplate/empty docs agreeing on
+    a whole band) explodes quadratically — one 1M-doc bucket is 5e11
+    candidate pairs on a single reducer key. Capping bounds any bucket's
+    cost at O(max_bucket²) and is the standard skew guard for LSH dedup at
+    corpus scale; the dropped buckets are exactly the ones whose members
+    are so mutually similar that verification would be quadratic too.
+    """
+    from pyspark.sql import Window
     from nexusbase_spark.plans import spread
+    from nexusbase_spark.pipeline.text import tokens_col
+    # Tokenize BEFORE the exchange: the repartition materializes the token
+    # arrays, so the whole-text regex split runs exactly once per doc
+    # instead of once per downstream reference (slices/sizes are cheap on
+    # the array; the split is not — measured ~2.5x on this stage).
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
     # shingling + k md5s per shingle is per-row expensive: a narrow input
     # (one small file = one split) would serialize it onto one core
-    df = spread(df, compute_heavy=True)
-    docs = shingle_arrays(df, id_col, text_col, n).persist()
+    toks = spread(toks, compute_heavy=True)
+    from nexusbase_spark.pipeline.text import shingles_of_tokens
+    docs = (
+        toks.select(F.col(id_col),
+                    F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("shset"))
+        .filter(F.size("shset") > 0)
+        .persist()
+    )
     rows_per = num_hashes // bands
     assert rows_per * bands == num_hashes
     # NOTE: the lambda must take exactly ONE parameter — PySpark infers the
@@ -178,6 +201,12 @@ def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
         F.col(id_col), F.col("sz"), F.explode(band_entries).alias("e")
     ).select(id_col, "sz", F.col("e.band_idx").alias("band_idx"),
              F.col("e.band_key").alias("band_key"))
+    if max_bucket is not None:
+        # count-over-window partitions on the same key the self-join hashes
+        # on, so the exchange is shared — the cap costs no extra shuffle
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = (banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+                  .filter(F.col("__bsz") <= max_bucket).drop("__bsz"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -199,10 +228,14 @@ def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
 
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    n: int = 3, num_hashes: int = 8, bands: int = 4,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   max_bucket: int | None = None) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification
-    (|A∩B| / |A∪B|) at `threshold`, via the narrow array kernel."""
-    out = _lsh_verified_pairs(df, id_col, text_col, n, num_hashes, bands)
+    (|A∩B| / |A∪B|) at `threshold`, via the narrow array kernel.
+    ``max_bucket`` (recommended at corpus scale) drops pathological LSH
+    buckets before the quadratic self-join — see _lsh_verified_pairs."""
+    out = _lsh_verified_pairs(df, id_col, text_col, n, num_hashes, bands,
+                              max_bucket=max_bucket)
     out = out.withColumn(
         "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
     return (out.select("id_a", "id_b", "jaccard")
@@ -212,14 +245,16 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 8, bands: int = 4,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_bucket: int | None = None) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT near-dup: |A∩B| / min(|A|, |B|) over
     the same LSH candidate set. A truncated copy is fully contained in
     its source (containment 1.0) while its Jaccard sits at the truncation
     ratio — this catches subset/prefix duplicates any symmetric threshold
     misses. Same kernel as near_dup_pairs: O(n·bands) candidates, only
     candidates pay the verification."""
-    out = _lsh_verified_pairs(df, id_col, text_col, n, num_hashes, bands)
+    out = _lsh_verified_pairs(df, id_col, text_col, n, num_hashes, bands,
+                              max_bucket=max_bucket)
     out = out.withColumn(
         "containment", F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")))
     return (out.select("id_a", "id_b", "containment")

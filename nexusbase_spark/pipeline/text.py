@@ -31,22 +31,31 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of word n-grams; empty when the doc has fewer than n tokens.
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of word n-grams from an already-tokenized array column; empty
+    when the doc has fewer than n tokens.
 
     Implemented as an elementwise zip of n shifted slices rather than
     ``transform(sequence, i -> element_at(toks, i+j))``: expressions inside
     a higher-order-function lambda are not common-subexpression-eliminated,
-    so the element_at form re-evaluates the split() per element — O(n²)
+    so the element_at form re-evaluates its input per element — O(n²)
     per document and ~6x slower end-to-end.
     """
-    toks = tokens_col(text)
     cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     out = F.slice(toks, 1, cnt)
     for j in range(1, n):
         out = F.zip_with(out, F.slice(toks, j + 1, cnt),
                          lambda a, b: F.concat_ws(" ", a, b))
     return out
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-grams of raw text. NOTE: references the tokenization
+    (a regex split over the whole text) ~2n+1 times, and CSE does not
+    always collapse them; on a hot path, materialize ``tokens_col`` into
+    its own column first (ideally across an exchange) and use
+    ``shingles_of_tokens`` — measured ~2.5x faster on the LSH kernel."""
+    return shingles_of_tokens(tokens_col(text), n)
 
 
 def token_count_bpe(text: Column) -> Column:

@@ -93,9 +93,27 @@ def q_doc_dedup_exact(spark, sf_dir):
     return exact_dedup_groups(docs.unionByName(copies))
 
 
-# the MinHash/LSH/Jaccard CTE chain, shared by the pairs query and the
-# connected-components clustering query
-MINHASH_CTES = f"""
+# the MinHash/LSH/Jaccard CTE chain, shared by the pairs query, the capped
+# variant, and the connected-components clustering query
+
+
+def _minhash_ctes(max_bucket: int | None = None) -> str:
+    """The MinHash/LSH/Jaccard CTE chain; ``max_bucket`` mirrors the Spark
+    kernel's LSH bucket cap (drop buckets holding more docs before the
+    quadratic self-join)."""
+    cand_src = "banded"
+    cap_cte = ""
+    if max_bucket is not None:
+        cap_cte = f"""
+    banded_ok AS (
+        SELECT b.doc_id, b.band_idx, b.band_key
+        FROM banded b
+        JOIN (SELECT band_idx, band_key FROM banded
+              GROUP BY band_idx, band_key HAVING count(*) <= {max_bucket}) ok
+        USING (band_idx, band_key)
+    ),"""
+        cand_src = "banded_ok"
+    return f"""
     sh AS ({SHINGLES_SQL}),
     sig AS (
         SELECT doc_id,
@@ -106,13 +124,17 @@ MINHASH_CTES = f"""
         {" UNION ALL ".join(
             f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig"
             for b in range(4))}
-    ),
+    ),{cap_cte}
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
+        FROM {cand_src} a JOIN {cand_src} b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
-    ),
+    ),"""
+
+
+# exact-Jaccard verification over the candidate pairs (threshold 0.3)
+_MINHASH_VERIFY_TAIL = """
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
         SELECT c.id_a, c.id_b, count(*) AS i
@@ -131,6 +153,8 @@ MINHASH_CTES = f"""
     )
 """
 
+MINHASH_CTES = _minhash_ctes() + _MINHASH_VERIFY_TAIL
+
 
 @register("doc_dedup_minhash_lsh", f"""
     WITH {MINHASH_CTES}
@@ -141,6 +165,21 @@ def q_doc_dedup_minhash(spark, sf_dir):
     Jaccard verification at threshold 0.3 — candidate generation is
     O(n·bands), only candidates pay the verification join."""
     out = near_dup_pairs(_docs_aug(spark, sf_dir), num_hashes=8, bands=4, threshold=0.3)
+    return _r4(out, "jaccard")
+
+
+@register("doc_dedup_minhash_capped", f"""
+    WITH {_minhash_ctes(max_bucket=2) + _MINHASH_VERIFY_TAIL}
+    SELECT id_a, id_b, round(j, 4) AS jaccard FROM jpairs
+""")
+def q_doc_dedup_minhash_capped(spark, sf_dir):
+    """The LSH skew guard: identical to doc_dedup_minhash_lsh but buckets
+    holding more than 2 docs are dropped before the self-join. At corpus
+    scale a boilerplate bucket is quadratic on one reducer key; the cap
+    bounds every bucket at O(max_bucket²). Oracle mirrors the cap with a
+    HAVING count(*) filter on the bucket key."""
+    out = near_dup_pairs(_docs_aug(spark, sf_dir), num_hashes=8, bands=4,
+                         threshold=0.3, max_bucket=2)
     return _r4(out, "jaccard")
 
 
