@@ -676,6 +676,46 @@ class NexusEngine:
         self.day_partitioned = fmt.get("layout") == "metric_day"
         self._write_gen += 1
 
+    # ----------------------------------------------------------- metrics
+
+    def metrics(self) -> dict:
+        """Operational counters — the expvar/memstats surface the reference
+        exposes through its monitor pages (server/http_server.go:95-105,
+        ui/memstats.html, ui/monitor.html). Everything here is O(directory
+        listing); no Spark job runs."""
+        def _files(path: str) -> int:
+            n = 0
+            for _dp, _dirs, files in os.walk(path):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+            return n
+        out = {
+            "seq": self._seq,
+            "write_generation": self._write_gen,
+            "l0_pending_batches": self._l0_batches(),
+            "l0_trigger": self.l0_trigger,
+            "points_bytes": self._dir_bytes(self._points_path),
+            "points_files": _files(self._points_path),
+            "l0_bytes": self._dir_bytes(self._l0_path),
+            "l0_files": _files(self._l0_path),
+            "tombstone_files": {k: _files(p) for k, p in self._tomb.items()},
+            "result_cache": {
+                "capacity": self.result_cache.capacity,
+                "entries": len(self.result_cache),
+                "hits": self.result_cache.hits,
+                "misses": self.result_cache.misses,
+            },
+        }
+        if self.hooks is not None:
+            from nexusbase_spark.streaming.hooks import WriteAmplificationListener
+            for lst in self.hooks.listeners_of(WriteAmplificationListener):
+                out["write_amplification"] = {
+                    "total_bytes_read": lst.total_bytes_read,
+                    "total_bytes_written": lst.total_bytes_written,
+                    "compaction_events": lst.compaction_events,
+                    "waf": round(lst.waf(), 4),
+                }
+        return out
+
     # ------------------------------------------------------------- query
 
     def query(self, q: QueryStatement) -> DataFrame:

@@ -90,6 +90,24 @@ class _Handler(BaseHTTPRequestHandler):
             raise AuthError("invalid authorization header format") from None
         return self.authenticator.authenticate_userpass(user, pw)
 
+    def do_GET(self):  # noqa: N802 (http.server API)
+        """GET /metrics — operational counters (seq, write generation, L0
+        backlog, warehouse bytes/files, result-cache hit/miss, write
+        amplification). The expvar/monitor surface of the reference
+        (server/http_server.go:95-105, ui/memstats.html, ui/monitor.html)
+        as one JSON document. Requires reader role when auth is on."""
+        if self.path != "/metrics":
+            self._reply(404, {"error": "not found"})
+            return
+        try:
+            role = self._authenticated_role()
+            self.authenticator.authorize(role, ROLE_READER)
+            self._reply(200, self.engine.metrics())
+        except AuthError as exc:
+            self._reply(403 if exc.denied else 401, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001
+            self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+
     def do_POST(self):  # noqa: N802 (http.server API)
         if self.path != "/query":
             self._reply(404, {"error": "not found"})

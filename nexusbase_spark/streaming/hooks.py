@@ -49,6 +49,16 @@ class HookBus:
         for listener in self._listeners.get(event, ()):
             listener(event, payload, batch_id)
 
+    def listeners_of(self, cls: type) -> list:
+        """All registered listeners of a given class, across events —
+        lets a metrics scrape find e.g. the write-amplification meter."""
+        seen: list = []
+        for listeners in self._listeners.values():
+            for lst in listeners:
+                if isinstance(lst, cls) and lst not in seen:
+                    seen.append(lst)
+        return seen
+
     def for_each_batch(self, inner: Callable[[DataFrame, int], None] | None = None):
         """Wrap a foreachBatch sink: pre hooks -> sink -> post hooks."""
         def run(batch: DataFrame, batch_id: int) -> None:

@@ -66,6 +66,25 @@ def test_error_paths(http_engine):
         assert e.code == 404
 
 
+def test_metrics_endpoint(http_engine):
+    """GET /metrics returns the operational counters (the reference's
+    expvar/monitor surface as one JSON doc)."""
+    with urllib.request.urlopen(f"{http_engine}/metrics") as resp:
+        assert resp.status == 200
+        m = json.loads(resp.read())
+    assert m["seq"] >= 0 and m["write_generation"] >= 0
+    assert "result_cache" in m and set(m["result_cache"]) == {
+        "capacity", "entries", "hits", "misses"}
+    assert m["l0_trigger"] == 4
+    assert isinstance(m["tombstone_files"], dict)
+    # unknown GET path is a 404
+    try:
+        urllib.request.urlopen(f"{http_engine}/monitor")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
 def test_http_auth_roles(spark, tmp_path_factory):
     """Basic-auth façade: 401 without/with bad creds, 403 when a reader
     tries a write, 200 for allowed operations; user file round-trip."""
@@ -106,5 +125,17 @@ def test_http_auth_roles(spark, tmp_path_factory):
         code, _ = post_as("viewer:look",
                           {"query": "QUERY ha.m FROM ? TO ?", "params": [0, 1000]})
         assert code == 200
+        # /metrics requires reader auth too
+        import base64 as b64
+        req = urllib.request.Request(f"{base}/metrics")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        req.add_header("Authorization",
+                       "Basic " + b64.b64encode(b"viewer:look").decode())
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
     finally:
         srv.shutdown()
