@@ -105,6 +105,39 @@ def quality_exprs(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Intra-document repetition: fraction of word n-grams that are
+    duplicates of an earlier n-gram, ``1 - distinct/total`` (0.0 when the
+    doc has no n-grams). High values flag boilerplate/template/spam docs —
+    a standard pre-training quality filter alongside ``quality_exprs``.
+    Pure array expressions: computed at scan speed, no shuffle."""
+    grams = word_shingles(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / total)
+
+
+# PII patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_exprs(text: Column) -> dict[str, Column]:
+    """PII scrubbing for training corpora: count and redact emails and
+    IPv4 literals (lowercased text). ``redacted`` replaces each match
+    with a typed placeholder; counts let a pipeline route docs to
+    review/drop. Scan-speed Column expressions, no UDF."""
+    low = F.lower(text)
+    return {
+        "n_emails": F.size(F.regexp_extract_all(low, F.lit(EMAIL_PATTERN), F.lit(0))).cast("long"),
+        "n_ips": F.size(F.regexp_extract_all(low, F.lit(IPV4_PATTERN), F.lit(0))).cast("long"),
+        "redacted": F.regexp_replace(
+            F.regexp_replace(low, EMAIL_PATTERN, "<EMAIL>"),
+            IPV4_PATTERN, "<IP>"),
+    }
+
+
 def winnow_fingerprints(text: Column, n: int = 3, w: int = 4) -> Column:
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
     word n-gram POSITIONALLY, slide a window of w hashes, keep each

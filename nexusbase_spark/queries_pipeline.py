@@ -25,6 +25,8 @@ from nexusbase_spark.pipeline.multimodal import attach_payload, extract_meta
 from nexusbase_spark.pipeline.similarity import cosine_topk, ivf_topk
 from nexusbase_spark.pipeline.text import (
     BPE_PATTERN,
+    EMAIL_PATTERN,
+    IPV4_PATTERN,
     LANG_STOPWORDS,
     fingerprint_mink,
     lang_id_expr,
@@ -397,6 +399,72 @@ def q_text_token_count(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
         token_count_bpe(F.col("text")).cast("long").alias("n_bpe_tokens"),
     )
+
+
+@register("text_repetition", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(t), 1)),
+                                i -> t[i] || ' ' || t[i+1]) AS grams
+          FROM t)
+    SELECT doc_id,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 4)
+           END AS rep_ratio
+    FROM g
+""")
+def q_text_repetition(spark, sf_dir):
+    """Intra-doc repetition ratio (duplicate word-2-gram fraction) — the
+    boilerplate/template/spam signal of pre-training quality filters."""
+    from nexusbase_spark.pipeline.text import repetition_ratio
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", repetition_ratio(F.col("text"), 2).alias("rep_ratio"))
+    return _r4(out, "rep_ratio")
+
+
+# deterministic synthetic PII: docs at doc_id % 7 == 0 get an email and an
+# IPv4 appended, so the redaction operator has guaranteed positives
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.5'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+_PII_SQL = f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '@EMAIL@'))::BIGINT AS n_emails,
+           len(regexp_extract_all(lower(text), '@IPV4@'))::BIGINT AS n_ips,
+           md5(regexp_replace(regexp_replace(lower(text), '@EMAIL@', '<EMAIL>', 'g'),
+                              '@IPV4@', '<IP>', 'g')) AS redacted_md5
+    FROM ({_PII_AUG_SQL})
+"""
+
+
+@register("text_pii_redact",
+          _PII_SQL.replace("@EMAIL@", EMAIL_PATTERN).replace("@IPV4@", IPV4_PATTERN))
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrubbing: count + redact emails and IPv4 literals (regex subset
+    with identical Java-regex/RE2 semantics; redacted text compared by
+    md5). Synthetic PII is appended deterministically inside the query so
+    the operator has guaranteed positives in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com at 10.0."),
+                        (F.col("doc_id") % 256).cast("string"), F.lit(".5")))
+        .otherwise(F.col("text")).alias("text"))
+    from nexusbase_spark.pipeline.text import pii_exprs
+    e = pii_exprs(F.col("text"))
+    return aug.select("doc_id", e["n_emails"].alias("n_emails"),
+                      e["n_ips"].alias("n_ips"),
+                      F.md5(e["redacted"]).alias("redacted_md5"))
 
 
 # ---------------------------------------------------------------------------

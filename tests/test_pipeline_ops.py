@@ -58,3 +58,34 @@ def test_int8_quantization_bounds_and_ranking(spark):
     assert any(abs(r["v"]) == 127 for r in q)  # max component hits full scale
     top = int8_topk(df, k=2, probe_id=0).collect()
     assert top[0]["vec_id"] == 1 and abs(top[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_repetition_ratio_semantics(spark):
+    """Known repetition: 'a b a b a b' has 5 2-grams, 2 distinct -> 0.6;
+    a no-repeat doc scores 0.0; a 1-token doc scores 0.0 (not NaN)."""
+    from nexusbase_spark.pipeline.text import repetition_ratio
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all tokens here are unique"), (3, "one")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", repetition_ratio(F.col("text"), 2).alias("r")).collect()}
+    assert abs(out[1] - 0.6) < 1e-12
+    assert out[2] == 0.0 and out[3] == 0.0
+
+
+def test_pii_redaction(spark):
+    """Emails and IPv4 literals are counted and replaced with typed
+    placeholders; clean text passes through (lowercased) untouched."""
+    from nexusbase_spark.pipeline.text import pii_exprs
+    df = spark.createDataFrame(
+        [(1, "Mail Bob@Example.COM or admin@corp.io from 192.168.0.1 now"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    e = pii_exprs(F.col("text"))
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id", e["n_emails"].alias("n_emails"), e["n_ips"].alias("n_ips"),
+        e["redacted"].alias("red")).collect()}
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_ips"] == 1
+    assert rows[1]["red"] == "mail <EMAIL> or <EMAIL> from <IP> now"
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_ips"] == 0
+    assert rows[2]["red"] == "no pii here at all"
