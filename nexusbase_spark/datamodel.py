@@ -53,6 +53,27 @@ def with_series_key(df: DataFrame) -> DataFrame:
     return df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
 
 
+def source_ts_ns(df: DataFrame, col: str = "ts") -> Column:
+    """Source timestamp column -> canonical long epoch-nanoseconds.
+
+    The points model keeps ts as int64 ns — exactly the reference's
+    representation (core/datapoint.go:10, UnixNano). Source tables vary:
+
+    - long: already ns; truncated to whole µs because the DuckDB oracle
+      reads timestamps at µs resolution (sub-µs digits unverifiable).
+    - timestamp / timestamp_ntz (how Spark reads the driver's
+      TIMESTAMP(MICROS) parquet): µs since epoch * 1000. NTZ is cast
+      through TIMESTAMP under the session's UTC zone (load_table pins it),
+      so wall-clock == epoch instant.
+    """
+    t = dict(df.dtypes)[col]
+    c = F.col(col)
+    if t in ("bigint", "long"):
+        raw = c.cast("long")
+        return raw - raw % F.lit(1000)
+    return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
+
+
 def events_to_points(events: DataFrame) -> DataFrame:
     """Map the driver's ``events`` table onto the points model.
 
@@ -65,22 +86,13 @@ def events_to_points(events: DataFrame) -> DataFrame:
         seq        = event_id            (ingest order -> MVCC order)
         fields     = value double, k long (from props JSON)
     """
-    ts_type = dict(events.dtypes)["ts"]
-    # with spark.sql.legacy.parquet.nanosAsLong the driver's TIMESTAMP(NANOS)
-    # column arrives as long ns already; otherwise convert micros -> ns.
-    # ts is truncated to whole microseconds (still ns units): DuckDB — the
-    # correctness oracle — reads TIMESTAMP_NS parquet at microsecond
-    # resolution, so sub-microsecond digits would be unverifiable.
-    if ts_type in ("bigint", "long"):
-        raw = F.col("ts").cast("long")
-        ts_ns = raw - raw % F.lit(1000)
-    else:
-        raw = F.unix_micros(F.col("ts")) * F.lit(1000)
-        ts_ns = raw
-    # __raw_ts carries the UNtruncated source column: predicates on the
-    # truncated ts can't push through the arithmetic to the parquet scan,
-    # so time_range() adds widened raw-ts bounds for row-group pruning
-    # (see operators/scan.py).
+    ts_ns = source_ts_ns(events, "ts")
+    raw = F.col("ts")
+    # __raw_ts carries the source column UNCHANGED (long ns or
+    # timestamp(_ntz)): predicates on the canonical ts can't push through
+    # the conversion arithmetic to the parquet scan, so time_range() adds
+    # equivalent bounds on __raw_ts — in the column's own type — for
+    # row-group pruning (see operators/scan.py).
     return events.select(
         F.col("event_type").alias("metric"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
@@ -104,11 +116,9 @@ def field_columns(df: DataFrame) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The caller may hand us a vanilla session (the driver does). The
-    # testdata's TIMESTAMP(NANOS) parquet is unreadable without nanosAsLong,
-    # and UTC keeps any timestamp rendering deterministic. Both are plain
-    # runtime SQL confs — safe to set here.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The caller may hand us a vanilla session (the driver does). UTC makes
+    # the timestamp_ntz -> epoch conversion in source_ts_ns exact and any
+    # timestamp rendering deterministic. Plain runtime SQL conf — safe here.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

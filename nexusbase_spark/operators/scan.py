@@ -11,8 +11,20 @@ a time bucket, so these filters become partition pruning, not data reads.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import datetime
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+
+def _ts_lit(us: int, dtype: str) -> Column:
+    """A pushable literal of the raw ts column's own type for a whole-µs
+    epoch instant. String-cast literals constant-fold in Catalyst, so the
+    comparison stays a plain `col OP literal` the parquet source accepts."""
+    s = (_EPOCH + datetime.timedelta(microseconds=us)).strftime("%Y-%m-%d %H:%M:%S.%f")
+    return F.lit(s).cast(dtype)
 
 
 def metric_filter(df: DataFrame, metric: str) -> DataFrame:
@@ -33,25 +45,33 @@ def time_range(df: DataFrame, start: int | None, end: int | None) -> DataFrame:
     """Inclusive BOTH ends: keys scanned in [start, end+1)
     (engine2/adapter.go:2798-2803).
 
-    When the frame carries ``__raw_ts`` (the untruncated source column —
-    datamodel.events_to_points), redundant WIDENED bounds are added on it:
-    the canonical ``ts`` is µs-truncated via arithmetic the optimizer can't
-    invert, so a predicate on it never reaches the parquet scan. The raw
-    bounds are a strict superset (ts >= s implies raw >= s; ts <= e implies
-    raw <= e+999), semantically a no-op — but they ARE pushable, restoring
-    row-group min/max pruning (the SSTable min/max-key skip analog,
-    SURVEY.md §4).
+    When the frame carries ``__raw_ts`` (the unmodified source column —
+    datamodel.events_to_points), redundant bounds are added on it: the
+    canonical ``ts`` is derived via arithmetic the optimizer can't invert,
+    so a predicate on it never reaches the parquet scan. The raw bounds are
+    equivalent-or-wider in the raw column's own type, semantically a no-op
+    — but they ARE pushable, restoring row-group min/max pruning (the
+    SSTable min/max-key skip analog, SURVEY.md §4).
+
+    Raw-bound derivation (ts = canonical long ns, truncated to whole µs):
+    - long raw (ns):        ts >= s  =>  raw >= s;  ts <= e  =>  raw <= e+999
+    - timestamp raw (µs):   ts >= s  =>  raw >= ceil(s/1000) µs;
+                            ts <= e  =>  raw <= floor(e/1000) µs  (exact)
     """
     out = df
-    has_raw = "__raw_ts" in df.columns
+    raw_type = dict(df.dtypes).get("__raw_ts")
     if start is not None:
         out = out.filter(F.col("ts") >= start)
-        if has_raw:
+        if raw_type in ("bigint", "long"):
             out = out.filter(F.col("__raw_ts") >= start)
+        elif raw_type is not None:
+            out = out.filter(F.col("__raw_ts") >= _ts_lit(-(-start // 1000), raw_type))
     if end is not None:
         out = out.filter(F.col("ts") <= end)
-        if has_raw:
+        if raw_type in ("bigint", "long"):
             out = out.filter(F.col("__raw_ts") <= end + 999)
+        elif raw_type is not None:
+            out = out.filter(F.col("__raw_ts") <= _ts_lit(end // 1000, raw_type))
     return out
 
 

@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nexusbase_spark.datamodel import load_points, load_table
+from nexusbase_spark.datamodel import load_points, load_table, source_ts_ns
 from nexusbase_spark.functions.fidelity import AggSpec
 from nexusbase_spark.operators import (
     apply_point_deletes,
@@ -361,14 +361,13 @@ def q_multi_tag_scan(spark, sf_dir):
     MULTIPLE predicates — indexer/tag_index_manager2.go:253-275), on a
     two-tag points mapping (user + k-bucket)."""
     ev = load_table(spark, sf_dir, "events")
-    raw = F.col("ts").cast("long")
     pts = ev.select(
         F.col("event_type").alias("metric"),
         F.create_map(
             F.lit("user"), F.col("user_id").cast("string"),
             F.lit("kb"), (F.get_json_object("props", "$.k").cast("long") % 4).cast("string"),
         ).alias("tags"),
-        (raw - raw % 1000).alias("ts"), raw.alias("__raw_ts"),
+        source_ts_ns(ev).alias("ts"), F.col("ts").alias("__raw_ts"),
         F.col("event_id").cast("long").alias("seq"), F.col("value"),
     )
     out = tag_filter(metric_filter(pts, "view"), {"user": "7", "kb": "2"})

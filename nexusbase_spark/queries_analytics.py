@@ -16,8 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nexusbase_spark.datamodel import load_table
+from nexusbase_spark.datamodel import load_table, source_ts_ns
 from nexusbase_spark.queries import register
+
+
+def _dlit(df, col: str, day: str):
+    """A date literal in `col`'s own type (timestamp vs timestamp_ntz) so
+    the comparison needs no column-side cast and pushes to the scan."""
+    return F.lit(day).cast(dict(df.dtypes)[col])
 
 
 @register("tpch_q1_pricing_summary", """
@@ -40,7 +46,7 @@ def q_tpch_q1(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     out = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= _dlit(li, "l_shipdate", "1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -74,10 +80,10 @@ def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter broadcast into a fact join,
     grouped revenue, distributed top-k (TakeOrderedAndProject)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter(F.col("o_orderdate") < _dlit(o, "o_orderdate", "1998-03-15"))
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter(F.col("l_shipdate") > _dlit(li, "l_shipdate", "1995-03-15"))
     out = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
@@ -135,8 +141,8 @@ def q_tpch_q6(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     out = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= _dlit(li, "l_shipdate", "1996-01-01"))
+            & (F.col("l_shipdate") < _dlit(li, "l_shipdate", "1997-01-01"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24))
         .agg(F.round(F.coalesce(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
@@ -184,10 +190,9 @@ def q_events_user_daily(spark, sf_dir):
     """Sessionization-lite rollup: per-user daily activity with a distinct
     aggregate — the shape of a behavioral feature pipeline."""
     ev = load_table(spark, sf_dir, "events")
-    day = (F.col("ts").cast("long") / F.lit(86_400_000_000_000)).cast("bigint")
     # integer floor-division parity: both engines floor toward -inf on
     # positive operands (all ts are positive here)
-    day = F.floor(F.col("ts").cast("long") / F.lit(86_400_000_000_000)).cast("bigint")
+    day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)).cast("bigint")
     return (
         ev.groupBy(F.col("user_id"), day.alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"),

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nexusbase_spark.datamodel import load_table, series_key_expr
+from nexusbase_spark.datamodel import load_table, series_key_expr, source_ts_ns
 from nexusbase_spark.nbql.parser import parse
 from nexusbase_spark.queries import DAY_NS, T1, T2, register
 
@@ -57,11 +57,10 @@ def events_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> long points: each event is ONE point with two fields
     (value float, k int) -> two long rows sharing (series_key, ts, seq)."""
     ev = load_table(spark, sf_dir, "events")
-    raw = F.col("ts").cast("long")
     base = ev.select(
         F.col("event_type").alias("metric"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
-        (raw - raw % F.lit(1000)).alias("ts"),
+        source_ts_ns(ev).alias("ts"),
         F.col("event_id").cast("long").alias("seq"),
         F.col("value").cast("double").alias("value"),
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),

@@ -32,10 +32,9 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Broadcast small dimension/tombstone tables automatically.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    # The driver's parquet writes timestamps as TIMESTAMP(NANOS), which Spark
-    # has no native type for; read them as long nanoseconds — exactly the
-    # reference's representation (core/datapoint.go:10, int64 UnixNano).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The driver's parquet timestamps are TIMESTAMP(MICROS), read natively
+    # as timestamp_ntz; datamodel.source_ts_ns converts them to the
+    # reference's int64-ns representation (core/datapoint.go:10, UnixNano).
     # Parquet pushdown knobs are on by default in Spark; stated explicitly
     # because the engine depends on them (SURVEY.md §4: key-range pruning ->
     # row-group min/max stats).
