@@ -20,6 +20,11 @@ from nexusbase_spark.operators.order import (  # noqa: F401
     decode_cursor,
     paginate,
 )
+from nexusbase_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    range_band_join,
+)
+from nexusbase_spark.operators.sessionize import sessionize  # noqa: F401
 from nexusbase_spark.operators.metadata import (  # noqa: F401
     show_metrics,
     show_tag_keys,

@@ -199,3 +199,127 @@ def q_events_user_daily(spark, sf_dir):
              F.countDistinct("event_type").alias("n_types"),
              F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series joins + session windows — operator families the reference has
+# none of (SURVEY.md §2.4 "no joins", §2.10 "session windows: none").
+
+def _event_points(spark, sf_dir):
+    """events as a minimal flat points frame (user, ts ns, seq, value, metric)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("user"),
+        source_ts_ns(ev).alias("ts"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.col("value").cast("double").alias("value"),
+        F.col("event_type").alias("metric"),
+    )
+
+
+@register("events_asof_enrich", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, value, event_type
+        FROM events),
+    clicks AS (
+        SELECT user, ts, seq, round(value, 4) AS click_value
+        FROM pts WHERE event_type = 'click'),
+    views AS (
+        SELECT user, ts, round(value, 4) AS view_value
+        FROM (SELECT user, ts, value,
+                     row_number() OVER (PARTITION BY user, ts ORDER BY seq DESC) AS rn
+              FROM pts WHERE event_type = 'view')
+        WHERE rn = 1)
+    SELECT c.user, c.ts, c.seq, c.click_value, v.ts AS view_ts, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v ON c.user = v.user AND c.ts >= v.ts
+""")
+def q_events_asof_enrich(spark, sf_dir):
+    """As-of join: each click gains the most recent prior (inclusive) view
+    value of the same user — the canonical time-series enrichment join.
+    Spark-side: union + running last() window (operators/joins.asof_join),
+    one shuffle on user; oracle: DuckDB's native ASOF LEFT JOIN. The right
+    side is MVCC-deduped to one row per (user, ts) so the tie winner is
+    deterministic on both engines."""
+    from pyspark.sql import Window
+
+    from nexusbase_spark.operators import asof_join
+
+    pts = _event_points(spark, sf_dir)
+    clicks = pts.filter(F.col("metric") == "click").select(
+        "user", "ts", "seq", F.round("value", 4).alias("click_value"))
+    w = Window.partitionBy("user", "ts").orderBy(F.col("seq").desc())
+    views = (pts.filter(F.col("metric") == "view")
+             .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+             .select("user", "ts", F.round("value", 4).alias("view_value")))
+    out = asof_join(clicks, views, on=["user"],
+                    right_cols=["view_value"], suffix="_view")
+    return out.select(
+        "user", "ts", "seq", "click_value",
+        F.col("ts_view").alias("view_ts"),
+        F.col("view_value_view").alias("view_value"))
+
+
+@register("events_proximity_pairs", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, event_type
+        FROM events)
+    SELECT v.user, v.seq AS view_seq, c.seq AS click_seq, c.ts - v.ts AS gap_ns
+    FROM pts v JOIN pts c
+      ON v.user = c.user AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + 86400000000000
+""")
+def q_events_proximity_pairs(spark, sf_dir):
+    """Banded range join: (view, click) pairs of the same user with the
+    click at most 24h after the view. Spark-side the inequality join is
+    rewritten as an equi-join on (user, time-bucket) with the right side
+    tagged into its two candidate buckets (operators/joins.range_band_join)
+    — no cross product at any scale; oracle: plain inequality join."""
+    from nexusbase_spark.operators import range_band_join
+
+    pts = _event_points(spark, sf_dir)
+    views = pts.filter(F.col("metric") == "view").select(
+        "user", "ts", F.col("seq").alias("view_seq"))
+    clicks = pts.filter(F.col("metric") == "click").select(
+        "user", "ts", F.col("seq").alias("click_seq"))
+    out = range_band_join(views, clicks, on=["user"], window_ns=86_400_000_000_000)
+    return out.select("user", "view_seq", "click_seq",
+                      (F.col("ts_r") - F.col("ts")).alias("gap_ns"))
+
+
+@register("events_sessionize", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, value
+        FROM events),
+    flagged AS (
+        SELECT user, ts, seq, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user ORDER BY ts, seq) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user ORDER BY ts, seq)
+                         > 43200000000000
+                    THEN 1 ELSE 0 END AS f
+        FROM pts),
+    sess AS (
+        SELECT user, ts, value,
+               CAST(sum(f) OVER (PARTITION BY user ORDER BY ts, seq
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged)
+    SELECT user, session_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user, session_id
+""")
+def q_events_sessionize(spark, sf_dir):
+    """Session windows: per-user sessions split by >12h inactivity, rolled
+    up to (start, end, n_events, sum_value). Session ids are running counts
+    in (ts, seq) order, so both engines number them identically."""
+    from nexusbase_spark.operators import sessionize
+
+    pts = _event_points(spark, sf_dir)
+    sess = sessionize(pts, ["user"], gap_ns=43_200_000_000_000)
+    return (sess.groupBy("user", F.col("session").alias("session_id"))
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))

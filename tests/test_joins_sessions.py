@@ -1,0 +1,78 @@
+"""Edge semantics of the time-series join + session operators
+(operators/joins.py, operators/sessionize.py): inclusive ties, tolerance,
+direction, band boundaries, exact-gap session continuation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexusbase_spark.operators import asof_join, range_band_join, sessionize
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_backward_inclusive_tie_and_tiebreak(spark):
+    left = _df(spark, [("u", 10, 1)], "k string, ts long, lid long")
+    right = _df(spark, [("u", 10, 1, "a"), ("u", 10, 2, "b"), ("u", 5, 3, "old")],
+                "k string, ts long, seq long, v string")
+    out = asof_join(left, right, on=["k"], right_cols=["v"],
+                    right_tiebreak="seq").collect()
+    assert len(out) == 1
+    # equal-ts right row matches (inclusive) and highest seq wins the tie
+    assert out[0]["v_r"] == "b"
+    assert out[0]["ts_r"] == 10
+
+
+def test_asof_no_prior_match_is_null(spark):
+    left = _df(spark, [("u", 3, 1)], "k string, ts long, lid long")
+    right = _df(spark, [("u", 5, 1, "later")], "k string, ts long, seq long, v string")
+    row = asof_join(left, right, on=["k"], right_cols=["v"]).collect()[0]
+    assert row["v_r"] is None and row["ts_r"] is None
+
+
+def test_asof_tolerance_nulls_stale_match(spark):
+    left = _df(spark, [("u", 100, 1), ("u", 12, 2)], "k string, ts long, lid long")
+    right = _df(spark, [("u", 10, 1, "x")], "k string, ts long, seq long, v string")
+    out = {r["lid"]: r for r in
+           asof_join(left, right, on=["k"], right_cols=["v"],
+                     tolerance_ns=5).collect()}
+    assert out[1]["v_r"] is None          # gap 90 > 5 -> nulled
+    assert out[2]["v_r"] == "x"           # gap 2 <= 5 -> kept
+    assert out[2]["ts_r"] == 10
+
+
+def test_asof_forward_picks_nearest_following(spark):
+    left = _df(spark, [("u", 10, 1)], "k string, ts long, lid long")
+    right = _df(spark, [("u", 8, 1, "past"), ("u", 12, 2, "next"), ("u", 20, 3, "far")],
+                "k string, ts long, seq long, v string")
+    row = asof_join(left, right, on=["k"], right_cols=["v"],
+                    direction="forward").collect()[0]
+    assert row["v_r"] == "next" and row["ts_r"] == 12
+
+
+def test_range_band_join_boundaries_and_cross_bucket(spark):
+    left = _df(spark, [("u", 0, 100), ("u", 9, 101)], "k string, ts long, lseq long")
+    right = _df(spark, [("u", 0, 200), ("u", 10, 201), ("u", 11, 202),
+                        ("u", 15, 203), ("v", 5, 204)],
+                "k string, ts long, rseq long")
+    pairs = {(r["lseq"], r["rseq"])
+             for r in range_band_join(left, right, on=["k"], window_ns=10).collect()}
+    # left ts=0, window [0,10]: rseq 200 (ts 0, inclusive start) + 201 (ts 10,
+    # inclusive end); 202 (ts 11) excluded. left ts=9, window [9,19]: 201, 202,
+    # and 203 (ts 15: rb=1 vs lb=0 — matched through the exploded rb-1 tag).
+    # Key 'v' never joins.
+    assert pairs == {(100, 200), (100, 201), (101, 201), (101, 202), (101, 203)}
+
+
+def test_sessionize_exact_gap_continues_strict_gap_splits(spark):
+    gap = 10
+    df = _df(spark, [("u", 0, 1), ("u", 10, 2), ("u", 21, 3), ("v", 0, 4)],
+             "user string, ts long, seq long")
+    out = {r["seq"]: r["session"]
+           for r in sessionize(df, ["user"], gap_ns=gap).collect()}
+    assert out[1] == 1
+    assert out[2] == 1      # gap == gap_ns -> same session (strict >)
+    assert out[3] == 2      # gap 11 > 10 -> new session
+    assert out[4] == 1      # numbering restarts per key
