@@ -96,3 +96,54 @@ def downsample(
             agg = agg.withColumn(name, F.coalesce(F.col(name), zero_or_nan[name]))
 
     return agg.withColumn("window_end", F.col("window_start") + F.lit(interval_ns))
+
+
+def downsample_hopping(
+    df: DataFrame,
+    size_ns: int,
+    slide_ns: int,
+    specs: list[AggSpec],
+    *,
+    approx_percentile: bool = False,
+) -> DataFrame:
+    """Per-series HOPPING (sliding) window aggregation — absent from the
+    reference (SURVEY.md §2.10 "Sliding / session windows: none"); with
+    slide == size it degenerates to the tumbling ``downsample``.
+
+    Windows start at every multiple of ``slide_ns`` (epoch-aligned like the
+    tumbling operator) and span ``size_ns``; a point with timestamp t
+    belongs to the size/slide aligned starts in (t - size, t]. Those
+    starts are enumerated NARROWLY per row (sequence + explode — no join
+    against a window grid), then one groupBy on (series, window_start)
+    with map-side partial aggregation. Input amplification is exactly
+    size/slide — the irreducible cost of overlapping windows — and the
+    exchange carries (series x windows) groups, not rows.
+
+    Integer arithmetic throughout (pmod, never `/`): ns timestamps exceed
+    2^53, so a double division would corrupt the alignment; and unlike
+    SQL `div` (truncates toward zero), pmod keeps the alignment FLOORED
+    for pre-epoch values of ts - size, matching DuckDB's `//`.
+    """
+    if size_ns <= 0 or slide_ns <= 0:
+        raise ValueError("size and slide must be positive")
+    if size_ns % slide_ns:
+        raise ValueError("size must be a whole multiple of slide")
+    ts = F.col("ts")
+    # smallest aligned start > ts - size; largest aligned start <= ts
+    first = ts - size_ns - F.pmod(ts - size_ns, F.lit(slide_ns)) + slide_ns
+    last = ts - F.pmod(ts, F.lit(slide_ns))
+    exprs = build_agg_exprs(
+        specs,
+        _field_types(df),
+        _order_key(),
+        skip_non_finite=False,
+        approx_percentile=approx_percentile,
+    )
+    return (
+        df.withColumn("window_start",
+                      F.explode(F.sequence(first, last, F.lit(slide_ns))))
+        .groupBy(F.col("metric"), F.col("series_key"), F.col("tags"),
+                 F.col("window_start"))
+        .agg(*exprs)
+        .withColumn("window_end", F.col("window_start") + F.lit(size_ns))
+    )

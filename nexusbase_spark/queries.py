@@ -32,6 +32,7 @@ from nexusbase_spark.operators import (
     apply_series_deletes,
     dedup_latest,
     downsample,
+    downsample_hopping,
     final_aggregate,
     keyset_after,
     metric_filter,
@@ -48,6 +49,7 @@ from nexusbase_spark.operators import (
 
 NS = 1_000_000_000
 DAY_NS = 86_400 * NS
+HOUR_NS = 3_600 * NS
 T1 = 1_704_412_800 * NS  # 2024-01-05T00:00:00Z
 T2 = 1_705_708_800 * NS  # 2024-01-20T00:00:00Z
 
@@ -248,6 +250,42 @@ def q_downsample_1d(spark, sf_dir):
                      "count_*", "count_value", "sum_value", "avg_value",
                      "min_value", "max_value")
     return _r4(out, "sum_value", "avg_value", "min_value", "max_value")
+
+
+@register("downsample_hopping", f"""
+    WITH p AS (
+        SELECT metric, user, ts, value FROM ({POINTS_SQL})
+        WHERE metric = 'click' AND ts BETWEEN {T1} AND {T2}
+    ),
+    hopped AS (
+        SELECT metric, user, value,
+               unnest(range(((ts - {6 * HOUR_NS}) // {2 * HOUR_NS}) * {2 * HOUR_NS}
+                              + {2 * HOUR_NS},
+                            (ts // {2 * HOUR_NS}) * {2 * HOUR_NS} + 1,
+                            {2 * HOUR_NS})) AS window_start
+        FROM p
+    )
+    SELECT metric, user, window_start, window_start + {6 * HOUR_NS} AS window_end,
+           count(value) AS count_value,
+           round(avg(value), 4) AS avg_value,
+           round(max(value), 4) AS max_value
+    FROM hopped
+    GROUP BY metric, user, window_start
+""")
+def q_downsample_hopping(spark, sf_dir):
+    """Hopping (sliding) windows: 6h windows every 2h, per series — the
+    window family the reference lacks (SURVEY.md §2.10); each point lands
+    in exactly size/slide = 3 windows, enumerated narrowly before ONE
+    (series, window) groupBy (operators/downsample.downsample_hopping)."""
+    pts = load_points(spark, sf_dir)
+    sel = time_range(metric_filter(pts, "click"), T1, T2)
+    out = downsample_hopping(sel, 6 * HOUR_NS, 2 * HOUR_NS, [
+        AggSpec("count", "value"), AggSpec("avg", "value"), AggSpec("max", "value"),
+    ])
+    out = out.withColumn("user", F.col("tags").getItem("user"))
+    out = out.select("metric", "user", "window_start", "window_end",
+                     "count_value", "avg_value", "max_value")
+    return _r4(out, "avg_value", "max_value")
 
 
 @register("downsample_firstlast", f"""

@@ -323,3 +323,44 @@ def q_events_sessionize(spark, sf_dir):
                  F.max("ts").alias("session_end"),
                  F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@register("orders_semi_returned", """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+""")
+def q_orders_semi_returned(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS -> left-semi join): orders in a year with at
+    least one returned lineitem, counted by priority. The semi join never
+    materializes the match multiplicity — one shuffle on the order key."""
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter((F.col("o_orderdate") >= _dlit(o, "o_orderdate", "1996-01-01"))
+                 & (F.col("o_orderdate") < _dlit(o, "o_orderdate", "1997-01-01")))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register("customers_without_orders", """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+""")
+def q_customers_without_orders(spark, sf_dir):
+    """NOT EXISTS -> left-anti join: customers with no orders before 1996
+    (the unrestricted variant is empty on this data — every customer has
+    orders) — the same anti-join kernel the tombstone filters use
+    (operators/mvcc.py), surfaced as a query shape."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter(F.col("o_orderdate") < _dlit(o, "o_orderdate", "1996-01-01"))
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")))

@@ -76,3 +76,31 @@ def test_sessionize_exact_gap_continues_strict_gap_splits(spark):
     assert out[2] == 1      # gap == gap_ns -> same session (strict >)
     assert out[3] == 2      # gap 11 > 10 -> new session
     assert out[4] == 1      # numbering restarts per key
+
+
+def test_downsample_hopping_membership_and_tumbling_degeneration(spark):
+    from nexusbase_spark.functions.fidelity import AggSpec
+    from nexusbase_spark.operators import downsample, downsample_hopping
+
+    rows = [("m", "m|", {}, 0, 1.0), ("m", "m|", {}, 19, 3.0), ("m", "m|", {}, 20, 5.0)]
+    df = spark.createDataFrame(
+        rows, "metric string, series_key string, tags map<string,string>, ts long, value double")
+    specs = [AggSpec("count", "value"), AggSpec("sum", "value")]
+
+    out = {r["window_start"]: r for r in
+           downsample_hopping(df, 20, 10, specs).collect()}
+    # ts=0 -> starts {-10, 0}; ts=19 -> {10}... ts in (start, start+20]?? No:
+    # membership is start <= ts < start+20, starts in (ts-20, ts]:
+    # ts=0 -> {-10, 0}; ts=19 -> {0, 10}; ts=20 -> {10, 20}.
+    assert out[-10]["count_value"] == 1 and out[-10]["sum_value"] == 1.0
+    assert out[0]["count_value"] == 2 and out[0]["sum_value"] == 4.0
+    assert out[10]["count_value"] == 2 and out[10]["sum_value"] == 8.0
+    assert out[20]["count_value"] == 1 and out[20]["sum_value"] == 5.0
+    assert out[0]["window_end"] == 20
+
+    # slide == size must reproduce the tumbling operator exactly
+    hop = {(r["window_start"], r["count_value"], r["sum_value"])
+           for r in downsample_hopping(df, 10, 10, specs).collect()}
+    tum = {(r["window_start"], r["count_value"], r["sum_value"])
+           for r in downsample(df, 10, specs).collect()}
+    assert hop == tum
