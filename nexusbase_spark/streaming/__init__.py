@@ -5,6 +5,7 @@ from nexusbase_spark.streaming.subscribe import (  # noqa: F401
     stream_ingest,
     live_downsample,
 )
+from nexusbase_spark.streaming.sessions import live_sessionize  # noqa: F401
 from nexusbase_spark.streaming.kafka import (  # noqa: F401
     encode_point_json,
     kafka_stream_ingest,

@@ -1,0 +1,113 @@
+"""Live session windows over the ingest stream: a custom STATEFUL streaming
+operator via applyInPandasWithState.
+
+The batch engine computes sessions at query time (operators/sessionize.py);
+on a live stream the engine must instead carry the open session of every key
+across micro-batches and emit a session only once it is CLOSED (inactivity
+gap exceeded or state timeout). That per-key mutable state across batches is
+exactly what Spark's applyInPandasWithState provides: state is partitioned
+by the grouping key (scales horizontally like any shuffle), checkpointed
+with the query, and fed to the function as Arrow batches.
+
+The reference has no stateful streaming at all — its pub/sub pushes raw
+points (engine2/pubsub.go); this is the §2.10 "beyond" operator a
+training-data/behavioral pipeline needs from the live path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_STATE_SCHEMA = StructType([
+    StructField("session_start", LongType()),
+    StructField("last_ts", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+
+def _out_schema(key_col: str) -> StructType:
+    return StructType([
+        StructField(key_col, StringType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ])
+
+
+def live_sessionize(
+    stream: DataFrame,
+    key_col: str,
+    gap_ns: int,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming sessionization of a points stream by inactivity gap.
+
+    Emits one row per CLOSED session: (key, session_start, session_end,
+    n_events, sum_value). A session closes when a later point of the same
+    key arrives more than ``gap_ns`` after it (strict >, matching the
+    batch operator), or when the key sees no data for ``timeout_ms``
+    processing time (default: gap_ns scaled to ms) — the flush that makes
+    the last session of an idle key eventually appear.
+
+    Rows need columns ``ts`` (long ns) and ``value`` (double). Session
+    semantics match operators/sessionize.sessionize exactly on in-order
+    data; late cross-batch data is merged into the open session when it
+    still fits the gap (a point older than the open session's start is
+    counted but cannot reopen closed sessions — documented tradeoff of
+    single-pass state).
+    """
+    if timeout_ms is None:
+        timeout_ms = max(gap_ns // 1_000_000, 1)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        cols = [key_col, "session_start", "session_end", "n_events", "sum_value"]
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame([[k, start, last, n, s]], columns=cols)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = None
+            n, s = 0, 0.0
+        closed: list[list] = []
+        for ts, v in zip(rows["ts"], rows["value"]):
+            ts = int(ts)
+            v = 0.0 if pd.isna(v) else float(v)
+            if start is None:
+                start, last, n, s = ts, ts, 1, v
+            elif ts - last > gap_ns:
+                closed.append([k, start, last, n, s])
+                start, last, n, s = ts, ts, 1, v
+            else:
+                last, n, s = max(last, ts), n + 1, s + v
+        state.update((start, last, n, s))
+        state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        _out_schema(key_col),
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -199,3 +199,55 @@ def test_live_downsample_watermarked(spark, point_stream):
     # the 4 fed points share the 120s-aligned window
     key = ("cpu.usage|host=a", 120 * 1_000_000_000)
     assert key in got and got[key] == (4, 6.0)
+
+
+def test_live_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: intra-batch gap splits emit
+    CLOSED sessions; the open session stays in state across micro-batches
+    and is extended by a following batch, not re-emitted. (The sink is
+    polled with a deadline: processing-time timeouts keep the query
+    scheduling batches, so processAllAvailable would block.)"""
+    from nexusbase_spark.streaming.sessions import live_sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "user string, ts long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    def sink_rows():
+        return {tuple(r) for r in spark.sql(
+            "SELECT user, session_start, session_end, n_events, sum_value "
+            "FROM live_sessions").collect()}
+
+    def await_rows(expected, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = sink_rows()
+            if got == expected:
+                return got
+            time.sleep(0.5)
+        return sink_rows()
+
+    gap = 100
+    # batch 1: u1 has two sessions split by a 150 gap (first one closes);
+    # u2 has a single open session.
+    feed([("u1", 0, 1.0), ("u1", 50, 2.0), ("u1", 200, 3.0),
+          ("u2", 0, 9.0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = live_sessionize(stream, "user", gap_ns=gap, timeout_ms=3_600_000)
+    q = (out.writeStream.format("memory").queryName("live_sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .start())
+    try:
+        assert await_rows({("u1", 0, 50, 2, 3.0)}) == {("u1", 0, 50, 2, 3.0)}
+
+        # batch 2: u1's open session (start 200) extends within gap, then a
+        # far point closes it; u2 stays open (nothing emitted for u2).
+        feed([("u1", 250, 4.0), ("u1", 1000, 5.0)])
+        expected = {("u1", 0, 50, 2, 3.0), ("u1", 200, 250, 2, 7.0)}
+        assert await_rows(expected) == expected
+    finally:
+        q.stop()
