@@ -40,6 +40,7 @@ class QueryStatement:
     tags: dict[str, str] = field(default_factory=dict)
     aggregations: list[AggregationSpec] = field(default_factory=list)
     downsample_interval: int | None = None   # ns (AGGREGATE BY <interval>)
+    downsample_slide: int | None = None      # ns (… BY <size> SLIDE <slide>) — hopping windows
     emit_empty_windows: bool = False
     limit: int | None = None
     sort_desc: bool = False

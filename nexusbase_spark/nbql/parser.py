@@ -285,6 +285,10 @@ def _parse_query(t: _Tokens) -> QueryStatement:
         elif t.accept("AGGREGATE"):
             if t.accept("BY"):
                 q.downsample_interval = parse_duration(t.next())
+                # extension over the reference grammar: hopping windows
+                # (AGGREGATE BY <size> SLIDE <slide>); slide must divide size
+                if t.accept("SLIDE"):
+                    q.downsample_slide = parse_duration(t.next())
             q.aggregations = _parse_agg_list(t)
         elif t.accept("EMIT"):
             t.expect("EMPTY")
@@ -304,6 +308,9 @@ def _parse_query(t: _Tokens) -> QueryStatement:
             raise NBQLError(f"unexpected token {t.peek()!r} in QUERY")
     if q.emit_empty_windows and q.downsample_interval is None:
         raise NBQLError("EMIT EMPTY WINDOWS requires AGGREGATE BY")
+    if q.downsample_slide is not None:
+        if q.downsample_interval % q.downsample_slide:
+            raise NBQLError("SLIDE must divide the window size")
     return q
 
 

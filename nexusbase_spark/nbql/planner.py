@@ -156,24 +156,37 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
                      start: int | None, end: int | None, *,
                      point_markers: bool = False) -> DataFrame:
     """Per-series epoch-aligned tumbling windows; the downsampler does NOT
-    skip NaN/Inf inputs (multi_field_downsampling_iterator.go:44-90)."""
+    skip NaN/Inf inputs (multi_field_downsampling_iterator.go:44-90).
+    With SLIDE (grammar extension) windows hop: each point's aligned starts
+    in (ts - size, ts] are enumerated narrowly before the same groupBy —
+    see operators/downsample.downsample_hopping for the arithmetic."""
     iv = q.downsample_interval
-    win = (F.col("ts") - F.col("ts") % F.lit(iv)).alias("window_start")
+    slide = q.downsample_slide or iv
     exprs = _long_agg_exprs(q.aggregations, skip_non_finite=False,
                             point_markers=point_markers)
+    if slide != iv:
+        ts = F.col("ts")
+        first = ts - iv - F.pmod(ts - iv, F.lit(slide)) + slide
+        last = ts - F.pmod(ts, F.lit(slide))
+        df = df.withColumn(
+            "window_start", F.explode(F.sequence(first, last, F.lit(slide))))
+        win = F.col("window_start")
+    else:
+        win = (F.col("ts") - F.col("ts") % F.lit(iv)).alias("window_start")
     agg = (df.groupBy(F.col("metric"), F.col("series_key"), win)
            .agg(F.first("tags").alias("tags"), *exprs))
 
     if q.emit_empty_windows:
         if start is None or end is None or end <= start:
             raise ValueError("EMIT EMPTY WINDOWS requires a bounded FROM..TO range")
-        first = start - (start % iv)
-        last = end - 1 - ((end - 1 - first) % iv)
+        # grid stride = slide (== iv for tumbling): every aligned start
+        first = start - (start % slide)
+        last = end - 1 - ((end - 1 - first) % slide)
         series = (df.groupBy("metric", "series_key")
                   .agg(F.first("tags").alias("tags")))
         grid = series.select(
             "metric", "series_key", "tags",
-            F.explode(F.sequence(F.lit(first), F.lit(last), F.lit(iv))).alias("window_start"))
+            F.explode(F.sequence(F.lit(first), F.lit(last), F.lit(slide))).alias("window_start"))
         agg = grid.join(agg.drop("tags"), ["metric", "series_key", "window_start"], "left")
         for spec in q.aggregations:
             name = spec.alias or f"{spec.func}_{spec.field}"

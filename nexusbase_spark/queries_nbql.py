@@ -155,3 +155,40 @@ def q_nbql_raw_limit(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     df = eng.execute(f"QUERY error FROM {T1} TO {T2} LIMIT 25")
     return df.select("metric", "series_key", "ts", "seq")
+
+
+HOP_SIZE = 6 * 3600 * 1_000_000_000
+HOP_SLIDE = 2 * 3600 * 1_000_000_000
+
+
+@register("nbql_hopping", f"""
+    WITH p AS (
+        SELECT ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+               epoch_ns(ts) AS ts, value
+        FROM events
+        WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
+    ),
+    hopped AS (
+        SELECT series_key, value,
+               unnest(range(((ts - {HOP_SIZE}) // {HOP_SLIDE}) * {HOP_SLIDE} + {HOP_SLIDE},
+                            (ts // {HOP_SLIDE}) * {HOP_SLIDE} + 1,
+                            {HOP_SLIDE})) AS window_start
+        FROM p
+    )
+    SELECT 'click' AS metric, series_key, window_start,
+           window_start + {HOP_SIZE} AS window_end,
+           count(*) AS "count_*",
+           round(avg(value), 4) AS avg_value
+    FROM hopped
+    GROUP BY series_key, window_start
+""")
+def q_nbql_hopping(spark, sf_dir):
+    """Full NBQL text -> parse -> plan with the SLIDE grammar extension:
+    AGGREGATE BY 6h SLIDE 2h — hopping windows from the language front end
+    (planner reuses the narrow start-enumeration of downsample_hopping)."""
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(
+        f"QUERY click FROM {T1} TO {T2} "
+        "AGGREGATE BY 6h SLIDE 2h (count(*), avg(value))")
+    return df.select("metric", "series_key", "window_start", "window_end",
+                     "count_*", F.round("avg_value", 4).alias("avg_value"))

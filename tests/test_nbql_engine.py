@@ -453,3 +453,13 @@ def test_day_partitioned_layout_prunes(spark, tmp_path_factory):
     assert [r["fields"]["v"] for r in q.collect()] == ["2.0", "3.0"]
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "day" in plan and "PartitionFilters" in plan
+
+
+def test_parse_slide_extension():
+    q = parse("QUERY cpu FROM 0 TO 100 AGGREGATE BY 6h SLIDE 2h (avg(value));")
+    assert q.downsample_interval == 6 * 3600 * 10**9
+    assert q.downsample_slide == 2 * 3600 * 10**9
+    # no SLIDE -> tumbling (field stays None)
+    assert parse("QUERY cpu AGGREGATE BY 1h (avg(v));").downsample_slide is None
+    with pytest.raises(NBQLError):  # slide must divide size
+        parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 5m SLIDE 2m (avg(v));")
