@@ -76,6 +76,11 @@ def main() -> None:
     # warm the JVM + page cache so measurements reflect steady state
     for t in ("events", "lineitem", "orders", "customer", "documents", "embeddings"):
         load_table(spark, sf_dir, t).count()
+    # ...and the Python worker pool: the first Arrow-batched stage otherwise
+    # pays worker fork/exec (~8s across 32 cores), which is process startup,
+    # not query work
+    spark.range(256).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long").count()
 
     # 1. ingest: events -> points layout -> parquet append, partitioned by
     # metric (the at-scale layout: metric+time-bucket partition pruning)
