@@ -41,6 +41,29 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# MinHash universal-hash family: ONE md5 per shingle -> 31-bit base hash,
+# then k affine derivations h_j = (a_j*h + b_j) mod P. 8x less hashing than
+# k md5s per shingle (the md5 IS the corpus-scale cost), and portable: both
+# engines parse 15 hex chars (< 2^60, overflow-free) and do the same int
+# arithmetic (products < 2^51, safe for Java longs AND DuckDB's checked
+# BIGINT). P = 2^31 - 1 (Mersenne prime).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) affine coefficients, identical in the
+    DuckDB oracle (queries_pipeline._minhash_ctes builds its SQL from
+    these exact values)."""
+    return [(104_729 * j + 12_823, 98_653 * j + 54_059) for j in range(k)]
+
+
+def base_hash31(col: Column) -> Column:
+    """31-bit base hash of a shingle: first 15 hex chars of md5 -> long
+    -> mod P. DuckDB mirror: CAST(('0x' || substring(md5(x),1,15)) AS
+    BIGINT) % P."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MINHASH_P
+
+
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
     """(id, shingle) with set semantics (distinct within doc)."""
@@ -64,15 +87,15 @@ def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 8) -> DataFrame:
-    """k min-hashes per doc. Hash j of a shingle = md5('<j>:'||shingle);
-    the signature component is the lexicographic MIN hex string — any total
-    order works for MinHash, and hex strings compare identically in every
-    engine. One groupBy with k min() aggregates (map-side combinable)."""
+    """k min-hashes per doc from ONE base md5 per shingle (universal-hash
+    family — see minhash_params). One groupBy with k min() aggregates over
+    the shared base-hash column (map-side combinable)."""
+    hv = base_hash31(F.col("shingle")).alias("__hv")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.min((F.col("__hv") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return shingles.select(F.col(id_col), hv).groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -174,20 +197,25 @@ def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
         toks.select(F.col(id_col),
                     F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("shset"))
         .filter(F.size("shset") > 0)
+        # hset: ONE md5 per shingle, materialized by the persist so the k
+        # signature transforms below reuse it (HOF lambdas are not CSE'd —
+        # recomputing md5 inside each would cost k x; measured before the
+        # universal-hash rewrite, md5 was ~the whole signature stage)
+        .withColumn("hset", F.transform("shset", base_hash31))
         .persist()
     )
     rows_per = num_hashes // bands
     assert rows_per * bands == num_hashes
     # NOTE: the lambda must take exactly ONE parameter — PySpark infers the
-    # HOF arity from the python signature, so a captured `j=j` default arg
-    # would silently switch transform() to its (element, index) form and
-    # bind j to the array index. F.transform() invokes the lambda
-    # synchronously, so plain closure capture of the loop var is safe.
-    def hash_j(j: int):
-        return lambda x: F.md5(F.concat(F.lit(f"{j}:"), x))
+    # HOF arity from the python signature, so a captured default arg would
+    # silently switch transform() to its (element, index) form. Plain
+    # closure capture of the loop vars is safe (transform() builds the
+    # expression synchronously).
+    def hash_j(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
     sig_cols = [
-        F.array_min(F.transform("shset", hash_j(j))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.array_min(F.transform("hset", hash_j(a, b))).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     sig = docs.select(F.col(id_col), F.size("shset").alias("sz"), *sig_cols)
     band_entries = F.array(*[

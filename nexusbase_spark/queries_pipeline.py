@@ -115,16 +115,29 @@ def _minhash_ctes(max_bucket: int | None = None) -> str:
         USING (band_idx, band_key)
     ),"""
         cand_src = "banded_ok"
+    # exact mirror of the Spark kernel's universal-hash MinHash: one md5
+    # per shingle -> 31-bit base hash, k affine derivations from the SAME
+    # (a_j, b_j) constants (imported, not copied)
+    from nexusbase_spark.pipeline.dedup import MINHASH_P, minhash_params
+    params = minhash_params(8)
     return f"""
     sh AS ({SHINGLES_SQL}),
+    shh AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS hv
+        FROM sh
+    ),
     sig AS (
         SELECT doc_id,
-               {", ".join(f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(8))}
-        FROM sh GROUP BY doc_id
+               {", ".join(f"min((hv * {a} + {b}) % {MINHASH_P}) AS h{j}"
+                          for j, (a, b) in enumerate(params))}
+        FROM shh GROUP BY doc_id
     ),
     banded AS (
         {" UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig"
+            f"SELECT doc_id, {b} AS band_idx, "
+            f"md5(CAST(h{2*b} AS VARCHAR) || '|' || CAST(h{2*b+1} AS VARCHAR)) AS band_key FROM sig"
             for b in range(4))}
     ),{cap_cte}
     cand AS (
