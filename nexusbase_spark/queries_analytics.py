@@ -364,3 +364,69 @@ def q_customers_without_orders(spark, sf_dir):
     o = o.filter(F.col("o_orderdate") < _dlit(o, "o_orderdate", "1996-01-01"))
     return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
             .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")))
+
+
+@register("tpch_q10_returned_revenue", """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+""")
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: fact filtered on return flag, half-year order
+    window, customer/nation dims broadcast, distributed top-20
+    (TakeOrderedAndProject — no global sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter((F.col("o_orderdate") >= _dlit(o, "o_orderdate", "1996-01-01"))
+                 & (F.col("o_orderdate") < _dlit(o, "o_orderdate", "1996-07-01")))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register("tpch_q14_promo_share", """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           count(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""")
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation (CASE inside sum) over a
+    broadcast part join — promo revenue share in one pass, no second
+    scan for the denominator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter((F.col("l_shipdate") >= _dlit(li, "l_shipdate", "1996-03-01"))
+                   & (F.col("l_shipdate") < _dlit(li, "l_shipdate", "1996-04-01")))
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
