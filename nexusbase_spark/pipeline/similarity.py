@@ -122,3 +122,60 @@ def ivf_topk(df: DataFrame, probe: list[float], k: int = 10, nprobe: int = 2,
     )
     pruned = df.join(F.broadcast(best), part_col)
     return cosine_topk(pruned, probe, k, id_col, vec_col, exclude_id)
+
+
+def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  out_col: str = "cluster", round_dec: int = 6) -> DataFrame:
+    """Deterministic Lloyd k-means: the real coarse quantizer for IVF
+    (replacing the label-column stand-in).
+
+    Engineered for cross-engine determinism (the DuckDB oracle runs the
+    SAME unrolled iterations):
+    - init centroids = the vectors with id 0..k-1 (no RNG);
+    - fixed iteration count (no convergence test on floats);
+    - centroid components AND squared-L2 distances are rounded to
+      ``round_dec`` decimals, so float summation ORDER (Spark's fold vs
+      DuckDB's group sum) cannot flip an assignment;
+    - argmin ties break by centroid id (struct min on (dist, cid)).
+
+    Scale shape: assignments and per-dimension means are distributed (one
+    groupBy per iteration); only the k x dim centroid table — driver-sized
+    by definition — is collected between iterations. An empty cluster
+    simply drops out of the means (both engines agree).
+    """
+    def _fetch(frame, cid_col, pos_col, val_col):
+        cents: dict[int, dict[int, float]] = {}
+        for r in frame:
+            cents.setdefault(int(r[cid_col]), {})[int(r[pos_col])] = float(r[val_col])
+        return {cid: [d[p] for p in sorted(d)] for cid, d in cents.items()}
+
+    init = (df.filter(F.col(id_col) < k)
+            .select(F.col(id_col).alias("cid"),
+                    F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .withColumn("x", F.round(F.col("x").cast("double"), round_dec))
+            .collect())
+    cents = _fetch(init, "cid", "pos", "x")
+
+    def assign_col() -> Column:
+        entries = []
+        for cid in sorted(cents):
+            c = F.array(*[F.lit(v) for v in cents[cid]])
+            d = F.aggregate(
+                F.zip_with(F.col(vec_col), c,
+                           lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            entries.append(F.struct(F.round(d, round_dec).alias("d"),
+                                    F.lit(cid).alias("c")))
+        return F.array_min(F.array(*entries))["c"]
+
+    for _ in range(iters):
+        asg = df.withColumn(out_col, assign_col())
+        rows = (asg.select(F.col(out_col).alias("cid"),
+                           F.posexplode(F.col(vec_col)).alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg(F.col("x").cast("double")), round_dec).alias("val"))
+                .collect())
+        cents = _fetch(rows, "cid", "pos", "val")
+
+    return df.withColumn(out_col, assign_col())

@@ -637,3 +637,73 @@ def q_multimodal_meta(spark, sf_dir):
     schema/batching/partition plumbing is what's exercised)."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_meta(attach_payload(docs))
+
+
+def _kmeans_ctes(k: int = 4, iters: int = 3) -> str:
+    """Unrolled deterministic Lloyd k-means in SQL — the exact mirror of
+    pipeline/similarity.kmeans_assign (init = vec_id < k, centroids and
+    squared-L2 distances rounded to 6 decimals, argmin ties by cid)."""
+    ctes = [
+        "ev AS (SELECT vec_id, r.i - 1 AS pos, CAST(embedding[r.i] AS DOUBLE) AS x"
+        " FROM embeddings, range(1, 65) r(i))",
+        f"c0 AS (SELECT vec_id AS cid, pos, round(x, 6) AS val FROM ev WHERE vec_id < {k})",
+    ]
+    # each iteration t: assign against c{t-1}, then update means -> c{t};
+    # the FINAL labels are one more assignment against c{iters} — exactly
+    # kmeans_assign's loop (iters x (assign, update)) + closing assignment
+    for t in range(1, iters + 2):
+        prev = f"c{t-1}"
+        ctes.append(f"""d{t} AS (
+            SELECT e.vec_id, c.cid, round(sum((e.x - c.val) * (e.x - c.val)), 6) AS dist
+            FROM ev e JOIN {prev} c ON c.pos = e.pos
+            GROUP BY e.vec_id, c.cid)""")
+        ctes.append(f"""a{t} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d{t}) WHERE rn = 1)""")
+        if t <= iters:
+            ctes.append(f"""c{t} AS (
+                SELECT a.cid, e.pos, round(avg(e.x), 6) AS val
+                FROM a{t} a JOIN ev e ON e.vec_id = a.vec_id
+                GROUP BY a.cid, e.pos)""")
+    ctes.append(f"clusters AS (SELECT vec_id, cid FROM a{iters + 1})")
+    return ",\n    ".join(ctes)
+
+
+@register("embed_ivf_kmeans_topk", f"""
+    WITH {_kmeans_ctes(k=4, iters=3)},
+    probe AS (SELECT pos, x AS pv FROM ev WHERE vec_id = 0),
+    pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM probe),
+    dim AS (
+        SELECT cl.cid, e.pos, avg(e.x) AS m
+        FROM clusters cl JOIN ev e ON e.vec_id = cl.vec_id
+        GROUP BY cl.cid, e.pos),
+    cs AS (
+        SELECT d.cid, sum(d.m * p.pv) / (sqrt(sum(d.m * d.m)) * any_value(pn.n)) AS c
+        FROM dim d JOIN probe p ON p.pos = d.pos, pn GROUP BY d.cid),
+    best AS (SELECT cid FROM cs ORDER BY c DESC, cid LIMIT 2),
+    m AS (
+        SELECT e.vec_id,
+               sum(e.x * p.pv) AS dot,
+               sqrt(sum(e.x * e.x)) AS vn
+        FROM ev e
+        JOIN clusters cl ON cl.vec_id = e.vec_id AND cl.cid IN (SELECT cid FROM best)
+        JOIN probe p ON p.pos = e.pos
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id)
+    SELECT vec_id, round(dot / (vn * (SELECT n FROM pn)), 4) AS cosine FROM m
+    ORDER BY dot / (vn * (SELECT n FROM pn)) DESC, vec_id LIMIT 10
+""")
+def q_embed_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with a REAL coarse quantizer: deterministic Lloyd k-means
+    (k=4, 3 iterations, seeded by the first k vectors) assigns clusters,
+    then the standard IVF prune scans only the best-2 clusters by
+    centroid cosine. Oracle unrolls the identical iterations in SQL."""
+    from nexusbase_spark.pipeline.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = kmeans_assign(emb, k=4, iters=3)
+    out = ivf_topk(labeled, _probe_vec(spark, sf_dir), k=10, nprobe=2,
+                   part_col="cluster", exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
