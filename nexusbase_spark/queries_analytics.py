@@ -404,6 +404,107 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+@register("tpch_q2_min_cost_supplier", """
+    WITH sized AS (
+        SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice, p.p_name
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size = 15),
+    best AS (
+        SELECT l_partkey, p_name, l_suppkey, l_extendedprice,
+               min(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price
+        FROM sized)
+    SELECT b.l_partkey AS p_partkey, b.p_name,
+           round(b.min_price, 2) AS min_price,
+           min(b.l_suppkey) AS best_suppkey
+    FROM best b
+    WHERE b.l_extendedprice = b.min_price
+    GROUP BY b.l_partkey, b.p_name, b.min_price
+""")
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (correlated min subquery — there is no partsupp
+    table, so lineitem stands in as the part->supplier cost source): for
+    each size-15 part, the cheapest offer and its lowest-keyed supplier.
+    The correlated `= (SELECT min(..) WHERE same part)` decorrelates to a
+    window min over the part key — one shuffle, no self-join — and the
+    selective part filter is broadcast-semi-joined BEFORE the window so
+    the shuffle carries 0.4% of lineitem, not all of it."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    li = load_table(spark, sf_dir, "lineitem")
+    sized = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "p_name")
+    w = Window.partitionBy("l_partkey")
+    best = sized.withColumn("min_price", F.min("l_extendedprice").over(w))
+    return (best.filter(F.col("l_extendedprice") == F.col("min_price"))
+            .groupBy(F.col("l_partkey").alias("p_partkey"), "p_name",
+                     F.round("min_price", 2).alias("min_price"))
+            .agg(F.min("l_suppkey").alias("best_suppkey")))
+
+
+@register("tpch_q18_large_carts", """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           big.sum_qty
+    FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 300) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+""")
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (HAVING over a fact rollup): orders whose total
+    quantity exceeds 300, joined back to orders + customer. The rollup's
+    map-side partial agg collapses lineitem ~7:1 before its shuffle; the
+    HAVING filter then keeps ~0.3% of orders, so AQE converts the orders
+    join to broadcast at test scale. At cluster scale that side grows with
+    the data, so the plan keeps it a key-shuffle join rather than forcing
+    broadcast — 0.3% of a 100TB fact is not broadcastable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("qty"))
+           .filter(F.col("qty") > 300)
+           .select("l_orderkey", F.round("qty", 2).alias("sum_qty")))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (big.join(o, big["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty"))
+
+
+@register("tpch_q22_idle_rich_customers", """
+    SELECT c.c_nationkey AS cntry,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+""")
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (scalar-avg subquery + NOT EXISTS): above-average-
+    balance customers with no recent orders, rolled up by nation (standing
+    in for the phone country code the schema lacks). The scalar average is
+    a 1-row aggregate broadcast-cross-joined into the filter — fully
+    distributed, no driver collect; the NOT EXISTS is a left-anti join
+    against the date-pruned orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter(F.col("o_orderdate") >= _dlit(o, "o_orderdate", "1998-01-01"))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    return (rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntry"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
 @register("tpch_q14_promo_share", """
     SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
