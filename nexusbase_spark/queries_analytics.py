@@ -238,22 +238,19 @@ def q_events_asof_enrich(spark, sf_dir):
     """As-of join: each click gains the most recent prior (inclusive) view
     value of the same user — the canonical time-series enrichment join.
     Spark-side: union + running last() window (operators/joins.asof_join),
-    one shuffle on user; oracle: DuckDB's native ASOF LEFT JOIN. The right
-    side is MVCC-deduped to one row per (user, ts) so the tie winner is
-    deterministic on both engines."""
-    from pyspark.sql import Window
-
+    ONE shuffle on user; oracle: DuckDB's native ASOF LEFT JOIN. MVCC
+    last-write-wins among equal-ts views is handled by the join's own
+    `right_tiebreak` ordering (greatest seq sorts last inside the same
+    (user) sort), so no separate (user, ts) pre-dedup exchange is paid."""
     from nexusbase_spark.operators import asof_join
 
     pts = _event_points(spark, sf_dir)
     clicks = pts.filter(F.col("metric") == "click").select(
         "user", "ts", "seq", F.round("value", 4).alias("click_value"))
-    w = Window.partitionBy("user", "ts").orderBy(F.col("seq").desc())
-    views = (pts.filter(F.col("metric") == "view")
-             .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-             .select("user", "ts", F.round("value", 4).alias("view_value")))
-    out = asof_join(clicks, views, on=["user"],
-                    right_cols=["view_value"], suffix="_view")
+    views = pts.filter(F.col("metric") == "view").select(
+        "user", "ts", "seq", F.round("value", 4).alias("view_value"))
+    out = asof_join(clicks, views, on=["user"], right_cols=["view_value"],
+                    suffix="_view", right_tiebreak="seq")
     return out.select(
         "user", "ts", "seq", "click_value",
         F.col("ts_view").alias("view_ts"),
