@@ -30,3 +30,9 @@ from nexusbase_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     ivf_topk,
 )
+from nexusbase_spark.pipeline.split import (  # noqa: F401
+    assign_split,
+    corpus_mix,
+    split_bucket,
+    stratified_sample,
+)

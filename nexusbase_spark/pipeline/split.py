@@ -1,0 +1,130 @@
+"""Dataset splitting / sampling / mix reporting for training-data curation.
+
+The reference engine has nothing in this family (its surface is time-series
+scan + aggregate, SURVEY.md §2); these are the corpus-management operations
+a 100TB pretraining pipeline runs before anything else:
+
+- assign_split: deterministic train/val/test assignment from a salted md5
+  bucket of the document key. Pure narrow projection — no shuffle, no RNG
+  state, stable under re-runs, repartitions, and incremental appends
+  (a doc's split never changes when the corpus grows — the property that
+  makes held-out sets trustworthy).
+- stratified_sample: per-stratum keep-rates applied with the same salted
+  bucket trick. The rates ride in as a broadcast-joined table, so a rate
+  card of millions of strata (e.g. per-domain) works the same as five
+  languages — no when()-chain that grows with the dict.
+- corpus_mix: per-group composition report (doc counts, char mass, shares
+  of the whole). Shares come from a broadcast cross join of the 1-row
+  global aggregate — never a single-partition window over the corpus.
+
+All bucket hashes are md5-derived (hex is identical in DuckDB), matching
+the convention of pipeline/dedup.py:60 (base_hash31).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# bucket resolution: rates/fractions are exact to 1/10000
+N_BUCKETS = 10_000
+
+
+def split_bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from a salted md5 of the key.
+
+    DuckDB mirror:
+    CAST(('0x' || substring(md5(salt || ':' || CAST(key AS VARCHAR)), 1, 15))
+         AS BIGINT) % 10000
+    """
+    h = F.md5(F.concat_ws(":", F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % N_BUCKETS
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a `split` column assigning each row to a named fraction.
+
+    `fractions` maps split name -> fraction; they must sum to 1.0 (to
+    bucket resolution). Assignment is by consecutive bucket ranges in dict
+    order, so {'train': .98, 'val': .01, 'test': .01} gives train buckets
+    [0, 9800), val [9800, 9900), test [9900, 10000).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1.0 / N_BUCKETS:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    b = split_bucket(F.col(key_col), salt)
+    expr = None
+    hi = 0
+    names = list(fractions)
+    for name in names[:-1]:
+        hi += round(fractions[name] * N_BUCKETS)
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    salt: str = "sample-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    A row survives iff its salted bucket < rate(stratum) * N_BUCKETS. The
+    rate card joins in as a broadcast table (left join; unseen strata get
+    `default_rate`), so the operator is one narrow projection + one
+    broadcast hash join regardless of how many strata exist. Subsample
+    monotonicity holds: lowering a rate yields a subset of the higher
+    rate's sample (same salt), which is what curriculum re-mixes want.
+    """
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rates.items()],
+        f"{strata_col} string, __rate double")
+    b = split_bucket(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(rate_df), strata_col, "left")
+        .withColumn("__rate", F.coalesce(F.col("__rate"), F.lit(default_rate)))
+        .filter(b < F.round(F.col("__rate") * N_BUCKETS).cast("long"))
+        .drop("__rate")
+    )
+
+
+def corpus_mix(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-group composition: row count, weight mass, and % shares.
+
+    Output: (group, n_docs, total_weight, pct_docs, pct_weight), shares
+    rounded to 4 decimals. The global totals are a 1-row aggregate
+    broadcast-cross-joined into the per-group rollup — two map-side
+    combinable aggregations, no global window, no second scan of the raw
+    data (Spark reuses the shuffle of the per-group agg for the total in
+    AQE; at worst it is a scan of the tiny grouped result).
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(w).alias("total_weight"))
+    tot = per.agg(F.sum("n_docs").alias("__nd"), F.sum("total_weight").alias("__tw"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            group_col, "n_docs", "total_weight",
+            F.round(100.0 * F.col("n_docs") / F.col("__nd"), 4).alias("pct_docs"),
+            F.round(100.0 * F.col("total_weight") / F.col("__tw"), 4).alias("pct_weight"),
+        )
+    )

@@ -707,3 +707,81 @@ def q_embed_ivf_kmeans_topk(spark, sf_dir):
     out = ivf_topk(labeled, _probe_vec(spark, sf_dir), k=10, nprobe=2,
                    part_col="cluster", exclude_id=0)
     return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+# ---------------------------------------------------------------------------
+# dataset splitting / sampling / mix (pipeline/split.py)
+
+def _bucket_sql(key: str, salt: str) -> str:
+    """DuckDB mirror of pipeline.split.split_bucket."""
+    return ("CAST(('0x' || substring(md5('" + salt + ":' || CAST(" + key +
+            " AS VARCHAR)), 1, 15)) AS BIGINT) % 10000")
+
+
+@register("docs_train_split", f"""
+    WITH b AS (
+        SELECT lang, n_chars, {_bucket_sql('doc_id', 'split-v1')} AS bk
+        FROM documents)
+    SELECT CASE WHEN bk < 8000 THEN 'train'
+                WHEN bk < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM b GROUP BY split, lang
+""")
+def q_docs_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment from a salted md5
+    bucket of doc_id — no RNG state, stable under appends/repartitions.
+    Rolled up by (split, lang) so the oracle hash checks every row's
+    assignment through the counts."""
+    from nexusbase_spark.pipeline.split import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = assign_split(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+@register("docs_stratified_sample", f"""
+    WITH r(lang, rate) AS (VALUES
+        ('en', 0.1), ('de', 0.5), ('zh', 0.2), ('fr', 1.0), ('es', 0.05))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE {_bucket_sql('d.doc_id', 'sample-v1')}
+          < CAST(round(r.rate * 10000) AS BIGINT)
+""")
+def q_docs_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (the language-rebalance
+    step of corpus curation): each stratum keeps its own fraction via the
+    salted-bucket filter; the rate card broadcast-joins in. Row-level
+    output so the oracle verifies the exact surviving set."""
+    from nexusbase_spark.pipeline.split import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.1, "de": 0.5, "zh": 0.2, "fr": 1.0, "es": 0.05})
+    return out.select("doc_id", "lang", "source")
+
+
+@register("docs_corpus_mix", """
+    WITH per AS (
+        SELECT source, count(*) AS n_docs, sum(n_chars) AS total_weight
+        FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_docs) AS nd, sum(total_weight) AS tw FROM per)
+    SELECT per.source, per.n_docs, per.total_weight,
+           round(100 * CAST(per.n_docs AS DOUBLE) / nd, 4) AS pct_docs,
+           round(100 * CAST(per.total_weight AS DOUBLE) / tw, 4) AS pct_weight
+    FROM per, tot
+""")
+def q_docs_corpus_mix(spark, sf_dir):
+    """Corpus composition report by source (the mix table a data-curation
+    run starts and ends with): counts, char mass, and shares of the whole.
+    Totals are a broadcast cross join of the 1-row global aggregate —
+    ReuseExchange makes the per-group shuffle feed both branches, so the
+    raw table is scanned once and no single-partition window appears."""
+    from nexusbase_spark.pipeline.split import corpus_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_mix(docs, "source", weight_col="n_chars")

@@ -89,3 +89,61 @@ def test_pii_redaction(spark):
     assert rows[1]["red"] == "mail <EMAIL> or <EMAIL> from <IP> now"
     assert rows[2]["n_emails"] == 0 and rows[2]["n_ips"] == 0
     assert rows[2]["red"] == "no pii here at all"
+
+
+def test_assign_split_stable_under_append(spark):
+    """A doc's split never changes when the corpus grows — the property
+    that makes held-out sets trustworthy across incremental ingests."""
+    from nexusbase_spark.pipeline.split import assign_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"]
+          for r in assign_split(small, "doc_id", fr).collect()}
+    s2 = {r["doc_id"]: r["split"]
+          for r in assign_split(big, "doc_id", fr).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    # every named split is populated and fractions are roughly honored
+    from collections import Counter
+    c = Counter(s2.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.7 < c["train"] / 1000 < 0.9
+    # different salt -> different assignment (not doc_id-ordinal)
+    s3 = {r["doc_id"]: r["split"]
+          for r in assign_split(big, "doc_id", fr, salt="other").collect()}
+    assert any(s3[k] != s2[k] for k in s3)
+
+
+def test_stratified_sample_monotone_and_rated(spark):
+    """Lowering a stratum's rate yields a subset of the higher-rate sample
+    (same salt), and unknown strata fall back to default_rate."""
+    from nexusbase_spark.pipeline.split import stratified_sample
+
+    df = (spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+          .withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en")
+                      .otherwise("xx")))
+    lo = stratified_sample(df, "doc_id", "lang", {"en": 0.2}).collect()
+    hi = stratified_sample(df, "doc_id", "lang", {"en": 0.6}).collect()
+    lo_ids = {r["doc_id"] for r in lo}
+    hi_ids = {r["doc_id"] for r in hi}
+    assert lo_ids <= hi_ids
+    assert all(r["lang"] == "en" for r in hi)  # default_rate=0 drops xx
+    assert 0.1 < len(lo_ids) / 500 < 0.3 and 0.5 < len(hi_ids) / 500 < 0.7
+    # default_rate keeps unknown strata at the fallback rate
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 0.0},
+                             default_rate=1.0).collect()
+    assert {r["lang"] for r in kept} == {"xx"}
+    assert len(kept) == 500
+
+
+def test_corpus_mix_shares(spark):
+    from nexusbase_spark.pipeline.split import corpus_mix
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("b", 60)], "src string, w long")
+    rows = {r["src"]: r for r in corpus_mix(df, "src", "w").collect()}
+    assert rows["a"]["n_docs"] == 2 and rows["b"]["n_docs"] == 1
+    assert rows["a"]["total_weight"] == 40 and rows["b"]["total_weight"] == 60
+    assert abs(rows["a"]["pct_docs"] - 66.6667) < 1e-4
+    assert rows["a"]["pct_weight"] == 40.0 and rows["b"]["pct_weight"] == 60.0
