@@ -48,6 +48,23 @@ def _out_schema(key_col: str) -> StructType:
     ])
 
 
+def _fold_points(k, rows: pd.DataFrame, start, last, n, s, gap_ns: int):
+    """Single-pass session fold over one key's sorted points. Returns
+    (closed session rows, open-session tuple)."""
+    closed: list[list] = []
+    for ts, v in zip(rows["ts"], rows["value"]):
+        ts = int(ts)
+        v = 0.0 if pd.isna(v) else float(v)
+        if start is None:
+            start, last, n, s = ts, ts, 1, v
+        elif ts - last > gap_ns:
+            closed.append([k, start, last, n, s])
+            start, last, n, s = ts, ts, 1, v
+        else:
+            last, n, s = max(last, ts), n + 1, s + v
+    return closed, (start, last, n, s)
+
+
 def live_sessionize(
     stream: DataFrame,
     key_col: str,
@@ -88,18 +105,8 @@ def live_sessionize(
         else:
             start = last = None
             n, s = 0, 0.0
-        closed: list[list] = []
-        for ts, v in zip(rows["ts"], rows["value"]):
-            ts = int(ts)
-            v = 0.0 if pd.isna(v) else float(v)
-            if start is None:
-                start, last, n, s = ts, ts, 1, v
-            elif ts - last > gap_ns:
-                closed.append([k, start, last, n, s])
-                start, last, n, s = ts, ts, 1, v
-            else:
-                last, n, s = max(last, ts), n + 1, s + v
-        state.update((start, last, n, s))
+        closed, open_sess = _fold_points(k, rows, start, last, n, s, gap_ns)
+        state.update(open_sess)
         state.setTimeoutDuration(timeout_ms)
         if closed:
             yield pd.DataFrame(closed, columns=cols)
@@ -110,4 +117,77 @@ def live_sessionize(
         _STATE_SCHEMA,
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def live_sessionize_tws(
+    stream: DataFrame,
+    key_col: str,
+    gap_ns: int,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """`live_sessionize` on the transformWithStateInPandas API (the
+    successor of applyInPandasWithState in Spark 4): per-key ValueState
+    plus an explicit processing-time TIMER for the idle flush, instead of
+    the coarse single timeout. Semantics are identical; the timer model
+    additionally guarantees a stale timer can't flush a session that saw
+    later activity, because each input batch cancels the key's previous
+    timer before arming a new one.
+
+    Requires the RocksDB state-store provider (transformWithState's
+    backing store); callers set
+    spark.sql.streaming.stateStore.providerClass accordingly. The Python
+    worker side additionally needs the `protobuf` package (Spark's state
+    server protocol) — absent in this container, so the unit test skips;
+    the applyInPandasWithState operator above remains the exercised path
+    here and the semantics-bearing fold is shared (_fold_points).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    if timeout_ms is None:
+        timeout_ms = max(gap_ns // 1_000_000, 1)
+    out_schema = _out_schema(key_col)
+    cols = [key_col, "session_start", "session_end", "n_events", "sum_value"]
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("open_session", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values: TimerValues):
+            k = key[0]
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+            start, last, n, s = (self._state.get() if self._state.exists()
+                                 else (None, None, 0, 0.0))
+            closed, open_sess = _fold_points(k, pdf, start, last, n, s, gap_ns)
+            self._state.update(open_sess)
+            # re-arm the idle-flush timer: cancel any previous one so it
+            # can't fire against the now-extended session
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() + timeout_ms)
+            if closed:
+                yield pd.DataFrame(closed, columns=cols)
+
+        def handleExpiredTimer(self, key, timer_values: TimerValues,
+                               expired_timer_info: ExpiredTimerInfo):
+            if self._state.exists():
+                start, last, n, s = self._state.get()
+                self._state.clear()
+                yield pd.DataFrame([[key[0], start, last, n, s]], columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
     )

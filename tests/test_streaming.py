@@ -251,3 +251,71 @@ def test_live_sessionize_stateful(spark, tmp_path):
         assert await_rows(expected) == expected
     finally:
         q.stop()
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason=(
+    "transformWithStateInPandas workers need google.protobuf (absent in "
+    "this container); the operator is exercised on protobuf-equipped "
+    "clusters"))
+def test_live_sessionize_tws(spark, tmp_path):
+    """transformWithStateInPandas sessionization (the Spark-4 successor
+    API): same closed-session semantics as the applyInPandasWithState
+    operator, but the idle flush is an explicit per-key timer backed by
+    the RocksDB state store."""
+    from nexusbase_spark.streaming.sessions import live_sessionize_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    schema = "user string, ts long, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    def sink_rows():
+        return {tuple(r) for r in spark.sql(
+            "SELECT user, session_start, session_end, n_events, sum_value "
+            "FROM tws_sessions").collect()}
+
+    def await_rows(expected, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = sink_rows()
+            if got == expected:
+                return got
+            time.sleep(0.5)
+        return sink_rows()
+
+    gap = 100
+    feed([("u1", 0, 1.0), ("u1", 50, 2.0), ("u1", 200, 3.0),
+          ("u2", 0, 9.0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = live_sessionize_tws(stream, "user", gap_ns=gap, timeout_ms=3_600_000)
+    q = (out.writeStream.format("memory").queryName("tws_sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+         .start())
+    try:
+        assert await_rows({("u1", 0, 50, 2, 3.0)}) == {("u1", 0, 50, 2, 3.0)}
+        # the open session (start 200) extends within gap, then a far
+        # point closes it; u2 stays open and is never emitted
+        feed([("u1", 250, 4.0), ("u1", 1000, 5.0)])
+        expected = {("u1", 0, 50, 2, 3.0), ("u1", 200, 250, 2, 7.0)}
+        assert await_rows(expected) == expected
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
