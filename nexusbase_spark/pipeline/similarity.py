@@ -179,3 +179,65 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 3,
         cents = _fetch(rows, "cid", "pos", "val")
 
     return df.withColumn(out_col, assign_col())
+
+
+def hyperplanes(nbits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix (nbits x dim), derived
+    from md5 so the DuckDB oracle regenerates the identical planes:
+    w[p][i] = +1 iff md5('<p>,<i>') (1-based i) has an even 60-bit prefix.
+    Sign-only planes preserve the SimHash cosine-LSH guarantee
+    (P[bit differs] = angle/pi) without needing a shared float RNG."""
+    import hashlib
+
+    def sign(p: int, i: int) -> float:
+        h = int(hashlib.md5(f"{p},{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [[sign(p, i) for i in range(1, dim + 1)] for p in range(nbits)]
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = the nbits-wide sign signature of the vector against the
+    hyperplanes, packed into a long. The per-plane dot runs JVM-side
+    (aggregate over zip_with) and is rounded to 6 decimals before the sign
+    test so accumulation-order ulps can't flip a bit vs the oracle."""
+    bits = []
+    for p, w in enumerate(planes):
+        wl = F.array(*[F.lit(v) for v in w])
+        d = F.round(_dot(vec, wl), 6)
+        bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(df: DataFrame, probe: list[float], k: int = 10, nbits: int = 8,
+             hamming: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             exclude_id: int | None = None) -> DataFrame:
+    """Cosine-LSH-bucketed ANN: candidates are the vectors whose sign
+    signature is within `hamming` bits of the probe's (multi-probe LSH),
+    rescored exactly and top-k'd.
+
+    Scale shape: the bucket is a pure per-row projection — at corpus
+    scale it is computed once at ingest and the table is partitioned or
+    z-ordered by it, so the IN-list of 1 + nbits bucket ids becomes file-
+    level pruning and the exact rescore touches ~(1+nbits)/2^nbits of the
+    corpus (~3.5% at nbits=8, hamming=1). The probe's bucket is computed
+    driver-side from the same md5 planes — no extra Spark job."""
+    dim = len(probe)
+    planes = hyperplanes(nbits, dim)
+    pb = 0
+    for p, w in enumerate(planes):
+        if round(sum(probe[i] * w[i] for i in range(dim)), 6) >= 0:
+            pb |= 1 << p
+    targets = {pb}
+    if hamming >= 1:
+        targets |= {pb ^ (1 << i) for i in range(nbits)}
+    if hamming >= 2:
+        raise NotImplementedError("multi-probe beyond hamming 1 not needed yet")
+    cand = (df.withColumn("__bucket", lsh_bucket_expr(F.col(vec_col), planes))
+            .filter(F.col("__bucket").isin(*sorted(targets)))
+            .drop("__bucket"))
+    return cosine_topk(cand, probe, k, id_col, vec_col, exclude_id)

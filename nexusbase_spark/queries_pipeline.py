@@ -785,3 +785,46 @@ def q_docs_corpus_mix(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_mix(docs, "source", weight_col="n_chars")
+
+
+@register("embed_lsh_topk", """
+    WITH ev AS (
+        SELECT vec_id, r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS x
+        FROM embeddings, range(1, 65) r(i)),
+    pr AS (SELECT pos, x AS pv FROM ev WHERE vec_id = 0),
+    pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM pr),
+    planes AS (
+        SELECT pl.p, r.i AS pos,
+               CASE WHEN CAST(('0x' || substring(md5(pl.p || ',' || r.i), 1, 15))
+                         AS BIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS w
+        FROM range(0, 8) pl(p), range(1, 65) r(i)),
+    bits AS (
+        SELECT e.vec_id, pl.p,
+               CASE WHEN round(sum(e.x * pl.w), 6) >= 0 THEN 1 ELSE 0 END AS b
+        FROM ev e JOIN planes pl ON pl.pos = e.pos
+        GROUP BY e.vec_id, pl.p),
+    bk AS (SELECT vec_id, CAST(sum(b * (1 << p)) AS BIGINT) AS bucket
+           FROM bits GROUP BY vec_id),
+    pb AS (SELECT bucket AS v FROM bk WHERE vec_id = 0),
+    cand AS (SELECT bk.vec_id FROM bk, pb
+             WHERE bit_count(xor(bk.bucket, pb.v)) <= 1 AND bk.vec_id <> 0),
+    m AS (
+        SELECT e.vec_id, sum(e.x * pr.pv) AS dot, sqrt(sum(e.x * e.x)) AS vn
+        FROM ev e JOIN pr ON pr.pos = e.pos
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+        GROUP BY e.vec_id)
+    SELECT vec_id, round(dot / (vn * (SELECT n FROM pn)), 4) AS cosine FROM m
+    ORDER BY dot / (vn * (SELECT n FROM pn)) DESC, vec_id LIMIT 10
+""")
+def q_embed_lsh_topk(spark, sf_dir):
+    """Cosine-LSH ANN: md5-derived ±1 hyperplanes give every vector an
+    8-bit sign signature; candidates within hamming distance 1 of the
+    probe's signature (multi-probe) are exactly rescored. The oracle
+    regenerates the identical planes and buckets in SQL."""
+    from nexusbase_spark.pipeline.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, _probe_vec(spark, sf_dir), k=10, nbits=8, hamming=1,
+                   exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))

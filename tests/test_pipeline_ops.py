@@ -147,3 +147,32 @@ def test_corpus_mix_shares(spark):
     assert rows["a"]["total_weight"] == 40 and rows["b"]["total_weight"] == 60
     assert abs(rows["a"]["pct_docs"] - 66.6667) < 1e-4
     assert rows["a"]["pct_weight"] == 40.0 and rows["b"]["pct_weight"] == 60.0
+
+
+def test_lsh_topk_recall_and_multiprobe(spark):
+    """A near-duplicate of the probe always lands in its bucket (identical
+    signs -> identical signature), and hamming-1 multi-probe candidates
+    are a superset of exact-bucket candidates."""
+    import random
+
+    from nexusbase_spark.pipeline.similarity import (
+        hyperplanes, lsh_bucket_expr, lsh_topk)
+
+    rng = random.Random(7)
+    dim = 16
+    probe = [rng.uniform(-1, 1) for _ in range(dim)]
+    near = [x * 1.01 for x in probe]          # same direction -> same signs
+    rows = [(0, probe), (1, near)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(2, 60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = lsh_topk(df, probe, k=5, nbits=6, hamming=0, exclude_id=0).collect()
+    assert got and got[0]["vec_id"] == 1 and got[0]["cosine"] > 0.9999
+
+    planes = hyperplanes(6, dim)
+    b = df.withColumn("b", lsh_bucket_expr(F.col("embedding"), planes))
+    pb = b.filter("vec_id = 0").collect()[0]["b"]
+    exact = {r["vec_id"] for r in b.filter(F.col("b") == pb).collect()}
+    multi = {r["vec_id"] for r in lsh_topk(
+        df, probe, k=60, nbits=6, hamming=1, exclude_id=0).collect()}
+    assert (exact - {0}) <= multi
