@@ -528,3 +528,51 @@ def q_tpch_q14(spark, sf_dir):
         .agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
              F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register("events_funnel", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts, event_type
+        FROM events),
+    s1 AS (SELECT user, min(ts) AS t1 FROM pts WHERE event_type = 'view'
+           GROUP BY user),
+    s2 AS (SELECT p.user, min(p.ts) AS t2
+           FROM pts p JOIN s1 ON s1.user = p.user
+           WHERE p.event_type = 'click'
+             AND p.ts >= s1.t1 AND p.ts <= s1.t1 + 604800000000000
+           GROUP BY p.user),
+    s3 AS (SELECT p.user, min(p.ts) AS t3
+           FROM pts p JOIN s2 ON s2.user = p.user
+           WHERE p.event_type = 'purchase'
+             AND p.ts >= s2.t2 AND p.ts <= s2.t2 + 604800000000000
+           GROUP BY p.user)
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_view_click,
+           (SELECT count(*) FROM s3) AS n_full_funnel
+""")
+def q_events_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (view -> click -> purchase, each step within
+    7 days of the previous): the canonical behavioral-analytics shape.
+    Each step is a groupBy(user) min over the events that FOLLOW the
+    previous step's timestamp. Every aggregation and join keys on user —
+    no re-keying anywhere — so at scale the steps plan as co-partitioned
+    sort-merge joins on one shuffle family; at test SF the optimizer
+    instead broadcasts the (aggregated, tiny) previous-step tables into
+    the next step's filter, which is the right call there too."""
+    ev = load_table(spark, sf_dir, "events")
+    week = 604_800_000_000_000
+    pts = ev.select(F.col("user_id").cast("string").alias("user"),
+                    source_ts_ns(ev).alias("ts"), "event_type")
+    s1 = (pts.filter(F.col("event_type") == "view")
+          .groupBy("user").agg(F.min("ts").alias("t1")))
+    s2 = (pts.filter(F.col("event_type") == "click").join(s1, "user")
+          .filter((F.col("ts") >= F.col("t1"))
+                  & (F.col("ts") <= F.col("t1") + week))
+          .groupBy("user").agg(F.min("ts").alias("t2")))
+    s3 = (pts.filter(F.col("event_type") == "purchase").join(s2, "user")
+          .filter((F.col("ts") >= F.col("t2"))
+                  & (F.col("ts") <= F.col("t2") + week))
+          .groupBy("user").agg(F.min("ts").alias("t3")))
+    return (s1.agg(F.count(F.lit(1)).alias("n_view"))
+            .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+            .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))))

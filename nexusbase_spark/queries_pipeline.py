@@ -828,3 +828,31 @@ def q_embed_lsh_topk(spark, sf_dir):
     out = lsh_topk(emb, _probe_vec(spark, sf_dir), k=10, nbits=8, hamming=1,
                    exclude_id=0)
     return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+@register("text_token_distribution", """
+    WITH n AS (
+        SELECT source, len(string_split(text, ' ')) AS n_tok
+        FROM documents)
+    SELECT source, count(*) AS n_docs,
+           round(avg(n_tok), 4) AS avg_tokens,
+           round(quantile_cont(n_tok, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tok, 0.9), 4) AS p90_tokens,
+           round(quantile_cont(n_tok, 0.99), 4) AS p99_tokens
+    FROM n GROUP BY source
+""")
+def q_text_token_distribution(spark, sf_dir):
+    """Per-source token-length distribution (the length-profile report a
+    curation run uses to set truncation budgets): exact interpolated
+    percentiles here for the oracle; at corpus scale the same query swaps
+    `percentile` for `percentile_approx` (t-digest-style sketch, map-side
+    mergeable) with no other change — mirroring the p95 downsample's
+    exact/approx pairing."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("source", F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    return (n.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.9)"), 4).alias("p90_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.99)"), 4).alias("p99_tokens")))
