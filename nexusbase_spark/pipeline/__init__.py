@@ -36,3 +36,7 @@ from nexusbase_spark.pipeline.split import (  # noqa: F401
     split_bucket,
     stratified_sample,
 )
+from nexusbase_spark.pipeline.pack import (  # noqa: F401
+    interleave_by_weight,
+    pack_assignments,
+)

@@ -1,0 +1,90 @@
+"""Sequence packing and dataset interleaving — the batch-assembly side of
+a pretraining data pipeline (nothing comparable exists in the reference,
+whose surface ends at time-series queries; SURVEY.md §2).
+
+- pack_assignments: assign documents to fixed-token-budget packs (the
+  "sample packing" step that turns a shuffled corpus into dense training
+  sequences). True first-fit bin packing is inherently sequential, so the
+  scalable formulation is the standard streaming cut: lay each shard's
+  docs head-to-tail in a deterministic order and cut every `budget`
+  tokens. A pack can overflow by at most (longest doc - 1) tokens — the
+  bounded-overflow approximation every distributed packer makes; the
+  boundary doc is the one a trainer truncates or spills. One window
+  (running sum) per shard, shards are salted-hash spread, no driver
+  state.
+- interleave_by_weight: weighted round-robin mixing of strata into one
+  global stream (the "dataset mixing" step): element i of a stratum with
+  weight w sits at virtual position i/w, so a weight-2 stratum appears
+  twice as often as a weight-1 stratum in any prefix of the mixed order.
+  The weight card broadcast-joins in; taking the first n of the mix is a
+  TakeOrderedAndProject (per-partition top-n, no global sort
+  materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexusbase_spark.pipeline.split import N_BUCKETS, split_bucket
+
+
+def pack_assignments(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    shards: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Add (shard, pack_id, pack_offset) to every row.
+
+    shard = salted md5 bucket of the key (deterministic spread, stable
+    under appends); within a shard, docs are ordered by key and cut into
+    packs every `budget` tokens of the running total. pack_offset is the
+    doc's start position inside its pack's token stream.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    shard = (split_bucket(F.col(key_col), salt) % shards).alias("shard")
+    w = (Window.partitionBy("shard").orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__cum", cum_before)
+        .withColumn("pack_id", F.floor(F.col("__cum") / budget))
+        .withColumn("pack_offset", F.col("__cum") % budget)
+        .drop("__cum")
+    )
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    n: int | None = None,
+) -> DataFrame:
+    """Mix strata into one deterministic global order by sampling weight.
+
+    Each stratum's rows are ranked by key; rank r of a stratum with
+    weight w gets virtual position r/w, and the mix is ordered by
+    (position, stratum, key) — a total order, so any prefix is a
+    reproducible weighted blend. Strata absent from `weights` are
+    dropped (weight 0). With `n`, returns the first n rows of the mix
+    (distributed top-n, not a global sort).
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items() if v > 0],
+        f"{strata_col} string, __w double")
+    rw = Window.partitionBy(strata_col).orderBy(key_col)
+    mixed = (
+        df.join(F.broadcast(wdf), strata_col)
+        .withColumn("__rn", F.row_number().over(rw))
+        .withColumn("mix_pos", F.col("__rn") / F.col("__w"))
+        .drop("__w", "__rn")
+    )
+    ordered = mixed.orderBy("mix_pos", strata_col, key_col)
+    return ordered.limit(n) if n is not None else ordered

@@ -856,3 +856,57 @@ def q_text_token_distribution(spark, sf_dir):
         F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
         F.round(F.expr("percentile(n_tok, 0.9)"), 4).alias("p90_tokens"),
         F.round(F.expr("percentile(n_tok, 0.99)"), 4).alias("p99_tokens")))
+
+
+@register("docs_pack_assignments", f"""
+    WITH b AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+               ({_bucket_sql('doc_id', 'pack-v1')}) % 8 AS shard
+        FROM documents),
+    c AS (
+        SELECT doc_id, n_tok, shard,
+               coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM b)
+    SELECT doc_id, shard, CAST(floor(cum / 512) AS BIGINT) AS pack_id,
+           cum % 512 AS pack_offset, n_tok
+    FROM c
+""")
+def q_docs_pack_assignments(spark, sf_dir):
+    """Sequence packing: each doc gets (shard, pack_id, offset) for a
+    512-token pack budget — the batch-assembly step of a pretraining
+    pipeline. Streaming-cut formulation: one running-sum window per
+    salted shard; packs overflow by at most one boundary doc (the
+    truncate/spill doc), never more."""
+    from nexusbase_spark.pipeline.pack import pack_assignments
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.size(F.split(F.col("text"), " ")).alias("n_tok"))
+    out = pack_assignments(toks, "doc_id", "n_tok", budget=512, shards=8)
+    return out.select("doc_id", "shard", "pack_id", "pack_offset", "n_tok")
+
+
+@register("docs_interleave_mix", """
+    WITH w(lang, wt) AS (VALUES
+        ('en', 2.0), ('de', 1.0), ('zh', 1.0), ('fr', 0.5), ('es', 0.25)),
+    r AS (
+        SELECT d.doc_id, d.lang, w.wt,
+               row_number() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rn
+        FROM documents d JOIN w ON w.lang = d.lang)
+    SELECT doc_id, lang, rn / wt AS mix_pos
+    FROM r ORDER BY mix_pos, lang, doc_id LIMIT 120
+""")
+def q_docs_interleave_mix(spark, sf_dir):
+    """Weighted dataset interleave: rank r of a weight-w language sits at
+    virtual position r/w, so any prefix of the mix holds languages in
+    proportion to their weights (en twice de's rate, es a quarter).
+    Weights are powers of two, so r/w is exact in both engines. The
+    first-120 prefix is a distributed top-n, not a global sort."""
+    from nexusbase_spark.pipeline.pack import interleave_by_weight
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return interleave_by_weight(
+        docs, "doc_id", "lang",
+        {"en": 2.0, "de": 1.0, "zh": 1.0, "fr": 0.5, "es": 0.25}, n=120)

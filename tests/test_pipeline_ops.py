@@ -176,3 +176,56 @@ def test_lsh_topk_recall_and_multiprobe(spark):
     multi = {r["vec_id"] for r in lsh_topk(
         df, probe, k=60, nbits=6, hamming=1, exclude_id=0).collect()}
     assert (exact - {0}) <= multi
+
+
+def test_pack_assignments_budget_and_overflow_bound(spark):
+    """Every pack's token total is < budget + its longest doc (bounded
+    overflow), offsets are consistent with doc order, and assignment is
+    stable under appends (same salted shard => same prefix sums)."""
+    from nexusbase_spark.pipeline.pack import pack_assignments
+
+    import random
+    rng = random.Random(3)
+    rows = [(i, rng.randint(5, 90)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_assignments(df, "doc_id", "n_tok", budget=128, shards=4).collect()
+    by_pack: dict[tuple, list] = {}
+    for r in out:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for rows_ in by_pack.values():
+        total = sum(r["n_tok"] for r in rows_)
+        longest = max(r["n_tok"] for r in rows_)
+        # the last doc may straddle the cut; everything before fits
+        assert total < 128 + longest
+        for r in rows_:
+            assert 0 <= r["pack_offset"] < 128
+    # append stability: first 300 docs keep their assignment when more arrive
+    more = df.unionByName(spark.createDataFrame(
+        [(i, 10) for i in range(300, 400)], "doc_id long, n_tok long"))
+    out2 = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+            for r in pack_assignments(more, "doc_id", "n_tok",
+                                      budget=128, shards=4).collect()}
+    # NOTE: append stability holds per shard only for ids sorting AFTER
+    # existing ones; ids interleave here, so check the invariant that
+    # shard membership (hash) never moves
+    shard1 = {r["doc_id"]: r["shard"] for r in out}
+    assert all(out2[k][0] == v for k, v in shard1.items())
+
+
+def test_interleave_by_weight_proportions(spark):
+    """In any aligned prefix of the mix, strata appear ~proportionally to
+    their weights, and zero-weight strata are absent."""
+    from nexusbase_spark.pipeline.pack import interleave_by_weight
+
+    rows = [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = interleave_by_weight(df, "doc_id", "s",
+                               {"a": 2.0, "b": 1.0, "c": 0.0}, n=90).collect()
+    from collections import Counter
+    c = Counter(r["s"] for r in got)
+    assert c["c"] == 0
+    assert c["a"] == 2 * c["b"]
+    # positions are non-decreasing in the returned order
+    pos = [r["mix_pos"] for r in got]
+    assert pos == sorted(pos)
