@@ -362,3 +362,30 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 4) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing at least one word
+    n-gram with any eval-set doc -> (id, n_shared, n_eval_docs).
+
+    The join runs on a 60-bit md5-prefix hash of the shingle, never the
+    string — collision odds ~|corpus shingles| x |eval shingles| / 2^60,
+    irrelevant even at 100TB. Eval sets are benchmark-sized, so their
+    hashed shingles BROADCAST; the corpus side stays narrow (shingle ->
+    hash -> broadcast probe), meaning decontamination costs one corpus
+    scan and no shuffle at all until the tiny per-doc rollup. Self-hits
+    (a doc that IS in the eval set) are excluded by id."""
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    c = shingle_sets(corpus, id_col, text_col, n).select(
+        F.col(id_col), h60(F.col("shingle")).alias("__h"))
+    ev = shingle_sets(eval_df, id_col, text_col, n).select(
+        F.col(id_col).alias("__eval_id"), h60(F.col("shingle")).alias("__h"))
+    hits = (c.join(F.broadcast(ev), "__h")
+            .filter(F.col(id_col) != F.col("__eval_id")))
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("__h").alias("n_shared"),
+        F.countDistinct("__eval_id").alias("n_eval_docs"))

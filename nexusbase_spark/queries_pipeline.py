@@ -910,3 +910,33 @@ def q_docs_interleave_mix(spark, sf_dir):
     return interleave_by_weight(
         docs, "doc_id", "lang",
         {"en": 2.0, "de": 1.0, "zh": 1.0, "fr": 0.5, "es": 0.25}, n=120)
+
+
+@register("docs_decontaminate", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   AS s
+        FROM t),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h
+          FROM sh),
+    ev AS (SELECT doc_id AS eid, h FROM h WHERE doc_id % 50 = 0),
+    j AS (SELECT c.doc_id, c.h, ev.eid
+          FROM h c JOIN ev ON ev.h = c.h WHERE c.doc_id <> ev.eid)
+    SELECT doc_id, count(DISTINCT h) AS n_shared,
+           count(DISTINCT eid) AS n_eval_docs
+    FROM j GROUP BY doc_id
+""")
+def q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    4-gram with the eval set (docs with id % 50 == 0 stand in for a
+    benchmark). The eval side's hashed shingles broadcast, so the check
+    is one corpus scan with no pre-rollup shuffle."""
+    from nexusbase_spark.pipeline.dedup import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_hits(docs, ev, n=4)
