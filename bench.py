@@ -52,6 +52,12 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_ivf_topk",
     "multimodal_meta",
+    # late-round families: time-series join, behavioral funnel,
+    # curation (packing), LSH ANN
+    "events_asof_enrich",
+    "events_funnel",
+    "docs_pack_assignments",
+    "embed_lsh_topk",
 ]
 
 

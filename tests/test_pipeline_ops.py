@@ -156,7 +156,7 @@ def test_lsh_topk_recall_and_multiprobe(spark):
     import random
 
     from nexusbase_spark.pipeline.similarity import (
-        hyperplanes, lsh_bucket_expr, lsh_topk)
+        hyperplanes, lsh_bucket_col, lsh_topk)
 
     rng = random.Random(7)
     dim = 16
@@ -170,7 +170,7 @@ def test_lsh_topk_recall_and_multiprobe(spark):
     assert got and got[0]["vec_id"] == 1 and got[0]["cosine"] > 0.9999
 
     planes = hyperplanes(6, dim)
-    b = df.withColumn("b", lsh_bucket_expr(F.col("embedding"), planes))
+    b = df.withColumn("b", lsh_bucket_col(F.col("embedding"), planes))
     pb = b.filter("vec_id = 0").collect()[0]["b"]
     exact = {r["vec_id"] for r in b.filter(F.col("b") == pb).collect()}
     multi = {r["vec_id"] for r in lsh_topk(
