@@ -34,3 +34,8 @@ from nexusbase_spark.operators.metadata import (  # noqa: F401
     show_tag_values,
     series_by_tags,
 )
+from nexusbase_spark.operators.timeseries import (  # noqa: F401
+    fill_forward,
+    rolling_agg,
+    series_delta,
+)

@@ -1,0 +1,91 @@
+"""Per-series time-series analytics the reference has no equivalent of
+(SURVEY.md §2.6: engine2's only windows are tumbling downsamples) but that
+any TSDB replacement is expected to answer: rolling aggregates, counter
+rates, and gap filling.
+
+All three are single-window formulations — Catalyst plans ONE exchange on
+the series key and a sort within partitions; no self-joins, no explode:
+
+- rolling_agg: RANGE-framed window (last `width_ns` of time, not N rows),
+  so irregular sampling is handled exactly like PromQL's `X_over_time`.
+- series_delta: lag-based per-point delta + rate with counter-reset
+  handling (a decrease means the counter restarted; the increase since
+  the previous point is then the raw value, matching Prometheus
+  `increase` semantics).
+- fill_forward (LOCF): last non-null observation carried forward via
+  `last(ignorenulls)` over an unbounded-preceding frame — the classic
+  gap-fill that downsample(emit_empty) leaves as NaN holes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_AGGS = {
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def rolling_agg(df: DataFrame, keys: list[str], width_ns: int,
+                funcs: dict[str, str], ts_col: str = "ts") -> DataFrame:
+    """Add rolling-window aggregate columns over the trailing `width_ns`
+    (inclusive) of each key's timeline.
+
+    `funcs` maps output column -> agg name (avg/sum/min/max/count of the
+    named input, e.g. {"avg_1h": "avg:value"}). RANGE frame on the int64
+    ns timestamp: irregular series roll by TIME, not by row count.
+    """
+    w = (Window.partitionBy(*keys).orderBy(F.col(ts_col).cast("long"))
+         .rangeBetween(-width_ns, 0))
+    out = df
+    for name, spec in funcs.items():
+        agg, col = spec.split(":", 1)
+        out = out.withColumn(name, _AGGS[agg](F.col(col)).over(w))
+    return out
+
+
+def series_delta(df: DataFrame, keys: list[str], value_col: str = "value",
+                 ts_col: str = "ts", tiebreak: str | None = None,
+                 counter_reset: bool = False) -> DataFrame:
+    """Per-point delta and per-second rate against the previous point of
+    the same series (lag window; first point gets nulls).
+
+    With `counter_reset`, a negative delta is treated as a counter
+    restart: the increase is the raw current value (Prometheus
+    `increase`/`rate` semantics for monotone counters).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_v = F.lag(value_col).over(w)
+    prev_ts = F.lag(F.col(ts_col).cast("long")).over(w)
+    delta = F.col(value_col) - prev_v
+    if counter_reset:
+        delta = F.when(delta < 0, F.col(value_col)).otherwise(delta)
+    gap_s = (F.col(ts_col).cast("long") - prev_ts) / F.lit(1_000_000_000.0)
+    rate = F.when(gap_s > 0, delta / gap_s)
+    return (df.withColumn("delta", delta)
+            .withColumn("rate_per_s", rate))
+
+
+def fill_forward(df: DataFrame, keys: list[str], cols: list[str],
+                 ts_col: str = "ts", is_missing: Column | None = None) -> DataFrame:
+    """Last-observation-carried-forward for `cols` along each key's
+    timeline. A value counts as missing when NULL (default) or when
+    `is_missing(col)` holds (e.g. NaN markers from emit-empty windows —
+    pass `F.isnan`); missing leading values stay missing.
+    """
+    w = (Window.partitionBy(*keys).orderBy(F.col(ts_col).cast("long"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = df
+    for c in cols:
+        v = F.col(c)
+        if is_missing is not None:
+            v = F.when(is_missing(F.col(c)), F.lit(None)).otherwise(F.col(c))
+        out = out.withColumn(c, F.last(v, ignorenulls=True).over(w))
+    return out

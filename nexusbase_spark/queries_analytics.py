@@ -576,3 +576,103 @@ def q_events_funnel(spark, sf_dir):
     return (s1.agg(F.count(F.lit(1)).alias("n_view"))
             .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
             .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+
+
+@register("events_rolling_24h", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, value, event_type
+        FROM events),
+    c AS (SELECT user, ts, seq, value FROM pts WHERE event_type = 'click')
+    SELECT user, ts, seq,
+           round(avg(value) OVER w, 4) AS avg_24h,
+           count(value) OVER w AS n_24h
+    FROM c
+    WINDOW w AS (PARTITION BY user ORDER BY ts
+                 RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+""")
+def q_events_rolling_24h(spark, sf_dir):
+    """Trailing-24h rolling average/count per user (PromQL avg_over_time
+    shape): RANGE-framed window on the int64-ns timestamp, so irregular
+    sampling rolls by TIME, not row count. Equal-ts rows are frame peers
+    in both engines, so the result is order-ambiguity-free. One exchange
+    on user."""
+    from nexusbase_spark.operators import rolling_agg
+
+    pts = _event_points(spark, sf_dir)
+    clicks = pts.filter(F.col("metric") == "click").select(
+        "user", "ts", "seq", "value")
+    out = rolling_agg(clicks, ["user"], width_ns=86_400_000_000_000,
+                      funcs={"avg_24h": "avg:value", "n_24h": "count:value"})
+    return out.select("user", "ts", "seq",
+                      F.round("avg_24h", 4).alias("avg_24h"), "n_24h")
+
+
+@register("events_counter_rate", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, value
+        FROM events WHERE event_type = 'purchase'),
+    l AS (
+        SELECT user, ts, seq, value,
+               lag(value) OVER w AS pv, lag(ts) OVER w AS pts_
+        FROM pts
+        WINDOW w AS (PARTITION BY user ORDER BY ts, seq))
+    SELECT user, ts, seq,
+           round(CASE WHEN value - pv < 0 THEN value ELSE value - pv END, 4)
+               AS delta,
+           round(CASE WHEN ts - pts_ > 0
+                      THEN (CASE WHEN value - pv < 0 THEN value
+                            ELSE value - pv END) / ((ts - pts_) / 1e9) END, 4)
+               AS rate_per_s
+    FROM l
+""")
+def q_events_counter_rate(spark, sf_dir):
+    """Counter delta + per-second rate with reset handling (Prometheus
+    `increase` semantics: a decrease means the counter restarted, so the
+    increase is the raw value). lag() over (user, ts, seq) — the seq
+    tiebreak makes equal-ts neighbors deterministic on both engines."""
+    from nexusbase_spark.operators import series_delta
+
+    pts = _event_points(spark, sf_dir).filter(F.col("metric") == "purchase")
+    out = series_delta(pts.select("user", "ts", "seq", "value"),
+                       ["user"], tiebreak="seq", counter_reset=True)
+    return out.select("user", "ts", "seq",
+                      F.round("delta", 4).alias("delta"),
+                      F.round("rate_per_s", 4).alias("rate_per_s"))
+
+
+@register("events_gap_fill_locf", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, value
+        FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT user, day, avg(value) AS g FROM pts GROUP BY user, day),
+    ext AS (SELECT user, min(day) AS d0, max(day) AS d1 FROM b GROUP BY user),
+    grid AS (SELECT user, unnest(range(d0, d1 + 1)) AS day FROM ext),
+    j AS (SELECT grid.user, grid.day, b.g
+          FROM grid LEFT JOIN b ON b.user = grid.user AND b.day = grid.day)
+    SELECT user, day,
+           round(last_value(g IGNORE NULLS) OVER (
+               PARTITION BY user ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+    FROM j
+""")
+def q_events_gap_fill_locf(spark, sf_dir):
+    """Gap filling: per-user daily averages are laid on a dense generated
+    day grid (sequence+explode — no driver loop) and holes are filled by
+    last-observation-carried-forward. The LOCF window is the same
+    `last(ignorenulls)` kernel the as-of join uses; one exchange on user
+    for the fill after the (user, day) rollup."""
+    from nexusbase_spark.operators import fill_forward
+
+    pts = _event_points(spark, sf_dir).filter(F.col("metric") == "purchase")
+    day = F.floor(F.col("ts") / F.lit(86_400_000_000_000)).cast("bigint")
+    b = (pts.select("user", day.alias("day"), "value")
+         .groupBy("user", "day").agg(F.avg("value").alias("g")))
+    ext = b.groupBy("user").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = ext.select("user", F.explode(
+        F.sequence(F.col("d0"), F.col("d1"))).alias("day"))
+    j = grid.join(b, ["user", "day"], "left")
+    out = fill_forward(j, ["user"], ["g"], ts_col="day")
+    return out.select("user", "day", F.round("g", 4).alias("filled"))

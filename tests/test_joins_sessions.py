@@ -104,3 +104,60 @@ def test_downsample_hopping_membership_and_tumbling_degeneration(spark):
     tum = {(r["window_start"], r["count_value"], r["sum_value"])
            for r in downsample(df, 10, specs).collect()}
     assert hop == tum
+
+
+def test_rolling_agg_range_frame(spark):
+    """RANGE frame rolls by TIME: a point 100ns later than the width is
+    outside the window even if it is the adjacent row; equal-ts points
+    are peers and see each other."""
+    from nexusbase_spark.operators import rolling_agg
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 50, 3.0), ("a", 50, 5.0), ("a", 151, 7.0)],
+        "user string, ts long, value double")
+    out = {(r["ts"], r["value"]): (r["s"], r["n"]) for r in rolling_agg(
+        df, ["user"], width_ns=100,
+        funcs={"s": "sum:value", "n": "count:value"}).collect()}
+    assert out[(0, 1.0)] == (1.0, 1)
+    # equal-ts peers both included, plus ts=0 (within 100)
+    assert out[(50, 3.0)] == (9.0, 3) and out[(50, 5.0)] == (9.0, 3)
+    # 151 - 100 = 51 > 50: only itself
+    assert out[(151, 7.0)] == (7.0, 1)
+
+
+def test_series_delta_counter_reset(spark):
+    from nexusbase_spark.operators import series_delta
+
+    df = spark.createDataFrame(
+        [("a", 1_000_000_000, 1, 10.0), ("a", 3_000_000_000, 2, 14.0),
+         ("a", 5_000_000_000, 3, 4.0)],
+        "user string, ts long, seq long, value double")
+    rows = {r["seq"]: r for r in series_delta(
+        df, ["user"], tiebreak="seq", counter_reset=True).collect()}
+    assert rows[1]["delta"] is None and rows[1]["rate_per_s"] is None
+    assert rows[2]["delta"] == 4.0 and rows[2]["rate_per_s"] == 2.0
+    # drop 14 -> 4 is a reset: increase = raw value 4, over 2s
+    assert rows[3]["delta"] == 4.0 and rows[3]["rate_per_s"] == 2.0
+
+
+def test_fill_forward_locf(spark):
+    from pyspark.sql import functions as F
+
+    from nexusbase_spark.operators import fill_forward
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5.0), ("a", 3, None), ("a", 4, None),
+         ("a", 5, 7.0), ("b", 1, None)],
+        "user string, ts long, v double")
+    got = {(r["user"], r["ts"]): r["v"]
+           for r in fill_forward(df, ["user"], ["v"]).collect()}
+    assert got[("a", 1)] is None          # nothing to carry yet
+    assert got[("a", 3)] == 5.0 and got[("a", 4)] == 5.0
+    assert got[("a", 5)] == 7.0
+    assert got[("b", 1)] is None          # keys never bleed
+    # NaN markers treated as missing via is_missing
+    df2 = spark.createDataFrame([("a", 1, 2.0), ("a", 2, float("nan"))],
+                                "user string, ts long, v double")
+    got2 = {r["ts"]: r["v"] for r in fill_forward(
+        df2, ["user"], ["v"], is_missing=F.isnan).collect()}
+    assert got2[2] == 2.0
