@@ -940,3 +940,71 @@ def q_docs_decontaminate(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     return contamination_hits(docs, ev, n=4)
+
+
+@register("docs_vocab_top50", """
+    WITH tok AS (
+        SELECT unnest(string_split(trim(lower(text)), ' ')) AS token
+        FROM documents)
+    SELECT token, count(*) AS freq
+    FROM tok WHERE token <> ''
+    GROUP BY token ORDER BY freq DESC, token LIMIT 50
+""")
+def q_docs_vocab_top50(spark, sf_dir):
+    """Vocabulary heavy hitters: corpus-wide token frequencies, top-50.
+    The wordcount shape at scale — explode is narrow, the groupBy
+    partial-aggregates map-side (a few thousand distinct tokens shrink
+    the shuffle to nearly nothing even on a 100TB corpus), and the
+    top-50 is TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), " ")).alias("token"))
+    return (tok.filter(F.col("token") != "")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("token")).limit(50))
+
+
+@register("docs_tfidf_top3", """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS token
+        FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON df.token = tf.token, n),
+    ranked AS (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS rnk
+        FROM scored)
+    SELECT doc_id, token, tfidf, rnk FROM ranked
+    WHERE rnk <= 3 AND doc_id % 10 = 0
+""")
+def q_docs_tfidf_top3(spark, sf_dir):
+    """TF-IDF keyword extraction: term frequency per (doc, token), doc
+    frequency per token, idf = ln(N/df), top-3 terms per doc (sampled to
+    every 10th doc for the oracle). Two map-side-combinable aggregations
+    plus one token-keyed join; the doc count is a 1-row broadcast. The
+    score is rounded to 6 decimals BEFORE ranking so float ulps in
+    tf * ln(N/df) cannot flip the rank order between engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), " ")).alias("token"))
+    tf = (tok.filter(F.col("token") != "")
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (tf.join(df_, "token").crossJoin(F.broadcast(n))
+              .select("doc_id", "token",
+                      F.round(F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                                  / F.col("df")), 6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 10 == 0))
+            .select("doc_id", "token", "tfidf", "rnk"))
