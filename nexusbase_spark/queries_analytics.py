@@ -553,29 +553,36 @@ def q_tpch_q14(spark, sf_dir):
 def q_events_funnel(spark, sf_dir):
     """Ordered 3-step funnel (view -> click -> purchase, each step within
     7 days of the previous): the canonical behavioral-analytics shape.
-    Each step is a groupBy(user) min over the events that FOLLOW the
-    previous step's timestamp. Every aggregation and join keys on user —
-    no re-keying anywhere — so at scale the steps plan as co-partitioned
-    sort-merge joins on one shuffle family; at test SF the optimizer
-    instead broadcasts the (aggregated, tiny) previous-step tables into
-    the next step's filter, which is the right call there too."""
+    ONE scan and ONE exchange: a single groupBy(user) collects the first
+    view plus the (sparse) click/purchase timestamp arrays, then the
+    step-after-step mins are narrow array expressions (`array_min` over a
+    bounds `filter`) — no joins, no re-scan per step. The cascaded-join
+    formulation costs 3 scans + 3 shuffle legs; per-user event lists are
+    human-bounded, so the arrays never approach executor memory even at
+    corpus scale. The final three counts are a 1-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    week = 604_800_000_000_000
+    week = F.lit(604_800_000_000_000)
     pts = ev.select(F.col("user_id").cast("string").alias("user"),
                     source_ts_ns(ev).alias("ts"), "event_type")
-    s1 = (pts.filter(F.col("event_type") == "view")
-          .groupBy("user").agg(F.min("ts").alias("t1")))
-    s2 = (pts.filter(F.col("event_type") == "click").join(s1, "user")
-          .filter((F.col("ts") >= F.col("t1"))
-                  & (F.col("ts") <= F.col("t1") + week))
-          .groupBy("user").agg(F.min("ts").alias("t2")))
-    s3 = (pts.filter(F.col("event_type") == "purchase").join(s2, "user")
-          .filter((F.col("ts") >= F.col("t2"))
-                  & (F.col("ts") <= F.col("t2") + week))
-          .groupBy("user").agg(F.min("ts").alias("t3")))
-    return (s1.agg(F.count(F.lit(1)).alias("n_view"))
-            .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
-            .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
+
+    def ts_of(kind):
+        return F.when(F.col("event_type") == kind, F.col("ts"))
+
+    per_user = pts.groupBy("user").agg(
+        F.min(ts_of("view")).alias("t1"),
+        F.sort_array(F.collect_list(ts_of("click"))).alias("clicks"),
+        F.sort_array(F.collect_list(ts_of("purchase"))).alias("purchases"))
+
+    def step_min(arr, lo):
+        return F.array_min(F.filter(
+            arr, lambda x: (x >= lo) & (x <= lo + week)))
+
+    stepped = (per_user
+               .withColumn("t2", step_min(F.col("clicks"), F.col("t1")))
+               .withColumn("t3", step_min(F.col("purchases"), F.col("t2"))))
+    return stepped.agg(F.count("t1").alias("n_view"),
+                       F.count("t2").alias("n_view_click"),
+                       F.count("t3").alias("n_full_funnel"))
 
 
 @register("events_rolling_24h", """
