@@ -294,6 +294,11 @@ def _parse_query(t: _Tokens) -> QueryStatement:
             t.expect("EMPTY")
             t.expect("WINDOWS")
             q.emit_empty_windows = True
+        elif t.accept("FILL"):
+            # extension over the reference grammar (InfluxQL-style):
+            # carry the previous window's value into empty windows
+            t.expect("PREVIOUS")
+            q.fill_previous = True
         elif t.accept("SORT"):
             q.sort_desc = t.next().upper() == "DESC"
         elif t.accept("ASC"):
@@ -311,6 +316,8 @@ def _parse_query(t: _Tokens) -> QueryStatement:
     if q.downsample_slide is not None:
         if q.downsample_interval % q.downsample_slide:
             raise NBQLError("SLIDE must divide the window size")
+    if q.fill_previous and not q.emit_empty_windows:
+        raise NBQLError("FILL PREVIOUS requires EMIT EMPTY WINDOWS")
     return q
 
 

@@ -192,6 +192,21 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
             name = spec.alias or f"{spec.func}_{spec.field}"
             fill = F.lit(0.0) if spec.func in ("count", "sum") else _nan()
             agg = agg.withColumn(name, F.coalesce(F.col(name).cast("double"), fill))
+        if q.fill_previous:
+            # FILL PREVIOUS (grammar extension): LOCF the NaN-marked agg
+            # columns along each series' window timeline. count/sum mark
+            # empty windows with 0.0 (reference semantics) and are left
+            # alone; leading NaNs (no prior observation) stay NaN.
+            from nexusbase_spark.operators.timeseries import fill_forward
+
+            cols = [spec.alias or f"{spec.func}_{spec.field}"
+                    for spec in q.aggregations
+                    if spec.func not in ("count", "sum")]
+            if cols:
+                agg = fill_forward(agg, ["metric", "series_key"], cols,
+                                   ts_col="window_start", is_missing=F.isnan)
+                for c in cols:
+                    agg = agg.withColumn(c, F.coalesce(F.col(c), _nan()))
 
     agg = agg.withColumn("window_end", F.col("window_start") + F.lit(iv))
     order = [F.col("window_start"), F.col("series_key")]

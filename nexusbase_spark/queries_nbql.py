@@ -192,3 +192,47 @@ def q_nbql_hopping(spark, sf_dir):
         "AGGREGATE BY 6h SLIDE 2h (count(*), avg(value))")
     return df.select("metric", "series_key", "window_start", "window_end",
                      "count_*", F.round("avg_value", 4).alias("avg_value"))
+
+
+@register("nbql_fill_previous", f"""
+    WITH p AS (
+        SELECT ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+               epoch_ns(ts) AS ts, value
+        FROM events
+        WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
+    ),
+    grid AS (
+        SELECT s.series_key, g.window_start
+        FROM (SELECT DISTINCT series_key FROM p) s
+        CROSS JOIN (SELECT unnest(generate_series({T1}, {T2 - 1}, {DAY_NS}))
+                    AS window_start) g
+    ),
+    agg AS (
+        SELECT series_key, ts - (ts % {DAY_NS}) AS window_start,
+               count(*) AS c, avg(value) AS av
+        FROM p GROUP BY series_key, window_start
+    )
+    SELECT 'click' AS metric, grid.series_key, grid.window_start,
+           grid.window_start + {DAY_NS} AS window_end,
+           CAST(coalesce(agg.c, 0) AS DOUBLE) AS "count_*",
+           round(coalesce(
+               last_value(agg.av IGNORE NULLS) OVER (
+                   PARTITION BY grid.series_key ORDER BY grid.window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               'NaN'::DOUBLE), 4) AS avg_value
+    FROM grid LEFT JOIN agg USING (series_key, window_start)
+""")
+def q_nbql_fill_previous(spark, sf_dir):
+    """FILL PREVIOUS grammar extension end-to-end: empty daily windows
+    are emitted (count 0, avg NaN per reference semantics) and the NaN
+    averages are carried forward per series by the LOCF kernel
+    (operators/timeseries.fill_forward); windows before a series' first
+    observation stay NaN. InfluxQL's fill(previous), on the NBQL front
+    end."""
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(
+        f"QUERY click FROM {T1} TO {T2} "
+        "AGGREGATE BY 1d (count(*), avg(value)) EMIT EMPTY WINDOWS "
+        "FILL PREVIOUS")
+    return df.select("metric", "series_key", "window_start", "window_end",
+                     "count_*", F.round("avg_value", 4).alias("avg_value"))

@@ -463,3 +463,15 @@ def test_parse_slide_extension():
     assert parse("QUERY cpu AGGREGATE BY 1h (avg(v));").downsample_slide is None
     with pytest.raises(NBQLError):  # slide must divide size
         parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 5m SLIDE 2m (avg(v));")
+
+
+def test_parse_fill_previous_extension():
+    q = parse("QUERY cpu FROM 0 TO 100 AGGREGATE BY 1h (avg(value)) "
+              "EMIT EMPTY WINDOWS FILL PREVIOUS;")
+    assert q.fill_previous and q.emit_empty_windows
+    assert not parse("QUERY cpu AGGREGATE BY 1h (avg(v));").fill_previous
+    with pytest.raises(NBQLError):  # FILL needs PREVIOUS
+        parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 1h (avg(v)) "
+              "EMIT EMPTY WINDOWS FILL;")
+    with pytest.raises(NBQLError):  # only meaningful with emitted holes
+        parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 1h (avg(v)) FILL PREVIOUS;")
