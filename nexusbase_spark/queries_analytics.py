@@ -683,3 +683,61 @@ def q_events_gap_fill_locf(spark, sf_dir):
     j = grid.join(b, ["user", "day"], "left")
     out = fill_forward(j, ["user"], ["g"], ts_col="day")
     return out.select("user", "day", F.round("g", 4).alias("filled"))
+
+
+@register("tpch_q19_or_predicates", """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+""")
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive mixed-table predicates over a
+    broadcast part join. The OR spans both tables so it cannot become a
+    join condition, but each disjunct's single-table conjuncts ARE
+    separable: Catalyst pushes `brand1-range OR brand2-range` onto the
+    part scan and the quantity-range union onto the lineitem scan
+    (disjunction distribution), so both sides prune before the join and
+    the residual OR only re-checks surviving pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    c1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 11))
+    c2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+          & F.col("l_quantity").between(10, 20))
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .filter(c1 | c2)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+@register("tpch_q12_priority_classes", """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+""")
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (priority-class split; the schema lacks shipmode/
+    commit/receipt dates, so linestatus x priority stands in): one fact
+    join with the date filter pushed to the lineitem scan, then a
+    two-way conditional count — a single groupBy, both CASE branches in
+    one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter((F.col("l_shipdate") >= _dlit(li, "l_shipdate", "1996-01-01"))
+                   & (F.col("l_shipdate") < _dlit(li, "l_shipdate", "1997-01-01")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
