@@ -741,3 +741,56 @@ def q_tpch_q12(spark, sf_dir):
             .groupBy("l_linestatus")
             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@register("tpch_q7_nation_trade", """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+      AND n2.n_name IN ('NATION_0', 'NATION_1')
+      AND n1.n_name <> n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation
+""")
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension (nation) joins TWICE under
+    different roles — supplier's nation via supplier, customer's via
+    customer->orders — with a cross-pair inequality. Both nation scans
+    are filtered to the 2-row IN-list BEFORE broadcasting, supplier and
+    customer broadcast too, so the fact table reaches the final 2-key
+    groupBy without a wide shuffle; the n1 <> n2 residual runs on the
+    joined rows. Self-aliased dims need no special casing in Spark —
+    each load_table call is an independent scan node."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.filter((F.col("l_shipdate") >= _dlit(li, "l_shipdate", "1996-01-01"))
+                   & (F.col("l_shipdate") < _dlit(li, "l_shipdate", "1997-01-01")))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nations = ["NATION_0", "NATION_1"]
+    n1 = (load_table(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin(nations))
+          .select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (load_table(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin(nations))
+          .select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation")))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue")))
