@@ -55,20 +55,32 @@ def assign_split(
     order, so {'train': .98, 'val': .01, 'test': .01} gives train buckets
     [0, 9800), val [9800, 9900), test [9900, 10000).
     """
+    b = split_bucket(F.col(key_col), salt)
+    expr = None
+    for name, hi in split_thresholds(fractions)[:-1]:
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last_name = list(fractions)[-1]
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return df.withColumn(out_col, expr)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket bound) per split, in dict order; the
+    last bound is always N_BUCKETS, so the names PARTITION the bucket
+    space — every bucket maps to exactly one split. Raises unless the
+    fractions sum to 1.0 within bucket resolution."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1.0 / N_BUCKETS:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
-    b = split_bucket(F.col(key_col), salt)
-    expr = None
+    out: list[tuple[str, int]] = []
     hi = 0
     names = list(fractions)
     for name in names[:-1]:
         hi += round(fractions[name] * N_BUCKETS)
-        cond = b < hi
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    last = F.lit(names[-1])
-    expr = last if expr is None else expr.otherwise(names[-1])
-    return df.withColumn(out_col, expr)
+        out.append((name, min(hi, N_BUCKETS)))
+    out.append((names[-1], N_BUCKETS))
+    return out
 
 
 def stratified_sample(

@@ -115,3 +115,44 @@ def test_pagination_no_dup_no_loss(spark, limit):
             break
     assert len(seen) == len(rows)
     assert len(set(seen)) == len(rows)
+
+
+@given(fracs=st.lists(st.floats(0.0005, 1.0), min_size=1, max_size=8),
+       key=st.integers(0, 10**12), salt=st.text(string.ascii_lowercase, max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_split_thresholds_partition_bucket_space(fracs, key, salt):
+    """For ANY normalized fraction dict: thresholds are nondecreasing,
+    end exactly at N_BUCKETS (total coverage — every bucket gets exactly
+    one split), and the pure-Python bucket mirror maps every key to
+    exactly one named split. Driver-side mirror of pipeline/split.py."""
+    import hashlib
+
+    from nexusbase_spark.pipeline.split import N_BUCKETS, split_thresholds
+
+    total = sum(fracs)
+    fractions = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    # float normalization error is within resolution by construction
+    thr = split_thresholds(fractions)
+    bounds = [hi for _, hi in thr]
+    assert bounds == sorted(bounds)
+    assert bounds[-1] == N_BUCKETS
+    # bucket mirror (same md5 arithmetic as split_bucket / the SQL oracle)
+    h = int(hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:15], 16)
+    bucket = h % N_BUCKETS
+    owners = [name for (name, hi), lo in
+              zip(thr, [0] + bounds[:-1]) if lo <= bucket < hi]
+    assert len(owners) == 1
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_split_thresholds_reject_bad_sums(data):
+    from nexusbase_spark.pipeline.split import N_BUCKETS, split_thresholds
+
+    fracs = data.draw(st.lists(st.floats(0.001, 1.0), min_size=1, max_size=6))
+    total = sum(fracs)
+    off = data.draw(st.floats(2.0 / N_BUCKETS, 0.5))
+    sign = data.draw(st.sampled_from([1.0, -1.0]))
+    scale = (1.0 + sign * off) / total
+    with pytest.raises(ValueError):
+        split_thresholds({f"s{i}": f * scale for i, f in enumerate(fracs)})
