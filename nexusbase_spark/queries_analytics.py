@@ -794,3 +794,198 @@ def q_tpch_q7(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_items"),
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2).alias("revenue")))
+
+
+@register("tpch_q8_mkt_share", """
+    WITH flat AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM flat GROUP BY o_year ORDER BY o_year
+""")
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): an 8-table join where every
+    dimension — part (filtered), supplier, customer, both nation roles,
+    region — broadcasts, so the only wide exchanges are the two fact-side
+    shuffles (lineitem->orders join on orderkey) and the final 1-key
+    groupBy on year. The market-share ratio is a conditional-sum /
+    total-sum over the SAME joined frame (one aggregation, no self-join).
+    Reference has no joins at all (SURVEY.md §2.4); this is the standard
+    warehouse shape its users would need at 100TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders")
+    o = o.filter(
+        (F.col("o_orderdate") >= _dlit(o, "o_orderdate", "1996-01-01"))
+        & (F.col("o_orderdate") <= _dlit(o, "o_orderdate", "1997-12-31"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = (load_table(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_regionkey").alias("n1_region")))
+    n2 = (load_table(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("nation")))
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+            / F.sum(vol), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register("tpch_q9_profit_proxy", """
+    SELECT n_name AS nation,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * CAST(0.01 AS DOUBLE))
+                     * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+""")
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year). The real Q9
+    prices cost from partsupp.ps_supplycost; this dataset has no partsupp
+    table, so cost is proxied as 1% of p_retailprice per unit — the plan
+    shape (LIKE-filtered part -> broadcast into lineitem, supplier+nation
+    broadcast, orderkey shuffle join for the year, 2-key groupBy) is
+    identical. LIKE '%red%' cannot push to parquet stats but prunes the
+    broadcast side before the fact join touches it.
+
+    The profit sum uses FIXED-POINT summation: every input is on a 1e-2
+    decimal grid, so per-group float sums land EXACTLY on half-cent
+    rounding boundaries and Spark/DuckDB ulp differences flip round(x,2)
+    either way (observed 2/175 groups at sf0.01). Rounding each term to
+    its exact 1e-4-grid integer and summing as BIGINT is exact and
+    order-independent — also the scale-robust answer: a 600M-term double
+    sum at 100TB accumulates ~1e-3 error, a 600M-term int64 sum none."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%red%"))
+         .select("p_partkey", "p_retailprice"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01))
+    profit_fp = F.round(profit * 10000, 0).cast("long")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(profit_fp).cast("double") / 10000.0).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register("tpch_q15_top_supplier", """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+""")
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): aggregate-then-select-the-max. The
+    per-supplier revenue frame is built ONCE and the max is taken over that
+    same frame with an empty-partition window — recomputing it for a scalar
+    subquery would risk a float-sum tie-break disagreeing between the two
+    jobs (double addition is not associative across shuffle orders). The
+    window coalesces the (small, already-aggregated) frame to one
+    partition; at 100TB that frame is |suppliers| rows, not |lineitem|."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter((F.col("l_shipdate") >= _dlit(li, "l_shipdate", "1996-01-01"))
+                  & (F.col("l_shipdate") < _dlit(li, "l_shipdate", "1996-04-01")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("total_revenue"))
+    )
+    rev = rev.withColumn("max_rev",
+                         F.max("total_revenue").over(Window.partitionBy()))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register("tpch_q17_small_qty_revenue", """
+    SELECT round(coalesce(sum(l_extendedprice), 0) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_size = 1
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated AVG
+    subquery against the fact table, decorrelated as a per-partkey window
+    average over the part-filtered lineitems — the filter is on part
+    attributes only, so every lineitem of a qualifying part survives the
+    join and the window sees exactly the correlated subquery's input set.
+    One broadcast join + one window shuffle on l_partkey, no self-join of
+    lineitem. (The real Q17 filters p_container, absent here; p_size
+    stands in.)"""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") == 1))
+         .select("p_partkey"))
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2)
+             .alias("avg_yearly"))
+    )
