@@ -156,3 +156,43 @@ def test_split_thresholds_reject_bad_sums(data):
     scale = (1.0 + sign * off) / total
     with pytest.raises(ValueError):
         split_thresholds({f"s{i}": f * scale for i, f in enumerate(fracs)})
+
+
+@pytest.mark.slow
+@given(data=st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_overflow_bound_property(spark, data):
+    """For ANY doc-size distribution and budget, sequence packing holds its
+    contract (hypothesis generalization of the example-based test):
+    each doc appears exactly once; the distributed window computation
+    equals a sequential per-shard reference (cum-before-tokens //
+    budget); offsets sit in [0, budget); and a pack overruns the budget
+    by less than its own longest doc (the straddling cut). Pack ids are
+    NOT dense when a doc is longer than the budget — it consumes
+    several budget units and the following doc skips ahead (hypothesis
+    found this; the example test's sizes never exceeded its budget)."""
+    from nexusbase_spark.pipeline.pack import pack_assignments
+
+    sizes = data.draw(st.lists(st.integers(1, 97), min_size=1, max_size=120))
+    budget = data.draw(st.sampled_from([16, 64, 128]))
+    df = spark.createDataFrame(list(enumerate(sizes)), "doc_id long, n_tok long")
+    out = pack_assignments(df, "doc_id", "n_tok", budget=budget, shards=3).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(sizes)))
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows_:  # sequential reference for the window cum-sum cut
+            assert r["pack_id"] == cum // budget
+            assert r["pack_offset"] == cum % budget
+            cum += r["n_tok"]
+        packs: dict[int, list] = {}
+        for r in rows_:
+            packs.setdefault(r["pack_id"], []).append(r)
+        for prs in packs.values():
+            total = sum(r["n_tok"] for r in prs)
+            assert total < budget + max(r["n_tok"] for r in prs)
+            assert all(0 <= r["pack_offset"] < budget for r in prs)
