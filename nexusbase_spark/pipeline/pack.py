@@ -88,3 +88,39 @@ def interleave_by_weight(
     )
     ordered = mixed.orderBy("mix_pos", strata_col, key_col)
     return ordered.limit(n) if n is not None else ordered
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window chunking: split each doc's token stream into
+    fixed-size training windows every `stride` tokens (overlap =
+    chunk_tokens - stride). Returns one row per (doc, chunk) with
+    (chunk_idx, start_tok, n_tok, chunk_hash).
+
+    Entirely NARROW — tokenize, enumerate starts with sequence(), and
+    posexplode, all inside one projection; no shuffle at any scale. The
+    final window may be short (n_tok < chunk_tokens); docs with no
+    tokens produce no chunks. chunk_hash (md5 of the window text) is
+    the dedup/provenance handle downstream."""
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    starts = F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+    chunk = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
+    return (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.size("__toks") > 0)
+        .select(F.col(id_col), F.col("__toks"),
+                F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_tok"),
+            F.size(chunk).cast("long").alias("n_tok"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )

@@ -989,3 +989,124 @@ def q_tpch_q17(spark, sf_dir):
         .agg(F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 2)
              .alias("avg_yearly"))
     )
+
+
+@register("events_cohort_retention", """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM activity
+    )
+    SELECT cohort_day, day - cohort_day AS day_offset,
+           count(*) AS n_users
+    FROM firsts
+    WHERE day - cohort_day <= 13
+    GROUP BY cohort_day, day_offset
+""")
+def q_events_cohort_retention(spark, sf_dir):
+    """Cohort retention (behavioral analytics): users grouped by
+    first-active day, counted on each later active day (offsets 0-13).
+    The cohort day comes from a window MIN over the per-(user, day)
+    deduped activity — the window reuses the distinct's hash
+    partitioning on user_id, so the whole query is ONE wide exchange
+    plus the tiny final rollup. No self-join of events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)).cast("bigint")
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
+    return (
+        activity.withColumn("cohort_day", cohort)
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= 13)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register("events_time_weighted_avg", """
+    WITH s AS (
+      SELECT event_type, value, epoch_ns(ts) AS tns,
+             lead(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY epoch_ns(ts), event_id) AS next_t
+      FROM events
+    )
+    SELECT event_type,
+           round(sum(value * (next_t - tns)) / (max(tns) - min(tns)), 4)
+               AS twa
+    FROM s GROUP BY event_type
+""")
+def q_events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over irregular samples (the TSDB analog of
+    avg_over_time on a step function): each sample's value is weighted
+    by how long it was current (next sample ts - its ts; the last
+    sample carries no weight). One window shuffle on event_type and the
+    final agg reuses that partitioning. Ties on ts break by event_id so
+    both engines weight the same neighbor."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tns = source_ts_ns(ev)
+    w = Window.partitionBy("event_type").orderBy("tns", "event_id")
+    return (
+        ev.select("event_type", "value", tns.alias("tns"), "event_id")
+        .withColumn("next_t", F.lead("tns").over(w))
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * (F.col("next_t") - F.col("tns")))
+                     / (F.max("tns") - F.min("tns")), 4).alias("twa"))
+    )
+
+
+@register("lineitem_rollup_totals", """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP grouping (subtotals + grand total in one pass): Catalyst
+    expands the grouping sets map-side, so the fact table is read once
+    and one exchange carries all three aggregation levels; gid
+    disambiguates a real NULL key from a rollup placeholder. Absent
+    from the reference (grouping is fixed per-series, SURVEY §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n_items", "sum_qty")
+    )
+
+
+@register("orders_priority_pivot", """
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1_urgent,
+           sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2_high,
+           sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3_medium,
+           sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4_not_specified,
+           sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5_low
+    FROM orders GROUP BY o_orderstatus
+""")
+def q_orders_priority_pivot(spark, sf_dir):
+    """Pivot (long -> wide): order counts per status x priority. The
+    pivot values are DECLARED, not discovered — Spark's two-pass
+    values-scan is skipped, so this stays a single groupBy with five
+    conditional counts (exactly the conditional-sum plan the oracle
+    spells out). Missing combinations coalesce to 0."""
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    names = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+    o = load_table(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderstatus")
+           .pivot("o_orderpriority", pris).count())
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(nm)
+          for p, nm in zip(pris, names)])

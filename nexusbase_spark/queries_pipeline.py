@@ -1018,3 +1018,27 @@ def q_docs_tfidf_top3(spark, sf_dir):
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 10 == 0))
             .select("doc_id", "token", "tfidf", "rnk"))
+
+
+@register("docs_chunk_sliding", """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         g AS (SELECT doc_id, toks, n,
+                      CAST(unnest(range(0, n, 48)) AS BIGINT) AS start_tok
+               FROM s)
+    SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_idx, start_tok,
+           CAST(least(64, n - start_tok) AS BIGINT) AS n_tok,
+           md5(array_to_string(toks[start_tok + 1 : start_tok + 64], ' '))
+               AS chunk_hash
+    FROM g
+""")
+def q_docs_chunk_sliding(spark, sf_dir):
+    """Sliding-window document chunking (64-token windows, stride 48):
+    the long-doc -> training-window expansion step of an LLM data
+    pipeline. Fully narrow (sequence + posexplode inside one projection
+    — zero shuffles); the window hash is the downstream dedup handle."""
+    from nexusbase_spark.pipeline.pack import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text",
+                           chunk_tokens=64, stride=48)

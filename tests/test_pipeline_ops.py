@@ -229,3 +229,36 @@ def test_interleave_by_weight_proportions(spark):
     # positions are non-decreasing in the returned order
     pos = [r["mix_pos"] for r in got]
     assert pos == sorted(pos)
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Chunks start every `stride` tokens, cover `chunk_tokens` (short at
+    the tail), never start at/past the token count, and empty docs emit
+    nothing; adjacent chunks overlap by chunk_tokens - stride."""
+    from nexusbase_spark.pipeline.pack import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only two"),                            # 2 tokens
+            (3, "")]                                    # split('') -> [''] (1 token)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in d1] == [0, 3, 6, 9]
+    assert [r["n_tok"] for r in d1] == [4, 4, 4, 1]
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2, 3]
+    assert [r["start_tok"] for r in by_doc[2]] == [0]
+    assert by_doc[2][0]["n_tok"] == 2
+    # doc 3: split("") yields [""], one 1-token chunk of the empty token —
+    # consistent with the oracle's string_split semantics
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tok"] == 1
+    # overlap check: chunk 1 of doc 1 covers tokens 3..6 (stride 3, size 4)
+    import hashlib
+    want = hashlib.md5(" ".join(f"t{i}" for i in range(3, 7)).encode()).hexdigest()
+    assert d1[1]["chunk_hash"] == want
+
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
