@@ -86,3 +86,24 @@ def live_downsample(stream: DataFrame, interval_ns: int,
         .withColumn("window_start", F.unix_micros(F.col("window.start")) * 1000)
         .drop("window")
     )
+
+
+def live_dedup(stream: DataFrame, keys: tuple[str, ...] = ("series_key", "ts"),
+               watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on ingest: keep the FIRST arrival of each key
+    seen within the watermark horizon (dropDuplicatesWithinWatermark).
+
+    The batch engine resolves duplicate (series, ts) writes by MVCC
+    last-write-wins at READ time (iterator/iterator.go:270-289); this is
+    the scale-path complement — drop replayed/duplicate points at INGEST
+    so the storage layer never accumulates them. State self-expires with
+    the watermark: on a 1000-executor cluster the dedup state holds only
+    the horizon's keys, where a plain dropDuplicates would grow a
+    full-history state store without bound. First-wins (vs the reader's
+    highest-seq-wins) is the documented divergence: an at-least-once
+    source replays IDENTICAL points, where first == last."""
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return (with_time.withWatermark("event_time", watermark_delay)
+            .dropDuplicatesWithinWatermark(list(keys))
+            .drop("event_time"))

@@ -319,3 +319,33 @@ def test_live_sessionize_tws(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_live_dedup_within_watermark(spark, point_stream):
+    """Replayed points (same series_key+ts) are dropped across micro-batches
+    while the key is inside the watermark horizon; distinct timestamps all
+    pass. First arrival wins (at-least-once replay semantics)."""
+    from nexusbase_spark.streaming import live_dedup
+
+    stream, feed = point_stream
+    deduped = live_dedup(stream, watermark_delay="1 hour")
+    q = (deduped.writeStream.queryName("t_dedup").outputMode("append")
+         .format("memory").start())
+    try:
+        base = 120 * 1_000_000_000
+        feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a", base, 10, 1.0),
+              ("cpu.usage", {"host": "a"}, "cpu.usage|host=a", base, 11, 2.0)])
+        q.processAllAvailable()
+        # replay the same point in a LATER batch + one genuinely new ts
+        feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a", base, 12, 3.0),
+              ("cpu.usage", {"host": "a"}, "cpu.usage|host=a", base + 1, 13, 4.0)])
+        q.processAllAvailable()
+        rows = spark.sql("select series_key, ts, value from t_dedup").collect()
+    finally:
+        q.stop()
+    got = {(r["series_key"], r["ts"]) for r in rows}
+    # the fixture's warmup point plus the two distinct ts; replays dropped
+    assert ("cpu.usage|host=a", base) in got
+    assert ("cpu.usage|host=a", base + 1) in got
+    by_key = [r for r in rows if r["ts"] == base]
+    assert len(by_key) == 1 and by_key[0]["value"] == 1.0
