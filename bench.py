@@ -58,6 +58,11 @@ HEADLINE = [
     "events_funnel",
     "docs_pack_assignments",
     "embed_lsh_topk",
+    # widened families: deep star join, training-window chunking,
+    # behavioral cohorts
+    "tpch_q8_mkt_share",
+    "docs_chunk_sliding",
+    "events_cohort_retention",
 ]
 
 
