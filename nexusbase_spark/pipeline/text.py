@@ -166,3 +166,43 @@ def fingerprint_mink(text: Column, n: int = 3, k: int = 4) -> Column:
     hashes = F.transform(word_shingles(text, n), F.md5)
     bottom = F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
     return F.array_join(bottom, "")
+
+
+# Gopher/C4-style rule thresholds for quality_filter_exprs. Order matters:
+# the report's `reason` is the FIRST failing rule.
+QUALITY_RULE_ORDER = ("too_short", "too_long", "high_digit",
+                      "high_repetition", "low_stopword")
+QUALITY_THRESHOLDS = {
+    "min_tokens": 15,
+    "max_tokens": 80,
+    "max_digit_ratio": 0.10,
+    "max_repetition": 0.20,
+    "min_stopword_ratio": 0.05,
+}
+
+
+def quality_filter_exprs(text: Column) -> dict[str, Column]:
+    """Gopher-style quality filter chain: boolean rule flags, a `keep`
+    verdict, and the first-failing-rule `reason` (NULL when kept) — the
+    decision layer a curation pipeline logs for every dropped doc.
+
+    All thresholds compare ratios built from integer lengths, so both
+    engines compute bit-identical doubles and the verdicts never drift.
+    Scan-speed Column expressions; the downstream filter is
+    `col("keep")`, which Catalyst pushes into the same projection."""
+    qx = quality_exprs(text)
+    t = QUALITY_THRESHOLDS
+    flags = {
+        "too_short": qx["n_tokens"] < t["min_tokens"],
+        "too_long": qx["n_tokens"] > t["max_tokens"],
+        "high_digit": qx["digit_ratio"] > t["max_digit_ratio"],
+        "high_repetition": repetition_ratio(text, 2) > t["max_repetition"],
+        "low_stopword": qx["stopword_ratio"] < t["min_stopword_ratio"],
+    }
+    reason = F.lit(None).cast("string")
+    for name in reversed(QUALITY_RULE_ORDER):
+        reason = F.when(flags[name], F.lit(name)).otherwise(reason)
+    keep = ~flags[QUALITY_RULE_ORDER[0]]
+    for name in QUALITY_RULE_ORDER[1:]:
+        keep = keep & ~flags[name]
+    return {**flags, "keep": keep, "reason": reason}

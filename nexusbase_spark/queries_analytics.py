@@ -1110,3 +1110,31 @@ def q_orders_priority_pivot(spark, sf_dir):
         "o_orderstatus",
         *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(nm)
           for p, nm in zip(pris, names)])
+
+
+@register("tpch_q16_supplier_variety", """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_size IN (1, 5, 9)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (supplier variety per part class): the dataset has
+    no partsupp table, so lineitem is the part<->supplier bridge — same
+    plan skeleton: filtered part broadcast into the bridge, then a
+    count(DISTINCT supplier) rollup. Catalyst expands the distinct into
+    a two-phase aggregate (partial distinct on (group, suppkey), then
+    final count), so the exchange carries distinct pairs, not raw
+    lineitems."""
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#3") & F.col("p_size").isin(1, 5, 9))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )

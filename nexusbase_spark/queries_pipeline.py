@@ -1042,3 +1042,77 @@ def q_docs_chunk_sliding(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text",
                            chunk_tokens=64, stride=48)
+
+
+_QF_RULES_SQL = """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE) AS digit_ratio,
+             len(list_filter(toks, x -> list_contains([{stops}], x)))
+                 / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+             list_transform(range(1, greatest(len(toks), 1)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS grams
+      FROM t),
+    flags AS (
+      SELECT doc_id,
+             n_tokens < 15 AS too_short,
+             n_tokens > 80 AS too_long,
+             digit_ratio > 0.10 AS high_digit,
+             (CASE WHEN len(grams) = 0 THEN 0.0
+                   ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                              / len(grams) END) > 0.20 AS high_repetition,
+             stopword_ratio < 0.05 AS low_stopword
+      FROM feat)
+    SELECT doc_id, too_short, too_long, high_digit, high_repetition,
+           low_stopword,
+           NOT (too_short OR too_long OR high_digit OR high_repetition
+                OR low_stopword) AS keep,
+           CASE WHEN too_short THEN 'too_short'
+                WHEN too_long THEN 'too_long'
+                WHEN high_digit THEN 'high_digit'
+                WHEN high_repetition THEN 'high_repetition'
+                WHEN low_stopword THEN 'low_stopword'
+                ELSE NULL END AS reason
+    FROM flags
+"""
+
+
+@register("docs_quality_filter_report",
+          _QF_RULES_SQL.format(stops=", ".join(repr(w) for w in _STOP_ALL)))
+def q_docs_quality_filter(spark, sf_dir):
+    """Gopher-style drop/keep report: five boolean rules, a keep verdict,
+    and the first-failing reason per doc — the audit artifact a curation
+    run persists next to the filtered corpus. Thresholds compare ratios
+    of integer lengths, so both engines agree exactly (no rounding in
+    the decision path)."""
+    from nexusbase_spark.pipeline.text import QUALITY_RULE_ORDER, quality_filter_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fx = quality_filter_exprs(F.col("text"))
+    return docs.select(
+        "doc_id", *[fx[n].alias(n) for n in QUALITY_RULE_ORDER],
+        fx["keep"].alias("keep"), fx["reason"].alias("reason"))
+
+
+@register("docs_length_histogram", """
+    SELECT least(CAST(n_chars // 50 AS BIGINT), 12) AS bucket,
+           count(*) AS n_docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents GROUP BY bucket
+""")
+def q_docs_length_histogram(spark, sf_dir):
+    """Fixed-width length histogram (50-char buckets, top-clamped): the
+    scale-correct distribution report — a scan plus a ~13-group rollup,
+    unlike ntile/global-sort decile assignment which funnels the corpus
+    through one partition. Quantile-style reports at 100TB should use
+    broadcast approx-percentile boundaries + width_bucket, which this
+    shape stands in for."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(12)).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars")))

@@ -262,3 +262,23 @@ def test_chunk_documents_windows_and_edges(spark):
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=0)
+
+
+def test_quality_filter_first_fail_reason(spark):
+    """Rule flags fire independently; `reason` is the FIRST failing rule
+    in QUALITY_RULE_ORDER; keep <=> no rule fails."""
+    from nexusbase_spark.pipeline.text import quality_filter_exprs
+
+    short_and_digits = "99 88 77"                      # too_short beats high_digit
+    repeated = " ".join(["the of and is"] * 10)        # 40 tokens, heavy 2-gram dups
+    clean = "the cat sat on the mat and then the dog came in to see " \
+            "what was going on in the little house by the sea"
+    rows = [(1, short_and_digits), (2, repeated), (3, clean)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fx = quality_filter_exprs(df["text"])
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in fx.items()]).collect()}
+    assert out[1]["too_short"] and out[1]["high_digit"]
+    assert out[1]["reason"] == "too_short" and not out[1]["keep"]
+    assert out[2]["high_repetition"] and out[2]["reason"] == "high_repetition"
+    assert out[3]["keep"] and out[3]["reason"] is None
