@@ -1138,3 +1138,46 @@ def q_tpch_q16(spark, sf_dir):
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+@register("tpch_q13_custdist", """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+""")
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): predicate
+    inside the LEFT JOIN's ON clause (not a WHERE — customers with zero
+    qualifying orders must survive with c_count=0), then a second
+    aggregate over the first's output.
+
+    Scale plan: instead of left-joining raw orders to customer and
+    counting after (fact-sized shuffle + fact-sized join), pre-aggregate
+    orders to one row per o_custkey first — the join input shrinks from
+    |orders| to |custkeys| and the second groupBy is over a tiny
+    distinct-count domain. Same ON-clause semantics: the filter runs
+    before the pre-aggregate, and customers missing from it coalesce to
+    0. (Reference has no joins at all — SURVEY.md §2.4; this is the
+    standard warehouse shape a replacement engine needs.)"""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        c.join(per_cust, c["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
