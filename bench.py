@@ -115,16 +115,19 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
-    # 2. headline queries, fully drained. Two runs, report the min — the
-    # same steady-state protocol as the reference's `go test -bench`
-    # harnesses (N iterations, stable-state number): the first run pays
-    # one-time whole-stage-codegen JIT, which is session setup, not query
-    # cost. Page-cache effects are identical for both runs (the warmup
-    # counts above already touched every table).
+    # 2. headline queries, fully drained. One untimed warmup run, then two
+    # timed runs, report the min — the same steady-state protocol as the
+    # reference's `go test -bench` harnesses (N iterations, stable-state
+    # number): the warmup pays one-time whole-stage-codegen JIT and
+    # broadcast-build compilation, which is session setup, not query cost
+    # (measured: run0 of an 8-table join is 4-5x its steady state purely
+    # from janino compilation). Page-cache effects are identical for all
+    # runs (the warmup counts above already touched every table).
     qs = all_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        fn(spark, sf_dir).collect()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

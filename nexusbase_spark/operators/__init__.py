@@ -36,6 +36,8 @@ from nexusbase_spark.operators.metadata import (  # noqa: F401
 )
 from nexusbase_spark.operators.timeseries import (  # noqa: F401
     fill_forward,
+    fill_linear,
     rolling_agg,
     series_delta,
+    zscore_flag,
 )

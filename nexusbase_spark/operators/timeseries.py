@@ -49,6 +49,59 @@ def rolling_agg(df: DataFrame, keys: list[str], width_ns: int,
     return out
 
 
+def fill_linear(df: DataFrame, keys: list[str], col: str,
+                ts_col: str = "ts") -> DataFrame:
+    """Linear interpolation of NULL gaps along each key's timeline.
+
+    Interior gaps get the time-weighted blend of the surrounding non-null
+    observations: v = pv + (nv - pv) * (ts - pt) / (nt - pt). Leading and
+    trailing edges (no observation on one side) stay NULL — extrapolation
+    is a policy choice left to the caller (chain fill_forward for LOCF
+    tails).
+
+    Scale shape: both the backward (last non-null) and forward (first
+    non-null) lookups are window functions over the SAME partitioning and
+    ordering, so Catalyst plans one exchange on the key and one sort —
+    no self-join against the non-null subset, which is the naive
+    formulation and shuffles twice.
+    """
+    ts = F.col(ts_col).cast("long")
+    wp = (Window.partitionBy(*keys).orderBy(ts)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*keys).orderBy(ts)
+          .rowsBetween(0, Window.unboundedFollowing))
+    obs_ts = F.when(F.col(col).isNotNull(), ts)
+    pv = F.last(col, ignorenulls=True).over(wp)
+    pt = F.last(obs_ts, ignorenulls=True).over(wp)
+    nv = F.first(col, ignorenulls=True).over(wf)
+    nt = F.first(obs_ts, ignorenulls=True).over(wf)
+    interp = pv + (nv - pv) * (ts - pt) / (nt - pt)
+    filled = (F.when(F.col(col).isNotNull(), F.col(col))
+              .when(pv.isNotNull() & nv.isNotNull() & (nt > pt), interp))
+    return df.withColumn(col, filled)
+
+
+def zscore_flag(df: DataFrame, keys: list[str], value_col: str = "value",
+                threshold: float = 3.0) -> DataFrame:
+    """Per-series z-score + outlier flag against the series' own
+    distribution — the batch analog of the reference's outlier-detector
+    hook (hooks/listeners/outlier_detector.go:19-100, which flags points
+    against static per-metric min/max rules at ingest; here the rule is
+    learned from the data: |x - mean| > threshold * stddev).
+
+    One whole-partition window per key (mean + sample stddev share the
+    exchange and the sort); z is NULL when the series has <2 points or
+    zero variance, so constant series never alert.
+    """
+    w = Window.partitionBy(*keys)
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.when(sd > 0, (F.col(value_col) - mu) / sd)
+    return (df.withColumn("zscore", z)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False))))
+
+
 def series_delta(df: DataFrame, keys: list[str], value_col: str = "value",
                  ts_col: str = "ts", tiebreak: str | None = None,
                  counter_reset: bool = False) -> DataFrame:

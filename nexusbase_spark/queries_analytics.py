@@ -1181,3 +1181,166 @@ def q_tpch_q13(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@register("events_gap_fill_linear", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day, value
+        FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT user, day, round(avg(value), 4) AS g
+          FROM pts GROUP BY user, day),
+    ext AS (SELECT user, min(day) AS d0, max(day) AS d1 FROM b GROUP BY user),
+    grid AS (SELECT user, unnest(range(d0, d1 + 1)) AS day FROM ext),
+    j AS (SELECT grid.user, grid.day, b.g
+          FROM grid LEFT JOIN b ON b.user = grid.user AND b.day = grid.day),
+    k AS (
+        SELECT user, day, g,
+               last_value(g IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN g IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wp AS pt,
+               first_value(g IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN g IS NOT NULL THEN day END IGNORE NULLS)
+                   OVER wf AS nt
+        FROM j
+        WINDOW wp AS (PARTITION BY user ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user, day,
+           floor((CASE WHEN g IS NOT NULL THEN g
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+                       THEN pv + (nv - pv) * (day - pt) / (nt - pt)
+                  END) * 10000 + 0.5) / 10000 AS filled
+    FROM k
+""")
+def q_events_gap_fill_linear(spark, sf_dir):
+    """Gap filling by LINEAR INTERPOLATION: same dense day grid as the
+    LOCF variant, but interior holes get the time-weighted blend of the
+    surrounding observations (PromQL/timescale `interpolate()` shape).
+    Backward and forward lookups share one exchange + sort on user — see
+    operators/timeseries.fill_linear. The grid's day column doubles as
+    the interpolation clock."""
+    from nexusbase_spark.operators import fill_linear
+
+    pts = _event_points(spark, sf_dir).filter(F.col("metric") == "purchase")
+    day = F.floor(F.col("ts") / F.lit(86_400_000_000_000)).cast("bigint")
+    # the day-average is rounded BEFORE interpolating on both engines:
+    # avg() differs in the last ulp between engines (summation order), and
+    # interpolation can amplify that across the 4-decimal output boundary
+    b = (pts.select("user", day.alias("day"), "value")
+         .groupBy("user", "day").agg(F.round(F.avg("value"), 4).alias("g")))
+    ext = b.groupBy("user").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = ext.select("user", F.explode(
+        F.sequence(F.col("d0"), F.col("d1"))).alias("day"))
+    j = grid.join(b, ["user", "day"], "left")
+    out = fill_linear(j, ["user"], "g", ts_col="day")
+    # quantize with explicit floor(x*1e4 + 0.5), NOT round(): interpolating
+    # between 4-decimal inputs with rational weights lands exactly on
+    # .00005 boundaries (weight 1/2 + odd sum => always), where Spark's
+    # BigDecimal HALF_UP and DuckDB's multiply-based round() disagree at
+    # ulp level. The floor form is the same correctly-rounded IEEE op
+    # sequence on both engines, so boundary cases cannot diverge.
+    return out.select(
+        "user", "day",
+        (F.floor(F.col("g") * 10000 + F.lit(0.5)) / 10000.0).alias("filled"))
+
+
+@register("events_zscore_outliers", """
+    WITH pts AS (
+        SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS user,
+               epoch_ns(ts) AS ts, event_id AS seq, value
+        FROM events),
+    z AS (
+        SELECT metric, user, ts, seq, value,
+               CASE WHEN stddev_samp(value) OVER w > 0
+                    THEN (value - avg(value) OVER w) / (stddev_samp(value) OVER w)
+               END AS zscore
+        FROM pts
+        WINDOW w AS (PARTITION BY metric, user))
+    SELECT metric, user, ts, seq, round(value, 4) AS value,
+           round(zscore, 4) AS zscore
+    FROM z WHERE abs(zscore) > 2.5
+""")
+def q_events_zscore_outliers(spark, sf_dir):
+    """Per-series z-score outliers (batch analog of the reference's
+    outlier-detector hook, hooks/listeners/outlier_detector.go:19-100 —
+    there a static min/max rule per metric+field at ingest; here the
+    threshold is learned per series). Whole-partition window on
+    (metric, user): mean and stddev share one exchange; only |z| > 2.5
+    rows are emitted, so the result is alert-sized regardless of input
+    scale."""
+    from nexusbase_spark.operators import zscore_flag
+
+    pts = _event_points(spark, sf_dir)
+    out = zscore_flag(pts, ["metric", "user"], threshold=2.5)
+    return (out.filter(F.col("is_outlier"))
+            .select("metric", "user", "ts", "seq",
+                    F.round("value", 4).alias("value"),
+                    F.round("zscore", 4).alias("zscore")))
+
+
+@register("events_series_cardinality", """
+    WITH pts AS (
+        SELECT event_type AS metric,
+               (event_type || '|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+        FROM events),
+    d AS (SELECT DISTINCT metric, series_key, day FROM pts),
+    f AS (SELECT metric, series_key, day,
+                 min(day) OVER (PARTITION BY metric, series_key) AS first_day
+          FROM d)
+    SELECT metric, day,
+           count(*) AS series_active,
+           count(CASE WHEN day = first_day THEN 1 END) AS series_new
+    FROM f GROUP BY metric, day
+""")
+def q_events_series_cardinality(spark, sf_dir):
+    """Daily series-cardinality report: active distinct series per
+    (metric, day) plus NEW series (first ever seen that day) — the batch
+    analog of the reference's cardinality-alerter hook
+    (hooks/listeners/cardinality_alerter.go:14-52, which warns on each
+    new series at ingest). One scan: distinct on (metric, series, day),
+    first-seen day attached by a window over (metric, series), then a
+    single rollup — the distinct's output is series-sized, so the two
+    downstream exchanges move tiny data even at 100TB ingest volume."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (source_ts_ns(ev) / F.lit(86_400_000_000_000)).cast("bigint")
+    pts = ev.select(
+        F.col("event_type").alias("metric"),
+        F.concat(F.col("event_type"), F.lit("|user="),
+                 F.col("user_id").cast("string")).alias("series_key"),
+        day.alias("day"))
+    from pyspark.sql import Window
+    d = pts.distinct()
+    f = d.withColumn("first_day", F.min("day").over(
+        Window.partitionBy("metric", "series_key")))
+    return (f.groupBy("metric", "day")
+            .agg(F.count(F.lit(1)).alias("series_active"),
+                 F.count(F.when(F.col("day") == F.col("first_day"), 1))
+                 .alias("series_new")))
+
+
+@register("events_user_set_ops", """
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'view_only' AS cohort, user_id FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+    UNION ALL
+    SELECT 'both' AS cohort, user_id FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
+""")
+def q_events_user_set_ops(spark, sf_dir):
+    """Set operations (SURVEY.md §2.8: the reference has none — its only
+    union-like construct is the internal k-way iterator merge): EXCEPT and
+    INTERSECT cohorts from the same two distinct sets, unioned with a tag.
+    Catalyst rewrites both set ops to aggregates/joins on the hashed key —
+    distinct-sized shuffles, no raw-event movement; the UNION ALL is a
+    plan union, not an exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select("user_id").distinct())
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id").distinct())
+    view_only = v.exceptAll(p).select(
+        F.lit("view_only").alias("cohort"), "user_id")
+    both = v.intersect(p).select(F.lit("both").alias("cohort"), "user_id")
+    return view_only.unionByName(both)

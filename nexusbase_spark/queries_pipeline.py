@@ -1116,3 +1116,66 @@ def q_docs_length_histogram(spark, sf_dir):
         F.least(F.floor(F.col("n_chars") / 50), F.lit(12)).cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars")))
+
+
+@register("docs_length_deciles", """
+    WITH b AS (
+        SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM documents),
+    assigned AS (
+        SELECT CAST(len(list_filter(b.bs, x -> x < d.n_chars)) AS BIGINT)
+                   AS decile,
+               d.n_chars
+        FROM documents d, b)
+    SELECT decile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM assigned GROUP BY decile
+""")
+def q_docs_length_deciles(spark, sf_dir):
+    """Equi-depth decile report via percentile BOUNDARIES, not ntile: a
+    global ntile needs a total sort through one partition, which is the
+    anti-pattern at corpus scale. Here the nine cut points are one
+    aggregate (exact `percentile` to match the oracle; swap in
+    `percentile_approx` at 100TB), broadcast back over the scan, and each
+    doc's decile is just how many cuts sit strictly below it — two scans,
+    no global sort, and the bucket rule is pure comparisons so both
+    engines agree exactly."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("n_chars"))
+    bounds = docs.agg(F.percentile(
+        F.col("n_chars"),
+        F.array(*[F.lit(i / 10) for i in range(1, 10)])).alias("bs"))
+    assigned = docs.crossJoin(F.broadcast(bounds)).select(
+        F.size(F.filter("bs", lambda x: x < F.col("n_chars")))
+        .cast("long").alias("decile"),
+        "n_chars")
+    return (assigned.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(F.col("n_chars").cast("long")).alias("min_chars"),
+                 F.max(F.col("n_chars").cast("long")).alias("max_chars")))
+
+
+@register("embed_label_centroids", """
+    SELECT label, pos, round(avg(e), 4) AS centroid
+    FROM (
+        SELECT label,
+               unnest(embedding) AS e,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings)
+    GROUP BY label, pos
+""")
+def q_embed_label_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column — the cluster-summary
+    primitive behind IVF training, dedup-cluster representatives, and
+    class prototypes. posexplode + groupBy(label, pos) is the
+    scale-correct distributed mean over array columns: partial aggregation
+    combines map-side after the explode, so the shuffle carries one
+    (label, pos, sum, count) row per group, never raw vectors; the
+    alternative (collect vectors per label, average driver-side) does not
+    distribute. The oracle zips DuckDB's parallel unnests the same way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+            .groupBy("label", F.col("pos").cast("long").alias("pos"))
+            .agg(F.round(F.avg("e"), 4).alias("centroid"))
+            .select("label", "pos", "centroid"))

@@ -161,3 +161,39 @@ def test_fill_forward_locf(spark):
     got2 = {r["ts"]: r["v"] for r in fill_forward(
         df2, ["user"], ["v"], is_missing=F.isnan).collect()}
     assert got2[2] == 2.0
+
+
+def test_fill_linear_interior_and_edges(spark):
+    """Interior gaps interpolate time-weighted; edges (no observation on
+    one side) stay NULL; keys never bleed."""
+    from nexusbase_spark.operators import fill_linear
+
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 10, 1.0), ("a", 20, None), ("a", 40, 7.0),
+         ("a", 50, None), ("b", 0, None)],
+        "user string, ts long, v double")
+    got = {(r["user"], r["ts"]): r["v"]
+           for r in fill_linear(df, ["user"], "v").collect()}
+    assert got[("a", 0)] is None               # leading edge: no left anchor
+    assert got[("a", 10)] == 1.0               # observations pass through
+    # ts=20 sits 1/3 of the way from 10 to 40: 1 + (7-1)/3 = 3
+    assert got[("a", 20)] == 3.0
+    assert got[("a", 50)] is None              # trailing edge: no right anchor
+    assert got[("b", 0)] is None
+
+
+def test_zscore_flag_semantics(spark):
+    """z computed against the series' own mean/stddev; constant series
+    (sd=0) and singleton series (sd NULL) never flag."""
+    from nexusbase_spark.operators import zscore_flag
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 100.0),
+         ("c", 5.0), ("c", 5.0), ("s", 9.0)],
+        "user string, value double")
+    rows = zscore_flag(df, ["user"], threshold=1.5).collect()
+    flagged = {(r["user"], r["value"]) for r in rows if r["is_outlier"]}
+    assert flagged == {("a", 100.0)}
+    for r in rows:
+        if r["user"] in ("c", "s"):
+            assert r["zscore"] is None and not r["is_outlier"]
