@@ -1179,3 +1179,94 @@ def q_embed_label_centroids(spark, sf_dir):
             .groupBy("label", F.col("pos").cast("long").alias("pos"))
             .agg(F.round(F.avg("e"), 4).alias("centroid"))
             .select("label", "pos", "centroid"))
+
+
+@register("embed_knn_classify", """
+    WITH pr AS (
+        SELECT vec_id AS probe_id, r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS pv
+        FROM embeddings, range(1, 65) r(i) WHERE vec_id < 5),
+    pn AS (SELECT probe_id, sqrt(sum(pv * pv)) AS n FROM pr GROUP BY probe_id),
+    m AS (
+        SELECT pr.probe_id, v.vec_id, v.label,
+               sum(CAST(v.embedding[pr.pos] AS DOUBLE) * pr.pv) AS dot,
+               sqrt(sum(CAST(v.embedding[pr.pos] AS DOUBLE) ** 2)) AS vn
+        FROM embeddings v, pr
+        WHERE v.vec_id >= 5
+        GROUP BY pr.probe_id, v.vec_id, v.label),
+    s AS (
+        SELECT m.probe_id, m.vec_id, m.label, m.dot / (m.vn * pn.n) AS cosine
+        FROM m JOIN pn ON pn.probe_id = m.probe_id),
+    r AS (
+        SELECT probe_id, label,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM s),
+    v AS (SELECT probe_id, label, count(*) AS votes
+          FROM r WHERE rnk <= 10 GROUP BY probe_id, label),
+    f AS (SELECT probe_id, label, votes,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY votes DESC, label) AS rr
+          FROM v)
+    SELECT probe_id, label AS pred_label, votes FROM f WHERE rr = 1
+""")
+def q_embed_knn_classify(spark, sf_dir):
+    """k-NN majority-vote classification: probes vec_id<5 against the
+    labeled rest, k=10 — the standard label-propagation / quality-tier
+    assignment over an embedding column. Probes broadcast; top-k is
+    two-phase (per-bucket then global) so no single reducer ever sorts a
+    whole probe's corpus — see pipeline/similarity.knn_classify."""
+    from nexusbase_spark.pipeline.similarity import knn_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (emb.filter(F.col("vec_id") < 5)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("vec")))
+    return knn_classify(emb.filter(F.col("vec_id") >= 5), probes, k=10)
+
+
+@register("text_unigram_logprob", """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS token
+        FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    uni AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM uni),
+    lp AS (SELECT uni.token,
+                  ln((uni.cnt + 1) / (tot.total + tot.vocab)) AS logp
+           FROM uni, tot)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(lp.logp), 4) AS avg_logprob
+    FROM t JOIN lp ON lp.token = t.token
+    GROUP BY t.doc_id
+""")
+def q_text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet/Gopher LM-quality filter
+    reduced to its corpus-statistics core): per-doc mean log-probability
+    of its tokens under the corpus unigram distribution with add-one
+    smoothing. Higher (less negative) = more typical text; the low tail
+    is gibberish, the high tail is boilerplate — both cut points for
+    curation.
+
+    Scale shape: the unigram table is a wordcount rollup (map-side
+    combine shrinks the shuffle to the distinct vocabulary) and then
+    BROADCASTS back onto the exploded token stream — per-doc rescoring is
+    a narrow pass plus one doc-keyed aggregate whose partial agg collapses
+    fully map-side (a doc's tokens never span partitions). At real corpus
+    scale, cap the broadcast at top-V tokens with an OOV floor
+    probability; the full vocab here keeps the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " ")).alias("token"))
+         .filter(F.col("token") != ""))
+    uni = t.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("total"),
+                  F.count(F.lit(1)).alias("vocab"))
+    lp = (uni.crossJoin(F.broadcast(tot))
+          .select("token",
+                  F.log((F.col("cnt") + 1) / (F.col("total") + F.col("vocab")))
+                  .alias("logp")))
+    return (t.join(F.broadcast(lp), "token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("logp"), 4).alias("avg_logprob")))

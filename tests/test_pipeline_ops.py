@@ -282,3 +282,24 @@ def test_quality_filter_first_fail_reason(spark):
     assert out[1]["reason"] == "too_short" and not out[1]["keep"]
     assert out[2]["high_repetition"] and out[2]["reason"] == "high_repetition"
     assert out[3]["keep"] and out[3]["reason"] is None
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """Majority label wins; vote ties resolve to the smallest label; the
+    two-phase top-k returns the same set as a naive global ranking."""
+    from nexusbase_spark.pipeline.similarity import knn_classify
+
+    # axis-aligned 2d vectors: probe [1,0] is closest to label-1 cluster
+    rows = [
+        (10, [1.0, 0.0], 1), (11, [0.9, 0.1], 1),
+        (12, [0.0, 1.0], 2), (13, [0.1, 0.9], 2), (14, [0.5, 0.5], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    probes = spark.createDataFrame([(0, [1.0, 0.05])],
+                                   "probe_id long, vec array<double>")
+    out = knn_classify(df, probes, k=3).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 1 and out[0]["votes"] == 2
+    # k=4 -> two labels at 2 votes each: tie breaks to smallest label
+    out4 = knn_classify(df, probes, k=4).collect()
+    assert out4[0]["pred_label"] == 1 and out4[0]["votes"] == 2
