@@ -63,6 +63,13 @@ HEADLINE = [
     "tpch_q8_mkt_share",
     "docs_chunk_sliding",
     "events_cohort_retention",
+    # final round-1 families: double-agg distribution join, linear
+    # interpolation, outlier detection, LM scoring, kNN labeling
+    "tpch_q13_custdist",
+    "events_gap_fill_linear",
+    "events_zscore_outliers",
+    "text_unigram_logprob",
+    "embed_knn_classify",
 ]
 
 
