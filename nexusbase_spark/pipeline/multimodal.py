@@ -83,3 +83,110 @@ def extract_meta(df: DataFrame, id_col: str = "doc_id",
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_bytes", LongType()),
+    StructField("frame_sha", StringType()),
+])
+
+
+def sample_frames(df: DataFrame, frame_size: int = 1024, every: int = 2,
+                  id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Frame sampling over video-shaped binary payloads: the payload is
+    treated as consecutive `frame_size`-byte frames and every `every`-th
+    frame is emitted as its own row (doc_id, frame_idx, frame_bytes,
+    frame_sha).
+
+    The Spark-side plumbing is the real thing — a ROW-EXPANDING
+    mapInPandas (one input row -> many frame rows) in Arrow batches, the
+    same shape a real video codec integration needs; only the per-frame
+    decode is the stub (byte slicing stands in for keyframe extraction —
+    decode_image raises in this container). Payloads never leave the
+    executors and never round-trip to the driver.
+    """
+    from nexusbase_spark.plans import spread
+    df = spread(df)
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, shas = [], [], [], []
+            for did, payload in zip(pdf[id_name], pdf[payload_name]):
+                b = bytes(payload)
+                n_frames = max(1, (len(b) + frame_size - 1) // frame_size)
+                for i in range(0, n_frames, every):
+                    fr = b[i * frame_size:(i + 1) * frame_size]
+                    ids.append(did)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    shas.append(hashlib.sha256(fr).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_bytes": sizes, "frame_sha": shas})
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("n_bytes", LongType()),
+])
+
+
+def resize_payload(df: DataFrame, out_bytes: int = 256,
+                   id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Resize stub: every payload is deterministically resampled to
+    exactly `out_bytes` bytes (tile-and-truncate — the stand-in for
+    bilinear resampling; a real codec slots into the same batch loop).
+    Output schema/batching mirror what an image-resize stage feeds to a
+    feature extractor: fixed-size binary + size column, Arrow both ways.
+    """
+    from nexusbase_spark.plans import spread
+    df = spread(df)
+    id_name, payload_name = id_col, payload_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for payload in pdf[payload_name]:
+                b = bytes(payload) or b"\x00"
+                reps = (out_bytes + len(b) - 1) // len(b)
+                outs.append((b * reps)[:out_bytes])
+            yield pd.DataFrame({"doc_id": pdf[id_name], "payload": outs,
+                                "n_bytes": [len(o) for o in outs]})
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 8, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Feature-extraction stub: a deterministic `dim`-float vector from
+    the payload's sha256 (byte j scaled to [0,1] at 1/255) — the
+    embedding-model stand-in. The plumbing is the production shape: Arrow
+    batch in, array<double> column out, ready for the similarity/dedup
+    operators downstream; only the model call is faked (and the fake is
+    oracle-expressible, so the contract is hash-checked end to end).
+    """
+    from pyspark.sql.types import ArrayType, DoubleType
+    from nexusbase_spark.plans import spread
+    df = spread(df)
+    id_name, payload_name = id_col, payload_col
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [b / 255.0 for b in hashlib.sha256(bytes(p)).digest()[:dim]]
+                for p in pdf[payload_name]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_name], "features": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -1270,3 +1270,50 @@ def q_text_unigram_logprob(spark, sf_dir):
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.avg("logp"), 4).alias("avg_logprob")))
+
+
+@register("multimodal_frames", """
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+        FROM documents),
+    f AS (
+        SELECT doc_id, n,
+               unnest(range(0, greatest(1, (n + 1023) // 1024), 2)) AS frame_idx
+        FROM d)
+    SELECT doc_id, frame_idx,
+           least(1024, n - frame_idx * 1024) AS frame_bytes
+    FROM f
+""")
+def q_multimodal_frames(spark, sf_dir):
+    """Video-shaped frame sampling through the row-expanding mapInPandas
+    path (1 payload row -> N frame rows in Arrow batches): every 2nd
+    1KiB frame. The oracle checks the structural contract (which frames,
+    what sizes) from byte-length math; the per-frame sha256 is covered by
+    pytest (DuckDB cannot byte-slice BLOBs to mirror it)."""
+    from nexusbase_spark.pipeline.multimodal import attach_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_frames(attach_payload(docs), frame_size=1024, every=2)
+    return out.select("doc_id", "frame_idx", "frame_bytes")
+
+
+@register("multimodal_features", """
+    WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    f AS (SELECT doc_id, h, unnest(range(0, 8)) AS pos FROM d)
+    SELECT doc_id, pos,
+           CAST(('0x' || substring(h, pos * 2 + 1, 2)) AS INT) / 255.0 AS feat
+    FROM f
+""")
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction stub end to end: payload -> deterministic
+    8-dim vector (sha256 bytes / 255) through the Arrow batch path, then
+    posexploded so the oracle value-checks every component. The fake
+    model is the point: the schema, batching and array<double> output
+    are exactly what a real embedding model integration produces, and
+    the vectors feed the similarity/dedup operators unchanged."""
+    from nexusbase_spark.pipeline.multimodal import attach_payload, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_features(attach_payload(docs), dim=8)
+    return (out.select("doc_id", F.posexplode("features").alias("pos", "feat"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"), "feat"))
