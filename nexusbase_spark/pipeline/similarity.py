@@ -261,18 +261,19 @@ def lsh_topk(df: DataFrame, probe: list[float], k: int = 10, nbits: int = 8,
 
 def knn_classify(df: DataFrame, probes: DataFrame, k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 label_col: str = "label", buckets: int = 8) -> DataFrame:
+                 label_col: str = "label") -> DataFrame:
     """k-NN majority-vote classification of each probe vector against the
     labeled corpus -> (probe_id, pred_label, votes).
 
     `probes` is a (probe_id, vec) frame — queries are bounded, so it
     BROADCASTS and scoring is one narrow pass over the corpus (cosine via
-    the zip_with/aggregate kernel, no shuffle). The top-k per probe is
-    TWO-PHASE: a first row_number over (probe, hash-bucket) keeps k rows
-    per bucket — spreading the sort across `buckets` reducers — and only
-    the surviving buckets*k rows meet the final per-probe ranking. A
-    single window over probe_id alone would funnel the whole corpus
-    through one reducer per probe, the classic top-k skew at 100TB.
+    the zip_with/aggregate kernel, no shuffle). The per-probe top-k is a
+    single row_number window: Spark's WindowGroupLimit pushes the k-limit
+    MAP-SIDE (each task keeps at most k rows per probe before the
+    exchange — visible as Sort+WindowGroupLimit below the Exchange in the
+    formatted plan), so the per-probe reducer receives tasks*k rows, not
+    the corpus. An explicit two-phase bucket ranking was measured to add
+    one exchange + two sorts for no additional pruning.
     Votes tie-break deterministically: count desc, then smallest label.
     """
     from pyspark.sql import Window
@@ -281,14 +282,8 @@ def knn_classify(df: DataFrame, probes: DataFrame, k: int = 10,
     scored = (df.crossJoin(F.broadcast(pv))
               .select("probe_id", F.col(id_col), F.col(label_col),
                       cosine_sim_expr(F.col(vec_col), F.col("__p")).alias("cosine")))
-    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(buckets))
-    w1 = (Window.partitionBy("probe_id", "__b")
-          .orderBy(F.col("cosine").desc(), F.col(id_col)))
-    local = (scored.withColumn("__b", bucket)
-             .withColumn("__r", F.row_number().over(w1))
-             .filter(F.col("__r") <= k).drop("__r", "__b"))
     w2 = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col(id_col))
-    top = (local.withColumn("__r", F.row_number().over(w2))
+    top = (scored.withColumn("__r", F.row_number().over(w2))
            .filter(F.col("__r") <= k))
     votes = (top.groupBy("probe_id", label_col)
              .agg(F.count(F.lit(1)).alias("votes")))

@@ -1249,11 +1249,16 @@ def q_text_unigram_logprob(spark, sf_dir):
     curation.
 
     Scale shape: the unigram table is a wordcount rollup (map-side
-    combine shrinks the shuffle to the distinct vocabulary) and then
-    BROADCASTS back onto the exploded token stream — per-doc rescoring is
-    a narrow pass plus one doc-keyed aggregate whose partial agg collapses
-    fully map-side (a doc's tokens never span partitions). At real corpus
-    scale, cap the broadcast at top-V tokens with an OOV floor
+    combine shrinks its shuffle to the distinct vocabulary) that then
+    BROADCASTS back onto the exploded token stream; the per-doc aggregate
+    collapses fully map-side (a doc's tokens never span partitions), so
+    NO shuffle ever carries token-instance rows. The plan tokenizes the
+    corpus once per consumer branch (uni / tot / rescore) — an explicit
+    per-doc tf rollup that tokenizes once was A/B-measured 1.6x SLOWER
+    here: its (doc_id, token) exchange is corpus-sized, its subtrees
+    don't canonicalize identically so ReuseExchange never fires, and
+    re-tokenizing is cheaper than shuffling the tokenized corpus. At real
+    corpus scale, cap the broadcast at top-V tokens with an OOV floor
     probability; the full vocab here keeps the oracle exact."""
     docs = load_table(spark, sf_dir, "documents")
     t = (docs.select("doc_id", F.explode(
