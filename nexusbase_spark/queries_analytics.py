@@ -1344,3 +1344,27 @@ def q_events_user_set_ops(spark, sf_dir):
         F.lit("view_only").alias("cohort"), "user_id")
     both = v.intersect(p).select(F.lit("both").alias("cohort"), "user_id")
     return view_only.unionByName(both)
+
+
+@register("orders_cube_totals", """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_orders_cube(spark, sf_dir):
+    """CUBE grouping (all 2^n marginal combinations in one pass),
+    completing the grouping-sets family next to ROLLUP: Catalyst expands
+    the four grouping sets map-side, so orders is read once and a single
+    exchange carries every aggregation level; gid disambiguates NULL
+    keys from cube placeholders."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+    )

@@ -196,3 +196,38 @@ def test_pack_overflow_bound_property(spark, data):
             total = sum(r["n_tok"] for r in prs)
             assert total < budget + max(r["n_tok"] for r in prs)
             assert all(0 <= r["pack_offset"] < budget for r in prs)
+
+
+@pytest.mark.slow
+@given(data=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50),
+              st.one_of(st.none(),
+                        st.floats(min_value=-100, max_value=100,
+                                  allow_nan=False, allow_infinity=False))),
+    min_size=1, max_size=12, unique_by=lambda t: t[0]))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fill_linear_properties(spark, data):
+    """For any timeline: observations pass through untouched; edges with
+    no anchor on one side stay NULL; every interpolated value lies
+    between its two anchors (monotone bound — linear interpolation never
+    overshoots)."""
+    from nexusbase_spark.operators import fill_linear
+
+    df = spark.createDataFrame([("k", ts, v) for ts, v in data],
+                               "user string, ts long, v double")
+    got = {r["ts"]: r["v"] for r in fill_linear(df, ["user"], "v").collect()}
+    obs = sorted((ts, v) for ts, v in data if v is not None)
+    obs_ts = [ts for ts, _ in obs]
+    for ts, v in data:
+        if v is not None:
+            assert got[ts] == v
+        elif not obs_ts or ts < obs_ts[0] or ts > obs_ts[-1]:
+            assert got[ts] is None
+        else:
+            import bisect
+            i = bisect.bisect_left(obs_ts, ts)
+            lo, hi = obs[i - 1], obs[i]
+            expected = lo[1] + (hi[1] - lo[1]) * (ts - lo[0]) / (hi[0] - lo[0])
+            assert got[ts] == pytest.approx(expected, abs=1e-9)
+            assert min(lo[1], hi[1]) - 1e-9 <= got[ts] <= max(lo[1], hi[1]) + 1e-9
