@@ -43,6 +43,7 @@ class QueryStatement:
     downsample_slide: int | None = None      # ns (… BY <size> SLIDE <slide>) — hopping windows
     emit_empty_windows: bool = False
     fill_previous: bool = False      # FILL PREVIOUS — LOCF over empty-window NaNs
+    fill_linear: bool = False        # FILL LINEAR — interpolate empty-window NaNs
     limit: int | None = None
     sort_desc: bool = False
     after_cursor: str | None = None  # base64 keyset cursor

@@ -296,9 +296,14 @@ def _parse_query(t: _Tokens) -> QueryStatement:
             q.emit_empty_windows = True
         elif t.accept("FILL"):
             # extension over the reference grammar (InfluxQL-style):
-            # carry the previous window's value into empty windows
-            t.expect("PREVIOUS")
-            q.fill_previous = True
+            # PREVIOUS carries the prior window's value into empty
+            # windows; LINEAR interpolates between the surrounding ones
+            if t.accept("PREVIOUS"):
+                q.fill_previous = True
+            elif t.accept("LINEAR"):
+                q.fill_linear = True
+            else:
+                raise NBQLError("FILL expects PREVIOUS or LINEAR")
         elif t.accept("SORT"):
             q.sort_desc = t.next().upper() == "DESC"
         elif t.accept("ASC"):
@@ -316,8 +321,10 @@ def _parse_query(t: _Tokens) -> QueryStatement:
     if q.downsample_slide is not None:
         if q.downsample_interval % q.downsample_slide:
             raise NBQLError("SLIDE must divide the window size")
-    if q.fill_previous and not q.emit_empty_windows:
-        raise NBQLError("FILL PREVIOUS requires EMIT EMPTY WINDOWS")
+    if (q.fill_previous or q.fill_linear) and not q.emit_empty_windows:
+        raise NBQLError("FILL requires EMIT EMPTY WINDOWS")
+    if q.fill_previous and q.fill_linear:
+        raise NBQLError("FILL PREVIOUS and FILL LINEAR are mutually exclusive")
     return q
 
 

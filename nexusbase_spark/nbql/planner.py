@@ -207,6 +207,22 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
                                    ts_col="window_start", is_missing=F.isnan)
                 for c in cols:
                     agg = agg.withColumn(c, F.coalesce(F.col(c), _nan()))
+        if q.fill_linear:
+            # FILL LINEAR (grammar extension): interpolate the NaN-marked
+            # agg columns between the surrounding observed windows
+            # (InfluxQL fill(linear)). count/sum keep their 0.0 empty
+            # marker; edges with no anchor on one side stay NaN.
+            from nexusbase_spark.operators.timeseries import fill_linear
+
+            cols = [spec.alias or f"{spec.func}_{spec.field}"
+                    for spec in q.aggregations
+                    if spec.func not in ("count", "sum")]
+            for c in cols:
+                agg = agg.withColumn(
+                    c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)))
+                agg = fill_linear(agg, ["metric", "series_key"], c,
+                                  ts_col="window_start")
+                agg = agg.withColumn(c, F.coalesce(F.col(c), _nan()))
 
     agg = agg.withColumn("window_end", F.col("window_start") + F.lit(iv))
     order = [F.col("window_start"), F.col("series_key")]

@@ -236,3 +236,72 @@ def q_nbql_fill_previous(spark, sf_dir):
         "FILL PREVIOUS")
     return df.select("metric", "series_key", "window_start", "window_end",
                      "count_*", F.round("avg_value", 4).alias("avg_value"))
+
+
+@register("nbql_fill_linear", f"""
+    WITH p AS (
+        SELECT ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+               epoch_ns(ts) AS ts, value
+        FROM events
+        WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
+    ),
+    grid AS (
+        SELECT s.series_key, g.window_start
+        FROM (SELECT DISTINCT series_key FROM p) s
+        CROSS JOIN (SELECT unnest(generate_series({T1}, {T2 - 1}, {DAY_NS}))
+                    AS window_start) g
+    ),
+    agg AS (
+        SELECT series_key, ts - (ts % {DAY_NS}) AS window_start,
+               count(*) AS c, avg(value) AS av
+        FROM p GROUP BY series_key, window_start
+    ),
+    j AS (
+        SELECT grid.series_key, grid.window_start, agg.c, agg.av
+        FROM grid LEFT JOIN agg USING (series_key, window_start)
+    ),
+    k AS (
+        SELECT series_key, window_start, c, av,
+               last_value(av IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN av IS NOT NULL THEN window_start END
+                          IGNORE NULLS) OVER wp AS pt,
+               first_value(av IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN av IS NOT NULL THEN window_start END
+                           IGNORE NULLS) OVER wf AS nt
+        FROM j
+        WINDOW wp AS (PARTITION BY series_key ORDER BY window_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY series_key ORDER BY window_start
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    f AS (
+        SELECT series_key, window_start,
+               CAST(coalesce(c, 0) AS DOUBLE) AS "count_*",
+               coalesce(CASE WHEN av IS NOT NULL THEN av
+                             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+                             THEN pv + (nv - pv) * (window_start - pt) / (nt - pt)
+                        END, 'NaN'::DOUBLE) AS av
+        FROM k
+    )
+    SELECT 'click' AS metric, series_key, window_start,
+           window_start + {DAY_NS} AS window_end, "count_*",
+           CASE WHEN isnan(av) THEN av
+                ELSE floor(av * 10000 + 0.5) / 10000 END AS avg_value
+    FROM f
+""")
+def q_nbql_fill_linear(spark, sf_dir):
+    """FILL LINEAR grammar extension end-to-end: empty daily windows are
+    emitted (count 0, avg NaN) and the NaN averages are linearly
+    interpolated between the surrounding observed windows per series
+    (operators/timeseries.fill_linear); edge windows with no anchor on
+    one side stay NaN. InfluxQL's fill(linear), on the NBQL front end.
+    Output floor-quantized (not round()) — see events_gap_fill_linear."""
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(
+        f"QUERY click FROM {T1} TO {T2} "
+        "AGGREGATE BY 1d (count(*), avg(value)) EMIT EMPTY WINDOWS "
+        "FILL LINEAR")
+    q = F.when(F.isnan(F.col("avg_value")), F.col("avg_value")).otherwise(
+        F.floor(F.col("avg_value") * 10000 + F.lit(0.5)) / 10000.0)
+    return df.select("metric", "series_key", "window_start", "window_end",
+                     "count_*", q.alias("avg_value"))

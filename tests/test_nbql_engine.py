@@ -475,3 +475,14 @@ def test_parse_fill_previous_extension():
               "EMIT EMPTY WINDOWS FILL;")
     with pytest.raises(NBQLError):  # only meaningful with emitted holes
         parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 1h (avg(v)) FILL PREVIOUS;")
+
+
+def test_parse_fill_linear_extension():
+    q = parse("QUERY cpu FROM 0 TO 100 AGGREGATE BY 1h (avg(value)) "
+              "EMIT EMPTY WINDOWS FILL LINEAR;")
+    assert q.fill_linear and q.emit_empty_windows and not q.fill_previous
+    with pytest.raises(NBQLError):  # only meaningful with emitted holes
+        parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 1h (avg(v)) FILL LINEAR;")
+    with pytest.raises(NBQLError):  # the two fills are mutually exclusive
+        parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 1h (avg(v)) "
+              "EMIT EMPTY WINDOWS FILL PREVIOUS FILL LINEAR;")
