@@ -157,6 +157,49 @@ def jaccard_pairs(pairs: DataFrame, shingles: DataFrame,
     return out.select("id_a", "id_b", "jaccard")
 
 
+def _banded_docs(df: DataFrame, id_col: str, text_col: str, n: int,
+                 num_hashes: int, bands: int,
+                 persist: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle->signature->banding stage: returns ``(docs, banded)``
+    where docs = (id, shset, hset) [persisted unless ``persist=False``]
+    and banded = (id, sz, band_idx, band_key). See _lsh_verified_pairs
+    for the narrow-array design rationale."""
+    from nexusbase_spark.plans import spread
+    from nexusbase_spark.pipeline.text import shingles_of_tokens, tokens_col
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+    toks = spread(toks, compute_heavy=True)
+    docs = (
+        toks.select(F.col(id_col),
+                    F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("shset"))
+        .filter(F.size("shset") > 0)
+        .withColumn("hset", F.transform("shset", base_hash31))
+    )
+    if persist:
+        docs = docs.persist()
+    rows_per = num_hashes // bands
+    assert rows_per * bands == num_hashes
+
+    def hash_j(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
+    sig_cols = [
+        F.array_min(F.transform("hset", hash_j(a, b))).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    sig = docs.select(F.col(id_col), F.size("shset").alias("sz"), *sig_cols)
+    band_entries = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per + r}") for r in range(rows_per)])).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.col("sz"), F.explode(band_entries).alias("e")
+    ).select(id_col, "sz", F.col("e.band_idx").alias("band_idx"),
+             F.col("e.band_key").alias("band_key"))
+    return docs, banded
+
+
 def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
                         num_hashes: int, bands: int,
                         max_bucket: int | None = None) -> DataFrame:
@@ -182,53 +225,14 @@ def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
     are so mutually similar that verification would be quadratic too.
     """
     from pyspark.sql import Window
-    from nexusbase_spark.plans import spread
-    from nexusbase_spark.pipeline.text import tokens_col
-    # Tokenize BEFORE the exchange: the repartition materializes the token
-    # arrays, so the whole-text regex split runs exactly once per doc
-    # instead of once per downstream reference (slices/sizes are cheap on
-    # the array; the split is not — measured ~2.5x on this stage).
-    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
-    # shingling + k md5s per shingle is per-row expensive: a narrow input
-    # (one small file = one split) would serialize it onto one core
-    toks = spread(toks, compute_heavy=True)
-    from nexusbase_spark.pipeline.text import shingles_of_tokens
-    docs = (
-        toks.select(F.col(id_col),
-                    F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("shset"))
-        .filter(F.size("shset") > 0)
-        # hset: ONE md5 per shingle, materialized by the persist so the k
-        # signature transforms below reuse it (HOF lambdas are not CSE'd —
-        # recomputing md5 inside each would cost k x; measured before the
-        # universal-hash rewrite, md5 was ~the whole signature stage)
-        .withColumn("hset", F.transform("shset", base_hash31))
-        .persist()
-    )
-    rows_per = num_hashes // bands
-    assert rows_per * bands == num_hashes
-    # NOTE: the lambda must take exactly ONE parameter — PySpark infers the
-    # HOF arity from the python signature, so a captured default arg would
-    # silently switch transform() to its (element, index) form. Plain
-    # closure capture of the loop vars is safe (transform() builds the
-    # expression synchronously).
-    def hash_j(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
-    sig_cols = [
-        F.array_min(F.transform("hset", hash_j(a, b))).alias(f"h{j}")
-        for j, (a, b) in enumerate(minhash_params(num_hashes))
-    ]
-    sig = docs.select(F.col(id_col), F.size("shset").alias("sz"), *sig_cols)
-    band_entries = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per + r}") for r in range(rows_per)])).alias("band_key"),
-        )
-        for b in range(bands)
-    ])
-    banded = sig.select(
-        F.col(id_col), F.col("sz"), F.explode(band_entries).alias("e")
-    ).select(id_col, "sz", F.col("e.band_idx").alias("band_idx"),
-             F.col("e.band_key").alias("band_key"))
+    # Tokenize BEFORE the exchange (the repartition in _banded_docs
+    # materializes the token arrays, so the whole-text regex split runs
+    # exactly once per doc — measured ~2.5x on this stage); hset holds
+    # ONE md5 per shingle, materialized by the persist so the k signature
+    # transforms reuse it (HOF lambdas are not CSE'd; the lambdas take
+    # exactly ONE parameter — a captured default arg would silently
+    # switch transform() to its (element, index) form).
+    docs, banded = _banded_docs(df, id_col, text_col, n, num_hashes, bands)
     if max_bucket is not None:
         # count-over-window partitions on the same key the self-join hashes
         # on, so the exchange is shared — the cap costs no extra shuffle
@@ -311,26 +315,33 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        # localCheckpoint, NOT persist: each round's frame must be a
+        # materialized leaf. persist() alone is unreliable here — under
+        # AQE the convergence-check job was observed to leave the cache
+        # partially unused, so every round re-derived all prior rounds
+        # (measured 2s -> 206s per round by iteration 5 at 100k docs).
+        # An eager localCheckpoint truncates the lineage outright: round
+        # t+1 plans against round t's stored partitions, keeping rounds
+        # flat (~2s each). Trade-off: checkpointed blocks don't survive
+        # executor loss — on a cluster, iterative jobs this short simply
+        # rerun.
+        .localCheckpoint(eager=True)
     )
-    labels = labels.persist()
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src").agg(F.min("label").alias("nlabel"))
         )
-        # persist + materialize each round: without it the lineage doubles
-        # per iteration and every convergence check recomputes from scratch
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(F.col("node"),
                     F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+            .filter(F.col("n.label") != F.col("o.label")).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -399,3 +410,44 @@ def contamination_hits(corpus: DataFrame, eval_df: DataFrame,
     return hits.groupBy(id_col).agg(
         F.countDistinct("__h").alias("n_shared"),
         F.countDistinct("__eval_id").alias("n_eval_docs"))
+
+
+def bucket_clusters(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3,
+                    num_hashes: int = 8, bands: int = 4,
+                    max_iters: int = 20) -> DataFrame:
+    """Near-dup clustering by LSH bucket CO-MEMBERSHIP — no pairwise
+    candidate set at all -> (doc_id, canonical_id) for every doc sharing
+    at least one band bucket with another doc.
+
+    The scale motivation (measured in tools/pipeline_scale_probe.py):
+    when dup cliques are large, the verified-pairs path's OUTPUT is
+    inherently quadratic — a 20-strong clique is 190 pairs before
+    clustering collapses them again. For the dedup endgame (pick one doc
+    per group) the pairs are scaffolding; this operator skips them.
+    Per bucket it emits STAR EDGES doc -> bucket-min (linear: one edge
+    per doc per band), and connected components over those stars equal
+    components over full bucket cliques — co-membership is what defines
+    the graph, and a star spans exactly its bucket's members.
+
+    Trade-off vs near_dup_pairs + dedup_clusters: no exact-Jaccard
+    verification, so banding false positives merge clusters (the
+    standard industrial fast path; tune bands/rows for precision). The
+    window min runs on the same (band_idx, band_key) partitioning the
+    bucket cap uses — one exchange over doc x bands rows.
+    """
+    from pyspark.sql import Window
+    _, banded = _banded_docs(df, id_col, text_col, n, num_hashes, bands,
+                             persist=False)
+    w = Window.partitionBy("band_idx", "band_key")
+    # persist the stars: dedup_clusters' symmetric edge union consumes its
+    # input twice, and each consumption would re-run the whole
+    # shingle/signature pipeline (the expensive part) without this
+    star = (banded
+            .withColumn("__m", F.min(id_col).over(w))
+            .filter(F.col(id_col) != F.col("__m"))
+            .select(F.col(id_col).alias("id_a"), F.col("__m").alias("id_b"))
+            .distinct()
+            .persist())
+    out = dedup_clusters(star, max_iters=max_iters)
+    return out

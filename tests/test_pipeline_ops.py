@@ -303,3 +303,18 @@ def test_knn_classify_majority_and_tiebreak(spark):
     # k=4 -> two labels at 2 votes each: tie breaks to smallest label
     out4 = knn_classify(df, probes, k=4).collect()
     assert out4[0]["pred_label"] == 1 and out4[0]["votes"] == 2
+
+
+def test_bucket_clusters_star_equals_clique(spark):
+    """Docs sharing LSH buckets cluster to the bucket min; a doc with no
+    co-member never appears; star edges give the same components a full
+    pairwise clique would."""
+    from nexusbase_spark.pipeline.dedup import bucket_clusters
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, same), (2, same), (7, same),
+            (9, "completely different text with no overlap whatsoever here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in bucket_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 7: 1}
