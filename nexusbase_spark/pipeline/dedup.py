@@ -451,3 +451,47 @@ def bucket_clusters(df: DataFrame, id_col: str = "doc_id",
             .persist())
     out = dedup_clusters(star, max_iters=max_iters)
     return out
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 16,
+                  bands: int = 2, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs -> (id_a, id_b, hamming).
+
+    Completes the SimHash family: signatures band into ``bands`` equal
+    bit slices, docs agreeing on ANY slice become candidates (the pigeon
+    hole guarantee: hamming <= bands-1 implies at least one identical
+    slice — with bands=2 over 16 bits every pair within hamming 1 is
+    found, and most within max_hamming), and candidates are verified by
+    exact popcount-of-XOR. Same scale skeleton as MinHash LSH: banded
+    self-join generates O(n*bands) candidates, never all pairs, and the
+    verification is a single integer op — no shingle rehydration at all,
+    which is SimHash's point (constant-size signatures).
+    """
+    assert bits % bands == 0
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    sig = simhash(df, id_col, text_col, bits=bits)
+    band_entries = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.shiftright(F.col("simhash"), b * slice_bits)
+                 .bitwiseAND(F.lit(mask)).alias("band_key"))
+        for b in range(bands)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_entries).alias("e")
+    ).select(id_col, "simhash",
+             F.col("e.band_idx").alias("band_idx"),
+             F.col("e.band_key").alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .alias("hamming"))
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

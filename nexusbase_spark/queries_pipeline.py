@@ -1359,3 +1359,50 @@ def q_doc_dedup_bucket_clusters(spark, sf_dir):
     from nexusbase_spark.pipeline.dedup import bucket_clusters
 
     return bucket_clusters(_docs_aug(spark, sf_dir), num_hashes=8, bands=4)
+
+
+_SIMHASH_SIG_CTES = f"""
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM ({DOCS_AUG_SQL})),
+    v AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"sum(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), {i+1}, 1)) - 1 >= 8 "
+                   f"THEN 1 ELSE -1 END) AS v{i}" for i in range(16))}
+        FROM tok GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               ({" + ".join(f"CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))})::BIGINT AS simhash
+        FROM v
+    )"""
+
+
+@register("doc_dedup_simhash_pairs", f"""
+    WITH {_SIMHASH_SIG_CTES},
+    banded AS (
+        SELECT doc_id, simhash, 0 AS band_idx, simhash & 255 AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, simhash, 1 AS band_idx, (simhash >> 8) & 255 AS band_key FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+""")
+def q_doc_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (completing the family beyond signatures):
+    16-bit signatures band into two 8-bit slices, docs agreeing on either
+    slice become candidates (pigeonhole: every pair within hamming 1 is
+    guaranteed found), verified by exact popcount-of-XOR <= 3. Candidate
+    generation is the same O(n*bands) banded self-join as MinHash LSH but
+    verification is ONE integer op — no shingle rehydration, which is
+    SimHash's reason to exist at corpus scale."""
+    from nexusbase_spark.pipeline.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs_aug(spark, sf_dir), bits=16, bands=2, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
