@@ -31,6 +31,7 @@ resurrects (engine2/adapter.go:2773-2791).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -475,6 +476,142 @@ class NexusEngine:
             .groupBy("metric", "series_key", "ts", "seq")
             .agg(F.first("tags").alias("tags"), *aggs)
         )
+
+    # ------------------------------------- continuous aggregates (rollups)
+
+    def _rollup_dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, "rollups", name)
+
+    def create_rollup(self, name: str, metric: str, interval_ns: int,
+                      specs: list) -> None:
+        """Materialized downsample (TimescaleDB continuous-aggregate /
+        hypertable-rollup shape — the reference computes every downsample
+        at query time; at 100TB a standing dashboard query must not).
+
+        The rollup table holds the NBQL downsample plan's output
+        (metric, series_key, tags, window_start/end, one column per agg)
+        for one metric, partitioned by the UTC day of window_start, plus
+        a meta file recording the last seq it has seen. ``specs`` are
+        `nbql.ast.AggregationSpec`s — the same objects the parser makes. `refresh_rollup` is
+        DELTA-INVALIDATE, not delta-aggregate: new/late/deleted data
+        marks its windows' day partitions dirty and those days are
+        recomputed exactly from the base table — no merge algebra, so
+        every aggregate (avg, stddev, percentiles) stays exact, and
+        dynamic partition overwrite rewrites only the dirty days.
+        """
+        d = self._rollup_dir(name)
+        os.makedirs(d, exist_ok=True)
+        last_seq = self._seq - 1
+        out = self._rollup_compute(metric, interval_ns, specs)
+        wday = F.col("window_start") - F.pmod(F.col("window_start"), F.lit(DAY_NS))
+        (out.withColumn("wday", wday).write.mode("overwrite")
+         .partitionBy("wday").parquet(os.path.join(d, "data")))
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({"metric": metric, "interval_ns": interval_ns,
+                       "specs": [[s.func, s.field, s.alias] for s in specs],
+                       "last_seq": last_seq}, f)
+
+    def _rollup_compute(self, metric: str, interval_ns: int, specs: list,
+                        day_filter=None) -> DataFrame:
+        """The rollup kernel: the NBQL planner's per-series downsample over
+        the engine's long points view (same code path the oracle-checked
+        nbql_downsample query proves), optionally restricted to the base
+        rows whose WINDOW falls on a dirty day."""
+        from nexusbase_spark.nbql.planner import _plan_downsample
+        q = QueryStatement(metric=metric, aggregations=list(specs),
+                           downsample_interval=interval_ns)
+        df = self.points(metric)
+        if day_filter is not None:
+            ws = F.col("ts") - F.pmod(F.col("ts"), F.lit(interval_ns))
+            df = df.filter((ws - F.pmod(ws, F.lit(DAY_NS))).isin(*day_filter))
+        return _plan_downsample(df, q, None, None,
+                                point_markers=self.point_markers)
+
+    def _rollup_meta(self, name: str) -> dict:
+        with open(os.path.join(self._rollup_dir(name), "meta.json")) as f:
+            return json.load(f)
+
+    def rollup(self, name: str) -> DataFrame:
+        """The materialized rollup as a DataFrame (wday is partition
+        bookkeeping, dropped)."""
+        return (self.spark.read.parquet(
+            os.path.join(self._rollup_dir(name), "data")).drop("wday"))
+
+    def refresh_rollup(self, name: str) -> int:
+        """Fold everything ingested or deleted since the last refresh into
+        the rollup; returns the number of day partitions recomputed.
+
+        Dirty-day discovery is seq-based (every write path — ingest, L0
+        puts, tombstones — carries seq): new point rows dirty their own
+        window's day; new point/range tombstones dirty the rollup days
+        they overlap; a new series tombstone dirties every rollup day
+        where that series appears. All discovery frames are
+        rollup-or-delta-sized, never base-table scans.
+        """
+        meta = self._rollup_meta(name)
+        metric, iv = meta["metric"], meta["interval_ns"]
+        last = meta["last_seq"]
+        wday_of = lambda c: c - F.pmod(c, F.lit(DAY_NS))  # noqa: E731
+        dirty: set[int] = set()
+
+        raw = self._raw()
+        if raw is not None:
+            new_pts = (raw.filter((F.col("metric") == metric) & (F.col("seq") > last))
+                       .select(wday_of(F.col("ts") - F.pmod(F.col("ts"), F.lit(iv)))
+                               .alias("wd")).distinct())
+            dirty |= {r["wd"] for r in new_pts.collect()}
+
+        roll = self.rollup(name).select("series_key", "window_start")
+        if os.path.isdir(self._tomb["point"]):
+            tomb = self._tomb_df(
+                "point", "series_key string, ts long, seq long").filter(F.col("seq") > last)
+            hit = tomb.select(
+                wday_of(F.col("ts") - F.pmod(F.col("ts"), F.lit(iv))).alias("wd")).distinct()
+            dirty |= {r["wd"] for r in hit.collect()}
+        if os.path.isdir(self._tomb["range"]):
+            tomb = self._tomb_df(
+                "range", "series_key string, min_ts long, max_ts long, seq long"
+            ).filter(F.col("seq") > last)
+            hit = (roll.join(tomb, (roll["series_key"] == tomb["series_key"])
+                             & (roll["window_start"] + iv > tomb["min_ts"])
+                             & (roll["window_start"] <= tomb["max_ts"]))
+                   .select(wday_of(roll["window_start"]).alias("wd")).distinct())
+            dirty |= {r["wd"] for r in hit.collect()}
+        if os.path.isdir(self._tomb["series"]):
+            tomb = self._tomb_df(
+                "series", "series_key string, seq long").filter(F.col("seq") > last)
+            hit = (roll.join(tomb, "series_key")
+                   .select(wday_of(roll["window_start"]).alias("wd")).distinct())
+            dirty |= {r["wd"] for r in hit.collect()}
+
+        new_last = self._seq - 1
+        if dirty:
+            specs = [AggregationSpec(f, fld, al) for f, fld, al in meta["specs"]]
+            out = (self._rollup_compute(metric, iv, specs,
+                                        day_filter=sorted(dirty))
+                   .withColumn("wday", wday_of(F.col("window_start")))
+                   .persist())
+            # dynamic partition overwrite: only the dirty wday dirs move
+            with_conf = self.spark.conf
+            prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (out.write.mode("overwrite").partitionBy("wday")
+                 .parquet(os.path.join(self._rollup_dir(name), "data")))
+            finally:
+                with_conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            # a dirty day whose data was FULLY deleted produces no output
+            # rows, so dynamic overwrite never touches its directory —
+            # drop those partitions explicitly or stale windows survive
+            still = {r["wday"] for r in out.select("wday").distinct().collect()}
+            out.unpersist()
+            for wd in dirty - still:
+                shutil.rmtree(os.path.join(self._rollup_dir(name), "data",
+                                           f"wday={wd}"), ignore_errors=True)
+        meta["last_seq"] = new_last
+        with open(os.path.join(self._rollup_dir(name), "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return len(dirty)
 
     # ------------------------------------------------------- maintenance
 

