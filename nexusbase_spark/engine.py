@@ -919,4 +919,20 @@ class NexusEngine:
         if isinstance(stmt, A.RestoreStatement):
             self.restore(stmt.path, stmt.overwrite)
             return None
+        if isinstance(stmt, A.CreateRollupStatement):
+            if not validate_name(stmt.name):
+                raise ValueError(f"invalid rollup name: {stmt.name!r}")
+            self.create_rollup(stmt.name, stmt.metric, stmt.interval,
+                               stmt.aggregations)
+            return None
+        if isinstance(stmt, A.RefreshRollupStatement):
+            self.refresh_rollup(stmt.name)
+            return None
+        if isinstance(stmt, A.QueryRollupStatement):
+            df = self.rollup(stmt.name)
+            if stmt.start is not None:
+                df = df.filter(F.col("window_start") >= stmt.start)
+            if stmt.end is not None:
+                df = df.filter(F.col("window_start") <= stmt.end)
+            return df.orderBy("window_start", "series_key")
         raise TypeError(f"unhandled statement {type(stmt).__name__}")

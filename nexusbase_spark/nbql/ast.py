@@ -82,7 +82,33 @@ class RestoreStatement:
     overwrite: bool = False
 
 
+@dataclass
+class CreateRollupStatement:
+    """CREATE ROLLUP <name> ON <metric> AGGREGATE BY <interval> (aggs)
+    — grammar extension: materialized continuous aggregate (the
+    reference recomputes every AGGREGATE BY at query time)."""
+    name: str
+    metric: str
+    interval: int                    # ns
+    aggregations: list[AggregationSpec] = field(default_factory=list)
+
+
+@dataclass
+class RefreshRollupStatement:
+    name: str
+
+
+@dataclass
+class QueryRollupStatement:
+    """QUERY ROLLUP <name> [FROM <ts> TO <ts>] — read the materialized
+    windows (inclusive window_start range)."""
+    name: str
+    start: int | None = None
+    end: int | None = None
+
+
 Statement = (
     PushStatement | QueryStatement | RemoveStatement | ShowStatement
     | FlushStatement | SnapshotStatement | RestoreStatement
+    | CreateRollupStatement | RefreshRollupStatement | QueryRollupStatement
 )

@@ -31,9 +31,12 @@ import re
 
 from nexusbase_spark.nbql.ast import (
     AggregationSpec,
+    CreateRollupStatement,
     FlushStatement,
     PushStatement,
+    QueryRollupStatement,
     QueryStatement,
+    RefreshRollupStatement,
     RemoveStatement,
     RestoreStatement,
     ShowStatement,
@@ -199,7 +202,26 @@ def parse(text: str) -> Statement:
     if head in ("PUSH", "PUSHS"):
         return _parse_push(t, batch=head == "PUSHS")
     if head == "QUERY":
+        if t.accept("ROLLUP"):
+            return _parse_query_rollup(t)
         return _parse_query(t)
+    if head == "CREATE":
+        # grammar extension: CREATE ROLLUP <name> ON <metric>
+        # AGGREGATE BY <interval> (func(field), ...)
+        t.expect("ROLLUP")
+        name = _unquote(t.next())
+        t.expect("ON")
+        metric = _unquote(t.next())
+        t.expect("AGGREGATE")
+        t.expect("BY")
+        interval = parse_duration(t.next())
+        aggs = _parse_agg_list(t)
+        if not aggs:
+            raise NBQLError("CREATE ROLLUP requires an aggregate list")
+        return CreateRollupStatement(name, metric, interval, aggs)
+    if head == "REFRESH":
+        t.expect("ROLLUP")
+        return RefreshRollupStatement(_unquote(t.next()))
     if head == "REMOVE":
         return _parse_remove(t)
     if head == "SHOW":
@@ -220,6 +242,18 @@ def parse(text: str) -> Statement:
             overwrite = True
         return RestoreStatement(path, overwrite)
     raise NBQLError(f"unknown statement: {head}")
+
+
+def _parse_query_rollup(t: _Tokens) -> QueryRollupStatement:
+    q = QueryRollupStatement(_unquote(t.next()))
+    while not t.done():
+        if t.accept("FROM"):
+            q.start = _int_tok(t)
+            t.expect("TO")
+            q.end = _int_tok(t)
+        else:
+            raise NBQLError(f"unexpected token {t.peek()!r} in QUERY ROLLUP")
+    return q
 
 
 def _parse_push(t: _Tokens, batch: bool) -> PushStatement:

@@ -80,3 +80,36 @@ def test_rollup_untouched_days_not_rewritten(eng, tmp_path):
     after = {f: os.path.getmtime(os.path.join(day1, f))
              for f in os.listdir(day1) if f.endswith(".parquet")}
     assert before == after                     # day 1's files untouched
+
+
+def test_rollup_nbql_surface(eng):
+    """The rollup lifecycle through the language: CREATE ROLLUP /
+    REFRESH ROLLUP / QUERY ROLLUP [FROM..TO]."""
+    eng.execute("CREATE ROLLUP r ON m AGGREGATE BY 1d "
+                "(count(*), sum(v), avg(v));")
+    eng.put_batch([("m", {"h": "a"}, {"v": 3.0}, D0 + 3 * DAY)])
+    eng.execute("REFRESH ROLLUP r")
+    rows = eng.execute("QUERY ROLLUP r").collect()
+    got = {(r["series_key"], r["window_start"]):
+           (r["count_*"], r["sum_v"], r["avg_v"]) for r in rows}
+    assert got == _direct(eng)
+    # window_start range is inclusive and prunes to one day
+    day3 = eng.execute(
+        f"QUERY ROLLUP r FROM {D0 + 3 * DAY} TO {D0 + 3 * DAY}").collect()
+    assert {r["window_start"] for r in day3} == {D0 + 3 * DAY}
+
+
+def test_rollup_nbql_parse_errors():
+    from nexusbase_spark.nbql.parser import NBQLError, parse
+    import pytest as _pytest
+
+    s = parse("CREATE ROLLUP r ON cpu AGGREGATE BY 1h (avg(value));")
+    assert (s.name, s.metric, s.interval) == ("r", "cpu", 3_600_000_000_000)
+    assert [(a.func, a.field) for a in s.aggregations] == [("avg", "value")]
+    assert parse("REFRESH ROLLUP r").name == "r"
+    q = parse("QUERY ROLLUP r FROM 5 TO 9")
+    assert (q.name, q.start, q.end) == ("r", 5, 9)
+    with _pytest.raises(NBQLError):
+        parse("CREATE ROLLUP r ON cpu AGGREGATE BY 1h;")
+    with _pytest.raises(NBQLError):
+        parse("CREATE TABLE t")
