@@ -391,7 +391,8 @@ class NexusEngine:
 
     def points(self, metric: str | None = None,
                tags: dict[str, str] | None = None,
-               start: int | None = None, end: int | None = None) -> DataFrame:
+               start: int | None = None, end: int | None = None,
+               matchers: list | None = None) -> DataFrame:
         """The visible long-format points view: MVCC dedup (whole-point
         last-write-wins) + all three tombstone kinds, seq-aware.
 
@@ -423,6 +424,21 @@ class NexusEngine:
             else:  # catalog absent or too many series: scan-side filter
                 for k, v in tags.items():
                     df = df.filter(F.col("tags").getItem(k) == v)
+        for k, op, v in (matchers or []):
+            # non-equality matchers (grammar extension) are scan-side
+            # predicates: the tag must EXIST and differ / (not) match.
+            # Equality still rides the catalog IN-list fast path above; a
+            # future optimization is resolving regexes against the
+            # catalog too (series-sized), then pushing the same IN-list.
+            tv = F.col("tags").getItem(k)
+            if op == "!=":
+                df = df.filter(tv.isNotNull() & (tv != v))
+            elif op == "=~":
+                df = df.filter(tv.isNotNull() & tv.rlike(v))
+            elif op == "!~":
+                df = df.filter(tv.isNotNull() & ~tv.rlike(v))
+            else:
+                raise ValueError(f"unknown tag matcher op: {op!r}")
         if start is not None:
             df = df.filter(F.col("ts") >= start)
             if self.day_partitioned:  # directory-level day pruning

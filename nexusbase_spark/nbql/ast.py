@@ -38,6 +38,9 @@ class QueryStatement:
     end: int | None = None           # ns, inclusive
     relative: int | None = None      # ns duration (FROM RELATIVE(dur))
     tags: dict[str, str] = field(default_factory=dict)
+    # non-equality tag matchers (extension): (key, op, value) with op in
+    # {"!=", "=~", "!~"} — InfluxQL-style; reference grammar has = only
+    tag_matchers: list[tuple[str, str, str]] = field(default_factory=list)
     aggregations: list[AggregationSpec] = field(default_factory=list)
     downsample_interval: int | None = None   # ns (AGGREGATE BY <interval>)
     downsample_slide: int | None = None      # ns (… BY <size> SLIDE <slide>) — hopping windows

@@ -53,6 +53,7 @@ _TOKEN_RE = re.compile(
       | -?\d+[a-zA-Z][\w]*           # duration like 1m, 1h30m (starts numeric)
       | -?\d+                        # int
       | [\w.À-￿:*]+        # ident / keyword / metric name / wildcard
+      | !=|=~|!~                     # tag matcher operators (extension)
       | [(),=;?]                     # punctuation
     )""",
     re.VERBOSE,
@@ -182,6 +183,28 @@ def _kv_list(t: _Tokens, typed: bool) -> dict:
         out[k] = _literal(v) if typed else str(_literal(v))
         if t.accept(")"):
             return out
+        t.expect(",")
+
+
+def _tag_matcher_list(t: _Tokens) -> tuple[dict, list]:
+    """(k=v, k!=v, k=~"re", k!~"re", ...) for QUERY's TAGGED clause —
+    extension over the reference grammar (conjunctive equality ONLY,
+    SURVEY.md §2.3): InfluxQL-style matchers. Equality pairs keep riding
+    the tag-index fast path; matchers become scan-side predicates."""
+    t.expect("(")
+    tags: dict = {}
+    matchers: list = []
+    while True:
+        k = _unquote(t.next())
+        op = t.next()
+        if op == "=":
+            tags[k] = str(_literal(t.next()))
+        elif op in ("!=", "=~", "!~"):
+            matchers.append((k, op, str(_literal(t.next()))))
+        else:
+            raise NBQLError(f"expected tag operator, got {op!r}")
+        if t.accept(")"):
+            return tags, matchers
         t.expect(",")
 
 
@@ -315,7 +338,7 @@ def _parse_query(t: _Tokens) -> QueryStatement:
                 t.expect("TO")
                 q.end = _int_tok(t)
         elif t.accept("TAGGED"):
-            q.tags = _kv_list(t, typed=False)
+            q.tags, q.tag_matchers = _tag_matcher_list(t)
         elif t.accept("AGGREGATE"):
             if t.accept("BY"):
                 q.downsample_interval = parse_duration(t.next())

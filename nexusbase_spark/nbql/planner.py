@@ -111,7 +111,7 @@ def plan_query(engine, q: QueryStatement) -> DataFrame:
     start, end = q.start, q.end
     if q.relative is not None:
         # End anchors to data max-ts when <= now (engine2/adapter.go:1236-1276)
-        df = engine.points(q.metric, q.tags)
+        df = engine.points(q.metric, q.tags, matchers=q.tag_matchers)
         now = engine._now_ns()
         row = df.agg(F.max("ts")).collect()[0]
         if row[0] is None:
@@ -124,7 +124,8 @@ def plan_query(engine, q: QueryStatement) -> DataFrame:
             end = engine._now_ns()  # default EndTime=now (engine2/adapter.go:1117-1120)
         # predicates ride INTO points(): the engine applies them before its
         # MVCC window so the dedup shuffle covers only the selected slice
-        df = engine.points(q.metric, q.tags, start, end)
+        df = engine.points(q.metric, q.tags, start, end,
+                           matchers=q.tag_matchers)
 
     if q.aggregations:
         markers = getattr(engine, "point_markers", False)

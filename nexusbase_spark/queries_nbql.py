@@ -27,13 +27,22 @@ class StaticEngine:
 
     def points(self, metric: str | None = None,
                tags: dict[str, str] | None = None,
-               start: int | None = None, end: int | None = None) -> DataFrame:
+               start: int | None = None, end: int | None = None,
+               matchers: list | None = None) -> DataFrame:
         from pyspark.sql import functions as F
         df = self._points
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
         for k, v in (tags or {}).items():
             df = df.filter(F.col("tags").getItem(k) == v)
+        for k, op, v in (matchers or []):
+            tv = F.col("tags").getItem(k)
+            if op == "!=":
+                df = df.filter(tv.isNotNull() & (tv != v))
+            elif op == "=~":
+                df = df.filter(tv.isNotNull() & tv.rlike(v))
+            elif op == "!~":
+                df = df.filter(tv.isNotNull() & ~tv.rlike(v))
         if start is not None:
             df = df.filter(F.col("ts") >= start)
         if end is not None:
@@ -366,3 +375,28 @@ def q_rollup_incremental(spark, sf_dir):
         "metric", "series_key", "window_start", "window_end", "count_*",
         F.round("sum_value", 4).alias("sum_value"),
         F.round("avg_value", 4).alias("avg_value"))
+
+
+@register("nbql_tag_matchers", f"""
+    SELECT event_type AS metric,
+           ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+           epoch_ns(ts) AS ts,
+           event_id AS seq
+    FROM events
+    WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
+      AND regexp_matches(CAST(user_id AS VARCHAR), '^1[0-9]$')
+      AND CAST(user_id AS VARCHAR) <> '12'
+      AND NOT regexp_matches(CAST(user_id AS VARCHAR), '7$')
+""")
+def q_nbql_tag_matchers(spark, sf_dir):
+    """InfluxQL-style tag matchers through the NBQL front end (grammar
+    extension — the reference's TAGGED is conjunctive equality only,
+    SURVEY.md §2.3): regex match (=~), inequality (!=), and negated
+    regex (!~) compose conjunctively as scan-side predicates. Both
+    engines use search (unanchored) regex semantics, so the anchors in
+    the pattern are the test."""
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(
+        f'QUERY click FROM {T1} TO {T2} '
+        'TAGGED (user=~"^1[0-9]$", user!="12", user!~"7$")')
+    return df.select("metric", "series_key", "ts", "seq")

@@ -486,3 +486,26 @@ def test_parse_fill_linear_extension():
     with pytest.raises(NBQLError):  # the two fills are mutually exclusive
         parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 1h (avg(v)) "
               "EMIT EMPTY WINDOWS FILL PREVIOUS FILL LINEAR;")
+
+
+def test_parse_tag_matchers_extension():
+    q = parse('QUERY m TAGGED (dc="us", host=~"web-.*", env!="dev", az!~"^eu")')
+    assert q.tags == {"dc": "us"}
+    assert q.tag_matchers == [("host", "=~", "web-.*"), ("env", "!=", "dev"),
+                              ("az", "!~", "^eu")]
+    with pytest.raises(NBQLError):
+        parse('QUERY m TAGGED (host ~ "x")')
+
+
+def test_tag_matchers_engine_semantics(engine):
+    """!= and !~ require the tag to EXIST; regex is unanchored search."""
+    df = engine.execute(
+        'QUERY e2e.test.requests FROM 0 TO 3000000000000000000 '
+        'TAGGED (service=~"a", method!="GET")')
+    rows = df.collect()
+    # service 'api' and 'auth' both contain 'a'; method!=GET keeps POST only
+    assert rows and all(r["tags"]["method"] == "POST" for r in rows)
+    none = engine.execute(
+        'QUERY e2e.test.requests FROM 0 TO 3000000000000000000 '
+        'TAGGED (missing!="x")').collect()
+    assert none == []                      # absent tag never matches !=
