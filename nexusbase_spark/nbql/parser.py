@@ -406,6 +406,9 @@ def _parse_show(t: _Tokens) -> ShowStatement:
     what = t.next().upper()
     if what == "METRICS":
         return ShowStatement("metrics")
+    if what == "ROLLUPS":
+        # extension, paired with CREATE/REFRESH/QUERY ROLLUP
+        return ShowStatement("rollups")
     if what == "TAG":
         sub = t.next().upper()
         if sub == "KEYS":

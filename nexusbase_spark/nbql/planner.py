@@ -261,6 +261,25 @@ def plan_show(engine, s: ShowStatement) -> DataFrame:
     from nexusbase_spark.operators.metadata import (
         show_metrics, show_tag_keys, show_tag_values,
     )
+    if s.what == "rollups":
+        # rollup inventory comes from the engine's meta files, not points
+        import json as _json
+        import os as _os
+        base = _os.path.join(getattr(engine, "warehouse", ""), "rollups")
+        rows = []
+        if base and _os.path.isdir(base):
+            for name in sorted(_os.listdir(base)):
+                mp = _os.path.join(base, name, "meta.json")
+                if _os.path.isfile(mp):
+                    with open(mp) as f:
+                        m = _json.load(f)
+                    rows.append((name, m["metric"], m["interval_ns"],
+                                 ", ".join(a or f"{fn}_{fl}"
+                                           for fn, fl, a in m["specs"]),
+                                 m["last_seq"]))
+        return engine.spark.createDataFrame(
+            rows, "name string, metric string, interval_ns long, "
+                  "aggregates string, last_seq long")
     pts = engine.points()
     if s.what == "metrics":
         return show_metrics(pts)

@@ -113,3 +113,14 @@ def test_rollup_nbql_parse_errors():
         parse("CREATE ROLLUP r ON cpu AGGREGATE BY 1h;")
     with _pytest.raises(NBQLError):
         parse("CREATE TABLE t")
+
+
+def test_show_rollups(eng):
+    eng.execute("CREATE ROLLUP r ON m AGGREGATE BY 1d (count(*), avg(v));")
+    rows = eng.execute("SHOW ROLLUPS").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["name"], r["metric"], r["interval_ns"]) == ("r", "m", DAY)
+    assert "count_*" in r["aggregates"] and "avg_v" in r["aggregates"]
+    # an engine with no rollups answers with an empty frame, not an error
+    assert eng.execute("SHOW METRICS").count() >= 1
