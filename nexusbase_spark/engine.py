@@ -299,18 +299,30 @@ class NexusEngine:
         self._write_gen += 1
 
     def start_stream_ingest(self, source_dir: str, checkpoint: str,
-                            bus=None):
+                            bus=None, refresh_rollups: bool = False):
         """Continuous ingest: a file-source stream of long-format rows
         (metric, tags, ts, field, vtype, f_*) feeding the warehouse via
         foreachBatch — the WAL-tail -> memtable path as a streaming job
         (SURVEY.md §7 step 9). Optional hook bus wraps each micro-batch
-        (pre_put_batch listeners see the batch before it lands)."""
+        (pre_put_batch listeners see the batch before it lands).
+
+        ``refresh_rollups`` makes continuous aggregates actually
+        continuous: after each micro-batch lands, every registered
+        rollup is refreshed — delta-invalidate means each refresh costs
+        only the day partitions the batch touched, so the standing cost
+        tracks batch size, not table size."""
         from nexusbase_spark.streaming.subscribe import stream_ingest
         schema = StructType([f for f in POINTS_SCHEMA.fields if f.name != "seq"])
         stream = stream_ingest(self.spark, source_dir, schema)
 
         def sink(batch: DataFrame, batch_id: int) -> None:
             self.ingest_frame(batch)
+            if refresh_rollups:
+                base = os.path.join(self.warehouse, "rollups")
+                if os.path.isdir(base):
+                    for name in sorted(os.listdir(base)):
+                        if os.path.isfile(os.path.join(base, name, "meta.json")):
+                            self.refresh_rollup(name)
 
         on_batch = bus.for_each_batch(sink) if bus is not None else sink
         return (stream.writeStream.queryName("nexusbase_ingest")

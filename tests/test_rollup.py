@@ -124,3 +124,35 @@ def test_show_rollups(eng):
     assert "count_*" in r["aggregates"] and "avg_v" in r["aggregates"]
     # an engine with no rollups answers with an empty frame, not an error
     assert eng.execute("SHOW METRICS").count() >= 1
+
+
+def test_rollup_streaming_maintenance(spark, tmp_path):
+    """refresh_rollups=True keeps the continuous aggregate current as
+    micro-batches land: after each batch the rollup equals a full
+    recompute, without anyone calling refresh by hand."""
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = ("metric string, tags map<string,string>, ts long, "
+              "field string, vtype string, f_double double, f_long long, "
+              "f_string string, f_bool boolean")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(str(src))
+
+    e = NexusEngine(spark, str(tmp_path / "wh"))
+    e.put_batch([("m", {"h": "a"}, {"v": 1.0}, D0)])
+    e.create_rollup("r", "m", DAY, SPECS)
+    q = e.start_stream_ingest(str(src), str(tmp_path / "ckpt"),
+                              refresh_rollups=True)
+    try:
+        # late data into day 0 AND a brand-new day, in one micro-batch
+        feed([("m", {"h": "a"}, D0 + 1, "v", "float", 5.0, None, None, None),
+              ("m", {"h": "a"}, D0 + 2 * DAY, "v", "float", 9.0, None, None, None)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _materialized(e) == _direct(e)
+    day0 = [r for r in e.rollup("r").collect() if r["window_start"] == D0
+            and r["series_key"] == "m|h=a"]
+    assert day0[0]["count_*"] == 2 and day0[0]["sum_v"] == 6.0
