@@ -140,3 +140,31 @@ def corpus_mix(
             F.round(100.0 * F.col("total_weight") / F.col("__tw"), 4).alias("pct_weight"),
         )
     )
+
+
+def temperature_weights(df: DataFrame, group_col: str,
+                        alpha: float = 0.5) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual/multi-source
+    rebalancing rule: sampling share ∝ natural share^alpha, alpha<1 lifts
+    the tail, alpha=1 is natural, alpha=0 is uniform).
+
+    Output per group: n_docs, natural_share, sample_share, and
+    weight_per_doc = sample_share / natural_share — the per-document
+    sampling multiplier to feed straight into stratified_sample's rate
+    card or interleave_by_weight's weights. Same shape as corpus_mix: one
+    group rollup + a 1-row broadcast total per normalization, never a
+    global window — a million-group rate card costs what five do.
+    """
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("__nd"))
+    nat = (per.crossJoin(F.broadcast(tot))
+           .select(group_col, "n_docs",
+                   (F.col("n_docs") / F.col("__nd")).alias("__nat")))
+    powed = nat.withColumn("__pow", F.pow(F.col("__nat"), F.lit(alpha)))
+    ptot = powed.agg(F.sum("__pow").alias("__pt"))
+    return (powed.crossJoin(F.broadcast(ptot))
+            .select(group_col, "n_docs",
+                    F.round(F.col("__nat"), 6).alias("natural_share"),
+                    F.round(F.col("__pow") / F.col("__pt"), 6).alias("sample_share"),
+                    F.round((F.col("__pow") / F.col("__pt")) / F.col("__nat"), 6)
+                    .alias("weight_per_doc")))

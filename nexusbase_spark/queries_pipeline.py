@@ -1406,3 +1406,30 @@ def q_doc_dedup_simhash_pairs(spark, sf_dir):
 
     out = simhash_pairs(_docs_aug(spark, sf_dir), bits=16, bands=2, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register("docs_temperature_mix", """
+    WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_docs) AS nd FROM per),
+    nat AS (SELECT per.source, per.n_docs,
+                   CAST(per.n_docs AS DOUBLE) / nd AS nat
+            FROM per, tot),
+    p AS (SELECT source, n_docs, nat, pow(nat, 0.5) AS pw FROM nat),
+    pt AS (SELECT sum(pw) AS pt FROM p)
+    SELECT p.source, p.n_docs,
+           round(p.nat, 6) AS natural_share,
+           round(p.pw / pt, 6) AS sample_share,
+           round((p.pw / pt) / p.nat, 6) AS weight_per_doc
+    FROM p, pt
+""")
+def q_docs_temperature_mix(spark, sf_dir):
+    """Temperature rebalancing (share ∝ natural^0.5): the standard
+    multilingual/multi-source upsampling rule. weight_per_doc is the
+    per-document multiplier that plugs into stratified_sample /
+    interleave_by_weight — rare sources get >1, dominant sources <1.
+    Two tiny broadcast totals, no global window; see
+    pipeline/split.temperature_weights."""
+    from nexusbase_spark.pipeline.split import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, "source", alpha=0.5)

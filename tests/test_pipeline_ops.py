@@ -318,3 +318,20 @@ def test_bucket_clusters_star_equals_clique(spark):
     got = {r["doc_id"]: r["canonical_id"]
            for r in bucket_clusters(df).collect()}
     assert got == {1: 1, 2: 1, 7: 1}
+
+
+def test_temperature_weights_limits(spark):
+    """alpha=1 reproduces natural shares (weight 1 everywhere); alpha=0 is
+    uniform (weight ∝ 1/natural); alpha=0.5 lifts the tail monotonically."""
+    from nexusbase_spark.pipeline.split import temperature_weights
+
+    rows = [("big",)] * 90 + [("small",)] * 10
+    df = spark.createDataFrame(rows, "source string")
+    w1 = {r["source"]: r for r in temperature_weights(df, "source", alpha=1.0).collect()}
+    assert w1["big"]["weight_per_doc"] == 1.0 == w1["small"]["weight_per_doc"]
+    w0 = {r["source"]: r for r in temperature_weights(df, "source", alpha=0.0).collect()}
+    assert w0["big"]["sample_share"] == 0.5 == w0["small"]["sample_share"]
+    wh = {r["source"]: r for r in temperature_weights(df, "source", alpha=0.5).collect()}
+    assert wh["small"]["weight_per_doc"] > 1.0 > wh["big"]["weight_per_doc"]
+    # shares always sum to 1
+    assert abs(wh["big"]["sample_share"] + wh["small"]["sample_share"] - 1.0) < 1e-6
