@@ -88,6 +88,33 @@ def live_downsample(stream: DataFrame, interval_ns: int,
     )
 
 
+def live_downsample_hopping(stream: DataFrame, size_ns: int, slide_ns: int,
+                            watermark_delay: str = "10 minutes") -> DataFrame:
+    """Streaming per-series HOPPING (sliding) window aggregation — the
+    live counterpart of the batch SLIDE extension (AGGREGATE BY size
+    SLIDE slide): each point contributes to size/slide overlapping
+    windows, windows close as the watermark passes their end.
+
+    Structured Streaming's window(ts, size, slide) assigns the
+    overlapping windows natively (state per open window per series,
+    bounded by the watermark horizon) — no explode, no custom state.
+    """
+    with_time = stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    sz = max(size_ns // 1_000_000_000, 1)
+    sl = max(slide_ns // 1_000_000_000, 1)
+    return (
+        with_time.withWatermark("event_time", watermark_delay)
+        .groupBy(F.window("event_time", f"{sz} seconds", f"{sl} seconds"),
+                 F.col("metric"), F.col("series_key"))
+        .agg(F.count(F.lit(1)).alias("count_*"),
+             F.sum("value").alias("sum_value"),
+             F.avg("value").alias("avg_value"))
+        .withColumn("window_start", F.unix_micros(F.col("window.start")) * 1000)
+        .drop("window")
+    )
+
+
 def live_dedup(stream: DataFrame, keys: tuple[str, ...] = ("series_key", "ts"),
                watermark_delay: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup on ingest: keep the FIRST arrival of each key

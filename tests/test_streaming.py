@@ -349,3 +349,29 @@ def test_live_dedup_within_watermark(spark, point_stream):
     assert ("cpu.usage|host=a", base + 1) in got
     by_key = [r for r in rows if r["ts"] == base]
     assert len(by_key) == 1 and by_key[0]["value"] == 1.0
+
+
+def test_live_downsample_hopping_overlap(spark, point_stream):
+    """Sliding windows: a point lands in size/slide overlapping windows;
+    counts per window reflect exactly the points inside [start, start+size)."""
+    from nexusbase_spark.streaming import live_downsample_hopping
+
+    stream, feed = point_stream
+    NS = 1_000_000_000
+    agg = live_downsample_hopping(stream, 60 * NS, 30 * NS,
+                                  watermark_delay="0 seconds")
+    q = (agg.writeStream.queryName("t_hop").outputMode("update")
+         .format("memory").start())
+    try:
+        # points at 120s and 135s: windows 60-120? no — [90,150) and [120,180)
+        feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a", 120 * NS, 1, 2.0),
+              ("cpu.usage", {"host": "a"}, "cpu.usage|host=a", 135 * NS, 2, 3.0)])
+        q.processAllAvailable()
+        rows = spark.sql("select * from t_hop").collect()
+    finally:
+        q.stop()
+    got = {r["window_start"]: (r["count_*"], r["sum_value"]) for r in rows}
+    assert got[90 * NS] == (2, 5.0)    # [90,150) holds both
+    assert got[120 * NS] == (2, 5.0)   # [120,180) holds both
+    # the 60s-aligned window [60,120) holds neither point
+    assert got.get(60 * NS) is None
