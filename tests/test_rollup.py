@@ -156,3 +156,22 @@ def test_rollup_streaming_maintenance(spark, tmp_path):
     day0 = [r for r in e.rollup("r").collect() if r["window_start"] == D0
             and r["series_key"] == "m|h=a"]
     assert day0[0]["count_*"] == 2 and day0[0]["sum_v"] == 6.0
+
+
+def test_rollup_survives_base_retention(eng):
+    """The downsampled-retention pattern (keep rollups forever, raw data
+    for a window): compacting old raw days away does NOT dirty the rollup
+    (no new seq), so the materialized history outlives its base — and a
+    later refresh for new data still leaves old windows intact."""
+    eng.create_rollup("r", "m", DAY, SPECS)
+    before = _materialized(eng)
+    assert any(ws == D0 for (_, ws) in before)
+    # drop raw day 0; keep day 1+
+    eng.compact(retention_cutoff_ns=D0 + DAY)
+    assert eng.points("m").filter(f"ts < {D0 + DAY}").count() == 0
+    assert _materialized(eng) == before          # rollup kept the history
+    # new data refreshes its own day only; day-0 windows stay materialized
+    eng.put_batch([("m", {"h": "a"}, {"v": 2.0}, D0 + 7 * DAY)])
+    assert eng.refresh_rollup("r") == 1
+    after = _materialized(eng)
+    assert all(after[k] == before[k] for k in before)
