@@ -1433,3 +1433,51 @@ def q_docs_temperature_mix(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_weights(docs, "source", alpha=0.5)
+
+
+@register("docs_curation_pipeline",
+          """
+    WITH qf AS ({qf}),
+    kept AS (
+        SELECT d.doc_id, d.text, d.n_chars
+        FROM documents d JOIN qf ON qf.doc_id = d.doc_id
+        WHERE qf.keep),
+    dd AS (
+        SELECT doc_id, n_chars,
+               min(doc_id) OVER (PARTITION BY md5(trim(lower(text)))) AS keeper
+        FROM kept),
+    uniq AS (SELECT doc_id, n_chars FROM dd WHERE doc_id = keeper),
+    b AS (SELECT n_chars, {bucket} AS bk FROM uniq)
+    SELECT CASE WHEN bk < 8000 THEN 'train'
+                WHEN bk < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM b GROUP BY split
+""".format(qf="SELECT * FROM (" + _QF_RULES_SQL.format(
+              stops=", ".join(repr(w) for w in _STOP_ALL)) + ")",
+           bucket=_bucket_sql('doc_id', 'split-v1')))
+def q_docs_curation_pipeline(spark, sf_dir):
+    """The whole curation pipeline as ONE DAG — quality filter ->
+    exact dedup (keep the group min) -> deterministic split -> corpus
+    report — composed from the same operators the individual oracles
+    check (quality_filter_exprs, exact_dedup_groups, assign_split).
+    This is the composition proof: each stage's output feeds the next
+    lazily, Catalyst plans the lot as one job (filter pushed to the
+    scan, dedup's hash window is the only wide exchange before the
+    rollup), and nothing materializes between stages."""
+    from nexusbase_spark.pipeline.dedup import exact_dedup_groups
+    from nexusbase_spark.pipeline.split import assign_split
+    from nexusbase_spark.pipeline.text import quality_filter_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fx = quality_filter_exprs(F.col("text"))
+    kept = docs.filter(fx["keep"])
+    keepers = (exact_dedup_groups(kept)
+               .filter(F.col("doc_id") == F.col("keeper"))
+               .select("doc_id"))
+    uniq = kept.join(keepers, "doc_id")
+    out = assign_split(uniq, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (out.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
