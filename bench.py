@@ -70,6 +70,9 @@ HEADLINE = [
     "events_zscore_outliers",
     "text_unigram_logprob",
     "embed_knn_classify",
+    # composition + mixing
+    "docs_curation_pipeline",
+    "docs_temperature_mix",
 ]
 
 

@@ -24,20 +24,29 @@ from nexusbase_spark.pipeline.text import tokens_col, word_shingles
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       carry_cols: list[str] | None = None) -> DataFrame:
     """Exact dedup by md5 of normalized text: every doc mapped to its
-    group's keeper (min id) and group size."""
+    group's keeper (min id) and group size.
+
+    ``carry_cols`` ride through to the output, so a downstream stage
+    (split, report) can filter keeper==id and keep going WITHOUT joining
+    back to the input — a join-back re-evaluates the whole upstream
+    lineage (measured 2x on a filter->dedup->split pipeline whose
+    upstream is a heavy quality filter)."""
     from pyspark.sql import Window
     h = F.md5(F.trim(F.lower(F.col(text_col)))).alias("content_hash")
     # window over the hash, not groupBy+join-back: every doc needs its
     # group's stats attached, and a window computes them in the SAME
     # exchange that the groupBy would need — halves the shuffles
     w = Window.partitionBy("content_hash")
+    extra = list(carry_cols or [])
     return (
-        df.select(F.col(id_col), h)
+        df.select(F.col(id_col), h, *extra)
         .select(id_col, "content_hash",
                 F.min(id_col).over(w).alias("keeper"),
-                F.count(F.lit(1)).over(w).alias("group_size"))
+                F.count(F.lit(1)).over(w).alias("group_size"),
+                *extra)
     )
 
 

@@ -1472,10 +1472,11 @@ def q_docs_curation_pipeline(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     fx = quality_filter_exprs(F.col("text"))
     kept = docs.filter(fx["keep"])
-    keepers = (exact_dedup_groups(kept)
-               .filter(F.col("doc_id") == F.col("keeper"))
-               .select("doc_id"))
-    uniq = kept.join(keepers, "doc_id")
+    # carry n_chars THROUGH the dedup window instead of joining back to
+    # `kept`: the join-back form evaluates the quality filter twice
+    # (once per branch; measured 2x this query's wall time)
+    uniq = (exact_dedup_groups(kept, carry_cols=["n_chars"])
+            .filter(F.col("doc_id") == F.col("keeper")))
     out = assign_split(uniq, "doc_id",
                        {"train": 0.8, "val": 0.1, "test": 0.1})
     return (out.groupBy("split")
