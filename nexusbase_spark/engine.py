@@ -885,9 +885,73 @@ class NexusEngine:
 
     def query(self, q: QueryStatement) -> DataFrame:
         from nexusbase_spark.nbql.planner import plan_query
+        rewritten = self._try_rollup_rewrite(q)
+        if rewritten is not None:
+            return rewritten
         if self.result_cache.capacity > 0:
             return self._query_cached(q)
         return plan_query(self, q)
+
+    def _try_rollup_rewrite(self, q: QueryStatement) -> DataFrame | None:
+        """Transparent materialized-view rewriting: a plain per-series
+        downsample query is served from a matching FRESH rollup instead
+        of recomputing from base — the whole point of maintaining
+        continuous aggregates (a standing dashboard query at 100TB reads
+        rollup-sized data, not the fact table).
+
+        The rewrite fires only when it is EXACT:
+        - same metric, interval, and agg list (func/field/alias, in
+          order) as a registered rollup;
+        - the rollup is fresh (last_seq == the engine's current max —
+          any unrefreshed write disables the rewrite rather than serving
+          stale data);
+        - no tags/matchers/slide/emit-empty/fill/limit/cursor (the
+          rollup is per-series over ALL series; filtered variants
+          recompute);
+        - the time range is BOUNDED and WINDOW-ALIGNED (start % iv == 0
+          and end+1 an exact window end): the batch semantics exclude
+          points outside [start, end] from edge windows, which a
+          materialized whole-window answer cannot reproduce for partial
+          windows; an unbounded end defaults to now() in the direct
+          path, which future-dated points would diverge from.
+        Increments ``self.rollup_rewrites`` when used (observability +
+        tests)."""
+        iv = q.downsample_interval
+        if (iv is None or q.tags or q.tag_matchers or q.downsample_slide
+                or q.emit_empty_windows or q.fill_previous or q.fill_linear
+                or q.limit is not None or q.after_cursor or q.relative):
+            return None
+        aligned = (q.start is not None and q.start % iv == 0
+                   and q.end is not None and (q.end + 1) % iv == 0)
+        if not aligned:
+            return None
+        base = os.path.join(self.warehouse, "rollups")
+        if not os.path.isdir(base):
+            return None
+        want = [(a.func, a.field, a.alias) for a in q.aggregations]
+        for name in sorted(os.listdir(base)):
+            mp = os.path.join(base, name, "meta.json")
+            if not os.path.isfile(mp):
+                continue
+            with open(mp) as f:
+                meta = json.load(f)
+            if (meta["metric"] != q.metric or meta["interval_ns"] != iv
+                    or [tuple(s) for s in meta["specs"]] != want):
+                continue
+            if meta["last_seq"] != self._seq - 1:
+                continue  # stale: new writes since the last refresh
+            df = self.rollup(name)
+            if q.start is not None:
+                df = df.filter(F.col("window_start") >= q.start)
+            if q.end is not None:
+                df = df.filter(F.col("window_start") <= q.end)
+            order = [F.col("window_start"), F.col("series_key")]
+            if q.sort_desc:
+                order = [F.col("window_start").desc(),
+                         F.col("series_key").desc()]
+            self.rollup_rewrites = getattr(self, "rollup_rewrites", 0) + 1
+            return df.orderBy(*order)
+        return None
 
     def _query_cached(self, q: QueryStatement) -> DataFrame:
         """Serve a QUERY through the result cache: the FULL (unpaginated)

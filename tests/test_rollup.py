@@ -175,3 +175,38 @@ def test_rollup_survives_base_retention(eng):
     assert eng.refresh_rollup("r") == 1
     after = _materialized(eng)
     assert all(after[k] == before[k] for k in before)
+
+
+def test_rollup_transparent_rewrite(eng):
+    """A plain aligned downsample query is served FROM the rollup when it
+    is fresh, matches base recompute exactly, and falls back (never
+    stale) the moment an unrefreshed write lands."""
+    eng.create_rollup("r", "m", DAY, SPECS)
+    a, b = D0, D0 + 4 * DAY - 1                 # aligned, bounded
+    nbql = (f"QUERY m FROM {a} TO {b} AGGREGATE BY 1d "
+            "(count(*), sum(v), avg(v))")
+
+    def run():
+        return {(r["series_key"], r["window_start"]):
+                (r["count_*"], r["sum_v"], r["avg_v"])
+                for r in eng.execute(nbql).collect()}
+
+    served = run()
+    assert getattr(eng, "rollup_rewrites", 0) == 1
+    # unaligned range must NOT rewrite (edge windows are partial)
+    eng.execute(f"QUERY m FROM {a + 1} TO {b} AGGREGATE BY 1d "
+                "(count(*), sum(v), avg(v))").collect()
+    assert eng.rollup_rewrites == 1
+    # different agg list must not rewrite
+    eng.execute(f"QUERY m FROM {a} TO {b} AGGREGATE BY 1d (max(v))").collect()
+    assert eng.rollup_rewrites == 1
+    # a write makes the rollup stale -> fallback; refresh re-enables
+    eng.put_batch([("m", {"h": "a"}, {"v": 4.0}, D0 + DAY + 5)])
+    direct_after = run()
+    assert eng.rollup_rewrites == 1             # stale: served from base
+    eng.refresh_rollup("r")
+    served_after = run()
+    assert eng.rollup_rewrites == 2
+    assert served_after == direct_after
+    key = ("m|h=a", D0 + DAY)
+    assert served_after[key][0] == served[key][0] + 1
