@@ -85,6 +85,25 @@ def main() -> None:
         out["query_qps"] = round(n_queries / sum(lat), 2)
         for name, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
             out[f"query_{name}_s"] = round(lat[min(int(len(lat) * p), len(lat) - 1)], 3)
+
+        # continuous-aggregate serving: the standing dashboard query
+        # (full-span 1m downsample, all series) direct-from-base vs served
+        # from a materialized rollup via the transparent MV rewrite
+        base_ts = 1_600_000_000 * NS
+        a = base_ts - base_ts % (60 * NS)        # align down to the minute
+        b = a + ((span_s // 60) + 2) * 60 * NS - 1  # aligned, spans the data
+        dash = (f"QUERY perf.test.metric FROM {a} TO {b} "
+                "AGGREGATE BY 1m (count(value), avg(value), max(value))")
+        t0 = time.time()
+        n_direct = eng.execute(dash).count()
+        out["dashboard_direct_s"] = round(time.time() - t0, 2)
+        eng.execute("CREATE ROLLUP dash ON perf.test.metric AGGREGATE BY 1m "
+                    "(count(value), avg(value), max(value));")
+        t0 = time.time()
+        n_served = eng.execute(dash).count()
+        out["dashboard_rollup_s"] = round(time.time() - t0, 2)
+        out["dashboard_rows"] = n_direct
+        assert n_served == n_direct and getattr(eng, "rollup_rewrites", 0) >= 1
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     print(json.dumps(out))
