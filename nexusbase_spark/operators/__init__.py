@@ -37,6 +37,7 @@ from nexusbase_spark.operators.metadata import (  # noqa: F401
 from nexusbase_spark.operators.timeseries import (  # noqa: F401
     fill_forward,
     fill_linear,
+    robust_zscore_flag,
     rolling_agg,
     series_delta,
     zscore_flag,

@@ -102,6 +102,34 @@ def zscore_flag(df: DataFrame, keys: list[str], value_col: str = "value",
                         F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False))))
 
 
+def robust_zscore_flag(df: DataFrame, keys: list[str],
+                       value_col: str = "value",
+                       threshold: float = 3.5) -> DataFrame:
+    """MAD-based modified z-score outliers (Iglewicz-Hoaglin: 0.6745 *
+    (x - median) / MAD, flag |z| > 3.5) — the robust companion to
+    zscore_flag: a single wild point inflates mean AND stddev enough to
+    hide itself from the classic z-score, while median/MAD barely move.
+
+    Both the median and the MAD (median absolute deviation) are
+    whole-partition window aggregates over the SAME key partitioning, so
+    Catalyst plans one exchange and two stacked window passes — no
+    groupBy + join-back, no second scan. Series with MAD 0 (constant or
+    half-constant) never flag.
+    """
+    w = Window.partitionBy(*keys)
+    med = F.percentile(F.col(value_col), F.lit(0.5)).over(w)
+    out = df.withColumn("__med", med)
+    mad = F.percentile(F.abs(F.col(value_col) - F.col("__med")),
+                       F.lit(0.5)).over(w)
+    out = out.withColumn("__mad", mad)
+    rz = F.when(F.col("__mad") > 0,
+                0.6745 * (F.col(value_col) - F.col("__med")) / F.col("__mad"))
+    return (out.withColumn("robust_z", rz)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(rz) > F.lit(threshold), F.lit(False)))
+            .drop("__med", "__mad"))
+
+
 def series_delta(df: DataFrame, keys: list[str], value_col: str = "value",
                  ts_col: str = "ts", tiebreak: str | None = None,
                  counter_reset: bool = False) -> DataFrame:

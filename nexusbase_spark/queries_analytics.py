@@ -1368,3 +1368,40 @@ def q_orders_cube(spark, sf_dir):
              F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
         .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
     )
+
+
+@register("events_robust_outliers", """
+    WITH pts AS (
+        SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS user,
+               epoch_ns(ts) AS ts, event_id AS seq, value
+        FROM events),
+    m1 AS (
+        SELECT *, quantile_cont(value, 0.5) OVER w AS med
+        FROM pts WINDOW w AS (PARTITION BY metric, user)),
+    m2 AS (
+        SELECT *, quantile_cont(abs(value - med), 0.5) OVER w AS mad
+        FROM m1 WINDOW w AS (PARTITION BY metric, user)),
+    z AS (
+        SELECT metric, user, ts, seq, value,
+               CASE WHEN mad > 0
+                    THEN 0.6745 * (value - med) / mad END AS robust_z
+        FROM m2)
+    SELECT metric, user, ts, seq, round(value, 4) AS value,
+           round(robust_z, 4) AS robust_z
+    FROM z WHERE abs(robust_z) > 3.5
+""")
+def q_events_robust_outliers(spark, sf_dir):
+    """MAD-based modified z-score outliers (0.6745*(x-med)/MAD > 3.5) —
+    the robust companion to events_zscore_outliers: a wild point inflates
+    mean and stddev enough to hide itself from the classic z-score;
+    median/MAD barely move. Median and MAD are stacked whole-partition
+    windows over the same (metric, user) partitioning — one exchange,
+    two window passes, no join-back; alert-sized output."""
+    from nexusbase_spark.operators import robust_zscore_flag
+
+    pts = _event_points(spark, sf_dir)
+    out = robust_zscore_flag(pts, ["metric", "user"], threshold=3.5)
+    return (out.filter(F.col("is_outlier"))
+            .select("metric", "user", "ts", "seq",
+                    F.round("value", 4).alias("value"),
+                    F.round("robust_z", 4).alias("robust_z")))

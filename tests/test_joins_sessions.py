@@ -197,3 +197,23 @@ def test_zscore_flag_semantics(spark):
     for r in rows:
         if r["user"] in ("c", "s"):
             assert r["zscore"] is None and not r["is_outlier"]
+
+
+def test_robust_zscore_resists_masking(spark):
+    """A wild point that masks itself from the classic z-score (it drags
+    mean and stddev with it) is still caught by the MAD form; constant
+    and MAD-0 series never flag."""
+    from nexusbase_spark.operators import robust_zscore_flag, zscore_flag
+
+    vals = [10.0, 10.5, 9.8, 10.2, 9.9, 10.1, 10.3, 500.0]
+    df = spark.createDataFrame([("a", v) for v in vals] + [("c", 5.0)] * 4,
+                               "user string, value double")
+    robust = {(r["user"], r["value"]) for r in
+              robust_zscore_flag(df, ["user"]).collect() if r["is_outlier"]}
+    assert robust == {("a", 500.0)}
+    # classic z needs |x-mean| > 3.5 sd; the outlier inflates sd to ~173,
+    # putting its own z at ~2.3 — masked
+    classic = {(r["user"], r["value"]) for r in
+               zscore_flag(df, ["user"], threshold=3.5).collect()
+               if r["is_outlier"]}
+    assert ("a", 500.0) not in classic
