@@ -1482,3 +1482,53 @@ def q_docs_curation_pipeline(spark, sf_dir):
     return (out.groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars")))
+
+
+_VECINDEX_CACHE: dict = {}
+
+
+@register("embed_vecindex_topk", f"""
+    WITH {_kmeans_ctes(k=4, iters=3)},
+    probe AS (SELECT pos, x AS pv FROM ev WHERE vec_id = 0),
+    pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM probe),
+    dim AS (
+        SELECT cl.cid, e.pos, avg(e.x) AS m
+        FROM clusters cl JOIN ev e ON e.vec_id = cl.vec_id
+        GROUP BY cl.cid, e.pos),
+    cs AS (
+        SELECT d.cid, sum(d.m * p.pv) / (sqrt(sum(d.m * d.m)) * any_value(pn.n)) AS c
+        FROM dim d JOIN probe p ON p.pos = d.pos, pn GROUP BY d.cid),
+    best AS (SELECT cid FROM cs ORDER BY c DESC, cid LIMIT 2),
+    m AS (
+        SELECT e.vec_id,
+               sum(e.x * p.pv) AS dot,
+               sqrt(sum(e.x * e.x)) AS vn
+        FROM ev e
+        JOIN clusters cl ON cl.vec_id = e.vec_id AND cl.cid IN (SELECT cid FROM best)
+        JOIN probe p ON p.pos = e.pos
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id)
+    SELECT vec_id, round(dot / (vn * (SELECT n FROM pn)), 4) AS cosine FROM m
+    ORDER BY dot / (vn * (SELECT n FROM pn)) DESC, vec_id LIMIT 10
+""")
+def q_embed_vecindex_topk(spark, sf_dir):
+    """The MATERIALIZED IVF index end to end: build (deterministic
+    k-means -> cluster-partitioned parquet + stored centroids), then
+    serve the probe from the index — centroid routing is driver-side
+    (nlist rows, no Spark job) and the scan touches only the probed
+    clusters' FILES (partition pruning; pipeline/vecindex.py). Must
+    hash-match the inline embed_ivf_kmeans_topk oracle exactly: same
+    quantizer, same probe, same nprobe — the index changes where the
+    work happens, never the answer."""
+    import tempfile
+
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+
+    if sf_dir not in _VECINDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="nexusbase_vecindex_")
+        _VECINDEX_CACHE[sf_dir] = VectorIndex.build(
+            spark, path, emb, nlist=4, iters=3)
+    idx = _VECINDEX_CACHE[sf_dir]
+    out = idx.search(_probe_vec(spark, sf_dir), k=10, nprobe=2, exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
