@@ -104,6 +104,21 @@ def main() -> None:
     timed("cosine_topk_brute", lambda: cosine_topk(vecs, probe, k=10))
     timed("cosine_topk_lsh", lambda: lsh_topk(vecs, probe, k=10))
 
+    # materialized IVF index: build once, then serving reads only the
+    # probed clusters' files — the standing-retrieval path
+    import tempfile
+
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+    idx_dir = tempfile.mkdtemp(prefix="nexusbase_vecidx_")
+    t0 = time.time()
+    idx = VectorIndex.build(spark, idx_dir, vecs, nlist=8, iters=2)
+    out["vecindex_build_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    n = idx.search(probe, k=10, nprobe=2).count()
+    out["vecindex_search"] = {"s": round(time.time() - t0, 2), "rows": n}
+    touched, total = idx.probed_files(probe, nprobe=2)
+    out["vecindex_files"] = {"touched": touched, "total": total}
+
     docs.unpersist()
     vecs.unpersist()
     print(json.dumps(out))
