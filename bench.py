@@ -73,6 +73,10 @@ HEADLINE = [
     # composition + mixing
     "docs_curation_pipeline",
     "docs_temperature_mix",
+    # robust anomaly detection; index-served ANN (the warm-up run builds
+    # the materialized index, timed runs measure pure serving)
+    "events_robust_outliers",
+    "embed_vecindex_topk",
 ]
 
 
