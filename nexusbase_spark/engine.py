@@ -905,9 +905,10 @@ class NexusEngine:
         - the rollup is fresh (last_seq == the engine's current max —
           any unrefreshed write disables the rewrite rather than serving
           stale data);
-        - no tags/matchers/slide/emit-empty/fill/limit/cursor (the
-          rollup is per-series over ALL series; filtered variants
-          recompute);
+        - no slide/emit-empty/fill/limit/cursor. Tag equality AND
+          matchers ARE served: the rollup is per-series, so a tag
+          predicate selects whole series and leaves every window's
+          value untouched — it becomes a row filter on the rollup;
         - the time range is BOUNDED and WINDOW-ALIGNED (start % iv == 0
           and end+1 an exact window end): the batch semantics exclude
           points outside [start, end] from edge windows, which a
@@ -917,7 +918,7 @@ class NexusEngine:
         Increments ``self.rollup_rewrites`` when used (observability +
         tests)."""
         iv = q.downsample_interval
-        if (iv is None or q.tags or q.tag_matchers or q.downsample_slide
+        if (iv is None or q.downsample_slide
                 or q.emit_empty_windows or q.fill_previous or q.fill_linear
                 or q.limit is not None or q.after_cursor or q.relative):
             return None
@@ -941,6 +942,16 @@ class NexusEngine:
             if meta["last_seq"] != self._seq - 1:
                 continue  # stale: new writes since the last refresh
             df = self.rollup(name)
+            for k, v in (q.tags or {}).items():
+                df = df.filter(F.col("tags").getItem(k) == v)
+            for k, op, v in (q.tag_matchers or []):
+                tv = F.col("tags").getItem(k)
+                if op == "!=":
+                    df = df.filter(tv.isNotNull() & (tv != v))
+                elif op == "=~":
+                    df = df.filter(tv.isNotNull() & tv.rlike(v))
+                elif op == "!~":
+                    df = df.filter(tv.isNotNull() & ~tv.rlike(v))
             if q.start is not None:
                 df = df.filter(F.col("window_start") >= q.start)
             if q.end is not None:

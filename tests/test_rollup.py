@@ -210,3 +210,27 @@ def test_rollup_transparent_rewrite(eng):
     assert served_after == direct_after
     key = ("m|h=a", D0 + DAY)
     assert served_after[key][0] == served[key][0] + 1
+
+
+def test_rollup_rewrite_serves_tag_filters(eng):
+    """Tag predicates select whole series, so they serve from the rollup
+    (row filter on materialized windows) and match base recompute."""
+    eng.put_batch([("m", {"h": "bb"}, {"v": 8.0}, D0)])
+    eng.create_rollup("r", "m", DAY, SPECS)
+    a, b = D0, D0 + 2 * DAY - 1
+    nbql = (f'QUERY m FROM {a} TO {b} TAGGED (h="a") '
+            "AGGREGATE BY 1d (count(*), sum(v), avg(v))")
+    rows = eng.execute(nbql).collect()
+    assert getattr(eng, "rollup_rewrites", 0) == 1
+    assert rows and all(r["series_key"] == "m|h=a" for r in rows)
+    # regex matcher path: unanchored =~"b" matches h=b AND h=bb; the
+    # anchored form narrows to bb alone
+    m = eng.execute(f'QUERY m FROM {a} TO {b} TAGGED (h=~"b") '
+                    "AGGREGATE BY 1d (count(*), sum(v), avg(v))").collect()
+    assert eng.rollup_rewrites == 2
+    assert {r["series_key"] for r in m} == {"m|h=b", "m|h=bb"}
+    mm = eng.execute(f'QUERY m FROM {a} TO {b} TAGGED (h=~"^bb$") '
+                     "AGGREGATE BY 1d (count(*), sum(v), avg(v))").collect()
+    assert eng.rollup_rewrites == 3
+    assert {r["series_key"] for r in mm} == {"m|h=bb"}
+    assert mm[0]["sum_v"] == 8.0
