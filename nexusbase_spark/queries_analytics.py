@@ -1405,3 +1405,59 @@ def q_events_robust_outliers(spark, sf_dir):
             .select("metric", "user", "ts", "seq",
                     F.round("value", 4).alias("value"),
                     F.round("robust_z", 4).alias("robust_z")))
+
+
+@register("events_session_conversion", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, event_type AS metric,
+               epoch_ns(ts) AS ts, event_id AS seq
+        FROM events),
+    flagged AS (
+        SELECT user, metric, ts, seq,
+               CASE WHEN lag(ts) OVER (PARTITION BY user ORDER BY ts, seq) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user ORDER BY ts, seq)
+                         > 43200000000000
+                    THEN 1 ELSE 0 END AS f
+        FROM pts),
+    sess AS (
+        SELECT user, metric, ts,
+               CAST(sum(f) OVER (PARTITION BY user ORDER BY ts, seq
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged),
+    per AS (
+        SELECT user, session_id,
+               count(*) AS n_events,
+               max(CASE WHEN metric = 'purchase' THEN 1 ELSE 0 END) AS converted,
+               (max(ts) - min(ts)) / 1e9 AS dur_s
+        FROM sess GROUP BY user, session_id)
+    SELECT count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(CAST(sum(converted) AS DOUBLE) / count(*), 4) AS conversion_rate,
+           round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_events,
+           round(avg(dur_s), 4) AS avg_duration_s
+    FROM per
+""")
+def q_events_session_conversion(spark, sf_dir):
+    """Session-level conversion: sessionize (12h inactivity gap), mark
+    sessions containing a purchase, report the conversion rate plus mean
+    session size/duration — the behavioral KPI that composes the session
+    operator with a two-level aggregate. The per-session rollup collapses
+    on the SAME (user)-keyed partitioning the sessionizer's window used
+    (one exchange end to end), and the final 1-row aggregate is
+    map-side-combined partials."""
+    from nexusbase_spark.operators import sessionize
+
+    pts = _event_points(spark, sf_dir)
+    sess = sessionize(pts, ["user"], gap_ns=43_200_000_000_000)
+    per = (sess.groupBy("user", "session")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.max(F.when(F.col("metric") == "purchase", 1).otherwise(0))
+                .alias("converted"),
+                ((F.max("ts") - F.min("ts")) / 1e9).alias("dur_s")))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias("conversion_rate"),
+        F.round(F.avg(F.col("n_events").cast("double")), 4).alias("avg_events"),
+        F.round(F.avg("dur_s"), 4).alias("avg_duration_s"))
