@@ -1532,3 +1532,37 @@ def q_embed_vecindex_topk(spark, sf_dir):
     idx = _VECINDEX_CACHE[sf_dir]
     out = idx.search(_probe_vec(spark, sf_dir), k=10, nprobe=2, exclude_id=0)
     return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+@register("docs_temperature_sample", f"""
+    WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_docs) AS nd FROM per),
+    nat AS (SELECT per.source, CAST(per.n_docs AS DOUBLE) / nd AS nat
+            FROM per, tot),
+    p AS (SELECT source, nat, pow(nat, 0.5) AS pw FROM nat),
+    pt AS (SELECT sum(pw) AS pt FROM p),
+    r AS (SELECT p.source,
+                 least(1.0, 0.5 * round((p.pw / pt) / p.nat, 6)) AS rate
+          FROM p, pt)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON r.source = d.source
+    WHERE {_bucket_sql('d.doc_id', 'sample-v1')}
+          < CAST(round(r.rate * 10000) AS BIGINT)
+""")
+def q_docs_temperature_sample(spark, sf_dir):
+    """The mixing loop CLOSED: temperature weights (share ∝ natural^0.5)
+    become per-source sampling rates (0.5 * weight_per_doc, capped at 1)
+    and feed straight into the deterministic stratified sampler — rare
+    sources keep more of their docs, dominant sources are downsampled,
+    and the surviving set is exactly reproducible (salted buckets, no
+    RNG). The rate card is driver-sized by design (one row per source),
+    so collecting it costs one tiny job; at a million strata it would
+    stay a broadcast join on the sampler side."""
+    from nexusbase_spark.pipeline.split import stratified_sample, temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = temperature_weights(docs, "source", alpha=0.5)
+    rates = {r["source"]: min(1.0, 0.5 * r["weight_per_doc"])
+             for r in w.collect()}
+    out = stratified_sample(docs, "doc_id", "source", rates)
+    return out.select("doc_id", "source")
