@@ -124,3 +124,48 @@ def chunk_documents(
             F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
         )
     )
+
+
+def cdc_chunks(df, window: int = 8, mask_hex: str = "0",
+               id_col: str = "doc_id", text_col: str = "text"):
+    """Content-defined chunking (window-hash CDC): cut after every
+    position whose `window`-char substring hashes into the mask (md5 hex
+    suffix match, boundary probability 16^-len(mask_hex)) ->
+    (id, chunk_idx, chunk_start, chunk_len, chunk_md5).
+
+    Boundaries depend only on LOCAL content, so an insertion early in a
+    doc shifts at most the chunk it lands in — every later chunk hashes
+    identically (the rsync/LBFS property fixed-width chunking lacks).
+    Chunk-level dedup across near-identical docs then reduces to an
+    exact groupBy on chunk_md5. All arrays are built NARROWLY (filter/
+    transform over a position sequence inside one projection; the only
+    explode is the final per-chunk row expansion); at corpus scale add a
+    min-chunk guard by dropping boundaries closer than min_size — the
+    standard CDC tuning, omitted here to keep the oracle 1:1.
+    """
+    from pyspark.sql import functions as F
+    w = int(window)
+    cut_expr = (
+        f"transform(filter(sequence(1, greatest(length({text_col})-{w-1}, 0)), "
+        f"p -> md5(substring({text_col}, p, {w})) like '%{mask_hex}'), "
+        f"b -> b + {w - 1})"
+    )
+    seg = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"),
+        F.expr(cut_expr).alias("__cuts"))
+    seg = seg.select(
+        id_col, "__t",
+        F.concat(F.array(F.lit(1)),
+                 F.expr("transform(__cuts, c -> c + 1)")).alias("__starts"),
+        F.concat(F.col("__cuts"),
+                 F.array(F.length("__t"))).alias("__ends"))
+    ch = seg.select(
+        id_col, "__t",
+        F.posexplode(F.arrays_zip("__starts", "__ends")).alias("chunk_idx", "z"))
+    return (ch.select(
+        id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("z.__starts").cast("long").alias("chunk_start"),
+        (F.col("z.__ends") - F.col("z.__starts") + 1).cast("long").alias("chunk_len"),
+        F.md5(F.expr("substring(__t, z.__starts, z.__ends - z.__starts + 1)"))
+        .alias("chunk_md5"))
+        .filter(F.col("chunk_len") > 0))

@@ -1566,3 +1566,40 @@ def q_docs_temperature_sample(spark, sf_dir):
              for r in w.collect()}
     out = stratified_sample(docs, "doc_id", "source", rates)
     return out.select("doc_id", "source")
+
+
+@register("docs_cdc_chunks", """
+    WITH seg AS (
+        SELECT doc_id, text,
+               list_transform(
+                   list_filter(range(1, greatest(length(text) - 7, 0) + 1),
+                               p -> md5(substring(text, p, 8)) LIKE '%0'),
+                   b -> b + 7) AS cuts
+        FROM documents),
+    arr AS (
+        SELECT doc_id, text,
+               list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+               list_append(cuts, length(text)) AS ends
+        FROM seg),
+    z AS (
+        SELECT doc_id, text,
+               unnest(starts) AS s, unnest(ends) AS e,
+               unnest(range(len(starts))) AS chunk_idx
+        FROM arr)
+    SELECT doc_id, chunk_idx, CAST(s AS BIGINT) AS chunk_start,
+           CAST(e - s + 1 AS BIGINT) AS chunk_len,
+           md5(substring(text, s, e - s + 1)) AS chunk_md5
+    FROM z WHERE e - s + 1 > 0
+""")
+def q_docs_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (window-hash CDC, 8-char window,
+    1/16 boundary probability): shift-resistant chunk boundaries, so an
+    edit early in a document changes only the chunk it lands in and
+    chunk-level dedup across near-identical docs becomes an exact
+    groupBy on chunk_md5 — the rsync/LBFS primitive, and the right
+    dedup granularity for large multimodal payloads. Narrow array
+    construction, one explode; see pipeline/pack.cdc_chunks."""
+    from nexusbase_spark.pipeline.pack import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, window=8, mask_hex="0")

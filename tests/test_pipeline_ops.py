@@ -335,3 +335,29 @@ def test_temperature_weights_limits(spark):
     assert wh["small"]["weight_per_doc"] > 1.0 > wh["big"]["weight_per_doc"]
     # shares always sum to 1
     assert abs(wh["big"]["sample_share"] + wh["small"]["sample_share"] - 1.0) < 1e-6
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """An insertion near the start changes only the chunk it lands in:
+    chunk hashes after the next content-defined boundary are identical
+    (fixed-width chunking would shift every later chunk)."""
+    from nexusbase_spark.pipeline.pack import cdc_chunks
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green turtles carry umbrellas across a rainy boulevard in "
+            "late november carrying various small packages home")
+    edited = "XYZ " + base                       # 4-char insertion at front
+    df = spark.createDataFrame([(1, base), (2, edited)],
+                               "doc_id long, text string")
+    rows = cdc_chunks(df).collect()
+    h1 = [r["chunk_md5"] for r in sorted(
+        (r for r in rows if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])]
+    h2 = [r["chunk_md5"] for r in sorted(
+        (r for r in rows if r["doc_id"] == 2), key=lambda r: r["chunk_idx"])]
+    # coverage invariant: chunks tile the doc exactly
+    assert sum(r["chunk_len"] for r in rows if r["doc_id"] == 1) == len(base)
+    assert sum(r["chunk_len"] for r in rows if r["doc_id"] == 2) == len(edited)
+    # the tails realign: all but the first edited chunk(s) are shared
+    shared = set(h1) & set(h2)
+    assert len(shared) >= len(h1) - 2
+    assert h1[-1] == h2[-1]                      # final chunks identical
