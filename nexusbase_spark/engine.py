@@ -981,10 +981,16 @@ class NexusEngine:
         if not ok:
             full = plan_query(
                 self, dataclasses.replace(q, limit=None, after_cursor=None))
-            rows = full.collect()
+            # Bound the driver-side collect BEFORE it happens: take at most
+            # cache_max_rows + 1 rows (the +1 detects overflow). A result
+            # bigger than the cache cap is never fully collected — the
+            # query falls through to the normal distributed path with
+            # LIMIT/AFTER pushed into the plan, and nothing is cached.
+            rows = full.limit(self.cache_max_rows + 1).collect()
+            if len(rows) > self.cache_max_rows:
+                return plan_query(self, q)
             entry = CachedResult(self._write_gen, rows, full.schema)
-            if len(rows) <= self.cache_max_rows:
-                self.result_cache.put(key, entry)
+            self.result_cache.put(key, entry)
         rows = paginate_rows(entry.rows, q)
         if not rows:
             return self.spark.createDataFrame([], entry.schema)

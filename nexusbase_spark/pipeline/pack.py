@@ -145,9 +145,14 @@ def cdc_chunks(df, window: int = 8, mask_hex: str = "0",
     """
     from pyspark.sql import functions as F
     w = int(window)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
+    # shorter than the window would hash phantom positions (p=0/1 with a
+    # truncated substring) and gain spurious cuts. The p-range guard in
+    # the filter lambda makes the cut list empty for short docs.
     cut_expr = (
-        f"transform(filter(sequence(1, greatest(length({text_col})-{w-1}, 0)), "
-        f"p -> md5(substring({text_col}, p, {w})) like '%{mask_hex}'), "
+        f"transform(filter(sequence(1, greatest(length({text_col})-{w-1}, 1)), "
+        f"p -> p <= length({text_col})-{w-1} "
+        f"and md5(substring({text_col}, p, {w})) like '%{mask_hex}'), "
         f"b -> b + {w - 1})"
     )
     seg = df.select(

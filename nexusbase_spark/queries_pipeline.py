@@ -735,7 +735,7 @@ def _bucket_sql(key: str, salt: str) -> str:
     SELECT CASE WHEN bk < 8000 THEN 'train'
                 WHEN bk < 9000 THEN 'val'
                 ELSE 'test' END AS split,
-           lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+           lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM b GROUP BY split, lang
 """)
 def q_docs_train_split(spark, sf_dir):
@@ -777,7 +777,8 @@ def q_docs_stratified_sample(spark, sf_dir):
 
 @register("docs_corpus_mix", """
     WITH per AS (
-        SELECT source, count(*) AS n_docs, sum(n_chars) AS total_weight
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_weight
         FROM documents GROUP BY source),
     tot AS (SELECT sum(n_docs) AS nd, sum(total_weight) AS tw FROM per)
     SELECT per.source, per.n_docs, per.total_weight,
@@ -880,7 +881,7 @@ def q_text_token_distribution(spark, sf_dir):
                    AS cum
         FROM b)
     SELECT doc_id, shard, CAST(floor(cum / 512) AS BIGINT) AS pack_id,
-           cum % 512 AS pack_offset, n_tok
+           CAST(cum % 512 AS BIGINT) AS pack_offset, n_tok
     FROM c
 """)
 def q_docs_pack_assignments(spark, sf_dir):
@@ -1451,7 +1452,7 @@ def q_docs_temperature_mix(spark, sf_dir):
     SELECT CASE WHEN bk < 8000 THEN 'train'
                 WHEN bk < 9000 THEN 'val'
                 ELSE 'test' END AS split,
-           count(*) AS n_docs, sum(n_chars) AS sum_chars
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM b GROUP BY split
 """.format(qf="SELECT * FROM (" + _QF_RULES_SQL.format(
               stops=", ".join(repr(w) for w in _STOP_ALL)) + ")",

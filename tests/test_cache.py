@@ -114,6 +114,31 @@ def test_cache_pagination_from_cached_rows(cached_engine):
     assert q1 == p1 and q2 == p2
 
 
+def test_cache_overflow_never_full_collects(cached_engine):
+    """A LIMIT-less result bigger than cache_max_rows must NOT be collected
+    to the driver in full: the bounded probe (cache_max_rows + 1 rows)
+    detects the overflow, nothing is cached, and the query is served by the
+    normal distributed plan — with LIMIT/AFTER still honored."""
+    eng = cached_engine
+    eng.cache_max_rows = 4                       # 6 rows in the fixture > cap
+    q = 'QUERY cache.metric FROM 0 TO 3000000000000000000'
+    rows = eng.execute(q).collect()
+    assert len(rows) == 6                        # full answer, uncached path
+    assert len(eng.result_cache) == 0            # overflow entry not cached
+    # re-running misses again (no stale/truncated entry to hit)
+    eng.execute(q).collect()
+    assert eng.result_cache.hits == 0 and eng.result_cache.misses == 2
+    # pagination falls through to the plan and still works
+    p = eng.execute(q + ' LIMIT 2').collect()
+    assert len(p) == 2 and [r["ts"] for r in p] == [r["ts"] for r in rows[:2]]
+    # results <= cap still cache normally
+    eng.cache_max_rows = 100
+    eng.execute(q).collect()
+    assert len(eng.result_cache) == 1
+    eng.execute(q).collect()
+    assert eng.result_cache.hits == 1
+
+
 def test_cache_relative_query(cached_engine):
     """RELATIVE queries are cacheable (cache_key.go:27-30) and stay correct
     because the data-max-ts anchor only moves on a write (= invalidation)."""

@@ -361,3 +361,23 @@ def test_cdc_chunks_shift_resistance(spark):
     shared = set(h1) & set(h2)
     assert len(shared) >= len(h1) - 2
     assert h1[-1] == h2[-1]                      # final chunks identical
+
+
+def test_cdc_chunks_short_and_empty_docs(spark):
+    """Docs shorter than the hash window get exactly ONE whole-doc chunk
+    (regression: sequence(1, 0) is descending [1, 0] in Spark, which
+    hashed phantom positions and cut ~1/16 of short docs past their
+    end); empty docs produce no chunks."""
+    from nexusbase_spark.pipeline.pack import cdc_chunks
+
+    short_docs = [(i, "abcdefg"[:n]) for i, n in enumerate(range(8))]
+    df = spark.createDataFrame(short_docs, "doc_id long, text string")
+    rows = cdc_chunks(df, window=8, mask_hex="").collect()  # mask '' = every position cuts
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc                       # empty doc -> no chunks
+    for i, text in short_docs[1:]:
+        assert len(by_doc[i]) == 1               # one whole-doc chunk
+        (c,) = by_doc[i]
+        assert c["chunk_start"] == 1 and c["chunk_len"] == len(text)
