@@ -94,10 +94,18 @@ class NexusEngine:
         # generation invalidation). 0 = disabled. ``hooks`` is an optional
         # HookBus; the engine publishes post_compaction events on it.
         from nexusbase_spark.cache import LRUCache
-        self.result_cache = LRUCache(cache_capacity)
+        self.result_cache = LRUCache(
+            cache_capacity,
+            on_evicted=lambda k, v: self._emit("on_cache_eviction", {"key": k}))
         self.cache_max_rows = 100_000  # don't retain giant results
         self._write_gen = 0
         self.hooks = hooks
+        # Lazy driver-side series/metric sets for on_series_create /
+        # on_string_create (hooks.go:61-63). None = not yet loaded; only
+        # maintained while a hook bus is attached (zero cost otherwise).
+        self._known_series: set[str] | None = None
+        self._known_metrics: set[str] | None = None
+        self._emit("pre_start_engine", {"warehouse": warehouse})
         os.makedirs(warehouse, exist_ok=True)
         self._points_path = os.path.join(warehouse, "points")
         # L0 tier: small put/put_batch appends land here (one coalesced
@@ -114,6 +122,10 @@ class NexusEngine:
             "range": os.path.join(warehouse, "tomb_range"),
         }
         self._seq = self._load_max_seq() + 1
+        if self._seq > 0:
+            # open-time rescan of existing warehouse state — the WAL
+            # replay analog (the parquet appends ARE the durable log)
+            self._emit("post_wal_recovery", {"max_seq": self._seq - 1})
         # Tag-index analog (operators/tagindex.py). Invariant: while the
         # engine is live the catalog is COMPLETE (every ingested series
         # present) or absent; a legacy warehouse without one is indexed here.
@@ -133,6 +145,55 @@ class NexusEngine:
         fmt = self._read_format()
         self.point_markers = fmt.get("point_markers") == "1"
         self.day_partitioned = fmt.get("layout") == "metric_day"
+        self._emit("post_start_engine", {"warehouse": warehouse,
+                                         "next_seq": self._seq})
+
+    # -------------------------------------------------------------- hooks
+
+    def _emit(self, event: str, payload, batch_id: int = -1) -> None:
+        """Publish a lifecycle event on the attached HookBus (no-op when
+        none). Event names mirror hooks/hooks.go:17-71 snake_cased; the
+        publish points below are the Spark-warehouse analogs of the
+        reference's LSM sites (SSTable -> parquet append, WAL -> durable
+        L0 append, manifest -> snapshot manifest / format file)."""
+        if self.hooks is not None:
+            self.hooks.publish(event, payload, batch_id)
+
+    def close(self) -> None:
+        """Graceful shutdown (PreCloseEngine/PostCloseEngine): merge the
+        L0 tier down so a reopen needs no recovery work. Safe to call on
+        an already-closed engine."""
+        self._emit("pre_close_engine", {"warehouse": self.warehouse})
+        self.flush_l0()
+        self._emit("post_close_engine", {"warehouse": self.warehouse})
+
+    def _track_new_names(self, pairs: list[tuple[str, str]]) -> None:
+        """on_series_create / on_string_create from the driver put path:
+        ``pairs`` = (metric, series_key) per ingested point. The known
+        sets load lazily from the catalog (series cardinality, driver-
+        sized — the reference holds its whole tag index in memory too)."""
+        if self.hooks is None:
+            return
+        if not (self.hooks.has_listeners("on_series_create")
+                or self.hooks.has_listeners("on_string_create")):
+            return
+        if self._known_series is None:
+            self._known_series, self._known_metrics = set(), set()
+            if self._catalog.exists():
+                import pyarrow.dataset as ds
+                t = ds.dataset(self._catalog.path, format="parquet") \
+                    .to_table(columns=["metric", "series_key"])
+                self._known_metrics = set(t.column("metric").to_pylist())
+                self._known_series = set(t.column("series_key").to_pylist())
+        for metric, sk in pairs:
+            if metric not in self._known_metrics:
+                self._known_metrics.add(metric)
+                self._emit("on_string_create", {"kind": "metric",
+                                                "value": metric})
+            if sk not in self._known_series:
+                self._known_series.add(sk)
+                self._emit("on_series_create", {"series_key": sk,
+                                                "metric": metric})
 
     # ------------------------------------------------------------- ingest
 
@@ -197,17 +258,31 @@ class NexusEngine:
             df.write.mode(mode).partitionBy("metric", "day").parquet(path)
         else:
             df.write.mode(mode).partitionBy("metric").parquet(path)
+        # a parquet append is the SSTable-create analog (hooks.go:48)
+        self._emit("post_sstable_create", {"path": path, "mode": mode})
 
     def put(self, metric: str, tags: dict[str, str] | None,
             fields: dict[str, object], ts: int | None = None) -> int:
         """Single-point ingest (gRPC Put / NBQL PUSH —
-        engine2/adapter.go:436-633). Returns the assigned seq."""
-        return self.put_batch([(metric, tags or {}, fields, ts)])
+        engine2/adapter.go:436-633). Returns the assigned seq.
+
+        pre_put_data_point's payload is mutable (the reference passes
+        pointers — hooks.go PrePutDataPointPayload — so listeners can
+        rewrite the point before it lands); the possibly-edited values
+        are what get written."""
+        payload = {"metric": metric, "tags": dict(tags or {}),
+                   "fields": dict(fields), "ts": ts}
+        self._emit("pre_put_data_point", payload)
+        seq = self.put_batch([(payload["metric"], payload["tags"],
+                               payload["fields"], payload["ts"])])
+        self._emit("post_put_data_point", {**payload, "seq": seq})
+        return seq
 
     def put_batch(self, points: list[tuple]) -> int:
         """Atomic batch ingest (PutBatch — engine2/adapter.go:635-749).
         One seq per point, one parquet append per batch (the WAL-batch
         analog). Returns the last assigned seq."""
+        self._emit("pre_put_batch", {"points": points})
         rows = []
         last_seq = -1
         for metric, tags, fields, ts in points:
@@ -228,16 +303,23 @@ class NexusEngine:
         df = self.spark.createDataFrame(rows, POINTS_SCHEMA)
         df = df.withColumn("series_key", series_key_expr(F.col("metric"), F.col("tags")))
         # driver-side batches are small by definition: one file per
-        # partition dir, into the L0 tier
+        # partition dir, into the L0 tier. This append IS the durability
+        # write — the WAL-append analog (pre/post_wal_append bracket it).
+        self._emit("pre_wal_append", {"n_points": len(points),
+                                      "last_seq": last_seq})
         self._write_points(df, path=self._l0_path, coalesce=1)
-        self._catalog.append_points(
-            [(p[0], p[1] or {}, self._series_key(p[0], p[1] or {}))
-             for p in points])
+        self._emit("post_wal_append", {"n_points": len(points),
+                                       "last_seq": last_seq})
+        cat_rows = [(p[0], p[1] or {}, self._series_key(p[0], p[1] or {}))
+                    for p in points]
+        self._track_new_names([(m, sk) for m, _t, sk in cat_rows])
+        self._catalog.append_points(cat_rows)
         n = self._l0_batches() + 1
         self._set_l0_batches(n)
         if n >= self.l0_trigger:
             self.flush_l0()
         self._write_gen += 1
+        self._emit("post_put_batch", {"points": points, "last_seq": last_seq})
         return last_seq
 
     def flush_l0(self) -> None:
@@ -248,12 +330,17 @@ class NexusEngine:
         if not os.path.isdir(self._l0_path):
             self._set_l0_batches(0)
             return
+        self._emit("pre_flush_memtable", {"l0_batches": self._l0_batches()})
         df = self.spark.read.parquet(self._l0_path)
         if "day" in df.columns:  # re-derived by _write_points
             df = df.drop("day")
         self._write_points(df, coalesce=1)
+        self._emit("pre_sstable_delete", {"path": self._l0_path})
         shutil.rmtree(self._l0_path)
         self._set_l0_batches(0)
+        # the L0 tier rotating into the base table = WAL rotation
+        self._emit("post_wal_rotate", {"merged_into": self._points_path})
+        self._emit("post_flush_memtable", {"merged_into": self._points_path})
 
     def ingest_frame(self, df: DataFrame) -> None:
         """Bulk ingest: append a long-format DataFrame WITHOUT routing rows
@@ -294,6 +381,23 @@ class NexusEngine:
             )
             out = out.unionByName(markers.select(*out.columns))
         self._write_points(out)
+        if self.hooks is not None and (
+                self.hooks.has_listeners("on_series_create")
+                or self.hooks.has_listeners("on_string_create")):
+            # new-series detection for the bulk path: distinct series of
+            # the batch anti-joined against the catalog (series
+            # cardinality on both sides). Only runs when someone listens.
+            batch_series = out.select("metric", "series_key").distinct()
+            if self._catalog.exists():
+                known = (self.spark.read.parquet(self._catalog.path)
+                         .select("series_key").distinct())
+                # no broadcast hint: the catalog side can be millions of
+                # series at corpus scale — let AQE pick the strategy
+                batch_series = batch_series.join(known, "series_key",
+                                                 "left_anti")
+            self._track_new_names(
+                [(r["metric"], r["series_key"])
+                 for r in batch_series.collect()])
         self._catalog.append_df(out)
         self._seq = self._load_max_seq() + 1
         self._write_gen += 1
@@ -353,25 +457,34 @@ class NexusEngine:
     def delete_series(self, metric: str, tags: dict[str, str]) -> int:
         """Whole-series tombstone with seq cutoff (engine2/adapter.go:950-1030)."""
         sk = self._series_key(metric, tags)
+        self._emit("pre_delete_series", {"series_key": sk})
         seq = self._next_seq()
         self._append_tomb("series", [(sk, seq)], "series_key string, seq long")
+        self._emit("post_delete_series", {"series_key": sk, "seq": seq})
         return seq
 
     def delete_point(self, metric: str, tags: dict[str, str], ts: int) -> int:
         """Point tombstone ('D' entry — engine2/adapter.go:909-948)."""
         sk = self._series_key(metric, tags)
+        self._emit("pre_delete_point", {"series_key": sk, "ts": int(ts)})
         seq = self._next_seq()
         self._append_tomb("point", [(sk, int(ts), seq)],
                           "series_key string, ts long, seq long")
+        self._emit("post_delete_point", {"series_key": sk, "ts": int(ts),
+                                         "seq": seq})
         return seq
 
     def delete_range(self, metric: str, tags: dict[str, str],
                      start: int, end: int) -> int:
         """Range tombstone [start,end] inclusive (engine2/adapter.go:1032-1101)."""
         sk = self._series_key(metric, tags)
+        self._emit("pre_delete_range", {"series_key": sk,
+                                        "start": int(start), "end": int(end)})
         seq = self._next_seq()
         self._append_tomb("range", [(sk, int(start), int(end), seq)],
                           "series_key string, min_ts long, max_ts long, seq long")
+        self._emit("post_delete_range", {"series_key": sk, "seq": seq,
+                                         "start": int(start), "end": int(end)})
         return seq
 
     @staticmethod
@@ -480,6 +593,30 @@ class NexusEngine:
                                   "series_key string, min_ts long, max_ts long, seq long"))
         return df
 
+    def get(self, metric: str, tags: dict[str, str] | None,
+            ts: int) -> dict | None:
+        """Point lookup (gRPC Get — engine2/adapter.go:751-907): the fields
+        map of the MVCC-visible point at exactly (series, ts), or None when
+        absent or tombstoned. Fires pre/post_get_point (hooks.go:26-27)."""
+        sk = self._series_key(metric, tags or {})
+        self._emit("pre_get_point", {"series_key": sk, "ts": int(ts)})
+        rows = (
+            self.points(metric=metric, tags=tags or {},
+                        start=int(ts), end=int(ts))
+            .filter(F.col("series_key") == sk)
+            .filter(F.col("vtype") != "marker")
+            .collect())  # ≤ one row per field by construction
+        fields: dict[str, object] | None = None
+        if rows:
+            col_for = {"float": "f_double", "int": "f_long",
+                       "string": "f_string", "bool": "f_bool"}
+            fields = {r["field"]: (None if r["vtype"] == "null"
+                                   else r[col_for[r["vtype"]]])
+                      for r in rows}
+        self._emit("post_get_point", {"series_key": sk, "ts": int(ts),
+                                      "found": fields is not None})
+        return fields
+
     def points_wide(self, fields: dict[str, str]) -> DataFrame:
         """Wide-format view: one row per point, one TYPED column per
         requested field (``{"latency_ms": "double", "status": "long",
@@ -535,9 +672,13 @@ class NexusEngine:
         (out.withColumn("wday", wday).write.mode("overwrite")
          .partitionBy("wday").parquet(os.path.join(d, "data")))
         with open(os.path.join(d, "meta.json"), "w") as f:
+            # schema recorded so rollup() can serve an EMPTY rollup (a
+            # refresh may delete every remaining day partition; parquet
+            # schema inference has nothing to read then)
             json.dump({"metric": metric, "interval_ns": interval_ns,
                        "specs": [[s.func, s.field, s.alias] for s in specs],
-                       "last_seq": last_seq}, f)
+                       "last_seq": last_seq,
+                       "schema": out.schema.json()}, f)
 
     def _rollup_compute(self, metric: str, interval_ns: int, specs: list,
                         day_filter=None) -> DataFrame:
@@ -561,9 +702,25 @@ class NexusEngine:
 
     def rollup(self, name: str) -> DataFrame:
         """The materialized rollup as a DataFrame (wday is partition
-        bookkeeping, dropped)."""
-        return (self.spark.read.parquet(
-            os.path.join(self._rollup_dir(name), "data")).drop("wday"))
+        bookkeeping, dropped). A fully-emptied rollup (every day partition
+        deleted by a refresh) short-circuits to an empty frame built from
+        the meta-recorded schema — parquet inference has nothing to read."""
+        data = os.path.join(self._rollup_dir(name), "data")
+        has_parts = os.path.isdir(data) and any(
+            fn.endswith(".parquet")
+            for _dp, _dn, files in os.walk(data) for fn in files)
+        if not has_parts:
+            from pyspark.sql.types import StructType
+            meta = self._rollup_meta(name)
+            if "schema" in meta:
+                schema = StructType.fromJson(json.loads(meta["schema"]))
+            else:  # legacy meta: derive lazily from the compute plan
+                specs = [AggregationSpec(f, fld, al)
+                         for f, fld, al in meta["specs"]]
+                schema = self._rollup_compute(
+                    meta["metric"], meta["interval_ns"], specs).schema
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(data).drop("wday")
 
     def refresh_rollup(self, name: str) -> int:
         """Fold everything ingested or deleted since the last refresh into
@@ -591,10 +748,21 @@ class NexusEngine:
 
         roll = self.rollup(name).select("series_key", "window_start")
         if os.path.isdir(self._tomb["point"]):
+            # semi-join against the rollup's own (series, window) so point
+            # deletes on unrelated metrics/series don't dirty days here —
+            # without it, refresh cost scales with GLOBAL delete traffic.
+            # A point both ingested and deleted since the last refresh is
+            # covered by the new-points branch above (its row has
+            # seq > last), so windows absent from the rollup need no
+            # tombstone-driven recompute.
             tomb = self._tomb_df(
                 "point", "series_key string, ts long, seq long").filter(F.col("seq") > last)
-            hit = tomb.select(
-                wday_of(F.col("ts") - F.pmod(F.col("ts"), F.lit(iv))).alias("wd")).distinct()
+            hit = (tomb.withColumn(
+                       "window_start",
+                       F.col("ts") - F.pmod(F.col("ts"), F.lit(iv)))
+                   .join(roll, ["series_key", "window_start"], "left_semi")
+                   .select(wday_of(F.col("window_start")).alias("wd"))
+                   .distinct())
             dirty |= {r["wd"] for r in hit.collect()}
         if os.path.isdir(self._tomb["range"]):
             tomb = self._tomb_df(
@@ -656,6 +824,9 @@ class NexusEngine:
         materialize the resolved view, optionally drop rows with
         ts < retention_cutoff_ns, rewrite the points dir, drop consumed
         tombstones."""
+        self._emit("pre_compaction", {
+            "retention_cutoff_ns": retention_cutoff_ns,
+            "source_level": "l0+points", "target_level": "points"})
         resolved = self.points()
         if retention_cutoff_ns is not None:
             resolved = resolved.filter(F.col("ts") >= retention_cutoff_ns)
@@ -682,6 +853,7 @@ class NexusEngine:
         # partitioning) — the upgrade path for pre-v2 warehouses
         self._write_points(resolved, path=tmp, mode="overwrite",
                            day_partitioned=True)
+        self._emit("pre_sstable_delete", {"path": self._points_path})
         shutil.rmtree(self._points_path, ignore_errors=True)  # may be L0-only
         os.rename(tmp, self._points_path)
         # L0 was folded into the resolved view (points() reads the union)
@@ -694,6 +866,7 @@ class NexusEngine:
         # rebuild the catalog from the surviving view: prunes tombstoned
         # series and merges the tiny per-put index files
         self._catalog.rebuild(self._raw())
+        self._known_series = self._known_metrics = None  # reload from catalog
         resolved.unpersist()
         self._write_gen += 1
         if self.hooks is not None:
@@ -748,6 +921,8 @@ class NexusEngine:
         The manifest records the full file set either way; restore
         resolves inherited files through the parent chain."""
         import json
+        self._emit("pre_create_snapshot",
+                   {"incremental_from": incremental_from})
         dest = os.path.join(self.warehouse, "snapshots", uuid.uuid4().hex[:12])
         os.makedirs(dest, exist_ok=True)
         parent_files: set[str] = set()
@@ -771,6 +946,10 @@ class NexusEngine:
                 shutil.copy2(src, dst)
         with open(os.path.join(dest, "manifest.json"), "w") as f:
             json.dump(manifest, f)
+        self._emit("post_manifest_write",
+                   {"path": os.path.join(dest, "manifest.json"),
+                    "n_files": len(manifest["files"])})
+        self._emit("post_create_snapshot", {"path": dest})
         return dest
 
     def _restore_manifest(self, path: str) -> None:
@@ -839,6 +1018,7 @@ class NexusEngine:
         fmt = self._read_format()
         self.point_markers = fmt.get("point_markers") == "1"
         self.day_partitioned = fmt.get("layout") == "metric_day"
+        self._known_series = self._known_metrics = None  # reload from catalog
         self._write_gen += 1
 
     # ----------------------------------------------------------- metrics
@@ -885,12 +1065,18 @@ class NexusEngine:
 
     def query(self, q: QueryStatement) -> DataFrame:
         from nexusbase_spark.nbql.planner import plan_query
+        self._emit("pre_query", {"query": q})
         rewritten = self._try_rollup_rewrite(q)
         if rewritten is not None:
-            return rewritten
-        if self.result_cache.capacity > 0:
-            return self._query_cached(q)
-        return plan_query(self, q)
+            out, path = rewritten, "rollup_rewrite"
+        elif self.result_cache.capacity > 0:
+            out, path = self._query_cached(q), "cache"
+        else:
+            out, path = plan_query(self, q), "plan"
+        # post_query fires when the PLAN is built (DataFrames are lazy;
+        # execution happens when the caller drains the result)
+        self._emit("post_query", {"query": q, "path": path})
+        return out
 
     def _try_rollup_rewrite(self, q: QueryStatement) -> DataFrame | None:
         """Transparent materialized-view rewriting: a plain per-series
@@ -915,6 +1101,18 @@ class NexusEngine:
           materialized whole-window answer cannot reproduce for partial
           windows; an unbounded end defaults to now() in the direct
           path, which future-dated points would diverge from.
+
+        Known, INTENDED divergence after retention compaction:
+        ``compact(retention_cutoff_ns)`` drops base rows without bumping
+        seq, so a rollup covering pre-cutoff windows stays "fresh" and
+        this rewrite keeps serving that downsampled history even though
+        the direct path would now return nothing there. This is the
+        TimescaleDB-style downsampled-retention contract — aggregates
+        outlive the raw data they summarize — and it's why retention is
+        applied at compaction rather than by tombstones (which WOULD
+        invalidate the rollup). Callers who want the raw-data view of a
+        post-retention range should query an interval the rollup doesn't
+        cover or drop the rollup with the retention policy.
         Increments ``self.rollup_rewrites`` when used (observability +
         tests)."""
         iv = q.downsample_interval
@@ -978,6 +1176,7 @@ class NexusEngine:
             ok = False  # stale entry counts as a miss in the metrics
             self.result_cache.hits -= 1
             self.result_cache.misses += 1
+        self._emit("on_cache_hit" if ok else "on_cache_miss", {"key": key})
         if not ok:
             full = plan_query(
                 self, dataclasses.replace(q, limit=None, after_cursor=None))

@@ -28,8 +28,40 @@ from pyspark.sql import functions as F
 
 Listener = Callable[[str, object, int], None]
 
-EVENTS = ("pre_put_batch", "post_put_batch", "on_series_create",
-          "pre_query", "post_query", "on_delete", "post_compaction")
+# The reference's full lifecycle event set (hooks/hooks.go:17-71), snake_
+# cased. Engine publish points are documented per event in engine.py; the
+# WAL/SSTable/manifest internals map to their Parquet-warehouse analogs
+# (SURVEY.md §4): an "SSTable" is a parquet append, the "WAL append" is the
+# durable L0 append a put_batch makes, "WAL rotate" is the L0 -> base merge,
+# and "WAL recovery" is the open-time rescan of existing warehouse state.
+# on_string_create fires for newly interned METRIC names (the narrower
+# analog of the reference's string store — tag keys/values aren't interned
+# here; they live inline in the tags map column).
+EVENTS = (
+    # data lifecycle (hooks.go:22-35)
+    "pre_put_data_point", "post_put_data_point",
+    "pre_put_batch", "post_put_batch",
+    "pre_get_point", "post_get_point",
+    "pre_delete_point", "post_delete_point",
+    "pre_delete_series", "post_delete_series",
+    "pre_delete_range", "post_delete_range",
+    # engine lifecycle (hooks.go:37-40)
+    "pre_flush_memtable", "post_flush_memtable", "post_compaction",
+    # admin lifecycle (hooks.go:42-45)
+    "pre_compaction", "pre_create_snapshot", "post_create_snapshot",
+    # engine internal, parquet analogs (hooks.go:47-55)
+    "post_sstable_create", "pre_sstable_delete", "post_manifest_write",
+    "pre_wal_append", "post_wal_append", "post_wal_rotate",
+    "post_wal_recovery",
+    # cache (hooks.go:56-59)
+    "on_cache_hit", "on_cache_miss", "on_cache_eviction",
+    # metadata & indexing (hooks.go:61-63)
+    "on_string_create", "on_series_create",
+    # engine start/stop + query lifecycle (hooks.go:65-72)
+    "pre_start_engine", "post_start_engine",
+    "pre_close_engine", "post_close_engine",
+    "pre_query", "post_query",
+)
 
 
 class HookBus:
@@ -43,9 +75,18 @@ class HookBus:
             raise ValueError(f"unknown hook event {event!r}; known: {EVENTS}")
         self._listeners[event].append(listener)
 
+    def has_listeners(self, event: str) -> bool:
+        """Cheap pre-check for events whose PAYLOAD is expensive to build
+        (e.g. new-series detection on the bulk ingest path runs an
+        anti-join only when someone is listening)."""
+        return bool(self._listeners.get(event))
+
     def publish(self, event: str, payload, batch_id: int = -1) -> None:
         """Payload is a DataFrame for batch events, a plain dict for
-        lifecycle events like post_compaction (old/new table sizes)."""
+        lifecycle events like post_compaction (old/new table sizes).
+        pre_* payload dicts are MUTABLE on purpose: the reference passes
+        pointers so listeners can rewrite a point before it lands
+        (hooks.go PrePutDataPointPayload); dict mutation is the analog."""
         for listener in self._listeners.get(event, ()):
             listener(event, payload, batch_id)
 

@@ -64,6 +64,19 @@ def subscribe(stream: DataFrame, on_batch: Callable[[DataFrame, int], None],
     return writer.start()
 
 
+def _dur(ns: int) -> str:
+    """ns interval -> a Spark window duration string at MICROSECOND
+    granularity (the event-time resolution). Previously floored to whole
+    seconds with a 1s minimum, which silently shifted boundaries for
+    sub-second or non-second-aligned intervals (500ms, 90.5s); anything
+    not representable in whole microseconds is rejected instead."""
+    if ns <= 0 or ns % 1_000 != 0:
+        raise ValueError(
+            f"window interval {ns}ns is not a positive whole number of "
+            "microseconds; event-time windows are µs-granular")
+    return f"{ns // 1_000} microseconds"
+
+
 def live_downsample(stream: DataFrame, interval_ns: int,
                     watermark_delay: str = "10 minutes") -> DataFrame:
     """Streaming per-series tumbling aggregation with late-data handling —
@@ -75,10 +88,9 @@ def live_downsample(stream: DataFrame, interval_ns: int,
     """
     with_time = stream.withColumn(
         "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    iv_sec = max(interval_ns // 1_000_000_000, 1)
     return (
         with_time.withWatermark("event_time", watermark_delay)
-        .groupBy(F.window("event_time", f"{iv_sec} seconds"),
+        .groupBy(F.window("event_time", _dur(interval_ns)),
                  F.col("metric"), F.col("series_key"))
         .agg(F.count(F.lit(1)).alias("count_*"),
              F.sum("value").alias("sum_value"),
@@ -101,11 +113,9 @@ def live_downsample_hopping(stream: DataFrame, size_ns: int, slide_ns: int,
     """
     with_time = stream.withColumn(
         "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    sz = max(size_ns // 1_000_000_000, 1)
-    sl = max(slide_ns // 1_000_000_000, 1)
     return (
         with_time.withWatermark("event_time", watermark_delay)
-        .groupBy(F.window("event_time", f"{sz} seconds", f"{sl} seconds"),
+        .groupBy(F.window("event_time", _dur(size_ns), _dur(slide_ns)),
                  F.col("metric"), F.col("series_key"))
         .agg(F.count(F.lit(1)).alias("count_*"),
              F.sum("value").alias("sum_value"),

@@ -68,6 +68,40 @@ def test_rollup_refresh_applies_deletes(eng):
     assert not any(k[0].startswith("m|h=b") for k in got)
 
 
+def test_rollup_emptied_completely_still_readable(eng):
+    """A refresh that deletes EVERY remaining day partition must leave the
+    rollup queryable (regression: parquet schema inference has nothing to
+    read; rollup() now short-circuits to an empty frame from meta)."""
+    eng.create_rollup("r", "m", DAY, SPECS)
+    eng.delete_series("m", {"h": "a"})
+    eng.delete_series("m", {"h": "b"})
+    eng.refresh_rollup("r")
+    assert eng.rollup("r").collect() == []
+    assert set(eng.rollup("r").columns) >= {"series_key", "window_start",
+                                            "count_*", "sum_v", "avg_v"}
+    # the emptied rollup keeps working: refresh again, then repopulate
+    assert eng.refresh_rollup("r") == 0
+    eng.put_batch([("m", {"h": "c"}, {"v": 5.0}, D0)])
+    assert eng.refresh_rollup("r") == 1
+    assert _materialized(eng) == _direct(eng)
+
+
+def test_rollup_unrelated_deletes_do_not_dirty(eng):
+    """Point/series tombstones on OTHER metrics/series must not mark this
+    rollup's days dirty (refresh cost would scale with global delete
+    traffic)."""
+    eng.put_batch([("other", {"h": "z"}, {"v": 1.0}, D0),
+                   ("other", {"h": "z"}, {"v": 2.0}, D0 + 1)])
+    eng.create_rollup("r", "m", DAY, SPECS)
+    eng.delete_point("other", {"h": "z"}, D0)       # unrelated metric
+    eng.delete_series("other", {"h": "z"})
+    assert eng.refresh_rollup("r") == 0
+    # a point delete on the rollup's own series still dirties its day
+    eng.delete_point("m", {"h": "a"}, D0)
+    assert eng.refresh_rollup("r") == 1
+    assert _materialized(eng) == _direct(eng)
+
+
 def test_rollup_untouched_days_not_rewritten(eng, tmp_path):
     import os
     eng.create_rollup("r", "m", DAY, SPECS)

@@ -375,3 +375,34 @@ def test_live_downsample_hopping_overlap(spark, point_stream):
     assert got[120 * NS] == (2, 5.0)   # [120,180) holds both
     # the 60s-aligned window [60,120) holds neither point
     assert got.get(60 * NS) is None
+
+
+def test_live_downsample_subsecond_windows(spark, point_stream):
+    """Sub-second hopping windows keep exact boundaries (regression:
+    intervals were floored to whole seconds with a 1s minimum, silently
+    shifting 500ms windows); non-µs-representable intervals raise."""
+    import pytest as _pytest
+
+    from nexusbase_spark.streaming import live_downsample_hopping
+
+    stream, feed = point_stream
+    NS = 1_000_000_000
+    agg = live_downsample_hopping(stream, NS // 2, NS // 4,
+                                  watermark_delay="0 seconds")
+    q = (agg.writeStream.queryName("t_hop_sub").outputMode("update")
+         .format("memory").start())
+    try:
+        # 1.30s lands in [1.00,1.50) and [1.25,1.75); a 1s-floored window
+        # would have produced a single [1,2) bucket instead
+        feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a",
+               NS + 300_000_000, 1, 2.0)])
+        q.processAllAvailable()
+        rows = spark.sql("select * from t_hop_sub").collect()
+    finally:
+        q.stop()
+    # the fixture pre-seeds a point at ts≈0; check the 1.30s point's windows
+    got = {r["window_start"]: r["count_*"] for r in rows
+           if r["window_start"] >= NS}
+    assert got == {NS: 1, NS + 250_000_000: 1}
+    with _pytest.raises(ValueError, match="microsecond"):
+        live_downsample_hopping(stream, 1500, 500)  # 1.5µs size: not whole µs
