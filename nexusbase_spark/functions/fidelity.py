@@ -92,6 +92,28 @@ def _nan_blind(c: Column) -> Column:
     return F.when(F.isnan(c), F.lit(None)).otherwise(c)
 
 
+def resolve_percentile_impl(approx_percentile: bool,
+                            percentile_impl: str | None) -> str:
+    impl = percentile_impl or ("approx" if approx_percentile else "exact")
+    if impl not in ("exact", "approx", "tdigest"):
+        raise ValueError(f"unknown percentile_impl {impl!r}")
+    return impl
+
+
+def split_percentile_specs(specs: list[AggSpec],
+                           impl: str) -> tuple[list[AggSpec], list[AggSpec]]:
+    """-> (jvm_specs, tdigest_specs). Spark forbids mixing grouped-agg
+    pandas UDFs with JVM aggregates in one agg() [INVALID_PANDAS_UDF_
+    PLACEMENT], so with impl="tdigest" the percentile specs aggregate in
+    a SECOND groupBy on the same keys and join back (the join is
+    co-partitioned: both sides shuffle on identical group keys)."""
+    if impl != "tdigest":
+        return list(specs), []
+    td = [s for s in specs if parse_agg_func(s.func)[0] == "percentile"]
+    jvm = [s for s in specs if parse_agg_func(s.func)[0] != "percentile"]
+    return jvm, td
+
+
 def build_agg_exprs(
     specs: list[AggSpec],
     field_types: dict[str, str],
@@ -99,13 +121,21 @@ def build_agg_exprs(
     *,
     skip_non_finite: bool,
     approx_percentile: bool = False,
+    percentile_impl: str | None = None,
 ) -> list[Column]:
     """Build the aggregate expressions for one groupBy.
 
     ``order_key`` is the orderable global-stream key (ts, series_key, seq)
     used by first/last/frac. ``skip_non_finite=True`` = final-aggregation
     semantics; ``False`` = downsampler semantics.
+
+    ``percentile_impl`` selects the p<N> estimator: ``"exact"`` (default;
+    the DuckDB-oracle path), ``"approx"`` (Spark's built-in mergeable
+    sketch — the JVM-side scale path), or ``"tdigest"`` (strict parity
+    with the reference's go-tdigest accumulator, functions/tdigest.py).
+    ``approx_percentile=True`` is the legacy spelling of "approx".
     """
+    impl = resolve_percentile_impl(approx_percentile, percentile_impl)
     exprs: list[Column] = []
     for spec in specs:
         func, q = parse_agg_func(spec.func)
@@ -155,10 +185,16 @@ def build_agg_exprs(
             # sample stddev, NaN when n<2 (aggregator.go:293-304)
             exprs.append(_nan_if_null(F.stddev_samp(num)).alias(name))
         elif func == "percentile":
-            if approx_percentile:
-                # scale path: single-pass mergeable sketch, like the
-                # reference's t-digest (aggregator.go:23,81-86)
+            if impl == "approx":
+                # scale path: single-pass mergeable JVM-side sketch
                 exprs.append(_nan_if_null(F.percentile_approx(num, F.lit(q))).alias(name))
+            elif impl == "tdigest":
+                # strict parity with the reference's t-digest accumulator
+                # (aggregator.go:23,81-86); Arrow-batched grouped agg
+                from nexusbase_spark.functions.tdigest import tdigest_quantile_agg
+                # Arrow maps a returned NaN to NULL; restore the exact
+                # path's NaN-for-empty-group convention
+                exprs.append(_nan_if_null(tdigest_quantile_agg(q)(num)).alias(name))
             else:
                 exprs.append(_nan_if_null(F.percentile(num, F.lit(q))).alias(name))
         else:  # pragma: no cover

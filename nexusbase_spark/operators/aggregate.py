@@ -37,16 +37,32 @@ def final_aggregate(
     specs: list[AggSpec],
     *,
     approx_percentile: bool = False,
+    percentile_impl: str | None = None,
     keep_metric: bool = False,
 ) -> DataFrame:
-    """One output row over the filtered frame (all series combined)."""
-    exprs = build_agg_exprs(
-        specs,
-        _field_types(df),
-        _order_key(),
-        skip_non_finite=True,
-        approx_percentile=approx_percentile,
-    )
+    """One output row over the filtered frame (all series combined).
+
+    With ``percentile_impl="tdigest"`` and a spec list mixing percentiles
+    with other functions, the percentiles aggregate separately (grouped-
+    agg pandas UDFs can't share an agg() with JVM aggregates) and the two
+    single-row (or per-metric) results join back."""
+    from nexusbase_spark.functions.fidelity import (
+        resolve_percentile_impl, split_percentile_specs)
+    impl = resolve_percentile_impl(approx_percentile, percentile_impl)
+    jvm_specs, td_specs = split_percentile_specs(specs, impl)
+    ftypes, okey = _field_types(df), _order_key()
+    if not (td_specs and jvm_specs):
+        exprs = build_agg_exprs(specs, ftypes, okey, skip_non_finite=True,
+                                percentile_impl=impl)
+        if keep_metric:
+            return df.groupBy("metric").agg(*exprs)
+        return df.agg(*exprs)
+    jexprs = build_agg_exprs(jvm_specs, ftypes, okey, skip_non_finite=True)
+    texprs = build_agg_exprs(td_specs, ftypes, okey, skip_non_finite=True,
+                             percentile_impl="tdigest")
+    names = [s.out_name for s in specs]
     if keep_metric:
-        return df.groupBy("metric").agg(*exprs)
-    return df.agg(*exprs)
+        out = (df.groupBy("metric").agg(*jexprs)
+               .join(df.groupBy("metric").agg(*texprs), "metric"))
+        return out.select("metric", *names)
+    return (df.agg(*jexprs).crossJoin(df.agg(*texprs))).select(*names)

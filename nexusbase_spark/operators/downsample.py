@@ -25,12 +25,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nexusbase_spark.functions.fidelity import AggSpec, build_agg_exprs
+from nexusbase_spark.functions.fidelity import (
+    AggSpec,
+    build_agg_exprs,
+    resolve_percentile_impl,
+    split_percentile_specs,
+)
 from nexusbase_spark.operators.aggregate import _field_types, _order_key
 
 
 def align(ts: int, interval_ns: int) -> int:
     return ts - (ts % interval_ns)
+
+
+def _grouped_agg(df: DataFrame, win, specs: list[AggSpec], *,
+                 skip_non_finite: bool, approx_percentile: bool,
+                 percentile_impl: str | None) -> DataFrame:
+    """groupBy (metric, series_key, tags, window_start) with the spec
+    aggregates. With percentile_impl="tdigest" and a mixed spec list the
+    percentiles run as grouped-agg pandas UDFs in a SECOND groupBy on the
+    same keys (Spark forbids mixing them with JVM aggregates in one
+    agg()), joined back co-partitioned; column order follows ``specs``
+    either way."""
+    impl = resolve_percentile_impl(approx_percentile, percentile_impl)
+    jvm_specs, td_specs = split_percentile_specs(specs, impl)
+    ftypes, okey = _field_types(df), _order_key()
+    if not (td_specs and jvm_specs):
+        exprs = build_agg_exprs(specs, ftypes, okey,
+                                skip_non_finite=skip_non_finite,
+                                percentile_impl=impl)
+        return df.groupBy(F.col("metric"), F.col("series_key"),
+                          F.col("tags"), win).agg(*exprs)
+    jexprs = build_agg_exprs(jvm_specs, ftypes, okey,
+                             skip_non_finite=skip_non_finite)
+    texprs = build_agg_exprs(td_specs, ftypes, okey,
+                             skip_non_finite=skip_non_finite,
+                             percentile_impl="tdigest")
+    jagg = df.groupBy(F.col("metric"), F.col("series_key"),
+                      F.col("tags"), win).agg(*jexprs)
+    # tags (a map) can't be a join key; series_key determines it
+    tagg = df.groupBy(F.col("metric"), F.col("series_key"), win).agg(*texprs)
+    joined = jagg.join(tagg, ["metric", "series_key", "window_start"])
+    return joined.select("metric", "series_key", "tags", "window_start",
+                         *[s.out_name for s in specs])
 
 
 def downsample(
@@ -42,6 +79,7 @@ def downsample(
     q_start: int | None = None,
     q_end: int | None = None,
     approx_percentile: bool = False,
+    percentile_impl: str | None = None,
 ) -> DataFrame:
     """Per-series tumbling-window aggregation.
 
@@ -52,17 +90,9 @@ def downsample(
     if interval_ns <= 0:
         raise ValueError("interval must be positive")
     win = (F.col("ts") - F.col("ts") % F.lit(interval_ns)).alias("window_start")
-    exprs = build_agg_exprs(
-        specs,
-        _field_types(df),
-        _order_key(),
-        skip_non_finite=False,  # the downsampler does NOT skip NaN/Inf inputs
-        approx_percentile=approx_percentile,
-    )
-    agg = (
-        df.groupBy(F.col("metric"), F.col("series_key"), F.col("tags"), win)
-        .agg(*exprs)
-    )
+    agg = _grouped_agg(df, win, specs, skip_non_finite=False,
+                       approx_percentile=approx_percentile,
+                       percentile_impl=percentile_impl)
 
     if emit_empty:
         if q_start is None or q_end is None:
@@ -105,6 +135,7 @@ def downsample_hopping(
     specs: list[AggSpec],
     *,
     approx_percentile: bool = False,
+    percentile_impl: str | None = None,
 ) -> DataFrame:
     """Per-series HOPPING (sliding) window aggregation — absent from the
     reference (SURVEY.md §2.10 "Sliding / session windows: none"); with
@@ -132,18 +163,10 @@ def downsample_hopping(
     # smallest aligned start > ts - size; largest aligned start <= ts
     first = ts - size_ns - F.pmod(ts - size_ns, F.lit(slide_ns)) + slide_ns
     last = ts - F.pmod(ts, F.lit(slide_ns))
-    exprs = build_agg_exprs(
-        specs,
-        _field_types(df),
-        _order_key(),
-        skip_non_finite=False,
-        approx_percentile=approx_percentile,
-    )
-    return (
-        df.withColumn("window_start",
-                      F.explode(F.sequence(first, last, F.lit(slide_ns))))
-        .groupBy(F.col("metric"), F.col("series_key"), F.col("tags"),
-                 F.col("window_start"))
-        .agg(*exprs)
-        .withColumn("window_end", F.col("window_start") + F.lit(size_ns))
-    )
+    hopped = df.withColumn(
+        "window_start", F.explode(F.sequence(first, last, F.lit(slide_ns))))
+    agg = _grouped_agg(hopped, F.col("window_start"), specs,
+                       skip_non_finite=False,
+                       approx_percentile=approx_percentile,
+                       percentile_impl=percentile_impl)
+    return agg.withColumn("window_end", F.col("window_start") + F.lit(size_ns))

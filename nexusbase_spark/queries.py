@@ -385,6 +385,35 @@ def q_downsample_p95(spark, sf_dir):
     return _r4(out, "p95_value", "stddev_value")
 
 
+@register("downsample_p95_tdigest", f"""
+    SELECT user,
+           ts - (ts % {DAY_NS}) AS window_start,
+           round(quantile_cont(value, 0.95), 4) AS p95_value,
+           count(value) AS count_value
+    FROM ({POINTS_SQL})
+    WHERE metric = 'purchase' AND ts BETWEEN {T1} AND {T2}
+    GROUP BY user, window_start
+    HAVING count(value) >= 2
+""")
+def q_downsample_p95_tdigest(spark, sf_dir):
+    """Percentile through the t-digest sketch (strict parity with the
+    reference's go-tdigest accumulator — aggregator.go:23,81-86;
+    functions/tdigest.py). Shares the exact path's DuckDB oracle because
+    per-(user, day) groups here are far below 2·compression values, where
+    the digest's AVL interpolation IS closest-rank linear interpolation
+    (the estimator quantile_cont uses); mixed spec list exercises the
+    pandas/JVM split-and-join."""
+    pts = load_points(spark, sf_dir)
+    sel = time_range(metric_filter(pts, "purchase"), T1, T2)
+    out = downsample(sel, DAY_NS, [
+        AggSpec("p95", "value"), AggSpec("count", "value"),
+    ], percentile_impl="tdigest")
+    out = out.filter(F.col("count_value") >= 2)
+    out = out.withColumn("user", F.col("tags").getItem("user"))
+    out = out.select("user", "window_start", "p95_value", "count_value")
+    return _r4(out, "p95_value")
+
+
 @register("multi_tag_scan", f"""
     SELECT metric, user, kb, ts, seq, value
     FROM (SELECT event_type AS metric,
