@@ -1158,10 +1158,12 @@ def q_docs_length_deciles(spark, sf_dir):
 
 
 @register("embed_label_centroids", """
-    SELECT label, pos, round(avg(e), 4) AS centroid
+    SELECT label, pos,
+           round(sum(floor(e * 1000000 + 0.5)) / (count(e) * 1000000.0), 4)
+               + 0.0 AS centroid
     FROM (
         SELECT label,
-               unnest(embedding) AS e,
+               CAST(unnest(embedding) AS DOUBLE) AS e,
                unnest(range(len(embedding))) AS pos
         FROM embeddings)
     GROUP BY label, pos
@@ -1174,11 +1176,25 @@ def q_embed_label_centroids(spark, sf_dir):
     combines map-side after the explode, so the shuffle carries one
     (label, pos, sum, count) row per group, never raw vectors; the
     alternative (collect vectors per label, average driver-side) does not
-    distribute. The oracle zips DuckDB's parallel unnests the same way."""
+    distribute. The oracle zips DuckDB's parallel unnests the same way.
+
+    The mean is computed over 1e-6-quantized elements (floor(e*1e6+0.5) —
+    identical IEEE ops in both engines): a float mean's last ulp depends
+    on partial-aggregation ORDER, and a group whose mean sits at a .00005
+    rounding boundary flipped the value hash nondeterministically
+    (observed once at sf0.001). Integer sums are order-exact, so both
+    engines now land on the same side of every boundary, always; the
+    quantization bias (≤5e-7) is far inside the 4-dp output grid.
+    `+ 0.0` on both sides normalizes IEEE negative zero: DuckDB's round
+    keeps the sign of a tiny negative mean (repr '-0.0'), Spark's drops
+    it, and the driver hashes cell reprs (observed: one -0.0 cell at
+    sf0.001)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.floor(F.col("e").cast("double") * 1_000_000 + F.lit(0.5))
     return (emb.select("label", F.posexplode("embedding").alias("pos", "e"))
             .groupBy("label", F.col("pos").cast("long").alias("pos"))
-            .agg(F.round(F.avg("e"), 4).alias("centroid"))
+            .agg((F.round(F.sum(qe) / (F.count("e") * 1_000_000.0), 4)
+                  + F.lit(0.0)).alias("centroid"))
             .select("label", "pos", "centroid"))
 
 

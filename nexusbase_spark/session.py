@@ -25,9 +25,12 @@ _DEFAULTS = {
     # the 64MB advisory size; at 100TB that still yields ample partitions.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # On a real cluster this would be ~2-3x total cores; local default keeps
-    # shuffles cheap while still exercising multi-partition plans.
-    "spark.sql.shuffle.partitions": "32",
+    # On a real cluster this is ~2-3x total cores (set per deployment); for
+    # the local harness, 16 initial map buckets beat 32 by ~8% on the warm
+    # headline suite (interleaved A/B, round 2): AQE's 64MB advisory
+    # coalescing decides the REDUCE parallelism either way, so the initial
+    # count is pure map-side bucket overhead at this data size.
+    "spark.sql.shuffle.partitions": "16",
     # Arrow for any pandas_udf / toPandas path (vectorized, not row-at-a-time).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Broadcast small dimension/tombstone tables automatically.

@@ -46,3 +46,24 @@ def test_no_hash_hazard_output_types(lint_con):
     assert not offenders, (
         "oracle output columns with hash-hazard types (cast to BIGINT/DOUBLE "
         f"in the oracle SQL): {offenders}")
+
+
+def test_no_negative_zero_cells(lint_con):
+    """IEEE -0.0 reprs as '-0.0' and hash-mismatches a 0.0 from the other
+    engine even though they compare equal (bit us on
+    embed_label_centroids: DuckDB's round keeps a tiny negative mean's
+    sign, Spark's drops it). Execute every oracle at sf0.001 and fail on
+    any -0.0 output cell — normalize with `+ 0.0` on BOTH sides."""
+    import math
+    offenders = {}
+    for name, sql in _all_oracles().items():
+        res = lint_con.execute(sql)
+        cols = [d[0] for d in res.description]
+        hits = set()
+        for row in res.fetchall():
+            for c, v in zip(cols, row):
+                if isinstance(v, float) and v == 0.0 and math.copysign(1, v) < 0:
+                    hits.add(c)
+        if hits:
+            offenders[name] = sorted(hits)
+    assert not offenders, f"oracle outputs contain -0.0 cells: {offenders}"

@@ -37,8 +37,10 @@ from nexusbase_spark.session import get_spark
 
 
 def partition_balance(df) -> dict:
-    """Post-shuffle reducer load: rows per output partition of the frame
-    (max / median ratio ~1 = balanced; >> 1 = one reducer is hot)."""
+    """Post-shuffle reducer load: rows per output partition of the frame.
+    NOTE: with AQE coalescing on (the production config) small frames
+    collapse to one partition — at probe scale the KEY skew below is the
+    meaningful signal; this confirms the runtime keeps reducers bounded."""
     import statistics
     counts = [r["c"] for r in
               df.groupBy(F.spark_partition_id().alias("p"))
@@ -48,6 +50,19 @@ def partition_balance(df) -> dict:
     med = statistics.median(counts)
     return {"partitions": len(counts), "max": max(counts),
             "median": med, "max_over_median": round(max(counts) / max(med, 1), 1)}
+
+
+def key_skew(df, *cols) -> dict:
+    """Shuffle-KEY skew: the largest group vs the median group on the
+    given grouping columns — the quantity a hot hash key / hot LSH bucket
+    / hot shard actually distorts, independent of AQE coalescing."""
+    import statistics
+    counts = [r["c"] for r in df.groupBy(*cols)
+              .agg(F.count(F.lit(1)).alias("c")).collect()]
+    med = statistics.median(counts)
+    return {"groups": len(counts), "max_group": max(counts),
+            "median_group": med,
+            "max_over_median": round(max(counts) / max(med, 1), 1)}
 
 
 def main() -> None:
@@ -76,7 +91,10 @@ def main() -> None:
     from nexusbase_spark.pipeline.dedup import (
         bucket_clusters, exact_dedup_groups, near_dup_pairs)
 
-    # 1. exact dedup: hot hash group
+    # 1. exact dedup: hot hash group (NB: replication itself makes every
+    # doc a duplicate across replicas; the hot cluster sits on top)
+    out["hash_key_skew"] = key_skew(
+        docs.select(F.md5(F.trim(F.lower(F.col("text")))).alias("h")), "h")
     t = time.time()
     groups = exact_dedup_groups(docs)
     n_dup = groups.filter(F.col("group_size") > 1).count()
@@ -104,6 +122,10 @@ def main() -> None:
     toks = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")).persist()
     toks.count()
+    from nexusbase_spark.pipeline.split import split_bucket
+    out["shard_key_skew"] = key_skew(
+        toks.select((split_bucket(F.col("doc_id"), "pack-v1") % 64)
+                    .alias("shard")), "shard")
     for shards in (4, 64):
         t = time.time()
         packed = pack_assignments(toks, "doc_id", "n_tok",
