@@ -168,6 +168,40 @@ def fingerprint_mink(text: Column, n: int = 3, k: int = 4) -> Column:
     return F.array_join(bottom, "")
 
 
+# Linear quality classifier weights — a deterministic stand-in for the
+# trained fastText/logreg quality model every curation pipeline runs
+# (CCNet/Gopher-style). The WEIGHTS are illustrative; the deliverable is
+# the scale shape: every feature derives from integer lengths (both
+# engines compute bit-identical doubles), the dot product is a FIXED
+# expression-order sum (no aggregation, so no reordering), and scoring
+# runs at scan speed with zero UDFs. Swapping in trained weights is a
+# dict update.
+QUALITY_CLASSIFIER_WEIGHTS = {
+    "bias": -1.0,
+    "stopword_ratio": 5.0,
+    "digit_ratio": -6.0,
+    "punct_ratio": -2.0,
+    "repetition": -8.0,
+    "log_tokens": 0.6,
+}
+
+
+def classifier_margin(text: Column,
+                      weights: dict | None = None) -> Column:
+    """Linear quality score (the pre-sigmoid margin; > 0 = keep). The
+    margin is the output on purpose: it avoids exp() (whose last ulp can
+    differ across libms) and is monotone in the probability anyway."""
+    w = weights or QUALITY_CLASSIFIER_WEIGHTS
+    qx = quality_exprs(text)
+    rep = repetition_ratio(text, 2)
+    return (F.lit(w["bias"])
+            + F.lit(w["stopword_ratio"]) * qx["stopword_ratio"]
+            + F.lit(w["digit_ratio"]) * qx["digit_ratio"]
+            + F.lit(w["punct_ratio"]) * qx["punct_ratio"]
+            + F.lit(w["repetition"]) * rep
+            + F.lit(w["log_tokens"]) * F.log(qx["n_tokens"] + F.lit(1.0)))
+
+
 # Gopher/C4-style rule thresholds for quality_filter_exprs. Order matters:
 # the report's `reason` is the FIRST failing rule.
 QUALITY_RULE_ORDER = ("too_short", "too_long", "high_digit",

@@ -1585,6 +1585,177 @@ def q_docs_temperature_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+_CDC_CHUNKS_SQL = """
+    WITH seg AS (
+        SELECT doc_id, text,
+               list_transform(
+                   list_filter(range(1, greatest(length(text) - 7, 0) + 1),
+                               p -> md5(substring(text, p, 8)) LIKE '%0'),
+                   b -> b + 7) AS cuts
+        FROM documents),
+    arr AS (
+        SELECT doc_id, text,
+               list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+               list_append(cuts, length(text)) AS ends
+        FROM seg),
+    zz AS (SELECT doc_id, unnest(starts) AS s, unnest(ends) AS e, text FROM arr)
+    SELECT doc_id, md5(substring(text, s, e - s + 1)) AS chunk_md5
+    FROM zz WHERE e - s + 1 > 0
+"""
+
+
+@register("docs_chunk_dedup", f"""
+    WITH ch AS ({_CDC_CHUNKS_SQL}),
+    nd AS (SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs
+           FROM ch GROUP BY chunk_md5)
+    SELECT ch.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           round(CAST(sum(CASE WHEN nd.n_docs > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS shared_frac
+    FROM ch JOIN nd ON nd.chunk_md5 = ch.chunk_md5
+    GROUP BY ch.doc_id
+""")
+def q_docs_chunk_dedup(spark, sf_dir):
+    """CHUNK-granular dedup (paragraph/boilerplate removal): per doc, the
+    fraction of its content-defined chunks that also appear in OTHER
+    docs — the signal that drives boilerplate stripping and partial-dup
+    removal where whole-doc dedup is too coarse (shared headers, quoted
+    blocks, template sections).
+
+    Scale shape: cdc_chunks is narrow (arrays built in one projection);
+    the chunk table shuffles ONCE on chunk_md5 for the distinct-doc
+    count, and the count joins back co-partitioned on the same key (no
+    second exchange of the chunk table); the per-doc rollup is map-side
+    combinable. Nothing is ever quadratic in duplicate-cluster size —
+    unlike pairwise chunk matching."""
+    from nexusbase_spark.pipeline.pack import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, window=8, mask_hex="0").select("doc_id", "chunk_md5")
+    nd = (ch.groupBy("chunk_md5")
+          .agg(F.count_distinct("doc_id").alias("n_docs")))
+    shared = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return (ch.join(nd, "chunk_md5")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(shared).cast("long").alias("n_shared"))
+            .select("doc_id", "n_chunks", "n_shared",
+                    F.round(F.col("n_shared").cast("double")
+                            / F.col("n_chunks"), 4).alias("shared_frac")))
+
+
+@register("docs_quality_classifier", f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, text, toks,
+                 list_transform(range(1, greatest(len(toks), 1)),
+                                i -> toks[i] || ' ' || toks[i+1]) AS grams
+          FROM t),
+    f AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> list_contains(
+                     [{", ".join(repr(w) for w in _STOP_ALL)}], x)))
+                     / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE) AS digit_ratio,
+                 (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     / CAST(length(text) AS DOUBLE) AS punct_ratio,
+                 CASE WHEN len(grams) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams) END AS rep
+          FROM g),
+    s AS (SELECT doc_id,
+                 -1.0 + 5.0 * stopword_ratio + -6.0 * digit_ratio
+                      + -2.0 * punct_ratio + -8.0 * rep
+                      + 0.6 * ln(n_tokens + 1.0) AS z
+          FROM f)
+    SELECT doc_id, round(z, 4) AS margin, z > 0 AS keep FROM s
+""")
+def q_docs_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering: a linear classifier over the
+    quality features (the fastText/logreg scoring step of CCNet/Gopher
+    curation, with illustrative weights — pipeline/text.py
+    QUALITY_CLASSIFIER_WEIGHTS). Margin output (pre-sigmoid: monotone in
+    probability, avoids exp()); keep = margin > 0. Every feature derives
+    from integer lengths and the dot product is a fixed expression-order
+    sum, so both engines compute bit-identical doubles at scan speed with
+    zero UDFs."""
+    from nexusbase_spark.pipeline.text import classifier_margin
+
+    docs = load_table(spark, sf_dir, "documents")
+    z = classifier_margin(F.col("text"))
+    return docs.select("doc_id", F.round(z, 4).alias("margin"),
+                       (z > 0).alias("keep"))
+
+
+_DOC_LOGPROB_SQL = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS token
+        FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    uni AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM uni),
+    lp AS (SELECT uni.token,
+                  ln((uni.cnt + 1) / (tot.total + tot.vocab)) AS logp
+           FROM uni, tot)
+    SELECT t.doc_id, round(avg(lp.logp), 4) AS alp
+    FROM t JOIN lp ON lp.token = t.token
+    GROUP BY t.doc_id
+"""
+
+
+@register("docs_perplexity_filter", f"""
+    WITH doc AS ({_DOC_LOGPROB_SQL}),
+    th AS (SELECT quantile_cont(alp, 0.10) AS lo,
+                  quantile_cont(alp, 0.90) AS hi FROM doc),
+    kept AS (SELECT doc.doc_id, doc.alp FROM doc, th
+             WHERE doc.alp >= th.lo AND doc.alp <= th.hi)
+    SELECT d.lang,
+           count(*) AS n_docs,
+           round(sum(floor(kept.alp * 10000 + 0.5))
+                 / (count(*) * 10000.0), 4) AS avg_logprob
+    FROM kept JOIN documents d ON d.doc_id = kept.doc_id
+    GROUP BY d.lang
+""")
+def q_docs_perplexity_filter(spark, sf_dir):
+    """Perplexity-band filtering (the CCNet middle-band selection): score
+    every doc with the unigram LM, drop the lowest decile (gibberish) and
+    the highest decile (boilerplate), report the surviving mix by
+    language. Thresholds are two scalars (exact percentiles of the
+    rounded per-doc scores) broadcast onto the doc frame — never a global
+    sort/ntile, which would single-partition at corpus scale. The kept
+    average is computed over 1e-4-quantized scores (integer sums are
+    order-exact — see embed_label_centroids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " ")).alias("token"))
+         .filter(F.col("token") != ""))
+    uni = t.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("total"),
+                  F.count(F.lit(1)).alias("vocab"))
+    lp = (uni.crossJoin(F.broadcast(tot))
+          .select("token",
+                  F.log((F.col("cnt") + 1) / (F.col("total") + F.col("vocab")))
+                  .alias("logp")))
+    doc = (t.join(F.broadcast(lp), "token")
+           .groupBy("doc_id")
+           .agg(F.round(F.avg("logp"), 4).alias("alp")))
+    th = doc.agg(F.expr("percentile(alp, 0.10)").alias("lo"),
+                 F.expr("percentile(alp, 0.90)").alias("hi"))
+    kept = (doc.crossJoin(F.broadcast(th))
+            .filter((F.col("alp") >= F.col("lo"))
+                    & (F.col("alp") <= F.col("hi"))))
+    qalp = F.floor(F.col("alp") * 10_000 + F.lit(0.5))
+    return (kept.join(load_table(spark, sf_dir, "documents")
+                      .select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(qalp) / (F.count(F.lit(1)) * 10_000.0), 4)
+                 .alias("avg_logprob")))
+
+
 @register("docs_cdc_chunks", """
     WITH seg AS (
         SELECT doc_id, text,

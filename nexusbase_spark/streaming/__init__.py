@@ -1,4 +1,5 @@
 from nexusbase_spark.streaming.subscribe import (  # noqa: F401
+    BoundedSubscriber,
     match_expr,
     subscription_filter,
     subscribe,

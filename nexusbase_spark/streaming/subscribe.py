@@ -43,6 +43,61 @@ def subscription_filter(df: DataFrame, metric: str = "*",
     return out
 
 
+class BoundedSubscriber:
+    """Reference-parity subscriber buffer: a bounded queue with
+    NON-BLOCKING enqueue — engine2/pubsub.go:80-82 allocates a 100-slot
+    channel per subscription and Publish (:104-120) uses select/default,
+    so a slow consumer LOSES updates rather than blocking the writer
+    (best-effort, at-most-once).
+
+    foreachBatch delivery is at-least-once (stronger); this adapter
+    reproduces the reference's drop-on-overflow at the consumer edge:
+    rows beyond ``capacity`` are dropped and counted, ingest never
+    blocks. Counters mirror pubsub.go's publish summary (matched / sent /
+    dropped). Use as the ``on_batch`` of ``subscribe``; drain with
+    ``take()``. Single-process adapter by design — at fleet scale the
+    subscription sink is a Kafka topic and backpressure is the broker's
+    problem, not the engine's."""
+
+    def __init__(self, capacity: int = 100):
+        import threading
+        from collections import deque
+        self.capacity = capacity
+        self._q: deque = deque()
+        self._lock = threading.Lock()
+        self.matched = 0
+        self.sent = 0
+        self.dropped = 0
+        self.closed = False
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if self.closed:
+            return
+        rows = batch.collect()  # subscription batches are violation-sized
+        with self._lock:
+            for row in rows:
+                self.matched += 1
+                if len(self._q) < self.capacity:
+                    self._q.append(row)
+                    self.sent += 1
+                else:
+                    self.dropped += 1  # select/default: drop, don't block
+
+    def take(self, n: int | None = None) -> list:
+        """Drain up to n buffered updates (all when n is None)."""
+        with self._lock:
+            out = []
+            while self._q and (n is None or len(out) < n):
+                out.append(self._q.popleft())
+            return out
+
+    def close(self) -> None:
+        """Unsubscribe (pubsub.go:94-103): further publishes are ignored."""
+        with self._lock:
+            self.closed = True
+            self._q.clear()
+
+
 def stream_ingest(spark: SparkSession, source_dir: str, schema) -> DataFrame:
     """File-source ingest stream: new parquet files appearing under
     ``source_dir`` become micro-batches — the WAL-tail analog. On a real

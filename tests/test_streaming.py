@@ -89,6 +89,41 @@ def test_subscribe_delivery_and_hooks(spark, point_stream, tmp_path):
     assert new_series == ["cpu.usage|host=a"]
 
 
+def test_subscribe_drop_on_overflow(spark, point_stream):
+    """Reference pubsub parity (engine2/pubsub.go:80-82,104-120): a
+    subscriber buffer is a bounded 'channel' with non-blocking enqueue —
+    a slow consumer LOSES updates beyond capacity, ingest never blocks,
+    and the drop is counted. Draining frees capacity for later batches;
+    close() makes further publishes no-ops."""
+    from nexusbase_spark.streaming import BoundedSubscriber
+
+    stream, feed = point_stream
+    sub = BoundedSubscriber(capacity=5)
+    q = subscribe(stream, sub, metric="cpu.*", name="t_drop")
+    try:
+        q.processAllAvailable()                  # fixture's seed row
+        feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a",
+               10_000 + i, 10 + i, float(i)) for i in range(12)])
+        q.processAllAvailable()
+        assert sub.matched == 13                 # 1 seed + 12 fed
+        assert sub.sent == 5 and sub.dropped == 8
+        got = sub.take()
+        assert len(got) == 5 and sub.take() == []
+        # drained capacity admits later updates again
+        feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a",
+               99_000, 99, 1.5)])
+        q.processAllAvailable()
+        assert sub.sent == 6 and len(sub.take()) == 1
+        # unsubscribe: further publishes are ignored
+        sub.close()
+        feed([("cpu.usage", {"host": "a"}, "cpu.usage|host=a",
+               99_500, 100, 2.5)])
+        q.processAllAvailable()
+        assert sub.matched == 14 and sub.take() == []
+    finally:
+        q.stop()
+
+
 def test_stream_ingest_into_engine(spark, tmp_path):
     """Live stream -> engine warehouse: rows fed while the stream runs are
     queryable through NBQL afterwards; WAF listener counts denials."""
