@@ -581,38 +581,47 @@ def q_cursor_page(spark, sf_dir):
     return order_points(sel).limit(100).select("metric", "user", "ts", "seq", "value")
 
 
-# The driver witnesses queries in registry iteration order and may cap the
-# run (round 1 recorded exactly the first 50 of 115), so iteration order IS
-# the correctness-gate coverage policy. This prefix packs one witness per
-# operator family — the full §2 core surface, the NBQL/rollup planner, the
-# two oracles whose integer-sum typing was fixed this round, and the
-# pipeline flagships (dedup, ANN, text, split/mix, pack/chunk, multimodal,
-# curation) — ahead of the remaining TPC-H/analytics shapes (all of which
-# the round-1 gate already witnessed green). Everything still runs when the
-# driver has the budget; the prefix only decides what a capped run proves.
+# The driver witnesses queries in registry iteration order and caps the run
+# at 50 rows, so iteration order IS the correctness-gate coverage policy.
+# Rounds 1-2 witnessed 78 distinct queries; this round-3 prefix rotates the
+# window (VERDICT r2 "Next round" #1): ~7 canary cores — one per §2 family,
+# re-witnessed every round so a regression in the core surface can never
+# hide — followed by every registered query that has no hard-gate row yet
+# (the TPC-H/analytics extras, ANN variants, text/pack extras, and the
+# round-2 additions). Everything still runs when the driver has the budget;
+# the prefix only decides what a capped run proves.
 PRIORITY_PREFIX = [
-    # §2 core: scans, aggs, downsamples, MVCC/tombstones, metadata, cursor
-    "raw_scan_range_tag", "point_get", "subscribe_filter_prefix",
-    "final_agg_basic", "final_agg_firstlast", "relative_range_agg",
-    "downsample_1d", "downsample_hopping", "downsample_firstlast",
-    "downsample_emit_empty", "downsample_p95_stddev", "multi_tag_scan",
-    "mvcc_dedup_latest", "tombstone_series", "tombstone_point",
-    "tombstone_range", "show_metrics", "show_tag_keys", "show_tag_values",
-    "series_by_tags", "cursor_page",
-    # §2.12 NBQL parser/planner + continuous aggregates
-    "nbql_downsample", "nbql_final_agg", "nbql_raw_limit", "nbql_hopping",
-    "nbql_fill_previous", "nbql_fill_linear", "nbql_tag_matchers",
-    "rollup_incremental_1d",
-    # round-2 oracle-typing fixes — must be witnessed green
-    "tpch_q12_priority_classes", "orders_priority_pivot",
-    # pipeline flagships: dedup / ANN / text / split / pack / multimodal
-    "doc_dedup_exact", "doc_dedup_minhash_lsh", "doc_dedup_clusters",
-    "doc_dedup_simhash", "docs_decontaminate", "doc_ngram_jaccard_probe",
-    "text_lang_id", "text_quality", "text_token_count",
-    "embed_cosine_topk", "embed_ivf_topk", "embed_vecindex_topk",
-    "embed_knn_classify", "docs_train_split", "docs_corpus_mix",
-    "docs_pack_assignments", "docs_cdc_chunks", "docs_curation_pipeline",
-    "multimodal_meta",
+    # canary cores: scan, final agg, downsample, MVCC, tombstone, cursor,
+    # NBQL planner — one witness per §2 family, every round
+    "raw_scan_range_tag", "final_agg_basic", "downsample_1d",
+    "mvcc_dedup_latest", "tombstone_series", "cursor_page",
+    "nbql_downsample",
+    # never-witnessed in r1/r2: §2.5 percentile sketch + rollups
+    "downsample_p95_tdigest", "lineitem_rollup_totals",
+    # never-witnessed TPC-H / events analytics
+    "tpch_q13_custdist", "tpch_q16_supplier_variety",
+    "events_gap_fill_linear", "events_zscore_outliers",
+    "events_robust_outliers", "events_series_cardinality",
+    "events_user_set_ops", "events_session_conversion",
+    "orders_cube_totals",
+    # never-witnessed dedup / fingerprint family
+    "doc_dedup_minhash_capped", "doc_dedup_bucket_clusters",
+    "doc_dedup_simhash_pairs", "doc_fingerprint", "doc_winnow_fingerprint",
+    "doc_containment_pairs", "docs_chunk_dedup",
+    # never-witnessed text family
+    "text_repetition", "text_pii_redact", "text_token_distribution",
+    "text_unigram_logprob",
+    # never-witnessed ANN / embedding family
+    "embed_int8_topk", "embed_neardup_pairs", "embed_ivf_kmeans_topk",
+    "embed_lsh_topk", "embed_label_centroids",
+    # never-witnessed split / mix / chunk / stats family
+    "docs_stratified_sample", "docs_interleave_mix", "docs_vocab_top50",
+    "docs_tfidf_top3", "docs_chunk_sliding", "docs_quality_filter_report",
+    "docs_length_histogram", "docs_length_deciles", "docs_temperature_mix",
+    "docs_temperature_sample", "docs_quality_classifier",
+    "docs_perplexity_filter",
+    # never-witnessed multimodal
+    "multimodal_frames", "multimodal_features",
 ]
 
 

@@ -6,6 +6,14 @@ claiming to replace it *at 100TB* needs the standard warehouse shapes too,
 so these exercise multi-way joins (broadcast for dims, shuffle for facts),
 grouped aggregation over computed expressions, and top-k.
 
+Broadcast policy (VERDICT r2 "What's wrong" #1): only SF-CONSTANT tables
+(nation = 25 rows, region = 5 rows, 1-row scalar aggregates) carry an
+explicit F.broadcast hint. SF-PROPORTIONAL dims (customer, supplier, part)
+are left unhinted: at test scale autoBroadcastJoinThreshold (64 MB) still
+plans them as broadcasts (they are 22 KB-316 KB at sf0.1), but at 100x a
+pinned hint would force a multi-GB broadcast build and OOM, whereas the
+threshold + AQE path falls back to a shuffle join automatically.
+
 Precision note: large float sums are rounded to 2 decimals (money) — at
 sf0.1 a 600k-term double sum carries ~1e-5 accumulated error, which is
 safely below the 5e-3 rounding boundary but NOT below 5e-5 (so 4-decimal
@@ -86,7 +94,7 @@ def q_tpch_q3(spark, sf_dir):
     li = li.filter(F.col("l_shipdate") > _dlit(li, "l_shipdate", "1995-03-15"))
     out = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderpriority")
@@ -108,8 +116,10 @@ def q_tpch_q3(spark, sf_dir):
     GROUP BY n.n_name
 """)
 def q_tpch_q5(spark, sf_dir):
-    """TPC-H Q5 shape: multi-way star join — every dimension broadcast,
-    the fact table never shuffles until the final small groupBy."""
+    """TPC-H Q5 shape: multi-way star join — constant dims (nation,
+    region) pinned broadcast, supplier threshold-broadcast (unhinted so a
+    100x scale-up falls back to shuffle), the fact table never shuffles
+    until the final small groupBy."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
@@ -117,7 +127,7 @@ def q_tpch_q5(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     out = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
@@ -390,7 +400,7 @@ def q_tpch_q10(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -429,7 +439,7 @@ def q_tpch_q2(spark, sf_dir):
 
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     li = load_table(spark, sf_dir, "lineitem")
-    sized = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+    sized = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
         "l_partkey", "l_suppkey", "l_extendedprice", "p_name")
     w = Window.partitionBy("l_partkey")
     best = sized.withColumn("min_price", F.min("l_extendedprice").over(w))
@@ -465,7 +475,7 @@ def q_tpch_q18(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (big.join(o, big["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
             .select("c_custkey", "c_name", "o_orderkey",
                     F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty"))
 
@@ -524,7 +534,7 @@ def q_tpch_q14(spark, sf_dir):
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
              F.count(F.lit(1)).alias("n_rows"))
     )
@@ -708,7 +718,7 @@ def q_tpch_q19(spark, sf_dir):
           & F.col("l_quantity").between(1, 11))
     c2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
           & F.col("l_quantity").between(10, 20))
-    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (li.join(p, li["l_partkey"] == p["p_partkey"])
             .filter(c1 | c2)
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -785,8 +795,8 @@ def q_tpch_q7(spark, sf_dir):
           .select(F.col("n_nationkey").alias("n2_key"),
                   F.col("n_name").alias("cust_nation")))
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
             .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -847,12 +857,12 @@ def q_tpch_q8(spark, sf_dir):
          .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(
@@ -904,8 +914,8 @@ def q_tpch_q9(spark, sf_dir):
               - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01))
     profit_fp = F.round(profit * 10000, 0).cast("long")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(F.col("n_name").alias("nation"),
@@ -952,7 +962,7 @@ def q_tpch_q15(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name",
                 F.round("total_revenue", 2).alias("total_revenue"))
         .orderBy("s_suppkey")
@@ -981,7 +991,7 @@ def q_tpch_q17(spark, sf_dir):
     p = (load_table(spark, sf_dir, "part")
          .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") == 1))
          .select("p_partkey"))
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     w = Window.partitionBy("l_partkey")
     return (
         joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
@@ -1133,7 +1143,7 @@ def q_tpch_q16(spark, sf_dir):
          .select("p_partkey", "p_brand", "p_type", "p_size"))
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
