@@ -166,6 +166,9 @@ class NexusEngine:
         self._emit("pre_close_engine", {"warehouse": self.warehouse})
         self.flush_l0()
         self._emit("post_close_engine", {"warehouse": self.warehouse})
+        if self.hooks is not None:
+            # drain in-flight async post-listeners (hooks.go:645-648)
+            self.hooks.stop()
 
     def _track_new_names(self, pairs: list[tuple[str, str]]) -> None:
         """on_series_create / on_string_create from the driver put path:
@@ -273,9 +276,16 @@ class NexusEngine:
         payload = {"metric": metric, "tags": dict(tags or {}),
                    "fields": dict(fields), "ts": ts}
         self._emit("pre_put_data_point", payload)
+        # Assign the timestamp HERE when the caller (or a pre-listener)
+        # left it None, so the post event carries the landed point — the
+        # reference's PostPutDataPoint sees the stored ts, not the
+        # request's (hooks.go PostPutDataPointPayload).
+        landed_ts = (self._now_ns() if payload["ts"] is None
+                     else int(payload["ts"]))
         seq = self.put_batch([(payload["metric"], payload["tags"],
-                               payload["fields"], payload["ts"])])
-        self._emit("post_put_data_point", {**payload, "seq": seq})
+                               payload["fields"], landed_ts)])
+        self._emit("post_put_data_point",
+                   {**payload, "ts": landed_ts, "seq": seq})
         return seq
 
     def put_batch(self, points: list[tuple]) -> int:

@@ -190,7 +190,11 @@ def build_agg_exprs(
                 exprs.append(_nan_if_null(F.percentile_approx(num, F.lit(q))).alias(name))
             elif impl == "tdigest":
                 # strict parity with the reference's t-digest accumulator
-                # (aggregator.go:23,81-86); Arrow-batched grouped agg
+                # (aggregator.go:23,81-86); Arrow-batched grouped agg.
+                # NaN handling diverges from the exact path when
+                # skip_non_finite=False: the sketch drops NaN (go-tdigest
+                # rejects it) where F.percentile sorts it greatest — see
+                # tdigest_quantile_agg's docstring.
                 from nexusbase_spark.functions.tdigest import tdigest_quantile_agg
                 # Arrow maps a returned NaN to NULL; restore the exact
                 # path's NaN-for-empty-group convention

@@ -61,7 +61,11 @@ class TDigest:
     # ------------------------------------------------------------ build
 
     def add(self, x: float, w: float = 1.0) -> None:
-        if math.isnan(x) or w <= 0:
+        # Non-finite values never enter the digest: go-tdigest's Add
+        # rejects NaN, and a +/-Inf centroid would poison every later
+        # merge interpolation (inf - inf = NaN). Inf rank-accounting is
+        # the caller's job (see tdigest_quantile_agg's piecewise blocks).
+        if not math.isfinite(x) or w <= 0:
             return
         self._buffer.append((float(x), float(w)))
         self._count += w
@@ -184,13 +188,53 @@ def tdigest_quantile_agg(q: float,
     column — the expression-level drop-in for `F.percentile` when
     `percentile_impl="tdigest"`. Arrow-batched (the group's values arrive
     as one pandas Series); NaN for all-null groups, mirroring
-    _nan_if_null on the exact path."""
+    _nan_if_null on the exact path.
+
+    Non-finite inputs (DOCUMENTED DIVERGENCE from the exact path when
+    ``skip_non_finite=False``): NaN is DROPPED — go-tdigest's Add rejects
+    NaN, so this is reference parity — whereas Spark's exact
+    ``F.percentile`` sorts NaN greatest and can return NaN for
+    high quantiles of a NaN-bearing window. +/-Inf never enters the
+    digest (it would corrupt centroid interpolation); instead the Inf
+    values are rank-accounted piecewise around the finite digest:
+    sorted order is [-Inf block | finite digest | +Inf block], and a
+    quantile index landing in (or straddling) an Inf block resolves by
+    IEEE interpolation against the block value."""
 
     @pandas_udf("double")
     def agg(v: pd.Series) -> float:
+        import numpy as np
+        vals = v.dropna().to_numpy(dtype="float64")
+        vals = vals[~np.isnan(vals)]            # go-tdigest parity: NaN dropped
+        n_neg = int(np.count_nonzero(np.isneginf(vals)))
+        n_pos = int(np.count_nonzero(np.isposinf(vals)))
+        finite = vals[np.isfinite(vals)]
+        n_fin = len(finite)
+        n = n_neg + n_fin + n_pos
+        if n == 0:
+            return math.nan
         td = TDigest(compression)
-        td.add_many(v.dropna().to_numpy())
-        return td.quantile(q)
+        td.add_many(finite)
+        index = q * (n - 1.0)
+
+        def value_at(rank: float) -> float:
+            # rank is integral; position in [-Inf]*n_neg + finite + [+Inf]*n_pos
+            if rank < n_neg:
+                return -math.inf
+            if rank >= n_neg + n_fin:
+                return math.inf
+            if n_fin == 1:
+                return td.quantile(0.5)
+            return td.quantile((rank - n_neg) / (n_fin - 1.0))
+
+        lo, hi = math.floor(index), math.ceil(index)
+        v_lo = value_at(lo)
+        if lo == hi:
+            return v_lo
+        v_hi = value_at(hi)
+        if v_lo == v_hi:
+            return v_lo
+        return v_lo + (v_hi - v_lo) * (index - lo)
 
     return agg
 

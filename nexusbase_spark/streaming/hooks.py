@@ -65,15 +65,40 @@ EVENTS = (
 
 
 class HookBus:
-    """Synchronous listener registry keyed by event name."""
+    """Listener registry keyed by event name, with the reference's
+    priority + sync/async dispatch contract (hooks/hooks.go:541-648):
+
+    - listeners are invoked in PRIORITY order (lower first, stable within
+      a priority — Register keeps the slice sorted, hooks.go:569-586);
+    - pre_* hooks are ALWAYS synchronous so a raising listener can cancel
+      the operation (an ``is_async`` request on a pre-hook is honored
+      sync, mirroring the reference's warn-and-run-sync at :612-619);
+    - post_* hooks run sync by default; a listener registered with
+      ``is_async=True`` is dispatched on a worker thread tracked by a
+      WaitGroup analog (:630-640). Errors from post-hooks never abort the
+      publisher: they are collected in ``errors`` (:627-628,636-638 log);
+    - ``stop()`` drains: waits for every in-flight async listener
+      (:645-648 ``wg.Wait``)."""
 
     def __init__(self) -> None:
-        self._listeners: dict[str, list[Listener]] = {e: [] for e in EVENTS}
+        import threading
+        # [(priority, insertion_seq, listener, is_async)] sorted
+        self._listeners: dict[str, list[tuple]] = {e: [] for e in EVENTS}
+        self._seq = 0
+        self._pool = None
+        self._inflight = 0
+        self._cv = threading.Condition()
+        self.errors: list[tuple[str, Exception]] = []
 
-    def register(self, event: str, listener: Listener) -> None:
+    def register(self, event: str, listener: Listener, *,
+                 priority: int = 100, is_async: bool = False) -> None:
         if event not in self._listeners:
             raise ValueError(f"unknown hook event {event!r}; known: {EVENTS}")
-        self._listeners[event].append(listener)
+        import bisect
+        lst = self._listeners[event]
+        item = (priority, self._seq, listener, is_async)
+        self._seq += 1
+        bisect.insort(lst, item, key=lambda it: (it[0], it[1]))
 
     def has_listeners(self, event: str) -> bool:
         """Cheap pre-check for events whose PAYLOAD is expensive to build
@@ -81,21 +106,73 @@ class HookBus:
         anti-join only when someone is listening)."""
         return bool(self._listeners.get(event))
 
+    def _submit(self, fn) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="hookbus-async")
+        with self._cv:
+            self._inflight += 1
+
+        def run():
+            try:
+                fn()
+            finally:
+                with self._cv:
+                    self._inflight -= 1
+                    self._cv.notify_all()
+
+        self._pool.submit(run)
+
     def publish(self, event: str, payload, batch_id: int = -1) -> None:
         """Payload is a DataFrame for batch events, a plain dict for
         lifecycle events like post_compaction (old/new table sizes).
         pre_* payload dicts are MUTABLE on purpose: the reference passes
         pointers so listeners can rewrite a point before it lands
-        (hooks.go PrePutDataPointPayload); dict mutation is the analog."""
-        for listener in self._listeners.get(event, ()):
-            listener(event, payload, batch_id)
+        (hooks.go PrePutDataPointPayload); dict mutation is the analog.
+        A raising pre_* listener cancels the operation (the exception
+        propagates); post_* listener errors are collected, never raised."""
+        is_pre = event.startswith("pre_")
+        for _prio, _seq, listener, is_async in self._listeners.get(event, ()):
+            if is_pre or not is_async:
+                if is_pre:
+                    listener(event, payload, batch_id)  # may cancel
+                else:
+                    try:
+                        listener(event, payload, batch_id)
+                    except Exception as exc:  # post-hooks never abort
+                        self.errors.append((event, exc))
+            else:
+                def call(listener=listener):
+                    try:
+                        listener(event, payload, batch_id)
+                    except Exception as exc:
+                        self.errors.append((event, exc))
+                self._submit(call)
+
+    def stop(self, timeout: float | None = 30.0) -> bool:
+        """Drain: block until every dispatched async listener finished
+        (hooks.go:645-648). Returns False on timeout."""
+        import time as _time
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        with self._cv:
+            while self._inflight > 0:
+                remaining = (None if deadline is None
+                             else deadline - _time.monotonic())
+                if remaining is not None and remaining <= 0:
+                    return False
+                self._cv.wait(remaining)
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+        return True
 
     def listeners_of(self, cls: type) -> list:
         """All registered listeners of a given class, across events —
         lets a metrics scrape find e.g. the write-amplification meter."""
         seen: list = []
         for listeners in self._listeners.values():
-            for lst in listeners:
+            for _prio, _seq, lst, _a in listeners:
                 if isinstance(lst, cls) and lst not in seen:
                     seen.append(lst)
         return seen

@@ -73,15 +73,24 @@ class BoundedSubscriber:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if self.closed:
             return
-        rows = batch.collect()  # subscription batches are violation-sized
+        # Count distributed, then pull at most the remaining capacity: a
+        # surge micro-batch of millions of matched rows never lands on the
+        # driver — only the <=capacity survivors do. Which rows survive an
+        # overflow is unspecified, same as the reference's select/default
+        # drop (pubsub.go:104-120).
+        total = batch.count()
         with self._lock:
-            for row in rows:
-                self.matched += 1
-                if len(self._q) < self.capacity:
-                    self._q.append(row)
-                    self.sent += 1
-                else:
-                    self.dropped += 1  # select/default: drop, don't block
+            room = self.capacity - len(self._q)
+        rows = batch.limit(room).collect() if room > 0 else []
+        with self._lock:
+            if self.closed:  # close() raced the collect: publishes after
+                return       # unsubscribe are ignored (pubsub.go:94-103)
+            room = self.capacity - len(self._q)  # re-clamp: room may have shrunk
+            took = rows[:room] if room > 0 else []
+            self._q.extend(took)
+            self.matched += total
+            self.sent += len(took)
+            self.dropped += total - len(took)  # select/default: drop, don't block
 
     def take(self, n: int | None = None) -> list:
         """Drain up to n buffered updates (all when n is None)."""

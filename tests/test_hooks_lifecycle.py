@@ -220,3 +220,90 @@ def test_bulk_ingest_series_create(wired):
     rec.log.clear()
     eng.ingest_frame(df.withColumn("ts", F.col("ts") + 2 * MIN))
     assert "on_series_create" not in rec.names()
+
+
+def test_async_post_listener_dispatch_and_drain():
+    """Reference dispatch contract (hooks/hooks.go:599-648): post-hooks
+    from an is_async listener run off-thread, tracked by a WaitGroup
+    analog; stop() blocks until they drain."""
+    import threading
+    import time
+
+    bus = HookBus()
+    gate = threading.Event()
+    seen: list[tuple[str, str]] = []
+
+    def slow_async(event, payload, batch_id=-1):
+        gate.wait(5.0)
+        seen.append((event, threading.current_thread().name))
+
+    bus.register("post_put_batch", slow_async, is_async=True)
+    bus.publish("post_put_batch", {"points": []})
+    assert seen == []                       # dispatched, not yet run
+    gate.set()
+    assert bus.stop(timeout=5.0)            # wg.Wait analog
+    assert len(seen) == 1
+    assert seen[0][1].startswith("hookbus-async")
+
+
+def test_pre_hook_always_sync_and_cancels():
+    """Pre-hooks are ALWAYS synchronous — an is_async request is honored
+    sync (hooks.go:612-619) — and a raising pre-listener cancels the
+    operation (the exception propagates, hooks.go:623-626)."""
+    import threading
+
+    bus = HookBus()
+    ran_on: list[str] = []
+    bus.register("pre_put_batch",
+                 lambda e, p, b=-1: ran_on.append(threading.current_thread().name),
+                 is_async=True)             # ignored for pre-hooks
+    bus.publish("pre_put_batch", {"points": []})
+    assert ran_on == [threading.main_thread().name]
+
+    def deny(event, payload, batch_id=-1):
+        raise PermissionError("rejected by pre-hook")
+
+    bus.register("pre_put_data_point", deny)
+    with pytest.raises(PermissionError):
+        bus.publish("pre_put_data_point", {"metric": "m"})
+
+
+def test_post_hook_errors_collected_not_raised():
+    """Post-hook errors never abort the publisher (hooks.go:627-628 logs
+    and continues; :636-638 for async) — collected on bus.errors, and
+    later listeners still run."""
+    bus = HookBus()
+    calls: list[str] = []
+
+    def boom(event, payload, batch_id=-1):
+        calls.append("boom")
+        raise RuntimeError("sync post failure")
+
+    def after(event, payload, batch_id=-1):
+        calls.append("after")
+
+    def boom_async(event, payload, batch_id=-1):
+        raise RuntimeError("async post failure")
+
+    bus.register("post_put_batch", boom, priority=1)
+    bus.register("post_put_batch", after, priority=2)
+    bus.register("post_put_batch", boom_async, priority=3, is_async=True)
+    bus.publish("post_put_batch", {"points": []})   # must not raise
+    assert bus.stop(timeout=5.0)
+    assert calls == ["boom", "after"]
+    assert sorted(str(e) for _ev, e in bus.errors) == [
+        "async post failure", "sync post failure"]
+
+
+def test_listener_priority_order():
+    """Lower priority runs first; stable within a priority
+    (hooks.go:569-586 keeps the slice sorted on Register)."""
+    bus = HookBus()
+    order: list[str] = []
+    mk = lambda tag: (lambda e, p, b=-1: order.append(tag))
+    bus.register("post_query", mk("late"), priority=50)
+    bus.register("post_query", mk("first"), priority=1)
+    bus.register("post_query", mk("mid_a"), priority=10)
+    bus.register("post_query", mk("mid_b"), priority=10)   # stable tie
+    bus.publish("post_query", {})
+    assert order == ["first", "mid_a", "mid_b", "late"]

@@ -100,6 +100,35 @@ def test_nan_and_empty_handling():
     assert math.isnan(td.quantile(-0.1)) and math.isnan(td.quantile(1.1))
 
 
+def test_nonfinite_inputs_udf(spark):
+    """ADVICE r2: Inf must never corrupt centroid interpolation, and NaN
+    is dropped (go-tdigest parity — documented divergence from exact
+    F.percentile's NaN-sorts-greatest). Inf values rank piecewise around
+    the finite digest: [-Inf block | finite | +Inf block]."""
+    inf, nan = float("inf"), float("nan")
+    rows = (
+        [(0, v) for v in [1.0, 2.0, 3.0, nan]]           # NaN dropped
+        + [(1, v) for v in [1.0, 2.0, 3.0, inf]]         # +Inf tail
+        + [(2, v) for v in [-inf, 1.0, 2.0, 3.0]]        # -Inf head
+        + [(3, v) for v in [inf, inf, inf]]              # all +Inf
+        + [(4, v) for v in [nan, nan]]                   # all NaN -> empty
+    )
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {r["g"]: r["p"] for r in df.groupBy("g").agg(
+        tdigest_quantile_agg(0.5)("v").alias("p")).collect()}
+    assert got[0] == pytest.approx(2.0)      # median of {1,2,3}, NaN gone
+    # g=1: n=4, index=1.5 -> between ranks 1,2 of [1,2,3,+inf] = 2.5
+    assert got[1] == pytest.approx(2.5)
+    # g=2: n=4, index=1.5 -> between ranks 1,2 of [-inf,1,2,3] = 1.5
+    assert got[2] == pytest.approx(1.5)
+    assert got[3] == inf                     # all-Inf group
+    assert got[4] is None                    # empty after NaN drop (Arrow NULL)
+    # p1.0 of the +Inf-tailed group lands in the Inf block
+    got100 = {r["g"]: r["p"] for r in df.groupBy("g").agg(
+        tdigest_quantile_agg(1.0)("v").alias("p")).collect()}
+    assert got100[1] == inf and got100[2] == pytest.approx(3.0)
+
+
 def test_grouped_agg_udf_matches_exact_for_small_groups(spark):
     """The percentile_impl="tdigest" expression path: per-group digests
     via the grouped-agg pandas UDF equal F.percentile for singleton-sized

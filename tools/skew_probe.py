@@ -59,6 +59,9 @@ def key_skew(df, *cols) -> dict:
     import statistics
     counts = [r["c"] for r in df.groupBy(*cols)
               .agg(F.count(F.lit(1)).alias("c")).collect()]
+    if not counts:  # mirror partition_balance's empty-input guard
+        return {"groups": 0, "max_group": 0, "median_group": 0,
+                "max_over_median": 0.0}
     med = statistics.median(counts)
     return {"groups": len(counts), "max_group": max(counts),
             "median_group": med,
