@@ -181,16 +181,20 @@ def kmeans_assign(df: DataFrame, k: int = 4, iters: int = 3,
     return df.withColumn(out_col, assign_col())
 
 
-def hyperplanes(nbits: int, dim: int) -> list[list[float]]:
+def hyperplanes(nbits: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic ±1 random-hyperplane matrix (nbits x dim), derived
     from md5 so the DuckDB oracle regenerates the identical planes:
     w[p][i] = +1 iff md5('<p>,<i>') (1-based i) has an even 60-bit prefix.
-    Sign-only planes preserve the SimHash cosine-LSH guarantee
-    (P[bit differs] = angle/pi) without needing a shared float RNG."""
+    ``table`` > 0 selects an independent matrix (seed 't<t>:<p>,<i>') for
+    multi-TABLE LSH; table 0 keeps the original seeds so existing buckets
+    and oracles are unchanged. Sign-only planes preserve the SimHash
+    cosine-LSH guarantee (P[bit differs] = angle/pi) without needing a
+    shared float RNG."""
     import hashlib
 
     def sign(p: int, i: int) -> float:
-        h = int(hashlib.md5(f"{p},{i}".encode()).hexdigest()[:15], 16)
+        seed = f"{p},{i}" if table == 0 else f"t{table}:{p},{i}"
+        h = int(hashlib.md5(seed.encode()).hexdigest()[:15], 16)
         return 1.0 if h % 2 == 0 else -1.0
 
     return [[sign(p, i) for i in range(1, dim + 1)] for p in range(nbits)]
@@ -228,22 +232,12 @@ def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return bucket(vec)
 
 
-def lsh_topk(df: DataFrame, probe: list[float], k: int = 10, nbits: int = 8,
-             hamming: int = 1, id_col: str = "vec_id",
-             vec_col: str = "embedding",
-             exclude_id: int | None = None) -> DataFrame:
-    """Cosine-LSH-bucketed ANN: candidates are the vectors whose sign
-    signature is within `hamming` bits of the probe's (multi-probe LSH),
-    rescored exactly and top-k'd.
-
-    Scale shape: the bucket is a pure per-row projection — at corpus
-    scale it is computed once at ingest and the table is partitioned or
-    z-ordered by it, so the IN-list of 1 + nbits bucket ids becomes file-
-    level pruning and the exact rescore touches ~(1+nbits)/2^nbits of the
-    corpus (~3.5% at nbits=8, hamming=1). The probe's bucket is computed
-    driver-side from the same md5 planes — no extra Spark job."""
+def _probe_targets(probe: list[float], planes: list[list[float]],
+                   nbits: int, hamming: int) -> set[int]:
+    """The probe's bucket plus its multi-probe neighborhood (all buckets
+    within `hamming` sign-flips), computed driver-side from the same md5
+    planes — no extra Spark job."""
     dim = len(probe)
-    planes = hyperplanes(nbits, dim)
     pb = 0
     for p, w in enumerate(planes):
         if round(sum(probe[i] * w[i] for i in range(dim)), 6) >= 0:
@@ -252,10 +246,45 @@ def lsh_topk(df: DataFrame, probe: list[float], k: int = 10, nbits: int = 8,
     if hamming >= 1:
         targets |= {pb ^ (1 << i) for i in range(nbits)}
     if hamming >= 2:
-        raise NotImplementedError("multi-probe beyond hamming 1 not needed yet")
-    cand = (df.withColumn("__bucket", lsh_bucket_col(F.col(vec_col), planes))
-            .filter(F.col("__bucket").isin(*sorted(targets)))
-            .drop("__bucket"))
+        targets |= {pb ^ (1 << i) ^ (1 << j)
+                    for i in range(nbits) for j in range(i + 1, nbits)}
+    if hamming >= 3:
+        raise NotImplementedError("multi-probe beyond hamming 2 not needed yet")
+    return targets
+
+
+def lsh_topk(df: DataFrame, probe: list[float], k: int = 10, nbits: int = 8,
+             hamming: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             exclude_id: int | None = None,
+             n_tables: int = 1) -> DataFrame:
+    """Cosine-LSH-bucketed ANN: candidates are the vectors whose sign
+    signature is within `hamming` bits of the probe's (multi-probe LSH)
+    in ANY of ``n_tables`` independent hash tables, rescored exactly and
+    top-k'd. Multi-TABLE is the standard high-recall construction: a true
+    neighbor at per-bit flip probability p is missed by one table with
+    P(miss) = 1 - P(Binom(nbits, p) <= hamming), and by ALL tables with
+    P(miss)^L — recall improves geometrically in L while the scanned
+    fraction grows only linearly (measured in SCALE.md "ANN recall").
+
+    Scale shape: each bucket is a pure per-row projection — at corpus
+    scale the L bucket columns are computed once at ingest and the table
+    is partitioned or z-ordered by table-0's, so the IN-lists become
+    file-level pruning and the exact rescore touches
+    ~L*(1+nbits+C(nbits,2))/2^nbits of the corpus."""
+    dim = len(probe)
+    cond = None
+    out = df
+    drop_cols = []
+    for t in range(n_tables):
+        planes = hyperplanes(nbits, dim, table=t)
+        targets = _probe_targets(probe, planes, nbits, hamming)
+        col = f"__bucket_{t}"
+        out = out.withColumn(col, lsh_bucket_col(F.col(vec_col), planes))
+        drop_cols.append(col)
+        hit = F.col(col).isin(*sorted(targets))
+        cond = hit if cond is None else (cond | hit)
+    cand = out.filter(cond).drop(*drop_cols)
     return cosine_topk(cand, probe, k, id_col, vec_col, exclude_id)
 
 

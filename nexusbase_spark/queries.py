@@ -614,6 +614,9 @@ PRIORITY_PREFIX = [
     # never-witnessed ANN / embedding family
     "embed_int8_topk", "embed_neardup_pairs", "embed_ivf_kmeans_topk",
     "embed_lsh_topk", "embed_label_centroids",
+    # new round-3 operators: multi-table LSH (SCALE.md ANN recall probe),
+    # rollup-served tag-matcher downsample (VERDICT r2 #9)
+    "embed_lsh_multitable_topk", "nbql_tag_matchers_rollup",
     # never-witnessed split / mix / chunk / stats family
     "docs_stratified_sample", "docs_interleave_mix", "docs_vocab_top50",
     "docs_tfidf_top3", "docs_chunk_sliding", "docs_quality_filter_report",

@@ -319,28 +319,11 @@ def q_nbql_fill_linear(spark, sf_dir):
 _ROLLUP_CACHE: dict = {}
 
 
-@register("rollup_incremental_1d", f"""
-    SELECT 'click' AS metric,
-           ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
-           epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) AS window_start,
-           epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) + {DAY_NS} AS window_end,
-           count(*) AS "count_*",
-           round(sum(value), 4) AS sum_value,
-           round(avg(value), 4) AS avg_value
-    FROM events WHERE event_type = 'click'
-    GROUP BY user_id, window_start
-""")
-def q_rollup_incremental(spark, sf_dir):
-    """Continuous aggregate (hypertable rollup) proven THROUGH the
-    incremental path: two thirds of the click events are ingested into a
-    real warehouse, the rollup is materialized, the remaining third
-    (including late data for already-materialized days) arrives, and
-    refresh_rollup folds it in by recomputing only the dirty day
-    partitions (delta-invalidate + dynamic partition overwrite —
-    engine.create_rollup). The oracle is a plain full-table downsample:
-    if the dirty-day discovery missed anything, the hashes cannot match.
-    The reference recomputes every AGGREGATE BY from base data at query
-    time; a standing dashboard query at 100TB must not."""
+def _rollup_engine(spark: SparkSession, sf_dir: str):
+    """Shared warehouse with a materialized+refreshed `click1d` rollup
+    (count(*), sum(value), avg(value) BY 1d over metric=click), built
+    through the INCREMENTAL path: two thirds ingested, rollup created,
+    the last third (late data) ingested, dirty days re-folded."""
     import tempfile
 
     from nexusbase_spark.engine import NexusEngine
@@ -369,7 +352,32 @@ def q_rollup_incremental(spark, sf_dir):
         eng.ingest_frame(long.filter(F.col("__eid") % 3 == 0).drop("__eid"))
         eng.refresh_rollup("click1d")
         _ROLLUP_CACHE[sf_dir] = eng
-    eng = _ROLLUP_CACHE[sf_dir]
+    return _ROLLUP_CACHE[sf_dir]
+
+
+@register("rollup_incremental_1d", f"""
+    SELECT 'click' AS metric,
+           ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+           epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) AS window_start,
+           epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) + {DAY_NS} AS window_end,
+           count(*) AS "count_*",
+           round(sum(value), 4) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id, window_start
+""")
+def q_rollup_incremental(spark, sf_dir):
+    """Continuous aggregate (hypertable rollup) proven THROUGH the
+    incremental path: two thirds of the click events are ingested into a
+    real warehouse, the rollup is materialized, the remaining third
+    (including late data for already-materialized days) arrives, and
+    refresh_rollup folds it in by recomputing only the dirty day
+    partitions (delta-invalidate + dynamic partition overwrite —
+    engine.create_rollup). The oracle is a plain full-table downsample:
+    if the dirty-day discovery missed anything, the hashes cannot match.
+    The reference recomputes every AGGREGATE BY from base data at query
+    time; a standing dashboard query at 100TB must not."""
+    eng = _rollup_engine(spark, sf_dir)
     out = eng.rollup("click1d")
     return out.select(
         "metric", "series_key", "window_start", "window_end", "count_*",
@@ -400,3 +408,48 @@ def q_nbql_tag_matchers(spark, sf_dir):
         f'QUERY click FROM {T1} TO {T2} '
         'TAGGED (user=~"^1[0-9]$", user!="12", user!~"7$")')
     return df.select("metric", "series_key", "ts", "seq")
+
+
+@register("nbql_tag_matchers_rollup", f"""
+    WITH ds AS (
+        SELECT 'click' AS metric,
+               ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+               CAST(user_id AS VARCHAR) AS u,
+               epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) AS window_start,
+               epoch_ns(ts) - (epoch_ns(ts) % {DAY_NS}) + {DAY_NS} AS window_end,
+               count(*) AS "count_*",
+               round(sum(value), 4) AS sum_value,
+               round(avg(value), 4) AS avg_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, window_start)
+    SELECT metric, series_key, window_start, window_end,
+           "count_*", sum_value, avg_value
+    FROM ds
+    WHERE window_start BETWEEN {T1} AND {T2 - 1}
+      AND regexp_matches(u, '^1[0-9]$') AND u <> '12'
+""")
+def q_nbql_tag_matchers_rollup(spark, sf_dir):
+    """VERDICT r2 next-round #9: a TAGGED matcher query (regex =~ and
+    inequality !=) served FROM THE MATERIALIZED ROLLUP — the rollup is
+    per-series, so a tag matcher selects whole series and becomes a row
+    filter on rollup rows, never forcing a fall-back to base data. The
+    query goes through the full NBQL text -> parse -> engine path on the
+    incremental-rollup warehouse; the function asserts the rollup-rewrite
+    counter ticked (a silent fall-back to the base-scan path would still
+    hash-match, which would prove nothing). The oracle recomputes the
+    downsample + matcher filter from the raw events table, so a rollup
+    serving stale or mis-filtered windows cannot match."""
+    eng = _rollup_engine(spark, sf_dir)
+    before = getattr(eng, "rollup_rewrites", 0)
+    df = eng.execute(
+        f'QUERY click FROM {T1} TO {T2 - 1} '
+        'TAGGED (user=~"^1[0-9]$", user!="12") '
+        'AGGREGATE BY 1d (count(*), sum(value), avg(value))')
+    after = getattr(eng, "rollup_rewrites", 0)
+    if after != before + 1:  # pragma: no cover - wiring assertion
+        raise AssertionError(
+            "tag-matcher downsample was NOT served from the rollup")
+    return df.select(
+        "metric", "series_key", "window_start", "window_end", "count_*",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"))

@@ -3,6 +3,7 @@ oracle parity check can't express (it only checks value equality)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nexusbase_spark.pipeline.dedup import containment_pairs, near_dup_pairs
@@ -176,6 +177,26 @@ def test_lsh_topk_recall_and_multiprobe(spark):
     multi = {r["vec_id"] for r in lsh_topk(
         df, probe, k=60, nbits=6, hamming=1, exclude_id=0).collect()}
     assert (exact - {0}) <= multi
+
+    # hamming-2 widens the candidate set monotonically (r3: was a
+    # guarded NotImplementedError); hamming-3 is still guarded
+    h2 = {r["vec_id"] for r in lsh_topk(
+        df, probe, k=60, nbits=6, hamming=2, exclude_id=0).collect()}
+    assert multi <= h2
+    with pytest.raises(NotImplementedError):
+        lsh_topk(df, probe, k=5, nbits=6, hamming=3, exclude_id=0)
+
+    # multi-TABLE union (r3): candidates across L tables are a superset
+    # of table-0's, and the near-duplicate still ranks first
+    l2 = {r["vec_id"] for r in lsh_topk(
+        df, probe, k=60, nbits=6, hamming=1, n_tables=2,
+        exclude_id=0).collect()}
+    assert multi <= l2
+    top = lsh_topk(df, probe, k=5, nbits=6, hamming=1, n_tables=4,
+                   exclude_id=0).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["cosine"] > 0.9999
+    # table seeds are independent: table-1 planes differ from table-0's
+    assert hyperplanes(6, dim, table=1) != planes
 
 
 def test_pack_assignments_budget_and_overflow_bound(spark):
