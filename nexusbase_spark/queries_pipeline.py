@@ -115,6 +115,19 @@ def _minhash_ctes(max_bucket: int | None = None) -> str:
         USING (band_idx, band_key)
     ),"""
         cand_src = "banded_ok"
+    return f"""{_minhash_prefix()}{cap_cte}
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM {cand_src} a JOIN {cand_src} b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),"""
+
+
+def _minhash_prefix() -> str:
+    """The shared sh -> shh -> sig -> banded CTE chain (no candidate
+    self-join) — reused by the batch-LSH oracles and the DedupIndex
+    probe oracle, which joins new-vs-old instead of a<b."""
     # exact mirror of the Spark kernel's universal-hash MinHash: one md5
     # per shingle -> 31-bit base hash, k affine derivations from the SAME
     # (a_j, b_j) constants (imported, not copied)
@@ -139,12 +152,6 @@ def _minhash_ctes(max_bucket: int | None = None) -> str:
             f"SELECT doc_id, {b} AS band_idx, "
             f"md5(CAST(h{2*b} AS VARCHAR) || '|' || CAST(h{2*b+1} AS VARCHAR)) AS band_key FROM sig"
             for b in range(4))}
-    ),{cap_cte}
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM {cand_src} a JOIN {cand_src} b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
     ),"""
 
 
@@ -196,6 +203,56 @@ def q_doc_dedup_minhash_capped(spark, sf_dir):
     out = near_dup_pairs(_docs_aug(spark, sf_dir), num_hashes=8, bands=4,
                          threshold=0.3, max_bucket=2)
     return _r4(out, "jaccard")
+
+
+_DEDUP_INDEX_CACHE: dict = {}
+
+
+@register("docs_dedup_index_probe", f"""
+    WITH {_minhash_prefix()}
+    hset AS (SELECT DISTINCT doc_id, hv FROM shh),
+    hsz AS (SELECT doc_id, count(*) AS sz FROM hset GROUP BY doc_id),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM banded n JOIN banded o
+          ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+         AND n.doc_id >= 1000000 AND o.doc_id < 1000000),
+    inter AS (
+        SELECT c.new_id, c.old_id, count(*) AS i
+        FROM cand c
+        JOIN hset a ON a.doc_id = c.new_id
+        JOIN hset b ON b.doc_id = c.old_id AND b.hv = a.hv
+        GROUP BY c.new_id, c.old_id),
+    j AS (
+        SELECT i.new_id, i.old_id,
+               CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jac
+        FROM inter i JOIN hsz sa ON sa.doc_id = i.new_id
+                     JOIN hsz sb ON sb.doc_id = i.old_id)
+    SELECT new_id, old_id, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.3
+""")
+def q_docs_dedup_index_probe(spark, sf_dir):
+    """Incremental near-dup dedup through the MATERIALIZED DedupIndex
+    (pipeline/dedup_index.py): the original corpus is indexed ONCE
+    (band-bucket store partitioned by band_idx); the augmented truncated
+    copies arrive as a later batch and are deduped by PROBING the stored
+    buckets — the historical corpus is never re-shingled. This is the
+    100TB daily-ingest dedup shape; the batch kernel
+    (doc_dedup_minhash_lsh) is the backfill shape. Jaccard here is over
+    the distinct 31-bit shingle-hash sets (what the index stores); the
+    oracle mirrors the same hv sets, so hash collisions cannot cause a
+    mismatch."""
+    import tempfile
+
+    from nexusbase_spark.pipeline.dedup_index import DedupIndex
+
+    aug = _docs_aug(spark, sf_dir)
+    old = aug.filter(F.col("doc_id") < 1000000)
+    new = aug.filter(F.col("doc_id") >= 1000000)
+    if sf_dir not in _DEDUP_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="nexusbase_dedup_ix_")
+        _DEDUP_INDEX_CACHE[sf_dir] = DedupIndex.build(spark, path, old)
+    idx = _DEDUP_INDEX_CACHE[sf_dir]
+    return _r4(idx.probe(new, threshold=0.3), "jaccard")
 
 
 @register("doc_dedup_clusters", f"""

@@ -1,0 +1,103 @@
+"""DedupIndex: the materialized incremental near-dup path (probe a
+persistent band-bucket store instead of re-shingling the corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexusbase_spark.pipeline.dedup import near_dup_pairs
+from nexusbase_spark.pipeline.dedup_index import DedupIndex
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "pack my box with five dozen liquor jugs before the party"),
+    (3, "sphinx of black quartz judge my vow said the old wizard"),
+    (4, "how vexingly quick daft zebras jump over fences at night"),
+]
+
+
+def test_probe_matches_batch_kernel(spark, tmp_path):
+    """A probe against the index finds exactly the cross pairs the batch
+    MinHash kernel finds on the union corpus (restricted to new-vs-old),
+    with identical jaccard values."""
+    new = [
+        # near-dup of doc 1 (one word changed)
+        (11, "the quick brown fox jumps over the lazy cat again and again"),
+        # unrelated
+        (12, "completely different content about training data pipelines"),
+    ]
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"), _corpus(spark, BASE))
+    got = {(r["new_id"], r["old_id"]): round(r["jaccard"], 6)
+           for r in idx.probe(_corpus(spark, new), threshold=0.3).collect()}
+
+    batch = near_dup_pairs(_corpus(spark, BASE + new), threshold=0.3)
+    want = {}
+    for r in batch.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a > 10) != (b > 10):  # cross pairs only
+            new_id, old_id = (a, b) if a > 10 else (b, a)
+            want[(new_id, old_id)] = round(r["jaccard"], 6)
+    assert got == want and (11, 1) in got
+    # read-only: the store did not grow
+    assert idx.doc_count() == 4
+
+
+def test_append_grows_store_and_no_self_match(spark, tmp_path):
+    """append returns matches vs the PRE-append store (a lazy plan would
+    re-read the appended rows and self-match at jaccard 1.0), and later
+    probes see the appended docs."""
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"), _corpus(spark, BASE))
+    new = [(21, "the quick brown fox jumps over the lazy dog again and again")]
+    m1 = idx.append(_corpus(spark, new), threshold=0.3).collect()
+    assert {(r["new_id"], r["old_id"]) for r in m1} == {(21, 1)}
+    assert all(r["new_id"] != r["old_id"] for r in m1)
+    assert idx.doc_count() == 5
+    # a second identical batch now matches BOTH the original and doc 21
+    m2 = idx.append(_corpus(spark, [(31,) + new[0][1:]]), threshold=0.3)
+    assert {(r["new_id"], r["old_id"]) for r in m2.collect()} == {
+        (31, 1), (31, 21)}
+
+
+def test_append_drop_policy(spark, tmp_path):
+    """admit_dups=False: duplicate docs are reported but NOT indexed —
+    the streaming-dedup policy."""
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"), _corpus(spark, BASE))
+    new = [
+        (41, "the quick brown fox jumps over the lazy dog again and again"),
+        (42, "an entirely novel document that matches nothing in the store"),
+    ]
+    m = idx.append(_corpus(spark, new), threshold=0.3, admit_dups=False)
+    assert {r["new_id"] for r in m.collect()} == {41}
+    assert idx.doc_count() == 5          # only 42 admitted
+    ids = {r["doc_id"] for r in idx._store_docs().collect()}
+    assert 42 in ids and 41 not in ids
+
+
+def test_probe_max_bucket_cap(spark, tmp_path):
+    """A hot store bucket (many identical docs) is droppable with
+    max_bucket, bounding the candidate join."""
+    hot = [(i, "boilerplate header repeated verbatim in every crawl page x")
+           for i in range(100, 140)]
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"),
+                           _corpus(spark, BASE + hot))
+    probe = _corpus(spark, [
+        (201, "boilerplate header repeated verbatim in every crawl page x")])
+    uncapped = idx.probe(probe, threshold=0.3).count()
+    assert uncapped == 40
+    capped = idx.probe(probe, threshold=0.3, max_bucket=8).count()
+    assert capped == 0
+
+
+def test_band_partitioned_layout(spark, tmp_path):
+    """The store is partitioned by band_idx — each band's bucket join
+    reads its own subdirectory (file-level pruning at scale)."""
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"), _corpus(spark, BASE))
+    bands_dir = tmp_path / "ix" / "bands"
+    parts = {p.name for p in bands_dir.iterdir() if p.name.startswith("band_idx=")}
+    assert parts == {f"band_idx={b}" for b in range(4)}
