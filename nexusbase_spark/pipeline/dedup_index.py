@@ -157,3 +157,30 @@ class DedupIndex:
          .write.mode("append").parquet(os.path.join(self.path, "docs")))
         nd.unpersist()
         return matches
+
+    # ------------------------------------------------------------ streaming
+
+    def for_each_batch(self, threshold: float = 0.3,
+                       max_bucket: int | None = None,
+                       on_matches=None):
+        """Structured-Streaming sink: each document micro-batch is deduped
+        against the whole indexed HISTORY (not just the watermark horizon
+        — the complement of subscribe.live_dedup's exact/windowed state),
+        duplicates are dropped, novel docs are folded into the store so
+        later batches dedupe against them too.
+
+        Exactly the ingest-time near-dup shape of a crawling pipeline:
+        state lives in the parquet store (restart-safe, shared across
+        jobs), not in the streaming state store. foreachBatch runs
+        batches sequentially per query, which serializes the
+        probe-then-append — the ordering append() itself requires.
+        ``on_matches(matches_df, batch_id)`` observes the dropped pairs
+        (already materialized — safe to collect a bounded view)."""
+        def run(batch: DataFrame, batch_id: int) -> None:
+            if not batch.head(1):
+                return
+            matches = self.append(batch, threshold=threshold,
+                                  max_bucket=max_bucket, admit_dups=False)
+            if on_matches is not None:
+                on_matches(matches, batch_id)
+        return run

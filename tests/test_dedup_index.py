@@ -101,3 +101,43 @@ def test_band_partitioned_layout(spark, tmp_path):
     bands_dir = tmp_path / "ix" / "bands"
     parts = {p.name for p in bands_dir.iterdir() if p.name.startswith("band_idx=")}
     assert parts == {f"band_idx={b}" for b in range(4)}
+
+
+def test_streaming_ingest_dedup(spark, tmp_path):
+    """DedupIndex.for_each_batch as a Structured Streaming sink: each
+    micro-batch dedupes against ALL indexed history (including earlier
+    batches of the same stream), duplicates are dropped, novel docs are
+    admitted and become history for later batches."""
+    from nexusbase_spark.streaming.subscribe import stream_ingest
+
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"), _corpus(spark, BASE))
+    src = tmp_path / "doc_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def feed(rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+
+    dropped: list = []
+    stream = stream_ingest(spark, str(src), schema)
+    q = (stream.writeStream.queryName("t_ix_dedup")
+         .foreachBatch(idx.for_each_batch(
+             threshold=0.3,
+             on_matches=lambda m, b: dropped.extend(
+                 (r["new_id"], r["old_id"]) for r in m.collect())))
+         .outputMode("append").start())
+    try:
+        # batch 1: one dup of the seed corpus, one novel doc
+        feed([(51, "the quick brown fox jumps over the lazy dog again and again"),
+              (52, "a genuinely new document streaming through the pipeline")])
+        q.processAllAvailable()
+        # batch 2: a dup of batch 1's NOVEL doc — caught against stream history
+        feed([(61, "a genuinely new document streaming through the pipeline")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert (51, 1) in dropped
+    assert (61, 52) in dropped
+    ids = {r["doc_id"] for r in idx._store_docs().collect()}
+    assert 52 in ids and 51 not in ids and 61 not in ids
