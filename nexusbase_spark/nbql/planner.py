@@ -109,16 +109,19 @@ def plan_query(engine, q: QueryStatement) -> DataFrame:
     from nexusbase_spark.operators.scan import time_range
 
     start, end = q.start, q.end
+    series_df = None
     if q.relative is not None:
         # End anchors to data max-ts when <= now (engine2/adapter.go:1236-1276)
-        df = engine.points(q.metric, q.tags, matchers=q.tag_matchers)
+        unbounded = engine.points(q.metric, q.tags, matchers=q.tag_matchers)
         now = engine._now_ns()
-        row = df.agg(F.max("ts")).collect()[0]
+        row = unbounded.agg(F.max("ts")).collect()[0]
         if row[0] is None:
-            return df.filter(F.lit(False)) if not q.aggregations else _empty_agg(engine, q)
+            return (unbounded.filter(F.lit(False)) if not q.aggregations
+                    else _empty_agg(engine, q))
         end = min(row[0], now)
         start = end - q.relative
-        df = time_range(df, start, end)  # inclusive
+        series_df = unbounded
+        df = time_range(unbounded, start, end)  # inclusive
     else:
         if end is None and (start is not None or q.aggregations):
             end = engine._now_ns()  # default EndTime=now (engine2/adapter.go:1117-1120)
@@ -126,11 +129,18 @@ def plan_query(engine, q: QueryStatement) -> DataFrame:
         # MVCC window so the dedup shuffle covers only the selected slice
         df = engine.points(q.metric, q.tags, start, end,
                            matchers=q.tag_matchers)
+        if q.emit_empty_windows:
+            # the empty-window series grid resolves like the tag index:
+            # metric/tag-matched, range-INDEPENDENT — a series with no
+            # points in [start, end] still emits its empty windows
+            series_df = engine.points(q.metric, q.tags,
+                                      matchers=q.tag_matchers)
 
     if q.aggregations:
         markers = getattr(engine, "point_markers", False)
         if q.downsample_interval:
-            return _plan_downsample(df, q, start, end, point_markers=markers)
+            return _plan_downsample(df, q, start, end, point_markers=markers,
+                                    series_df=series_df)
         return _plan_final(df, q, point_markers=markers)
 
     return _plan_raw(df, q)
@@ -155,7 +165,8 @@ def _plan_final(df: DataFrame, q: QueryStatement, *,
 
 def _plan_downsample(df: DataFrame, q: QueryStatement,
                      start: int | None, end: int | None, *,
-                     point_markers: bool = False) -> DataFrame:
+                     point_markers: bool = False,
+                     series_df: DataFrame | None = None) -> DataFrame:
     """Per-series epoch-aligned tumbling windows; the downsampler does NOT
     skip NaN/Inf inputs (multi_field_downsampling_iterator.go:44-90).
     With SLIDE (grammar extension) windows hop: each point's aligned starts
@@ -183,7 +194,8 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
         # grid stride = slide (== iv for tumbling): every aligned start
         first = start - (start % slide)
         last = end - 1 - ((end - 1 - first) % slide)
-        series = (df.groupBy("metric", "series_key")
+        universe = df if series_df is None else series_df
+        series = (universe.groupBy("metric", "series_key")
                   .agg(F.first("tags").alias("tags")))
         grid = series.select(
             "metric", "series_key", "tags",

@@ -80,13 +80,22 @@ def downsample(
     q_end: int | None = None,
     approx_percentile: bool = False,
     percentile_impl: str | None = None,
+    series_universe: DataFrame | None = None,
 ) -> DataFrame:
     """Per-series tumbling-window aggregation.
 
     Output columns: metric, series_key, tags, window_start (ns, inclusive),
     window_end (= start + interval, engine2/adapter.go:1579-1601), then one
     column per spec. ``emit_empty`` requires q_start/q_end.
-    """
+
+    ``series_universe``: the frame the empty-window SERIES GRID derives
+    from — pass the metric/tag-matched points WITHOUT the time-range
+    filter. The reference resolves series through the tag index, which is
+    range-INDEPENDENT, so a series whose points all fall outside
+    [q_start, q_end] still emits its empty windows
+    (multi_field_downsampling_iterator.go:305-333 operates per resolved
+    series). Defaulting to ``df`` (the range-filtered input) silently
+    drops such series — caught by the sf0.1 oracle run, round 3."""
     if interval_ns <= 0:
         raise ValueError("interval must be positive")
     win = (F.col("ts") - F.col("ts") % F.lit(interval_ns)).alias("window_start")
@@ -105,7 +114,8 @@ def downsample(
         last = q_end - 1 - ((q_end - 1 - first) % interval_ns)
         # map columns can't be DISTINCTed; series_key determines tags, so an
         # any-value per key is exact.
-        series = (df.groupBy("metric", "series_key")
+        universe = df if series_universe is None else series_universe
+        series = (universe.groupBy("metric", "series_key")
                   .agg(F.first("tags").alias("tags")))
         grid = series.select(
             "metric", "series_key", "tags",

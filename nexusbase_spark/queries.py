@@ -350,9 +350,14 @@ def q_downsample_emit_empty(spark, sf_dir):
     (multi_field_downsampling_iterator.go:305-333; per-series emission —
     documented divergence from the reference's last-seen-series quirk)."""
     pts = load_points(spark, sf_dir)
-    sel = time_range(metric_filter(pts, "signup"), T1, T2)
+    matched = metric_filter(pts, "signup")
+    sel = time_range(matched, T1, T2)
+    # series grid from the RANGE-UNFILTERED match: a user whose signups
+    # all fall outside [T1, T2] still emits empty windows (tag-index
+    # series resolution is range-independent in the reference)
     out = downsample(sel, DAY_NS, [AggSpec("count", "*"), AggSpec("sum", "value")],
-                     emit_empty=True, q_start=T1, q_end=T2)
+                     emit_empty=True, q_start=T1, q_end=T2,
+                     series_universe=matched)
     out = out.withColumn("user", F.col("tags").getItem("user"))
     out = out.select("user", "window_start",
                      F.col("count_*").cast("double").alias("count_*"), "sum_value")

@@ -211,8 +211,12 @@ def q_nbql_hopping(spark, sf_dir):
         WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
     ),
     grid AS (
+        -- series resolve like the tag index: range-INDEPENDENT, so a
+        -- series with no points inside [T1, T2] still emits empty windows
         SELECT s.series_key, g.window_start
-        FROM (SELECT DISTINCT series_key FROM p) s
+        FROM (SELECT DISTINCT ('click|user=' || CAST(user_id AS VARCHAR))
+                  AS series_key
+              FROM events WHERE event_type = 'click') s
         CROSS JOIN (SELECT unnest(generate_series({T1}, {T2 - 1}, {DAY_NS}))
                     AS window_start) g
     ),
@@ -255,8 +259,12 @@ def q_nbql_fill_previous(spark, sf_dir):
         WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
     ),
     grid AS (
+        -- series resolve like the tag index: range-INDEPENDENT, so a
+        -- series with no points inside [T1, T2] still emits empty windows
         SELECT s.series_key, g.window_start
-        FROM (SELECT DISTINCT series_key FROM p) s
+        FROM (SELECT DISTINCT ('click|user=' || CAST(user_id AS VARCHAR))
+                  AS series_key
+              FROM events WHERE event_type = 'click') s
         CROSS JOIN (SELECT unnest(generate_series({T1}, {T2 - 1}, {DAY_NS}))
                     AS window_start) g
     ),

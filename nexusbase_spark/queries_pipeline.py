@@ -1059,6 +1059,51 @@ def q_docs_decontaminate(spark, sf_dir):
     return contamination_hits(docs, ev, n=4)
 
 
+@register("docs_boilerplate_ngrams", """
+    WITH t AS (SELECT doc_id, source,
+                      string_split(trim(lower(text)), ' ') AS t
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id, source,
+                 unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                     AS s
+          FROM t),
+    df AS (SELECT source, s, count(DISTINCT doc_id) AS doc_freq
+           FROM g GROUP BY source, s HAVING count(DISTINCT doc_id) >= 2),
+    r AS (SELECT source, s, doc_freq,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY doc_freq DESC, s) AS rk
+          FROM df)
+    SELECT source, s AS ngram, doc_freq FROM r WHERE rk <= 5
+""")
+def q_docs_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate mining: per source, the word 4-grams shared by the
+    most DISTINCT documents (headers/footers/cookie banners in a crawl
+    corpus) — the discovery pass that feeds chunk-granular boilerplate
+    stripping (docs_chunk_dedup). Per-doc distinct grams keep a spammy
+    single doc from inflating its own phrase; the per-source top-5 is a
+    rank window over the (source, gram) rollup — the gram explosion
+    collapses map-side before its shuffle."""
+    from pyspark.sql import Window
+
+    from nexusbase_spark.pipeline.text import shingles_of_tokens, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    g = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            shingles_of_tokens(tokens_col(F.col("text")), 4))).alias("s"))
+    freq = (g.groupBy("source", "s")
+            .agg(F.countDistinct("doc_id").alias("doc_freq"))
+            .filter(F.col("doc_freq") >= 2))
+    w = Window.partitionBy("source").orderBy(F.col("doc_freq").desc(),
+                                             F.col("s"))
+    return (freq.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("source", F.col("s").alias("ngram"), "doc_freq"))
+
+
 @register("docs_vocab_top50", """
     WITH tok AS (
         SELECT unnest(string_split(trim(lower(text)), ' ')) AS token

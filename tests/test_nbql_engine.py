@@ -180,6 +180,23 @@ def test_emit_empty_windows(engine):
     assert rows[2]["sum_latency_ms"] == 50.0
 
 
+def test_emit_empty_series_grid_is_range_independent(engine):
+    """Series resolve through the tag index (range-INDEPENDENT): a series
+    whose points all fall OUTSIDE [start, end] still emits its empty
+    windows (multi_field_downsampling_iterator.go:305-333 runs per
+    resolved series, and series resolution never sees the time range)."""
+    base = 1_700_000_040 * 1_000_000_000
+    # all of e2e.test.requests' points live around `base`; query a window
+    # strictly after them
+    start, end = base + 10 * MIN, base + 12 * MIN
+    df = engine.execute(
+        f'QUERY e2e.test.requests FROM {start} TO {end} TAGGED (service="auth") '
+        "AGGREGATE BY 1m (count(*), sum(latency_ms)) EMIT EMPTY WINDOWS")
+    rows = sorted(df.collect(), key=lambda r: r["window_start"])
+    assert len(rows) == 2  # the auth series emits 2 empty windows
+    assert all(r["count_*"] == 0.0 and r["sum_latency_ms"] == 0.0 for r in rows)
+
+
 def test_mvcc_whole_point_replacement(engine, spark):
     """A re-push at the same (series, ts) replaces the ENTIRE fields map
     (iterator/iterator.go:270-289 — value = whole encoded fields)."""
