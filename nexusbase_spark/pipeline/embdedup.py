@@ -32,3 +32,27 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
         "id_a", "id_b",
         cosine_sim_expr(F.col("__va"), F.col("__vb")).alias("cosine"))
     return out.filter(F.col("cosine") >= threshold)
+
+
+def semdedup_prune(df: DataFrame, threshold: float = 0.99,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   part_col: str = "label") -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540
+    — public method): drop every vector that has a same-cluster near
+    duplicate with a SMALLER id, keep the rest. Deterministic min-id
+    representative selection instead of the paper's greedy order, so the
+    result is reproducible and oracle-checkable.
+
+    Input ``part_col`` is the cluster assignment — ``label`` here, or
+    ``kmeans_assign``'s cluster id upstream; the pair search stays
+    cluster-local (never all-pairs), which is the whole point at 100 TB:
+    the quadratic term is bounded by the largest cluster, and the
+    dup-id anti join is left to AQE (the dup set's size is data-dependent,
+    so no forced broadcast).
+
+    Returns the surviving rows of ``df`` unchanged.
+    """
+    pairs = cosine_near_dup_pairs(df, threshold, id_col=id_col,
+                                  vec_col=vec_col, part_col=part_col)
+    dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dup_ids, id_col, "left_anti")

@@ -1942,3 +1942,141 @@ def q_docs_cdc_chunks(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunks(docs, window=8, mask_hex="0")
+
+
+# ---------------------------------------------------------------------------
+# retrieval / frequency mining / semantic pruning (round 3 additions)
+
+# BM25 constants, shared verbatim with the oracle text so both engines do
+# the same double arithmetic in the same order
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("vector", "join", "scan")
+
+
+@register("docs_bm25_topk", f"""
+    WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, len(toks) AS dl,
+                 len(list_filter(toks, x -> x = '{_BM25_TERMS[0]}')) AS tf0,
+                 len(list_filter(toks, x -> x = '{_BM25_TERMS[1]}')) AS tf1,
+                 len(list_filter(toks, x -> x = '{_BM25_TERMS[2]}')) AS tf2
+          FROM t),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+                 CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                 CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                 CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+          FROM s),
+    sc AS (SELECT doc_id,
+             ln((CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+               * tf0 * {_BM25_K1 + 1.0!r}
+               / (tf0 + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))
+           + ln((CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+               * tf1 * {_BM25_K1 + 1.0!r}
+               / (tf1 + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))
+           + ln((CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+               * tf2 * {_BM25_K1 + 1.0!r}
+               / (tf2 + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))
+             AS score
+           FROM s, g)
+    SELECT doc_id, floor(score * 1e4 + 0.5) / 1e4 AS score
+    FROM sc
+    ORDER BY floor(score * 1e4 + 0.5) / 1e4 DESC, doc_id
+    LIMIT 10
+""")
+def q_docs_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for a fixed probe query — the corpus-audit retrieval
+    primitive (eval-leakage triage, boosted sampling). One map-side-combined
+    stats row broadcast back, per-term tf via filtered array passes (no
+    explode), distributed top-k (TakeOrderedAndProject). Scores are
+    floor-quantized to 1e-4 BEFORE ranking so rank order is engine-stable;
+    ties break on doc_id. See pipeline/search.py."""
+    from nexusbase_spark.pipeline.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+@register("docs_heavy_hitter_bigrams", """
+    WITH t AS (SELECT string_split(trim(lower(text)), ' ') AS t
+               FROM documents),
+    g AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                       i -> t[i] || ' ' || t[i+1])) AS token
+          FROM t)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+""")
+def q_docs_heavy_hitter_bigrams(spark, sf_dir):
+    """Top-20 word bigrams via two-phase heavy hitters: per-partition
+    Misra-Gries candidates (mapInPandas, capacity 4096) then an EXACT
+    recount restricted to the broadcast candidate set — the shuffle
+    carries at most capacity x partitions keys instead of the full n-gram
+    vocabulary (the thing that kills groupBy(token) at 100 TB). Capacity
+    exceeds this corpus's bigram vocabulary (916), so the MG pass never
+    evicts and the result equals the exact oracle for any k; the eviction
+    path and its n/capacity detection floor are unit-tested at tiny
+    capacity. See pipeline/heavyhitters.py."""
+    from nexusbase_spark.pipeline.heavyhitters import heavy_hitters_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_topk(docs, k=20, capacity=4096, ngram=2)
+
+
+@register("embed_semdedup_prune", """
+    WITH aug AS (
+        SELECT vec_id, label,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS e
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, label,
+               list_transform(range(1, 65),
+                   i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.01
+                             ELSE CAST(embedding[i] AS DOUBLE) END) AS e
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    pos AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               sum(a.e[r.i] * b.e[r.i]) AS dot,
+               sqrt(sum(a.e[r.i] * a.e[r.i])) AS na,
+               sqrt(sum(b.e[r.i] * b.e[r.i])) AS nb
+        FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id,
+             range(1, 65) r(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    removed AS (SELECT DISTINCT id_b FROM pos WHERE dot / (na * nb) >= 0.99)
+    SELECT a.label, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN r.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(sum(CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM aug a LEFT JOIN removed r ON a.vec_id = r.id_b
+    GROUP BY a.label
+""")
+def q_embed_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic pruning report: same augmented corpus as
+    embed_neardup_pairs (synthetic near-dups at id+1000000), cluster-local
+    (label-bucketed) cosine pairs, drop every vector with a smaller-id
+    near-dup, report per-cluster total/removed/kept. The prune itself
+    returns the surviving ROWS (pipeline/embdedup.semdedup_prune); this
+    query aggregates so the gate output is small and stable."""
+    from nexusbase_spark.pipeline.embdedup import semdedup_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", "label", as_double.alias("embedding"))
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") * 1.01).otherwise(x.cast("double")))
+    copies = (emb.filter(F.col("vec_id") % 10 == 0)
+              .select((F.col("vec_id") + 1000000).alias("vec_id"), "label",
+                      perturbed.alias("embedding")))
+    aug = base.unionByName(copies)
+    surv = semdedup_prune(aug, threshold=0.99)
+    tot = aug.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = surv.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (tot.join(kept, "label", "left")
+            .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0).cast("long")))
+            .select("label", "n_total",
+                    (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+                    "n_kept"))

@@ -402,3 +402,125 @@ def test_cdc_chunks_short_and_empty_docs(spark):
         assert len(by_doc[i]) == 1               # one whole-doc chunk
         (c,) = by_doc[i]
         assert c["chunk_start"] == 1 and c["chunk_len"] == len(text)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (pipeline/search.py)
+
+
+def test_bm25_matches_hand_computation(spark):
+    """Scores equal the textbook Robertson BM25 computed in plain Python
+    over the same corpus (k1=1.2, b=0.75)."""
+    import math
+
+    corpus = [(1, "cat dog cat"), (2, "dog bird"), (3, "fish fish fish bird")]
+    from nexusbase_spark.pipeline.search import bm25_scores
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, ["cat", "bird"]).collect()}
+
+    toks = {d: t.split() for d, t in corpus}
+    n, avgdl = len(corpus), sum(len(t) for t in toks.values()) / len(corpus)
+    k1, b = 1.2, 0.75
+
+    def score(d, terms):
+        s = 0.0
+        for t in terms:
+            tf = toks[d].count(t)
+            dfreq = sum(1 for tt in toks.values() if t in tt)
+            idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(toks[d]) / avgdl))
+        return s
+
+    for d in toks:
+        assert got[d] == pytest.approx(score(d, ["cat", "bird"]), abs=1e-12)
+
+
+def test_bm25_topk_rank_and_ties(spark):
+    """Higher-tf doc outranks lower-tf; docs matching nothing score 0;
+    equal quantized scores break ties on doc_id ascending."""
+    from nexusbase_spark.pipeline.search import bm25_topk
+    df = spark.createDataFrame(
+        [(1, "x x x pad pad"), (2, "x pad pad pad pad"),
+         (3, "pad pad pad pad pad"), (4, "x pad pad pad pad")],
+        "doc_id long, text string")
+    rows = bm25_topk(df, ["x"], k=4).collect()
+    assert [r["doc_id"] for r in rows[:1]] == [1]          # tf=3 wins
+    assert [r["doc_id"] for r in rows[1:3]] == [2, 4]      # tie -> id asc
+    assert rows[3]["doc_id"] == 3 and rows[3]["score"] == 0.0
+
+
+def test_bm25_topk_is_distributed_topk(spark):
+    """The ranking compiles to TakeOrderedAndProject (per-partition heaps),
+    not a global Sort."""
+    from nexusbase_spark.pipeline.search import bm25_topk
+    df = spark.createDataFrame([(i, "x pad") for i in range(10)],
+                               "doc_id long, text string")
+    plan = bm25_topk(df, ["x"], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# two-phase heavy hitters (pipeline/heavyhitters.py)
+
+
+def test_heavy_hitters_exact_when_capacity_covers_vocab(spark):
+    from collections import Counter
+
+    from nexusbase_spark.pipeline.heavyhitters import heavy_hitters_topk
+    texts = ["a a b c", "a b b d", "c a e", "f a"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    exact = Counter(" ".join(texts).split())
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(r["token"], r["cnt"])
+           for r in heavy_hitters_topk(df, k=3, capacity=100).collect()]
+    assert got == want
+
+
+def test_heavy_hitters_mg_guarantee_under_eviction(spark):
+    """With capacity 2 and a stream where 'hot' has count > n/2, the MG
+    pass must keep 'hot' as a candidate, and the recount reports its EXACT
+    global count (estimation never leaks into the output)."""
+    from nexusbase_spark.pipeline.heavyhitters import heavy_hitters_topk
+    # n = 40 tokens in one doc: hot x 24, 16 distinct tail tokens
+    text = " ".join(["hot"] * 24 + [f"t{i}" for i in range(16)])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string").coalesce(1)
+    rows = heavy_hitters_topk(df, k=1, capacity=2).collect()
+    assert rows[0]["token"] == "hot" and rows[0]["cnt"] == 24
+
+
+def test_heavy_hitters_candidate_shuffle_is_bounded(spark):
+    """The phase-2 shuffle carries only candidate keys: with capacity 3 the
+    counted group-by sees at most 3 keys per partition's summary, however
+    large the vocabulary."""
+    from nexusbase_spark.pipeline.heavyhitters import mg_candidates
+    from nexusbase_spark.pipeline.text import tokens_col
+    texts = [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(8)]
+    df = (spark.createDataFrame(texts, "doc_id long, text string")
+          .repartition(4))
+    arrays = df.select(tokens_col(F.col("text")).alias("toks"))
+    cands = mg_candidates(arrays, capacity=3)
+    assert cands.count() <= 3 * 4
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup pruning (pipeline/embdedup.py)
+
+
+def test_semdedup_prune_star_semantics(spark):
+    """a~b and b~c (all in one cluster): b and c both drop — every vector
+    with ANY smaller-id near-dup goes, the min id survives. A distant
+    vector and a near-dup in a DIFFERENT cluster both survive (pair search
+    is cluster-local by design)."""
+    from nexusbase_spark.pipeline.embdedup import semdedup_prune
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.001]),    # ~ id 1
+        (3, 0, [1.0, 0.002]),    # ~ ids 1,2
+        (4, 0, [0.0, 1.0]),      # distant
+        (5, 1, [1.0, 0.0]),      # identical to id 1, other cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    surv = sorted(r["vec_id"] for r in semdedup_prune(df, 0.999).collect())
+    assert surv == [1, 4, 5]
