@@ -36,24 +36,30 @@ from pyspark.sql import functions as F
 from nexusbase_spark.pipeline.text import tokens_col
 
 
+def mg_update(counts: dict[str, int], tokens, capacity: int) -> None:
+    """Fold ``tokens`` into a Misra-Gries summary in place (at most
+    ``capacity`` keys; decrement-all on overflow, amortized O(1)/token)."""
+    for t in tokens:
+        if t in counts:
+            counts[t] += 1
+        elif len(counts) < capacity:
+            counts[t] = 1
+        else:
+            dead = []
+            for kk in counts:
+                counts[kk] -= 1
+                if counts[kk] == 0:
+                    dead.append(kk)
+            for kk in dead:
+                del counts[kk]
+
+
 def _mg_partition(capacity: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict[str, int] = {}
         for pdf in batches:
             for toks in pdf["toks"]:
-                for t in toks:
-                    if t in counts:
-                        counts[t] += 1
-                    elif len(counts) < capacity:
-                        counts[t] = 1
-                    else:
-                        dead = []
-                        for kk in counts:
-                            counts[kk] -= 1
-                            if counts[kk] == 0:
-                                dead.append(kk)
-                        for kk in dead:
-                            del counts[kk]
+                mg_update(counts, toks, capacity)
         yield pd.DataFrame({"token": list(counts.keys())})
     return run
 

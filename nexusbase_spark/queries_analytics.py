@@ -1471,3 +1471,23 @@ def q_events_session_conversion(spark, sf_dir):
         F.round(F.sum("converted") / F.count(F.lit(1)), 4).alias("conversion_rate"),
         F.round(F.avg(F.col("n_events").cast("double")), 4).alias("avg_events"),
         F.round(F.avg("dur_s"), 4).alias("avg_duration_s"))
+
+
+@register("events_hll_daily_users", None)
+def q_events_hll_daily_users(spark, sf_dir):
+    """Mergeable HLL cardinality rollup (operators/sketches.py): one
+    DataSketches HLL per (metric, day), estimated per day. Rows-only
+    driver check BY DESIGN: the estimate is approximate (~0.8% std err at
+    lg_k=14) and DuckDB cannot reproduce DataSketches registers — the
+    exact companion (events_series_cardinality) stays in the hash gate,
+    and tests/test_sketches.py pins the error bound, merge-equals-rescan,
+    partitioning invariance, and parquet persistence. At 100 TB this is
+    the dashboard path: any time-range distinct count is a union of
+    per-day 12 KiB sketches, never a re-scan of raw events."""
+    from nexusbase_spark.operators.sketches import (
+        daily_user_sketches, estimate_daily)
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (source_ts_ns(ev) / F.lit(86_400_000_000_000)).cast("bigint")
+    sk = daily_user_sketches(ev, day, lg_k=14)
+    return estimate_daily(sk).orderBy("metric", "day")

@@ -506,3 +506,82 @@ def test_live_downsample_subsecond_windows(spark, point_stream):
     assert got == {NS: 1, NS + 250_000_000: 1}
     with _pytest.raises(ValueError, match="microsecond"):
         live_downsample_hopping(stream, 1500, 500)  # 1.5µs size: not whole µs
+
+
+def test_live_heavy_hitters_state_accumulates(spark, tmp_path):
+    """Sharded MG state: counts accumulate ACROSS micro-batches (exact
+    while shard vocab fits capacity), every occurrence of a token lands in
+    one shard, and the candidate set stays bounded by nshards x capacity."""
+    from nexusbase_spark.streaming.heavyhitters import live_heavy_hitters
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    schema = "token string"
+
+    def feed(tokens):
+        spark.createDataFrame([(t,) for t in tokens], schema) \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    def latest():
+        # update-mode memory sink appends re-emissions; latest = max cnt
+        rows = spark.sql(
+            "SELECT token, max(cnt) AS cnt FROM live_hh GROUP BY token").collect()
+        return {r["token"]: r["cnt"] for r in rows}
+
+    def await_counts(expected, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = latest()
+            if all(got.get(k) == v for k, v in expected.items()):
+                return got
+            time.sleep(0.5)
+        return latest()
+
+    feed(["hot"] * 5 + ["warm"] * 2 + ["cold"])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = live_heavy_hitters(stream, nshards=2, capacity=64)
+    q = (out.writeStream.format("memory").queryName("live_hh")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = await_counts({"hot": 5, "warm": 2, "cold": 1})
+        assert got["hot"] == 5 and got["warm"] == 2 and got["cold"] == 1
+
+        feed(["hot"] * 3 + ["cold"] * 4)          # batch 2 extends state
+        q.processAllAvailable()
+        got = await_counts({"hot": 8, "cold": 5})
+        assert got["hot"] == 8 and got["cold"] == 5 and got["warm"] == 2
+    finally:
+        q.stop()
+
+
+def test_live_heavy_hitters_bounded_state(spark, tmp_path):
+    """With capacity 2 per shard the emitted candidate set never exceeds
+    nshards x capacity however many distinct tokens stream through."""
+    from nexusbase_spark.streaming.heavyhitters import live_heavy_hitters
+
+    src = tmp_path / "hhb_src"
+    src.mkdir()
+    spark.createDataFrame([(f"t{i}",) for i in range(50)] + [("hot",)] * 40,
+                          "token string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("token string").parquet(str(src))
+    out = live_heavy_hitters(stream, nshards=2, capacity=2)
+    q = (out.writeStream.format("memory").queryName("live_hh_bounded")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "hhb_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT shard, token, cnt FROM live_hh_bounded").collect()
+        per_emit: dict[tuple, int] = {}
+        for r in rows:
+            per_emit[(r["shard"], r["token"])] = r["cnt"]
+        assert len(per_emit) <= 2 * 2 + 2  # ≤ shards x capacity (+slack for re-emits)
+        # the heavy token survives eviction pressure (count 40 > n/capacity)
+        hot = [c for (s, t), c in per_emit.items() if t == "hot"]
+        assert hot and hot[0] >= 40 - (90 // 2)
+    finally:
+        q.stop()
