@@ -168,3 +168,26 @@ def temperature_weights(df: DataFrame, group_col: str,
                     F.round(F.col("__pow") / F.col("__pt"), 6).alias("sample_share"),
                     F.round((F.col("__pow") / F.col("__pt")) / F.col("__nat"), 6)
                     .alias("weight_per_doc")))
+
+
+def per_group_sample_k(df: DataFrame, group_col: str, k: int,
+                       id_col: str, salt: str = "panel-v1") -> DataFrame:
+    """Deterministic EXACT-k panel per group: the k rows whose salted md5
+    sorts first within the group (ties on id). Complements
+    ``stratified_sample``: rate-based sampling is append-stable but
+    yields a binomial count; a review/eval panel wants exactly k per
+    group, accepting that appends can rotate members (a new row whose
+    hash sorts into the top k displaces the old k-th — documented trade).
+
+    One shuffle on ``group_col`` + an in-partition rank. At 100 TB with
+    few giant groups, pre-filter survivors with a permissive hash bound
+    (e.g. bucket < c*k/|group| via approximate group counts) before the
+    window so the sort sees candidates, not the corpus; at dashboard
+    group counts the plain window is the right plan.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))

@@ -2080,3 +2080,72 @@ def q_embed_semdedup_prune(spark, sf_dir):
             .select("label", "n_total",
                     (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
                     "n_kept"))
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Generate the n-round BPE merge oracle: each round recounts adjacent
+    pairs of the current (delimiter-encoded) corpus, takes the top pair,
+    and rewrites via the same greedy non-overlapping replace the Spark
+    operator uses (see pipeline/bpe.py for the two-space invariant)."""
+    def pcount(src: str, dst: str) -> str:
+        return f"""
+    {dst} AS (SELECT pr, count(*) AS c FROM (
+         SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                i -> t[i] || chr(1) || t[i+1])) AS pr
+         FROM (SELECT string_split(trim(s), '  ') AS t FROM {src}))
+       GROUP BY pr)"""
+
+    parts = ["""
+    WITH s0 AS (SELECT ' ' || array_to_string(string_split(trim(lower(text)), ' '), '  ') || ' ' AS s
+            FROM documents)"""]
+    for i in range(1, rounds + 1):
+        parts.append("," + pcount(f"s{i-1}", f"p{i}"))
+        parts.append(f""",
+    m{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1)""")
+        if i < rounds:
+            parts.append(f""",
+    s{i} AS (SELECT replace(s,
+         ' ' || split_part((SELECT pr FROM m{i}), chr(1), 1) || '  ' || split_part((SELECT pr FROM m{i}), chr(1), 2) || ' ',
+         ' ' || split_part((SELECT pr FROM m{i}), chr(1), 1) || '_' || split_part((SELECT pr FROM m{i}), chr(1), 2) || ' ') AS s
+       FROM s{i-1})""")
+    sel = "\n    UNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS round,
+           split_part(pr, chr(1), 1) AS lhs,
+           split_part(pr, chr(1), 2) AS rhs,
+           CAST(c AS BIGINT) AS pair_count FROM m{i}"""
+        for i in range(1, rounds + 1))
+    return "".join(parts) + "\n    " + sel
+
+
+@register("docs_bpe_merges", _bpe_oracle(3))
+def q_docs_bpe_merges(spark, sf_dir):
+    """First 3 BPE merges over the corpus (pipeline/bpe.py): per round one
+    map-side-combined adjacent-pair count + a distributed top-1, then a
+    narrow greedy fuse rewrite with eager localCheckpoint (iterative
+    lineage rule). The merge table is the vocabulary-induction artifact;
+    at 100 TB each round costs one scan-equivalent pass and the rewrite
+    never shuffles."""
+    from nexusbase_spark.pipeline.bpe import merges_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merges_df(spark, docs, rounds=3)
+
+
+@register("docs_per_source_panel", """
+    WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('panel-v1|' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rk
+        FROM documents)
+    SELECT source, doc_id FROM r WHERE rk <= 5
+""")
+def q_docs_per_source_panel(spark, sf_dir):
+    """Deterministic exact-5 review panel per source (salted-hash order,
+    pipeline/split.per_group_sample_k) — the fixed-size companion to the
+    rate-based stratified sampler."""
+    from nexusbase_spark.pipeline.split import per_group_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    return per_group_sample_k(docs, "source", 5, "doc_id")

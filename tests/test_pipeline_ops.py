@@ -524,3 +524,29 @@ def test_semdedup_prune_star_semantics(spark):
     df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
     surv = sorted(r["vec_id"] for r in semdedup_prune(df, 0.999).collect())
     assert surv == [1, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# BPE merge mining (pipeline/bpe.py)
+
+
+def test_bpe_greedy_nonoverlap_and_fused_unit(spark):
+    """'a a a' fuses non-overlapping to [a_a, a] (BPE greedy), and the
+    fused symbol participates as ONE unit in the next round."""
+    from nexusbase_spark.pipeline.bpe import learn_merges
+    # 'a a' occurs 2x per doc pre-merge (overlapping), 3 docs -> count 6
+    df = spark.createDataFrame([(i, "a a a") for i in range(3)],
+                               "doc_id long, text string")
+    merges = learn_merges(df, rounds=2)
+    assert merges[0] == (1, "a", "a", 6)
+    # greedy fuse leaves [a_a, a] (NOT [a_a, a_a]) -> only pair is
+    # (a_a, a), once per doc
+    assert merges[1] == (2, "a_a", "a", 3)
+
+
+def test_bpe_tiebreak_lexicographic(spark):
+    from nexusbase_spark.pipeline.bpe import learn_merges
+    df = spark.createDataFrame([(1, "z y"), (2, "b c")],
+                               "doc_id long, text string")
+    # both pairs count 1 -> (b, c) wins on (lhs, rhs) order
+    assert learn_merges(df, rounds=1)[0] == (1, "b", "c", 1)
