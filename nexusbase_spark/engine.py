@@ -1209,10 +1209,22 @@ class NexusEngine:
         """Parse + dispatch one NBQL statement (api/nbql/executor.go:29-50).
         Returns a DataFrame for QUERY/SHOW, None for manipulations."""
         from nexusbase_spark.nbql.parser import parse, substitute_params
-        from nexusbase_spark.nbql import ast as A
         if params:
             nbql = substitute_params(nbql, params)
-        stmt = parse(nbql)
+        return self._dispatch(parse(nbql))
+
+    def _dispatch(self, stmt):
+        from nexusbase_spark.nbql import ast as A
+        if isinstance(stmt, A.ExplainStatement):
+            # EXPLAIN (extension): one row per physical-plan line of the
+            # inner statement's DataFrame — plan introspection for an
+            # engine whose physical strategy is Catalyst's, the analog of
+            # SQL EXPLAIN the reference lacks (its iterator stack is
+            # fixed). The inner statement is PLANNED, never executed.
+            df = self._dispatch(stmt.inner)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            rows = [(i, line) for i, line in enumerate(plan.splitlines())]
+            return self.spark.createDataFrame(rows, "line bigint, plan string")
         if isinstance(stmt, A.PushStatement):
             self.put(stmt.metric, stmt.tags, stmt.fields, stmt.timestamp)
             return None

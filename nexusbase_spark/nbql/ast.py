@@ -110,8 +110,17 @@ class QueryRollupStatement:
     end: int | None = None
 
 
+@dataclass
+class ExplainStatement:
+    """EXPLAIN <QUERY ...> (grammar extension — the reference has no plan
+    introspection; an engine whose physical strategy is Catalyst's NEEDS
+    one). Wraps any DataFrame-producing statement."""
+    inner: "Statement"
+
+
 Statement = (
     PushStatement | QueryStatement | RemoveStatement | ShowStatement
     | FlushStatement | SnapshotStatement | RestoreStatement
     | CreateRollupStatement | RefreshRollupStatement | QueryRollupStatement
+    | ExplainStatement
 )

@@ -16,6 +16,7 @@ Grammar reconstructed from the reference's usage sites (see ast.py):
     SHOW TAG VALUES [FROM <m>] WITH KEY = <k> ;
     FLUSH [MEMTABLE|DISK|ALL] ; SNAPSHOT ;
     RESTORE FROM '<path>' [WITH OVERWRITE] ;
+    EXPLAIN <QUERY ...|SHOW ...> ;   (extension: physical-plan rows)
 
 Keywords marked "inferred" in SURVEY.md §2.12 (sort order, EMIT EMPTY
 WINDOWS, AFTER) use the AST field names as spelling. Durations use Go
@@ -32,6 +33,7 @@ import re
 from nexusbase_spark.nbql.ast import (
     AggregationSpec,
     CreateRollupStatement,
+    ExplainStatement,
     FlushStatement,
     PushStatement,
     QueryRollupStatement,
@@ -222,6 +224,12 @@ def parse(text: str) -> Statement:
         text = text[:-1]
     t = _Tokens(text)
     head = t.next().upper()
+    if head == "EXPLAIN":
+        inner = parse(text[len("EXPLAIN"):].lstrip())
+        if not isinstance(inner, (QueryStatement, QueryRollupStatement,
+                                  ShowStatement)):
+            raise NBQLError("EXPLAIN requires a QUERY/SHOW statement")
+        return ExplainStatement(inner)
     if head in ("PUSH", "PUSHS"):
         return _parse_push(t, batch=head == "PUSHS")
     if head == "QUERY":

@@ -526,3 +526,20 @@ def test_tag_matchers_engine_semantics(engine):
         'QUERY e2e.test.requests FROM 0 TO 3000000000000000000 '
         'TAGGED (missing!="x")').collect()
     assert none == []                      # absent tag never matches !=
+
+
+def test_explain_statement(engine):
+    """EXPLAIN QUERY returns the physical plan (one row per line), plans
+    without executing, and rejects non-readable statements."""
+    df = engine.execute(
+        "EXPLAIN QUERY e2e.test.requests FROM 0 TO 3000000000000000000 "
+        'TAGGED (service="api") AGGREGATE BY 1m (count(*))')
+    lines = [r["plan"] for r in df.orderBy("line").collect()]
+    text = "\n".join(lines)
+    assert lines and "Aggregate" in text and "Exchange" in text
+    # the tag filter is pushed into the scan, visible in the plan
+    assert "service" in text
+    with pytest.raises(Exception):
+        engine.execute('EXPLAIN PUSH m SET (value=1.0)')
+    # EXPLAIN SHOW also works
+    assert engine.execute("EXPLAIN SHOW METRICS").count() > 0
