@@ -268,3 +268,63 @@ def tdigest_global_quantiles(df: DataFrame, col: str, qs: list,
     for r in parts:
         td.merge(TDigest.from_bytes(r["digest"], compression))
     return {q: td.quantile(q) for q in qs}
+
+
+def tdigest_group_digests(df: DataFrame, keys: list, col: str,
+                          compression: int = DEFAULT_COMPRESSION) -> DataFrame:
+    """One serialized digest per group — the MERGEABLE percentile rollup
+    row (the warehouse elevation of the reference's per-emit t-digest:
+    materialize per-(series, day) digests once, then any time range's
+    percentile is a KB-sized merge, never a raw-value re-scan). Output:
+    keys..., n (non-null count), digest binary.
+
+    Shape note: JVM groupBy + collect_list, then a SCALAR pandas UDF that
+    digests a whole Arrow batch of groups per call — NOT applyInPandas,
+    whose per-group pandas frame overhead is ~4 ms and dominates when
+    rollup groups are small and many (measured 33s -> 3s on 8k
+    (user, day) groups at sf0.1). The raw values shuffle once here —
+    that is the rollup BUILD cost, same as any downsample; the win is
+    every later range query merging KB digests instead. sort_array makes
+    the digest bytes deterministic under shuffle order."""
+
+    @pandas_udf("binary")
+    def make(vs: pd.Series) -> pd.Series:
+        out = []
+        for arr in vs:
+            td = TDigest(compression)
+            td.add_many(arr)
+            out.append(td.to_bytes() if td.count else None)
+        return pd.Series(out)
+
+    g = df.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.col(col))).alias("__vals"),
+        F.count(F.col(col)).alias("n"))
+    return g.select(*keys, "n", make("__vals").alias("digest"))
+
+
+def tdigest_rollup_quantile(digests: DataFrame, keys: list, q: float,
+                            out_col: str = "q_value",
+                            compression: int = DEFAULT_COMPRESSION) -> DataFrame:
+    """Merge each group's digests and emit the quantile: keys..., n,
+    out_col. ``keys`` are the SURVIVING dimensions (e.g. roll (user, day)
+    digests up to per-user). Rollup-then-query equals the reference's
+    one-pass digest exactly in the singleton regime and carries the
+    documented ~1/δ rank error beyond it. Same vectorized-scalar-UDF
+    shape as ``tdigest_group_digests``; the exchange moves digests, not
+    values."""
+
+    @pandas_udf("double")
+    def merged_q(ds: pd.Series) -> pd.Series:
+        out = []
+        for lst in ds:
+            td = TDigest(compression)
+            for b in lst:
+                if b is not None:
+                    td.merge(TDigest.from_bytes(bytes(b), compression))
+            out.append(td.quantile(q) if td.count else float("nan"))
+        return pd.Series(out)
+
+    g = digests.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("digest")).alias("__ds"),
+        F.sum("n").alias("n"))
+    return g.select(*keys, "n", merged_q("__ds").alias(out_col))

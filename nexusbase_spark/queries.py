@@ -419,6 +419,40 @@ def q_downsample_p95_tdigest(spark, sf_dir):
     return _r4(out, "p95_value")
 
 
+@register("percentile_rollup_merged", f"""
+    SELECT user,
+           round(quantile_cont(value, 0.95), 4) AS p95_value,
+           count(value) AS n
+    FROM ({POINTS_SQL})
+    WHERE metric = 'purchase' AND ts BETWEEN {T1} AND {T2}
+    GROUP BY user
+    HAVING count(value) >= 2
+""")
+def q_percentile_rollup_merged(spark, sf_dir):
+    """MERGEABLE percentile rollup: per-(user, day) t-digests materialized
+    once, then the whole-range per-user p95 is a merge of the day digests
+    (functions/tdigest.tdigest_group_digests / tdigest_rollup_quantile) —
+    never a raw-value re-scan. The warehouse elevation of the reference's
+    per-emit go-tdigest (iterator/multi_field_aggregator.go:23,81-86):
+    percentiles join sums/counts as rollup-servable aggregates.
+    Shares the exact quantile_cont oracle because compression 400 keeps
+    every centroid a singleton at these group sizes (AVL interpolation ==
+    closest-rank linear — see downsample_p95_tdigest); beyond the
+    singleton regime the documented ~1/delta rank error applies."""
+    from nexusbase_spark.functions.tdigest import (
+        tdigest_group_digests, tdigest_rollup_quantile)
+    pts = load_points(spark, sf_dir)
+    sel = time_range(metric_filter(pts, "purchase"), T1, T2)
+    sel = sel.withColumn("user", F.col("tags").getItem("user")) \
+             .withColumn("day", (F.col("ts") - F.col("ts") % F.lit(DAY_NS)))
+    day_digests = tdigest_group_digests(sel, ["user", "day"], "value",
+                                        compression=400)
+    out = tdigest_rollup_quantile(day_digests, ["user"], 0.95,
+                                  out_col="p95_value", compression=400)
+    out = out.filter(F.col("n") >= 2).select("user", "p95_value", "n")
+    return _r4(out, "p95_value")
+
+
 @register("multi_tag_scan", f"""
     SELECT metric, user, kb, ts, seq, value
     FROM (SELECT event_type AS metric,

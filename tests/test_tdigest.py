@@ -209,3 +209,48 @@ def test_global_quantiles_two_phase(spark):
     got = tdigest_global_quantiles(df, "v", [0.5, 0.99])
     assert got[0.5] == pytest.approx(9973 / 2, rel=0.02)
     assert got[0.99] == pytest.approx(9973 * 0.99, rel=0.02)
+
+
+def test_group_digest_rollup_singleton_exact(spark):
+    """(key, day) digests merged per key reproduce the one-pass exact
+    percentile bit-for-bit while centroids stay singletons, and n sums."""
+    import numpy as np
+
+    from nexusbase_spark.functions.tdigest import (
+        tdigest_group_digests,
+        tdigest_rollup_quantile,
+    )
+    rows = [("u1", d, float(v)) for d in range(3) for v in range(d * 10, d * 10 + 8)]
+    rows += [("u2", 0, 5.0), ("u2", 1, 15.0)]
+    df = spark.createDataFrame(rows, "user string, day int, value double")
+    dd = tdigest_group_digests(df, ["user", "day"], "value", compression=400)
+    out = {r["user"]: (r["n"], r["p"])
+           for r in tdigest_rollup_quantile(dd, ["user"], 0.95, out_col="p",
+                                            compression=400).collect()}
+    u1_vals = sorted(v for u, d, v in rows if u == "u1")
+    assert out["u1"][0] == 24
+    assert out["u1"][1] == pytest.approx(
+        float(np.quantile(np.array(u1_vals), 0.95, method="linear")), abs=1e-12)
+    assert out["u2"] == (2, pytest.approx(15.0 - 0.05 * 10))
+
+
+def test_group_digest_rollup_error_bounded_beyond_singletons(spark):
+    """Past the singleton regime (5k values, compression 100) the merged
+    rollup's p95 stays within ~1% rank error of exact."""
+    import numpy as np
+
+    from nexusbase_spark.functions.tdigest import (
+        tdigest_group_digests,
+        tdigest_rollup_quantile,
+    )
+    vals = [(i % 10, float((i * 2654435761) % 100000))
+            for i in range(5000)]
+    df = spark.createDataFrame([("k", d, v) for d, v in vals],
+                               "user string, day int, value double")
+    dd = tdigest_group_digests(df, ["user", "day"], "value", compression=100)
+    got = tdigest_rollup_quantile(dd, ["user"], 0.95, out_col="p",
+                                  compression=100).collect()[0]["p"]
+    arr = np.sort(np.array([v for _, v in vals]))
+    # rank of the estimate within 1% of the 0.95 target
+    rank = np.searchsorted(arr, got) / len(arr)
+    assert abs(rank - 0.95) < 0.01
