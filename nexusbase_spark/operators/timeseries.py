@@ -170,3 +170,37 @@ def fill_forward(df: DataFrame, keys: list[str], cols: list[str],
             v = F.when(is_missing(F.col(c)), F.lit(None)).otherwise(F.col(c))
         out = out.withColumn(c, F.last(v, ignorenulls=True).over(w))
     return out
+
+
+def ewma_level(df: DataFrame, keys: list[str], alpha: float,
+               value_col: str = "value",
+               order_cols: tuple[str, str] = ("ts", "seq")) -> DataFrame:
+    """Per-series exponentially weighted level: fold
+    ``ewma = alpha*x + (1-alpha)*ewma`` over the series in
+    (ts, seq) order, seeded with the first value — the smoothed "current
+    level" a monitoring dashboard tracks (and the sequential recurrence
+    a plain window can't express).
+
+    Whole-stage-codegen shape: one shuffle (the groupBy), the ordered
+    fold as ``sort_array(collect_list(struct(...)))`` + ``F.aggregate``
+    with a double accumulator — JVM-side, no UDF, deterministic because
+    the struct sort fixes the fold order regardless of shuffle
+    nondeterminism. One series' points must fit a row (same bound as any
+    per-series collect; fine for series of millions of points — beyond
+    that, EWMA over raw points is the wrong query and the downsampled
+    rollup feeds it instead).
+
+    Output: keys..., n (points folded), ewma (double; NaN for empty).
+    """
+    o1, o2 = order_cols
+    ordered = F.sort_array(F.collect_list(
+        F.struct(F.col(o1), F.col(o2), F.col(value_col).alias("v"))))
+    g = df.groupBy(*keys).agg(ordered.alias("__pts"),
+                              F.count(F.col(value_col)).alias("n"))
+    rest = F.slice(F.col("__pts"), 2,
+                   F.greatest(F.size(F.col("__pts")) - 1, F.lit(0)))
+    ew = F.aggregate(
+        rest,
+        F.element_at(F.col("__pts"), 1)["v"].cast("double"),
+        lambda acc, x: F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * acc)
+    return g.select(*keys, "n", ew.alias("ewma"))

@@ -1491,3 +1491,41 @@ def q_events_hll_daily_users(spark, sf_dir):
     day = (source_ts_ns(ev) / F.lit(86_400_000_000_000)).cast("bigint")
     sk = daily_user_sketches(ev, day, lg_k=14)
     return estimate_daily(sk).orderBy("metric", "day")
+
+
+@register("events_ewma_level", f"""
+    WITH p AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, value
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) BETWEEN {1_704_412_800 * 10**9} AND {1_705_708_800 * 10**9}),
+    l AS (SELECT user, count(value) AS n,
+                 list(value ORDER BY ts, seq) AS vs
+          FROM p GROUP BY user)
+    SELECT user, n,
+           floor(list_reduce(vs, (acc, x) -> 0.3 * x + {1 - 0.3!r} * acc)
+                 * 1e4 + 0.5) / 1e4 AS ewma
+    FROM l WHERE n >= 2
+""")
+def q_events_ewma_level(spark, sf_dir):
+    """Per-user EWMA purchase level (alpha 0.3) over the probe range —
+    operators/timeseries.ewma_level: the sequential recurrence folded
+    JVM-side in deterministic (ts, seq) order; the DuckDB list_reduce
+    oracle seeds and folds identically, so doubles match bit-for-bit
+    before quantization (floor(x*1e4+0.5)/1e4 on both sides — plain
+    round() flips at .00005 midpoints, which EWMA folds actually hit:
+    56.586149999999996 at sf0.1)."""
+    from nexusbase_spark.operators.timeseries import ewma_level
+
+    T1, T2 = 1_704_412_800 * 10**9, 1_705_708_800 * 10**9
+    pts = load_table(spark, sf_dir, "events")
+    sel = (pts.filter(F.col("event_type") == "purchase")
+           .select(F.col("user_id").cast("string").alias("user"),
+                   source_ts_ns(pts).alias("ts"),
+                   F.col("event_id").alias("seq"), "value"))
+    sel = sel.filter((F.col("ts") >= T1) & (F.col("ts") <= T2))
+    out = ewma_level(sel, ["user"], 0.3)
+    q = F.floor(F.col("ewma") * 1e4 + F.lit(0.5)) / 1e4
+    return (out.filter(F.col("n") >= 2)
+            .select("user", "n", q.alias("ewma")))

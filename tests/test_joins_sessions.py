@@ -4,6 +4,8 @@ direction, band boundaries, exact-gap session continuation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nexusbase_spark.operators import asof_join, range_band_join, sessionize
@@ -217,3 +219,20 @@ def test_robust_zscore_resists_masking(spark):
                zscore_flag(df, ["user"], threshold=3.5).collect()
                if r["is_outlier"]}
     assert ("a", 500.0) not in classic
+
+
+def test_ewma_level_fold_order_and_seed(spark):
+    """EWMA folds in (ts, seq) order seeded with the FIRST value —
+    0.3*x + 0.7*acc over [10, 20, 40] = 0.3*40 + 0.7*(0.3*20 + 0.7*10)
+    — and a single point returns itself. Ordering must hold however the
+    rows are partitioned."""
+    from nexusbase_spark.operators.timeseries import ewma_level
+    rows = [("a", 3, 2, 40.0), ("a", 1, 0, 10.0), ("a", 2, 1, 20.0),
+            ("b", 1, 0, 7.5)]
+    df = spark.createDataFrame(rows, "k string, ts long, seq long, value double") \
+        .repartition(4)
+    got = {r["k"]: (r["n"], r["ewma"])
+           for r in ewma_level(df, ["k"], 0.3).collect()}
+    assert got["a"] == (3, pytest.approx(0.3 * 40 + 0.7 * (0.3 * 20 + 0.7 * 10),
+                                         abs=1e-12))
+    assert got["b"] == (1, 7.5)
