@@ -585,3 +585,57 @@ def test_live_heavy_hitters_bounded_state(spark, tmp_path):
         assert hot and hot[0] >= 40 - (90 // 2)
     finally:
         q.stop()
+
+
+def test_live_percentile_digest_state(spark, tmp_path):
+    """Digest state accumulates across micro-batches: after two batches
+    the p50 equals the exact median of ALL values seen (singleton
+    regime), per key."""
+    from nexusbase_spark.streaming.quantiles import live_percentile
+
+    src = tmp_path / "lq_src"
+    src.mkdir()
+    schema = "series string, value double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def latest():
+        rows = spark.sql(
+            "SELECT series, n, quantile FROM live_q").collect()
+        out = {}
+        for r in rows:  # keep the row with the largest n per key
+            if r["series"] not in out or r["n"] > out[r["series"]][0]:
+                out[r["series"]] = (r["n"], r["quantile"])
+        return out
+
+    def await_n(key, n, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = latest()
+            if got.get(key, (0,))[0] == n:
+                return got
+            time.sleep(0.5)
+        return latest()
+
+    feed([("a", float(v)) for v in (1, 2, 3, 4)] + [("b", 10.0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = live_percentile(stream, "series", 0.5)
+    q = (out.writeStream.format("memory").queryName("live_q")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "lq_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = await_n("a", 4)
+        assert got["a"] == (4, pytest.approx(2.5))   # median of 1..4
+        assert got["b"] == (1, pytest.approx(10.0))
+
+        feed([("a", float(v)) for v in (5, 6)])      # now 1..6 -> 3.5
+        q.processAllAvailable()
+        got = await_n("a", 6)
+        assert got["a"] == (6, pytest.approx(3.5))
+        assert got["b"] == (1, pytest.approx(10.0))  # untouched key keeps state
+    finally:
+        q.stop()
