@@ -191,3 +191,30 @@ def per_group_sample_k(df: DataFrame, group_col: str, k: int,
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def weighted_sample_k(df: DataFrame, group_col: str, k: int,
+                      id_col: str, weight_col: str,
+                      salt: str = "wsample-v1") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis & Spirakis 2006 reservoir keys — public method): each row
+    draws u in (0,1] from a salted md5 of its id and ranks by
+    ``-ln(u)/weight``; the k smallest keys per group are the sample, and
+    inclusion probability scales with weight exactly as sequential
+    weighted draws without replacement. No RNG state -> reproducible
+    across runs/partitionings, mirrorable in an oracle.
+
+    Rows with weight <= 0 or NULL are excluded. Same plan shape as
+    ``per_group_sample_k`` (one shuffle + in-partition rank).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    # 15 hex chars = 60 bits; (v+1)/(16^15+1) lands in (0, 1]
+    v = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    u = (v + F.lit(1).cast("double")) / F.lit(float(16 ** 15 + 1))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))

@@ -2149,3 +2149,31 @@ def q_docs_per_source_panel(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
     return per_group_sample_k(docs, "source", 5, "doc_id")
+
+
+@register("docs_weighted_panel", """
+    WITH s AS (
+        SELECT source, doc_id, n_chars,
+               -ln((CAST(('0x' || substring(
+                        md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) + CAST(1 AS DOUBLE))
+                   / 1152921504606846977.0)
+                 / CAST(n_chars AS DOUBLE) AS key
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    r AS (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY key, doc_id) AS rk
+          FROM s)
+    SELECT source, doc_id, n_chars FROM r WHERE rk <= 5
+""")
+def q_docs_weighted_panel(spark, sf_dir):
+    """Length-weighted exact-5 panel per source (Efraimidis-Spirakis
+    reservoir keys, pipeline/split.weighted_sample_k): longer documents
+    are proportionally likelier to be inspected — the weighted companion
+    to docs_per_source_panel. 16^15+1 = 1152921504606846977 is the
+    uniform's denominator on both sides."""
+    from nexusbase_spark.pipeline.split import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+    return weighted_sample_k(docs, "source", 5, "doc_id", "n_chars")

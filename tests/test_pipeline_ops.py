@@ -550,3 +550,21 @@ def test_bpe_tiebreak_lexicographic(spark):
                                "doc_id long, text string")
     # both pairs count 1 -> (b, c) wins on (lhs, rhs) order
     assert learn_merges(df, rounds=1)[0] == (1, "b", "c", 1)
+
+
+def test_weighted_sample_k_bias_and_determinism(spark):
+    """Weight-10 items dominate a weight-1 population in the sample;
+    exactly k per group; repartitioning doesn't change the sample."""
+    from nexusbase_spark.pipeline.split import weighted_sample_k
+    rows = [("g", i, 10.0 if i < 250 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    got = weighted_sample_k(df, "grp", 50, "id", "w").collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r["w"] == 10.0)
+    assert heavy >= 40  # inclusion prob scales ~10x
+    again = weighted_sample_k(df.repartition(7), "grp", 50, "id", "w").collect()
+    assert {r["id"] for r in got} == {r["id"] for r in again}
+    # zero/NULL weights never sampled
+    df2 = spark.createDataFrame([("g", 1, 0.0), ("g", 2, None), ("g", 3, 5.0)],
+                                "grp string, id long, w double")
+    assert [r["id"] for r in weighted_sample_k(df2, "grp", 2, "id", "w").collect()] == [3]
