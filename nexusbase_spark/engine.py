@@ -819,6 +819,83 @@ class NexusEngine:
             json.dump(meta, f)
         return len(dirty)
 
+    def verify_rollup(self, name: str, sample_days: int | None = None,
+                      salt: str = "verify-v1", tol: float = 1e-9) -> dict:
+        """Consistency audit: recompute a (sampled) set of day partitions
+        from the base table and diff them against the materialized rollup.
+        The 100 TB ops answer to "do I trust this materialization" — a
+        full recompute per check is exactly what the rollup exists to
+        avoid, so the audit samples days deterministically (salted md5 of
+        the day, so successive runs with higher ``sample_days`` audit
+        supersets) and recomputes only those.
+
+        Day universe = stored days UNION base-data days, so a day the
+        refresh missed entirely (or a stale day whose base data was
+        deleted) is still auditable. Float aggregates compare within
+        ``tol`` (NaN == NaN): recompute shuffles in a different partition
+        order, so last-ulp float-sum drift is expected, not corruption.
+
+        Returns {"days_total", "days_checked", "checked": [...],
+        "mismatched_days": [...], "ok": bool}.
+        """
+        import hashlib
+
+        meta = self._rollup_meta(name)
+        metric, iv = meta["metric"], meta["interval_ns"]
+        specs = [AggregationSpec(f, fld, al) for f, fld, al in meta["specs"]]
+        wday_of = lambda c: c - F.pmod(c, F.lit(DAY_NS))  # noqa: E731
+
+        stored = self.rollup(name)
+        stored_days = {r["wd"] for r in stored.select(
+            wday_of(F.col("window_start")).alias("wd")).distinct().collect()}
+        ws = F.col("ts") - F.pmod(F.col("ts"), F.lit(iv))
+        base_days = {r["wd"] for r in self.points(metric).select(
+            wday_of(ws).alias("wd")).distinct().collect()}
+        days = sorted(stored_days | base_days)
+        if sample_days is not None and sample_days < len(days):
+            ranked = sorted(days, key=lambda d: hashlib.md5(
+                f"{salt}:{d}".encode()).hexdigest())
+            checked = sorted(ranked[:sample_days])
+        else:
+            checked = days
+        if not checked:
+            return {"days_total": 0, "days_checked": 0, "checked": [],
+                    "mismatched_days": [], "ok": True}
+
+        rec = self._rollup_compute(metric, iv, specs, day_filter=checked)
+        st = stored.filter(wday_of(F.col("window_start")).isin(*checked))
+        keys = ["series_key", "window_start"]
+        # tags is map-typed (not join-comparable) and determined by
+        # series_key; metric is constant — compare the value columns
+        val_cols = [f.name for f in rec.schema.fields
+                    if f.name not in (*keys, "metric", "tags")]
+        s = st.select(*keys, *[F.col(c).alias(f"s_{c}") for c in val_cols])
+        r = rec.select(*keys, *[F.col(c).alias(f"r_{c}") for c in val_cols])
+        j = s.join(r, keys, "full_outer")
+        # a row present on one side only -> every column of the other side
+        # is NULL (count_* aggregates are never NULL on a real row)
+        from functools import reduce as _reduce
+        present_s = _reduce(lambda a, b: a | b,
+                            [F.col(f"s_{c}").isNotNull() for c in val_cols])
+        present_r = _reduce(lambda a, b: a | b,
+                            [F.col(f"r_{c}").isNotNull() for c in val_cols])
+        diffs = []
+        for c in val_cols:
+            a, b = F.col(f"s_{c}"), F.col(f"r_{c}")
+            if rec.schema[c].dataType.simpleString() == "double":
+                diffs.append(~((F.isnan(a) & F.isnan(b))
+                               | (F.abs(a - b) <= tol)))
+            else:
+                diffs.append(~a.eqNullSafe(b))
+        mismatch = (~present_s) | (~present_r)
+        for d in diffs:
+            mismatch = mismatch | F.coalesce(d, F.lit(True))
+        bad_days = sorted(r["wd"] for r in j.filter(mismatch).select(
+            wday_of(F.col("window_start")).alias("wd")).distinct().collect())
+        return {"days_total": len(days), "days_checked": len(checked),
+                "checked": checked, "mismatched_days": bad_days,
+                "ok": not bad_days}
+
     # ------------------------------------------------------- maintenance
 
     def flush(self, target: str = "all") -> None:
@@ -1258,6 +1335,13 @@ class NexusEngine:
         if isinstance(stmt, A.RefreshRollupStatement):
             self.refresh_rollup(stmt.name)
             return None
+        if isinstance(stmt, A.VerifyRollupStatement):
+            rep = self.verify_rollup(stmt.name, sample_days=stmt.sample_days)
+            return self.spark.createDataFrame(
+                [(rep["ok"], rep["days_total"], rep["days_checked"],
+                  [int(d) for d in rep["mismatched_days"]])],
+                "ok boolean, days_total long, days_checked long, "
+                "mismatched_days array<long>")
         if isinstance(stmt, A.QueryRollupStatement):
             df = self.rollup(stmt.name)
             if stmt.start is not None:

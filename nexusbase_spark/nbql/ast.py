@@ -111,6 +111,14 @@ class QueryRollupStatement:
 
 
 @dataclass
+class VerifyRollupStatement:
+    """VERIFY ROLLUP <name> [SAMPLE <n>] — sampled recompute audit
+    (grammar extension; engine.verify_rollup)."""
+    name: str
+    sample_days: int | None = None
+
+
+@dataclass
 class ExplainStatement:
     """EXPLAIN <QUERY ...> (grammar extension — the reference has no plan
     introspection; an engine whose physical strategy is Catalyst's NEEDS
@@ -122,5 +130,5 @@ Statement = (
     PushStatement | QueryStatement | RemoveStatement | ShowStatement
     | FlushStatement | SnapshotStatement | RestoreStatement
     | CreateRollupStatement | RefreshRollupStatement | QueryRollupStatement
-    | ExplainStatement
+    | ExplainStatement | VerifyRollupStatement
 )

@@ -16,6 +16,7 @@ Grammar reconstructed from the reference's usage sites (see ast.py):
     SHOW TAG VALUES [FROM <m>] WITH KEY = <k> ;
     FLUSH [MEMTABLE|DISK|ALL] ; SNAPSHOT ;
     RESTORE FROM '<path>' [WITH OVERWRITE] ;
+    VERIFY ROLLUP <name> [SAMPLE <n>] ;   (extension: recompute audit)
     EXPLAIN <QUERY ...|SHOW ...> ;   (extension: physical-plan rows)
 
 Keywords marked "inferred" in SURVEY.md §2.12 (sort order, EMIT EMPTY
@@ -44,6 +45,7 @@ from nexusbase_spark.nbql.ast import (
     ShowStatement,
     SnapshotStatement,
     Statement,
+    VerifyRollupStatement,
 )
 
 _TOKEN_RE = re.compile(
@@ -253,6 +255,13 @@ def parse(text: str) -> Statement:
     if head == "REFRESH":
         t.expect("ROLLUP")
         return RefreshRollupStatement(_unquote(t.next()))
+    if head == "VERIFY":
+        t.expect("ROLLUP")
+        name = _unquote(t.next())
+        sample = None
+        if t.accept("SAMPLE"):
+            sample = _int_tok(t)
+        return VerifyRollupStatement(name, sample)
     if head == "REMOVE":
         return _parse_remove(t)
     if head == "SHOW":
