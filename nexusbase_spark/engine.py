@@ -412,6 +412,32 @@ class NexusEngine:
         self._seq = self._load_max_seq() + 1
         self._write_gen += 1
 
+    def import_jsonl(self, path: str) -> int:
+        """Bulk-load newline-delimited JSON point dumps — the batch twin
+        of the Kafka feed, sharing its typed wire schema
+        (streaming/kafka.POINT_WIRE_SCHEMA: metric/tags/ts +
+        typed fields, core/fields.go encoding in JSON) and its
+        drop-malformed semantics, through ``ingest_frame`` (seq assign,
+        catalog track — never the driver). ``path`` may be a file, a
+        directory, or a glob; at 100 TB this is just a distributed text
+        scan feeding the normal bulk path. Returns the number of POINTS
+        ingested (distinct (series, ts) of the parsed rows)."""
+        from nexusbase_spark.streaming.kafka import parse_kafka_points
+
+        raw = self.spark.read.text(path).select(
+            F.col("value").cast("binary").alias("value"))
+        pts = parse_kafka_points(raw).persist()
+        try:
+            n = (pts.select("metric", "tags", "ts")
+                 .withColumn("series_key",
+                             series_key_expr(F.col("metric"), F.col("tags")))
+                 .select("series_key", "ts").distinct().count())
+            if n:
+                self.ingest_frame(pts)
+        finally:
+            pts.unpersist()
+        return n
+
     def start_stream_ingest(self, source_dir: str, checkpoint: str,
                             bus=None, refresh_rollups: bool = False):
         """Continuous ingest: a file-source stream of long-format rows

@@ -639,3 +639,31 @@ def test_live_percentile_digest_state(spark, tmp_path):
         assert got["b"] == (1, pytest.approx(10.0))  # untouched key keeps state
     finally:
         q.stop()
+
+
+def test_import_jsonl_bulk_load(spark, tmp_path):
+    """Batch JSONL bulk import: typed fields land queryable, malformed
+    lines drop, the count is POINTS (not long rows), and re-import of the
+    same file is MVCC-idempotent for reads."""
+    from nexusbase_spark.engine import NexusEngine
+    from nexusbase_spark.streaming.kafka import encode_point_json
+
+    eng = NexusEngine(spark, str(tmp_path / "wh"))
+    ts = 1_900_000_000 * 1_000_000_000
+    lines = [
+        encode_point_json("j.m", {"h": "a"}, {"v": 1.5, "ok": True}, ts),
+        encode_point_json("j.m", {"h": "b"}, {"v": 2.5}, ts + 1),
+        "{broken json",
+    ]
+    src = tmp_path / "dump.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    assert eng.import_jsonl(str(src)) == 2
+
+    rows = eng.execute(f"QUERY j.m FROM 0 TO {ts + 10}").collect()
+    assert len(rows) == 2
+    by_ts = {r["ts"]: r["fields"] for r in rows}
+    assert by_ts[ts] == {"v": "1.5", "ok": "true"}
+    assert by_ts[ts + 1] == {"v": "2.5"}
+    # re-import: same points, higher seqs -> reads unchanged
+    assert eng.import_jsonl(str(src)) == 2
+    assert eng.execute(f"QUERY j.m FROM 0 TO {ts + 10}").count() == 2
