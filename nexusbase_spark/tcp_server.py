@@ -235,8 +235,13 @@ def serve_tcp(engine: NexusEngine, host: str = "127.0.0.1",
 
 
 class NBQLClient:
-    """Minimal client for the framed protocol (the shape of
-    clients/nbql/python)."""
+    """Client for the framed protocol, mirroring the reference client's
+    surface (clients/nbql/python/nbql/client.py: parameterized query,
+    push / push_bulk conveniences, context manager) over the NBQL-text
+    wire. Divergence: the reference's PUSHS frame carries N binary points
+    atomically; here bulk pushes send one PUSHS statement per point
+    (chunking bounds frames in flight, not atomicity — server-side atomic
+    batches are ``engine.put_batch``)."""
 
     def __init__(self, host: str, port: int,
                  username: str | None = None, password: str | None = None):
@@ -244,14 +249,28 @@ class NBQLClient:
         if username is not None:
             self.authenticate(username, password or "")
 
+    def __enter__(self) -> "NBQLClient":
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> None:
+        self.close()
+
     def authenticate(self, username: str, password: str) -> None:
         send_auth_request(self.sock, username, password)
         status, message = read_auth_response(self.sock)
         if status != AUTH_OK:
             raise RuntimeError(f"authentication failed: {message}")
 
-    def query(self, nbql: str) -> tuple[list[dict], dict]:
-        write_frame(self.sock, CMD_QUERY, nbql.encode())
+    @staticmethod
+    def _statement(nbql: str, params: tuple) -> str:
+        if params:
+            from nexusbase_spark.nbql.parser import substitute_params
+            nbql = substitute_params(nbql, params)
+        return nbql
+
+    def query(self, nbql: str, *params) -> tuple[list[dict], dict]:
+        write_frame(self.sock, CMD_QUERY,
+                    self._statement(nbql, params).encode())
         rows: list[dict] = []
         while True:
             cmd, payload = read_frame(self.sock)
@@ -264,11 +283,53 @@ class NBQLClient:
             else:
                 raise RuntimeError(f"unexpected frame 0x{cmd:02x}")
 
-    def push(self, nbql: str) -> None:
-        write_frame(self.sock, CMD_PUSH, nbql.encode())
+    def push(self, nbql: str, *params) -> None:
+        write_frame(self.sock, CMD_PUSH,
+                    self._statement(nbql, params).encode())
         cmd, payload = read_frame(self.sock)
         if cmd == RESP_ERROR:
             raise RuntimeError(json.loads(payload)["error"])
+
+    @staticmethod
+    def _push_statement(metric: str, fields: dict, timestamp=None,
+                        tags: dict | None = None, batch: bool = False) -> tuple:
+        head = "PUSHS" if batch else "PUSH"
+        parts = [f'{head} "{metric}"']
+        params: list = []
+        if tags:
+            parts.append("TAGGED (" + ", ".join(f"{k}=?" for k in tags) + ")")
+            params.extend(str(v) for v in tags.values())
+        parts.append("SET (" + ", ".join(f"{k}=?" for k in fields) + ")")
+        params.extend(fields.values())
+        if timestamp is not None:
+            parts.append(f"AT {int(timestamp)}")
+        return " ".join(parts), tuple(params)
+
+    def push_point(self, metric: str, value, timestamp=None,
+                   tags: dict | None = None) -> None:
+        """Single-point convenience (the reference client's legacy
+        ``push``: one ``value`` field)."""
+        stmt, params = self._push_statement(metric, {"value": value},
+                                            timestamp, tags)
+        self.push(stmt, *params)
+
+    def push_bulk(self, points: list, chunk_size: int | None = None) -> int:
+        """Bulk push: each point is {'metric', 'fields', optional
+        'timestamp'/'tags'} — the reference client's push_bulk shape.
+        Returns the number of points pushed."""
+        for p in points:
+            if not isinstance(p, dict) or "metric" not in p or "fields" not in p:
+                raise ValueError(f"point needs 'metric' and 'fields': {p!r}")
+        n = 0
+        size = chunk_size or len(points)
+        for i in range(0, len(points), max(size, 1)):
+            for p in points[i:i + size]:
+                stmt, params = self._push_statement(
+                    p["metric"], p["fields"], p.get("timestamp"),
+                    p.get("tags"), batch=True)
+                self.push(stmt, *params)
+                n += 1
+        return n
 
     def close(self) -> None:
         self.sock.close()

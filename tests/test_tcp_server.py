@@ -119,3 +119,32 @@ def test_tcp_auth_handshake_and_roles(spark, tmp_path_factory):
         c.close()
     finally:
         srv.shutdown()
+
+
+def test_client_convenience_surface(tcp):
+    """Reference-client parity: parameterized query, push_point,
+    push_bulk with chunking, context manager
+    (clients/nbql/python/nbql/client.py:88,162,186)."""
+    host, port = tcp
+    with NBQLClient(host, port) as c:
+        c.push_point("cli.cpu", 0.5, timestamp=1_000, tags={"host": "a"})
+        c.push_point("cli.cpu", 1.5, timestamp=2_000, tags={"host": "a"})
+        n = c.push_bulk(
+            [{"metric": "cli.cpu", "fields": {"value": 9.0, "mode": "sys"},
+              "timestamp": 3_000, "tags": {"host": "b"}},
+             {"metric": "cli.cpu", "fields": {"value": 4.0},
+              "timestamp": 4_000, "tags": {"host": "b"}}],
+            chunk_size=1)
+        assert n == 2
+        rows, end = c.query("QUERY cli.cpu FROM ? TO ? TAGGED (host=?)",
+                            0, 5_000, "a")
+        assert end["total_rows"] == 2
+        assert rows[1]["fields"]["value"] == "1.5"
+        rows, _ = c.query("QUERY cli.cpu FROM 0 TO 5000 "
+                          "AGGREGATE (count(*), sum(value))")
+        assert rows[0]["count_*"] == 4 and rows[0]["sum_value"] == 15.0
+        # typed string field survived the wire
+        rows, _ = c.query("QUERY cli.cpu FROM 3000 TO 3000")
+        assert rows[0]["fields"]["mode"] == "sys"
+        with pytest.raises(ValueError, match="metric"):
+            c.push_bulk([{"fields": {"value": 1.0}}])
