@@ -47,6 +47,7 @@ class QueryStatement:
     emit_empty_windows: bool = False
     fill_previous: bool = False      # FILL PREVIOUS — LOCF over empty-window NaNs
     fill_linear: bool = False        # FILL LINEAR — interpolate empty-window NaNs
+    fill_value: float | None = None  # FILL <const> — constant into empty-window NaNs
     limit: int | None = None
     sort_desc: bool = False
     after_cursor: str | None = None  # base64 keyset cursor

@@ -377,7 +377,11 @@ def _parse_query(t: _Tokens) -> QueryStatement:
             elif t.accept("LINEAR"):
                 q.fill_linear = True
             else:
-                raise NBQLError("FILL expects PREVIOUS or LINEAR")
+                tok = t.peek()
+                if tok is not None and (_INT_RE.match(tok) or _FLOAT_RE.match(tok)):
+                    q.fill_value = float(t.next())
+                else:
+                    raise NBQLError("FILL expects PREVIOUS, LINEAR, or a number")
         elif t.accept("SORT"):
             q.sort_desc = t.next().upper() == "DESC"
         elif t.accept("ASC"):
@@ -395,10 +399,11 @@ def _parse_query(t: _Tokens) -> QueryStatement:
     if q.downsample_slide is not None:
         if q.downsample_interval % q.downsample_slide:
             raise NBQLError("SLIDE must divide the window size")
-    if (q.fill_previous or q.fill_linear) and not q.emit_empty_windows:
+    fills = sum([q.fill_previous, q.fill_linear, q.fill_value is not None])
+    if fills and not q.emit_empty_windows:
         raise NBQLError("FILL requires EMIT EMPTY WINDOWS")
-    if q.fill_previous and q.fill_linear:
-        raise NBQLError("FILL PREVIOUS and FILL LINEAR are mutually exclusive")
+    if fills > 1:
+        raise NBQLError("only one FILL mode may be given")
     return q
 
 

@@ -220,6 +220,18 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
                                    ts_col="window_start", is_missing=F.isnan)
                 for c in cols:
                     agg = agg.withColumn(c, F.coalesce(F.col(c), _nan()))
+        if q.fill_value is not None:
+            # FILL <const> (InfluxQL fill(<value>)): the constant lands in
+            # empty windows of the value-like columns; count/sum keep the
+            # reference's 0.0 empty marker (same column policy as
+            # PREVIOUS/LINEAR).
+            for spec in q.aggregations:
+                if spec.func in ("count", "sum"):
+                    continue
+                c = spec.alias or f"{spec.func}_{spec.field}"
+                agg = agg.withColumn(
+                    c, F.when(F.isnan(F.col(c)),
+                              F.lit(float(q.fill_value))).otherwise(F.col(c)))
         if q.fill_linear:
             # FILL LINEAR (grammar extension): interpolate the NaN-marked
             # agg columns between the surrounding observed windows

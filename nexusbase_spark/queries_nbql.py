@@ -461,3 +461,43 @@ def q_nbql_tag_matchers_rollup(spark, sf_dir):
         "metric", "series_key", "window_start", "window_end", "count_*",
         F.round("sum_value", 4).alias("sum_value"),
         F.round("avg_value", 4).alias("avg_value"))
+
+
+@register("nbql_fill_value", f"""
+    WITH p AS (
+        SELECT ('click|user=' || CAST(user_id AS VARCHAR)) AS series_key,
+               epoch_ns(ts) AS ts, value
+        FROM events
+        WHERE event_type = 'click' AND epoch_ns(ts) BETWEEN {T1} AND {T2}
+    ),
+    grid AS (
+        SELECT s.series_key, g.window_start
+        FROM (SELECT DISTINCT ('click|user=' || CAST(user_id AS VARCHAR))
+                  AS series_key
+              FROM events WHERE event_type = 'click') s
+        CROSS JOIN (SELECT unnest(generate_series({T1}, {T2 - 1}, {DAY_NS}))
+                    AS window_start) g
+    ),
+    agg AS (
+        SELECT series_key, ts - (ts % {DAY_NS}) AS window_start,
+               count(*) AS c, avg(value) AS av
+        FROM p GROUP BY series_key, window_start
+    )
+    SELECT 'click' AS metric, grid.series_key, grid.window_start,
+           grid.window_start + {DAY_NS} AS window_end,
+           CAST(coalesce(agg.c, 0) AS DOUBLE) AS "count_*",
+           round(coalesce(agg.av, -1.0), 4) AS avg_value
+    FROM grid LEFT JOIN agg USING (series_key, window_start)
+""")
+def q_nbql_fill_value(spark, sf_dir):
+    """FILL <const> grammar extension (InfluxQL fill(<value>)): empty
+    daily windows get the constant in value-like columns while count/sum
+    keep the reference's 0 empty marker. Planner applies the constant to
+    the NaN empty markers only — observed windows are untouched."""
+    eng = _engine(spark, sf_dir)
+    df = eng.execute(
+        f"QUERY click FROM {T1} TO {T2} "
+        "AGGREGATE BY 1d (count(*), avg(value)) EMIT EMPTY WINDOWS "
+        "FILL -1.0")
+    return df.select("metric", "series_key", "window_start", "window_end",
+                     "count_*", F.round("avg_value", 4).alias("avg_value"))

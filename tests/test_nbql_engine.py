@@ -505,6 +505,20 @@ def test_parse_fill_linear_extension():
               "EMIT EMPTY WINDOWS FILL PREVIOUS FILL LINEAR;")
 
 
+def test_parse_fill_value_extension():
+    q = parse("QUERY cpu FROM 0 TO 100 AGGREGATE BY 1h (avg(value)) "
+              "EMIT EMPTY WINDOWS FILL -1.5;")
+    assert q.fill_value == -1.5 and not q.fill_previous and not q.fill_linear
+    assert parse("QUERY cpu FROM 0 TO 100 AGGREGATE BY 1h (avg(v)) "
+                 "EMIT EMPTY WINDOWS FILL 0").fill_value == 0.0
+    with pytest.raises(NBQLError):  # constant fill is a fill mode too
+        parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 1h (avg(v)) "
+              "EMIT EMPTY WINDOWS FILL 0 FILL PREVIOUS;")
+    with pytest.raises(NBQLError):
+        parse("QUERY cpu FROM 0 TO 9 AGGREGATE BY 1h (avg(v)) "
+              "EMIT EMPTY WINDOWS FILL bogus;")
+
+
 def test_parse_tag_matchers_extension():
     q = parse('QUERY m TAGGED (dc="us", host=~"web-.*", env!="dev", az!~"^eu")')
     assert q.tags == {"dc": "us"}
