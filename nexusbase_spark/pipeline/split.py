@@ -218,3 +218,37 @@ def weighted_sample_k(df: DataFrame, group_col: str, k: int,
     return (df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
             .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def epoch_repeat(df: DataFrame, key_col: str, epochs: dict[str, float],
+                 strata_col: str = "source",
+                 salt: str = "epoch-v1") -> DataFrame:
+    """Fractional-epoch repetition for mixture training (e.g. "2.5 epochs
+    of wiki, 1 epoch of web"): every row appears floor(e) times, plus one
+    more for the deterministic frac(e) fraction chosen by salted bucket —
+    the same md5 machinery as ``stratified_sample``, so the extra-copy
+    subset is append-stable and subsample-monotone in e.
+
+    Output adds an ``epoch`` column (0-based copy index) so downstream
+    shuffling/packing can interleave copies rather than concatenate them.
+    Implemented as a broadcast rate-card join + ``explode(sequence(...))``
+    — per-row fanout with no shuffle; at 100 TB the multiplied rows flow
+    straight into the pack/shuffle stage without materializing.
+    Unlisted strata default to 1 epoch; e <= 0 drops the stratum.
+    """
+    spark = df.sparkSession
+    card = spark.createDataFrame(
+        [(k, float(v)) for k, v in epochs.items()],
+        f"{strata_col} string, __e double")
+    b = split_bucket(F.col(key_col), salt)
+    base = F.floor(F.col("__e")).cast("long")
+    extra = (b < F.round((F.col("__e") - base) * N_BUCKETS).cast("long")) \
+        .cast("long")
+    n_copies = base + extra
+    return (df.join(F.broadcast(card), strata_col, "left")
+            .withColumn("__e", F.coalesce(F.col("__e"), F.lit(1.0)))
+            .withColumn("__n", n_copies)
+            .filter(F.col("__n") > 0)
+            .withColumn("epoch", F.explode(F.sequence(
+                F.lit(0).cast("long"), F.col("__n") - 1)))
+            .drop("__e", "__n"))

@@ -2177,3 +2177,41 @@ def q_docs_weighted_panel(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id", "n_chars")
     return weighted_sample_k(docs, "source", 5, "doc_id", "n_chars")
+
+
+@register("docs_epoch_mix", """
+    WITH card AS (
+        SELECT * FROM (VALUES ('src_00', 2.5), ('src_01', 0.5), ('src_02', 0.0))
+            AS t(source, e)),
+    j AS (
+        SELECT d.doc_id, d.source,
+               coalesce(c.e, 1.0) AS e,
+               CAST(('0x' || substring(md5('epoch-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 10000 AS bk
+        FROM documents d LEFT JOIN card c USING (source)),
+    n AS (
+        SELECT source, doc_id,
+               CAST(floor(e) AS BIGINT)
+                 + CASE WHEN bk < CAST(round((e - floor(e)) * 10000) AS BIGINT)
+                        THEN 1 ELSE 0 END AS n_copies
+        FROM j)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT source, doc_id,
+                 unnest(range(n_copies)) AS epoch
+          FROM n WHERE n_copies > 0)
+    GROUP BY source
+""")
+def q_docs_epoch_mix(spark, sf_dir):
+    """Fractional-epoch mixture (pipeline/split.epoch_repeat): src_00 at
+    2.5 epochs (every doc twice + a stable half once more), src_01 at
+    0.5, src_02 dropped, everything else at 1. Rolled up per source so
+    the gate checks every row's copy count through (n_rows, n_docs)."""
+    from nexusbase_spark.pipeline.split import epoch_repeat
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = epoch_repeat(docs, "doc_id",
+                       {"src_00": 2.5, "src_01": 0.5, "src_02": 0.0})
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("doc_id").alias("n_docs")))

@@ -568,3 +568,35 @@ def test_weighted_sample_k_bias_and_determinism(spark):
     df2 = spark.createDataFrame([("g", 1, 0.0), ("g", 2, None), ("g", 3, 5.0)],
                                 "grp string, id long, w double")
     assert [r["id"] for r in weighted_sample_k(df2, "grp", 2, "id", "w").collect()] == [3]
+
+
+def test_epoch_repeat_copy_counts_and_stability(spark):
+    """floor(e) copies for everyone, one extra for a stable frac(e)
+    subset; 0 epochs drops; unlisted strata get exactly 1; the extra-copy
+    subset is append-stable (a doc's copy count never changes when the
+    corpus grows)."""
+    from nexusbase_spark.pipeline.split import epoch_repeat
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 400 else ("z" if i < 500 else "u"))
+         for i in range(600)], "doc_id long, source string")
+    out = epoch_repeat(df, "doc_id", {"a": 2.25, "z": 0.0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # z dropped entirely; u (unlisted) exactly once
+    assert all(not (500 > d >= 400) for d in by_doc)
+    assert all(by_doc[d] == [0] for d in range(500, 600))
+    # a: everyone 2 or 3 copies, ~25% get 3, epochs are 0..n-1
+    counts = [len(by_doc[d]) for d in range(400)]
+    assert set(counts) <= {2, 3}
+    assert 0.15 < counts.count(3) / 400 < 0.35
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+    # append stability: same docs keep their counts in a bigger corpus
+    big = spark.createDataFrame([(i, "a") for i in range(2000)],
+                                "doc_id long, source string")
+    big_out = epoch_repeat(big, "doc_id", {"a": 2.25}).collect()
+    big_counts = {}
+    for r in big_out:
+        big_counts[r["doc_id"]] = big_counts.get(r["doc_id"], 0) + 1
+    assert all(big_counts[d] == len(by_doc[d]) for d in range(400))
