@@ -431,6 +431,12 @@ def _parse_show(t: _Tokens) -> ShowStatement:
     if what == "ROLLUPS":
         # extension, paired with CREATE/REFRESH/QUERY ROLLUP
         return ShowStatement("rollups")
+    if what == "STATS":
+        # extension: per-metric warehouse statistics
+        metric = None
+        if t.accept("FROM"):
+            metric = _unquote(t.next())
+        return ShowStatement("stats", metric=metric)
     if what == "TAG":
         sub = t.next().upper()
         if sub == "KEYS":

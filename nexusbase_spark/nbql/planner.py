@@ -305,6 +305,21 @@ def plan_show(engine, s: ShowStatement) -> DataFrame:
             rows, "name string, metric string, interval_ns long, "
                   "aggregates string, last_seq long")
     pts = engine.points()
+    if s.what == "stats":
+        # extension: live data statistics per metric — points (MVCC-
+        # visible), distinct series, ts span. One scan, one tiny rollup;
+        # countDistinct's partial sets keep the exchange series-sized.
+        if s.metric:
+            pts = pts.filter(F.col("metric") == s.metric)
+        # points() is the LONG view (one row per field): points are
+        # distinct (series, ts), field_rows is the long-row count
+        return (pts.groupBy("metric")
+                .agg(F.countDistinct("series_key", "ts").alias("points"),
+                     F.count(F.lit(1)).alias("field_rows"),
+                     F.countDistinct("series_key").alias("series"),
+                     F.min("ts").alias("min_ts"),
+                     F.max("ts").alias("max_ts"))
+                .orderBy("metric"))
     if s.what == "metrics":
         return show_metrics(pts)
     if s.what == "tag_keys":

@@ -557,3 +557,15 @@ def test_explain_statement(engine):
         engine.execute('EXPLAIN PUSH m SET (value=1.0)')
     # EXPLAIN SHOW also works
     assert engine.execute("EXPLAIN SHOW METRICS").count() > 0
+
+
+def test_show_stats(engine):
+    """SHOW STATS (extension): per-metric MVCC-visible point counts,
+    distinct series, and ts span; FROM narrows to one metric."""
+    rows = {r["metric"]: r for r in engine.execute("SHOW STATS").collect()}
+    r = rows["e2e.test.requests"]
+    assert r["points"] == 6 and r["series"] == 2
+    assert r["field_rows"] > r["points"]  # long view: one row per field
+    assert r["min_ts"] <= r["max_ts"]
+    one = engine.execute('SHOW STATS FROM "e2e.test.requests"').collect()
+    assert len(one) == 1 and one[0]["points"] == 6
