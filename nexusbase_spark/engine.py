@@ -930,13 +930,28 @@ class NexusEngine:
         extra work (appends are already on disk)."""
         self.flush_l0()
 
-    def compact(self, retention_cutoff_ns: int | None = None) -> None:
+    def compact(self, retention_cutoff_ns: int | None = None, *,
+                cluster: bool = False, cluster_files: int = 32) -> None:
         """OPTIMIZE analog of leveled compaction + retention-on-compaction
         (levels/compaction.go:48-140, engine2/compaction_manager.go:734-757
         drops entries older than the retention cutoff during merge):
         materialize the resolved view, optionally drop rows with
         ts < retention_cutoff_ns, rewrite the points dir, drop consumed
-        tombstones."""
+        tombstones.
+
+        ``cluster=True`` additionally range-clusters the rewrite on
+        (series_key, ts) INSIDE each (metric, day) hive partition:
+        repartitionByRange gives every output file a contiguous
+        series_key range (tight min/max file stats -> series-scans open
+        only that series' files) and the in-partition sort tightens ts
+        row-group stats for sub-day ranges. This deliberately beats
+        z-order for THIS layout: day is already hive-pruned, so the two
+        residual slicing dims are series (file-level, from the range
+        clustering) and ts (row-group-level, from the sort) — the
+        measured single-column-sort trade in SCALE.md's z-order probe
+        (1/64 files on the sorted column vs 13/64 under interleaving);
+        z-order (plans/zorder.py) remains the layout for tables where
+        BOTH dims need file-level pruning in one directory."""
         self._emit("pre_compaction", {
             "retention_cutoff_ns": retention_cutoff_ns,
             "source_level": "l0+points", "target_level": "points"})
@@ -964,8 +979,30 @@ class NexusEngine:
         tmp = self._points_path + ".compact"
         # compaction always rewrites into the v2 layout (markers + day
         # partitioning) — the upgrade path for pre-v2 warehouses
-        self._write_points(resolved, path=tmp, mode="overwrite",
-                           day_partitioned=True)
+        if cluster:
+            day = F.col("ts") - F.pmod(F.col("ts"), F.lit(DAY_NS))
+            clustered = (resolved.withColumn("day", day)
+                         .repartitionByRange(cluster_files, "metric", "day",
+                                             "series_key", "ts")
+                         .sortWithinPartitions("metric", "day",
+                                               "series_key", "ts"))
+            # cluster_files is a deliberate layout choice: AQE's
+            # post-shuffle coalescing would fold the range partitions
+            # (and thus the per-partition file split) back together
+            conf = self.spark.conf
+            key = "spark.sql.adaptive.coalescePartitions.enabled"
+            prev = conf.get(key, "true")
+            conf.set(key, "false")
+            try:
+                (clustered.write.mode("overwrite")
+                 .partitionBy("metric", "day").parquet(tmp))
+            finally:
+                conf.set(key, prev)
+            self._emit("post_sstable_create", {"path": tmp,
+                                               "mode": "overwrite"})
+        else:
+            self._write_points(resolved, path=tmp, mode="overwrite",
+                               day_partitioned=True)
         self._emit("pre_sstable_delete", {"path": self._points_path})
         shutil.rmtree(self._points_path, ignore_errors=True)  # may be L0-only
         os.rename(tmp, self._points_path)

@@ -68,3 +68,38 @@ def test_write_zordered_prunes_both_dims(spark, tmp_path):
     tb = touched(F.col("b") == 7)
     assert ta < total and tb < total          # both dims prune
     assert ta <= total // 2 and tb <= total // 2
+
+
+def test_compact_cluster_layout_prunes_series_files(spark, tmp_path):
+    """compact(cluster=True): the rewrite stays MVCC-correct, and inside a
+    day partition each file owns a contiguous series range — a
+    single-series scan touches a fraction of the day's files (file-stat
+    pruning on series_key), and ts row-groups are sorted."""
+    from pyspark.sql import functions as F
+
+    from nexusbase_spark.engine import NexusEngine
+
+    eng = NexusEngine(spark, str(tmp_path / "wh"))
+    day0 = 1_700_006_400 * 1_000_000_000
+    rows = []
+    for s in range(16):                      # 16 series, one day, 40 pts each
+        for i in range(40):
+            rows.append(("cl.m", {"h": f"h{s:02d}"}, {"v": float(i)},
+                         day0 + i * 1_000_000_000 + s))
+    eng.put_batch(rows)
+    before = {(r["ts"], r["fields"]["v"]) for r in
+              eng.execute(f'QUERY cl.m FROM 0 TO {day0 * 2} TAGGED (h="h03")').collect()}
+    eng.compact(cluster=True, cluster_files=8)
+    after = {(r["ts"], r["fields"]["v"]) for r in
+             eng.execute(f'QUERY cl.m FROM 0 TO {day0 * 2} TAGGED (h="h03")').collect()}
+    assert after == before and len(after) == 40
+
+    # physical check on the RAW scan (input_file_name loses file context
+    # after the MVCC exchanges): the one-series filtered scan reads a
+    # strict subset of the day's files thanks to tight series_key
+    # min/max file stats from the range clustering
+    raw = spark.read.parquet(eng._points_path)
+    total = (raw.select(F.input_file_name().alias("f")).distinct().count())
+    touched = (raw.filter(F.col("series_key") == "cl.m|h=h03")
+               .select(F.input_file_name().alias("f")).distinct().count())
+    assert total >= 4 and touched <= max(1, total // 4), (touched, total)
