@@ -437,6 +437,13 @@ def _parse_show(t: _Tokens) -> ShowStatement:
         if t.accept("FROM"):
             metric = _unquote(t.next())
         return ShowStatement("stats", metric=metric)
+    if what == "FIELD":
+        # extension (InfluxQL SHOW FIELD KEYS): field names + vtypes
+        t.expect("KEYS")
+        metric = None
+        if t.accept("FROM"):
+            metric = _unquote(t.next())
+        return ShowStatement("field_keys", metric=metric)
     if what == "TAG":
         sub = t.next().upper()
         if sub == "KEYS":

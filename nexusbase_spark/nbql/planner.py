@@ -320,6 +320,14 @@ def plan_show(engine, s: ShowStatement) -> DataFrame:
                      F.min("ts").alias("min_ts"),
                      F.max("ts").alias("max_ts"))
                 .orderBy("metric"))
+    if s.what == "field_keys":
+        # extension: distinct (field, vtype) per metric from the long
+        # view, marker rows excluded
+        if s.metric:
+            pts = pts.filter(F.col("metric") == s.metric)
+        return (pts.filter(F.col("vtype") != "marker")
+                .select("metric", "field", "vtype").distinct()
+                .orderBy("metric", "field", "vtype"))
     if s.what == "metrics":
         return show_metrics(pts)
     if s.what == "tag_keys":

@@ -569,3 +569,14 @@ def test_show_stats(engine):
     assert r["min_ts"] <= r["max_ts"]
     one = engine.execute('SHOW STATS FROM "e2e.test.requests"').collect()
     assert len(one) == 1 and one[0]["points"] == 6
+
+
+def test_show_field_keys(engine):
+    """SHOW FIELD KEYS (extension): distinct field names + vtypes per
+    metric; FROM narrows; marker rows never leak."""
+    rows = engine.execute('SHOW FIELD KEYS FROM "e2e.test.requests"').collect()
+    got = {(r["field"], r["vtype"]) for r in rows}
+    assert got == {("latency_ms", "float"), ("status", "int"),
+                   ("path", "string")}
+    all_rows = engine.execute("SHOW FIELD KEYS").collect()
+    assert {r["metric"] for r in all_rows} >= {"e2e.test.requests"}
