@@ -252,3 +252,56 @@ def epoch_repeat(df: DataFrame, key_col: str, epochs: dict[str, float],
             .withColumn("epoch", F.explode(F.sequence(
                 F.lit(0).cast("long"), F.col("__n") - 1)))
             .drop("__e", "__n"))
+
+
+def budget_select(df: DataFrame, score_col: str, cost_col: str, budget: int,
+                  id_col: str, bins: int = 100,
+                  salt: str = "budget-v1") -> DataFrame:
+    """Greedy data selection under a cost budget: take the highest-score
+    documents until ``budget`` total cost (tokens) is reached — the
+    "best N tokens" curation step after scoring.
+
+    A global sort by score would single-thread the corpus, so selection
+    is bin-greedy: scores (clamped to [0,1)) quantize into ``bins``
+    fixed-width bins; whole bins are taken best-first while they fit
+    (the per-bin cost table is ≤ ``bins`` rows — the only driver-side
+    data), and the one CUTOFF bin that straddles the budget is filled by
+    a deterministic salted-hash order with an in-bin running cost sum.
+    Everything heavier than the bin table stays distributed: one narrow
+    projection, one bin rollup, one window over the cutoff bin only.
+    Deterministic under any partitioning; docs with cost > remaining
+    budget inside the cutoff bin are skipped only if they don't fit at
+    their hash position (greedy running sum, both engines identical).
+
+    Resolution is the documented trade: the budget boundary lands within
+    one bin, so selection differs from a per-document global greedy by at
+    most one bin's score width (1/bins).
+    """
+    from pyspark.sql import Window
+
+    sc = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0 - 1e-9))
+    d = df.withColumn("__bin", F.floor(sc * bins).cast("long"))
+    bin_rows = sorted(
+        ((r["__bin"], r["__c"]) for r in
+         d.groupBy("__bin").agg(F.sum(F.col(cost_col)).alias("__c")).collect()),
+        key=lambda t: -t[0])
+    full_bins, remaining, cutoff = [], budget, None
+    for b, c in bin_rows:
+        if c <= remaining:
+            full_bins.append(b)
+            remaining -= c
+        else:
+            cutoff = b
+            break
+    out = d.filter(F.col("__bin").isin(full_bins) if full_bins
+                   else F.lit(False))
+    if cutoff is not None and remaining > 0:
+        h = F.md5(F.concat(F.lit(salt), F.lit("|"),
+                           F.col(id_col).cast("string")))
+        w = (Window.partitionBy("__bin").orderBy(h, F.col(id_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        part = (d.filter(F.col("__bin") == cutoff)
+                .withColumn("__cum", F.sum(F.col(cost_col)).over(w))
+                .filter(F.col("__cum") <= remaining).drop("__cum"))
+        out = out.unionByName(part)
+    return out.drop("__bin")

@@ -2215,3 +2215,70 @@ def q_docs_epoch_mix(spark, sf_dir):
     return (out.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.countDistinct("doc_id").alias("n_docs")))
+
+
+_BUDGET_STOPS = "'" + "', '".join(sorted(
+    {w for ws in LANG_STOPWORDS.values() for w in ws})) + "'"
+_BUDGET_TOKENS = 15_000
+
+
+@register("docs_budget_select", f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               len(string_split(trim(lower(text)), ' ')) AS cost,
+               len(list_filter(string_split(trim(lower(text)), ' '),
+                               x -> x IN ({_BUDGET_STOPS})))
+                 / len(string_split(trim(lower(text)), ' ')) AS score
+        FROM documents),
+    b AS (SELECT doc_id, source, cost,
+                 CAST(floor(least(greatest(score, 0.0), 0.999999999) * 100)
+                      AS BIGINT) AS bin
+          FROM s),
+    bins AS (SELECT bin, sum(cost) AS c FROM b GROUP BY bin),
+    o AS (SELECT bin, c,
+                 sum(c) OVER (ORDER BY bin DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM bins),
+    fullsel AS (SELECT b.* FROM b JOIN o USING (bin)
+                WHERE o.cum <= {_BUDGET_TOKENS}),
+    cut AS (SELECT bin, cum - c AS before FROM o
+            WHERE cum > {_BUDGET_TOKENS}
+            ORDER BY bin DESC LIMIT 1),
+    partial AS (
+        SELECT doc_id, source, cost FROM (
+            SELECT b.doc_id, b.source, b.cost,
+                   sum(b.cost) OVER (
+                       ORDER BY md5('budget-v1|' || CAST(b.doc_id AS VARCHAR)),
+                                b.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM b JOIN cut ON b.bin = cut.bin)
+        WHERE cum <= {_BUDGET_TOKENS} - (SELECT before FROM cut)),
+    sel AS (SELECT doc_id, source, cost FROM fullsel
+            UNION ALL SELECT doc_id, source, cost FROM partial)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(cost) AS BIGINT) AS n_tokens
+    FROM sel GROUP BY source
+""")
+def q_docs_budget_select(spark, sf_dir):
+    """Token-budgeted greedy selection (pipeline/split.budget_select):
+    best-stopword-ratio documents until 15k tokens — whole score bins
+    best-first (the <=100-row bin table is the only driver-side data),
+    the straddling bin filled in deterministic salted-hash order with an
+    in-bin running cost sum. Exercises the all-selected path at sf0.001
+    (corpus under budget) and the cutoff path at sf0.01/0.1. Rolled up
+    per source so the gate hashes every selection decision."""
+    from nexusbase_spark.pipeline.split import budget_select
+    from nexusbase_spark.pipeline.text import quality_exprs, tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs(F.col("text"))
+    d = docs.select(
+        "doc_id", "source",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("cost"),
+        q["stopword_ratio"].alias("score"))
+    sel = budget_select(d, "score", "cost", _BUDGET_TOKENS, "doc_id")
+    return (sel.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("cost").alias("n_tokens")))

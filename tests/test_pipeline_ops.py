@@ -600,3 +600,26 @@ def test_epoch_repeat_copy_counts_and_stability(spark):
     for r in big_out:
         big_counts[r["doc_id"]] = big_counts.get(r["doc_id"], 0) + 1
     assert all(big_counts[d] == len(by_doc[d]) for d in range(400))
+
+
+def test_budget_select_semantics(spark):
+    """Selection cost never exceeds the budget; higher-score bins are
+    taken before lower ones; budget >= total selects everything; the
+    result is partition-invariant."""
+    from nexusbase_spark.pipeline.split import budget_select
+    rows = [(i, 0.9, 10) for i in range(10)] \
+        + [(100 + i, 0.5, 10) for i in range(10)] \
+        + [(200 + i, 0.1, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, score double, cost long")
+
+    sel = budget_select(df, "score", "cost", 150, "id").collect()
+    ids = {r["id"] for r in sel}
+    assert sum(r["cost"] for r in sel) <= 150
+    assert all(i in ids for i in range(10))          # best bin fully in
+    assert not any(i >= 200 for i in ids)            # worst bin fully out
+    assert len([i for i in ids if 100 <= i < 200]) == 5  # cutoff bin partial
+
+    assert budget_select(df, "score", "cost", 10_000, "id").count() == 30
+    again = {r["id"] for r in
+             budget_select(df.repartition(7), "score", "cost", 150, "id").collect()}
+    assert again == ids
