@@ -1529,3 +1529,153 @@ def q_events_ewma_level(spark, sf_dir):
     q = F.floor(F.col("ewma") * 1e4 + F.lit(0.5)) / 1e4
     return (out.filter(F.col("n") >= 2)
             .select("user", "n", q.alias("ewma")))
+
+
+# ---------------------------------------------------------------------------
+# Shape-workalikes for the four data-blocked TPC-H queries. q4/q11/q20/q21
+# need columns/tables the driver testdata lacks (partsupp, commitdate,
+# receiptdate, shipmode — re-verified each round), so these exercise the
+# exact QUERY SHAPES (correlated EXISTS rollup, global-fraction HAVING,
+# nested-IN chain with a correlated quantity bound, double EXISTS /
+# NOT EXISTS correlation) on the columns that do exist.
+
+
+@register("tpch_q4_shape_exists_rollup", """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_discount > l.l_tax)
+    GROUP BY o.o_orderpriority
+""")
+def q_tpch_q4_shape(spark, sf_dir):
+    """TPC-H q4 SHAPE (b/parser.go has no analog; dbgen q4 is
+    priority-rollup over orders WITH an EXISTS lineitem intra-row
+    comparison — commitdate < receiptdate there, l_discount > l_tax
+    here since the date columns are absent from the testdata). Semi join
+    on the order key, then a tiny priority rollup; the semi join's build
+    side is the filtered lineitem key set and AQE picks the strategy."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = o.filter((F.col("o_orderdate") >= _dlit(o, "o_orderdate", "1996-01-01"))
+                 & (F.col("o_orderdate") < _dlit(o, "o_orderdate", "1996-07-01")))
+    hit = (li.filter(F.col("l_discount") > F.col("l_tax"))
+           .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (o.join(hit, "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register("tpch_q11_shape_value_concentration", """
+    WITH v AS (
+        SELECT p.p_brand,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS val
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand)
+    SELECT p_brand, round(val, 2) AS value
+    FROM v
+    WHERE val > (SELECT sum(val) * 0.04 FROM v)
+""")
+def q_tpch_q11_shape(spark, sf_dir):
+    """TPC-H q11 SHAPE: a grouped value compared against a FRACTION OF
+    THE GLOBAL aggregate (dbgen q11 does partsupp value per nation vs
+    0.0001 of total; no partsupp in the testdata, so brand revenue
+    concentration vs 4% of total revenue). The scalar denominator is a
+    1-row broadcast cross join computed FROM THE SAME grouped frame —
+    one shuffle feeds both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    v = (li.join(p, li["l_partkey"] == p["p_partkey"])
+         .groupBy("p_brand")
+         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .alias("val")))
+    total = v.agg((F.sum("val") * 0.04).alias("__cut"))
+    return (v.crossJoin(F.broadcast(total))
+            .filter(F.col("val") > F.col("__cut"))
+            .select("p_brand", F.round("val", 2).alias("value")))
+
+
+@register("tpch_q20_shape_nested_in", """
+    WITH named AS (SELECT p_partkey FROM part WHERE p_name LIKE '%a%'),
+    pair AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM named)
+        GROUP BY l_partkey, l_suppkey),
+    heavy AS (
+        SELECT l_suppkey FROM (
+            SELECT l_partkey, l_suppkey, qty,
+                   avg(qty) OVER (PARTITION BY l_partkey) AS part_avg
+            FROM pair)
+        WHERE qty > 1.2 * part_avg)
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+""")
+def q_tpch_q20_shape(spark, sf_dir):
+    """TPC-H q20 SHAPE: the nested-IN chain (suppliers IN (pairs over
+    parts IN (name-filtered part set))) with a CORRELATED quantity bound
+    — dbgen compares partsupp availqty to half the shipped quantity; no
+    partsupp here, so a supplier qualifies when its shipped quantity of
+    a named part exceeds 1.2x that part's cross-supplier average. The
+    correlated scalar decorrelates to a window over the (part, supp)
+    rollup, exactly the q2/q17 decorrelation pattern."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (li.join(F.broadcast(p.select("p_partkey")),
+                    li["l_partkey"] == F.col("p_partkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("l_quantity").alias("qty")))
+    w = Window.partitionBy("l_partkey")
+    heavy = (pair.withColumn("part_avg", F.avg("qty").over(w))
+             .filter(F.col("qty") > 1.2 * F.col("part_avg"))
+             .select("l_suppkey").distinct())
+    s = load_table(spark, sf_dir, "supplier")
+    return (s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+            .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+@register("tpch_q21_shape_sole_fault", """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+""")
+def q_tpch_q21_shape(spark, sf_dir):
+    """TPC-H q21 SHAPE (suppliers who kept orders waiting): the double
+    correlation — EXISTS another supplier on the order, NOT EXISTS
+    another AT-FAULT supplier — with returnflag='R' standing in for the
+    missing receiptdate > commitdate lateness predicate. Both correlated
+    subqueries decorrelate into ONE per-order rollup (distinct suppliers,
+    distinct at-fault suppliers) reused by the filter: n_supp > 1 and
+    n_fault = 1 and l1 is the faulty line — the same single-pass shape
+    dbgen planners reach, one lineitem shuffle on the order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    per_order = (li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R",
+                               F.col("l_suppkey"))).alias("n_fault")))
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .join(o, li["l_orderkey"] == o["o_orderkey"])
+          .join(per_order, "l_orderkey")
+          .filter((F.col("n_supp") > 1) & (F.col("n_fault") == 1)))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (l1.join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
