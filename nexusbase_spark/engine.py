@@ -1236,8 +1236,13 @@ class NexusEngine:
         rollup-sized data, not the fact table).
 
         The rewrite fires only when it is EXACT:
-        - same metric, interval, and agg list (func/field/alias, in
-          order) as a registered rollup;
+        - same metric and agg list (func/field/alias, in order) as a
+          registered rollup whose interval either EQUALS the query's or
+          divides it with every agg in the re-aggregable set
+          {count, sum, min, max} (counts/sums add, min/max nest; an
+          exact-interval rollup always wins over re-aggregation, and
+          avg/stddev/first/last/frac/p<N> never take the coarser path —
+          they need inputs a finer aggregate doesn't carry);
         - the rollup is fresh (last_seq == the engine's current max —
           any unrefreshed write disables the rewrite rather than serving
           stale data);
@@ -1278,18 +1283,55 @@ class NexusEngine:
         if not os.path.isdir(base):
             return None
         want = [(a.func, a.field, a.alias) for a in q.aggregations]
+        # functions whose coarser windows re-aggregate EXACTLY from finer
+        # ones (count/sum add; min/max nest; NaN propagation/blindness is
+        # preserved because Spark applies the same rule at both levels).
+        # avg/stddev/first/last/frac/p<N> are NOT in the set — they need
+        # inputs a finer aggregate doesn't carry.
+        _REAGG = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+        exact_hit, coarse_hit = None, None
         for name in sorted(os.listdir(base)):
             mp = os.path.join(base, name, "meta.json")
             if not os.path.isfile(mp):
                 continue
             with open(mp) as f:
                 meta = json.load(f)
-            if (meta["metric"] != q.metric or meta["interval_ns"] != iv
-                    or [tuple(s) for s in meta["specs"]] != want):
+            if (meta["metric"] != q.metric
+                    or [tuple(s) for s in meta["specs"]] != want
+                    or meta["last_seq"] != self._seq - 1):
                 continue
-            if meta["last_seq"] != self._seq - 1:
-                continue  # stale: new writes since the last refresh
+            r_iv = meta["interval_ns"]
+            if r_iv == iv and exact_hit is None:
+                exact_hit = name
+            elif (r_iv < iv and iv % r_iv == 0 and coarse_hit is None
+                  and all(f in _REAGG for f, _fl, _a in want)):
+                coarse_hit = name
+        name = exact_hit or coarse_hit  # an exact rollup always wins
+        if name is not None:
             df = self.rollup(name)
+            if exact_hit is None:
+                # re-window the finer rollup: epoch alignment makes every
+                # fine window nest inside exactly one coarse window
+                # (iv % r_iv == 0), so the coarse answer is a groupBy over
+                # rollup-sized data, never the fact table
+                cols = df.columns
+                # fine windows in [start, end] exactly compose the
+                # aligned coarse range — pre-filter so the re-agg only
+                # touches the queried slice of the rollup
+                if q.start is not None:
+                    df = df.filter(F.col("window_start") >= q.start)
+                if q.end is not None:
+                    df = df.filter(F.col("window_start") <= q.end)
+                ws = (F.col("window_start")
+                      - F.pmod(F.col("window_start"), F.lit(iv)))
+                aggs = [_REAGG[f](F.col(a or f"{f}_{fl}"))
+                        .alias(a or f"{f}_{fl}") for f, fl, a in want]
+                df = (df.withColumn("window_start", ws)
+                      .groupBy("metric", "series_key", "window_start")
+                      .agg(F.first("tags").alias("tags"), *aggs)
+                      .withColumn("window_end",
+                                  F.col("window_start") + F.lit(iv))
+                      .select(*cols))
             for k, v in (q.tags or {}).items():
                 df = df.filter(F.col("tags").getItem(k) == v)
             for k, op, v in (q.tag_matchers or []):

@@ -6,6 +6,7 @@ no matter what mix of appends/late data/deletes happened since."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from nexusbase_spark.engine import NexusEngine
 from nexusbase_spark.nbql.ast import AggregationSpec
@@ -310,3 +311,42 @@ def test_verify_rollup_nbql_surface(eng):
     row = eng.execute("VERIFY ROLLUP r SAMPLE 1").collect()[0]
     assert row["ok"] and row["days_checked"] == 1 and row["days_total"] == 2
     assert row["mismatched_days"] == []
+
+
+def test_rollup_rewrite_coarser_reaggregation(eng):
+    """A 2-day aligned query with re-aggregable functions is served from
+    the 1-day rollup by re-windowing (rollup_rewrites increments) and
+    equals the direct plan; avg disqualifies the coarser path; an
+    exact-interval rollup outranks re-aggregation."""
+    specs = [AggregationSpec("count", "*"), AggregationSpec("sum", "v"),
+             AggregationSpec("min", "v"), AggregationSpec("max", "v")]
+    eng.create_rollup("fine", "m", DAY, specs)
+    t1, t2 = D0, D0 + 4 * DAY - 1          # 2 aligned 2-day windows
+    q = (f"QUERY m FROM {t1} TO {t2} AGGREGATE BY 2d "
+         "(count(*), sum(v), min(v), max(v))")
+    before = getattr(eng, "rollup_rewrites", 0)
+    served = {(r["series_key"], r["window_start"]):
+              (r["count_*"], r["sum_v"], r["min_v"], r["max_v"])
+              for r in eng.execute(q).collect()}
+    assert getattr(eng, "rollup_rewrites", 0) == before + 1
+    direct = {(r["series_key"], r["window_start"]):
+              (r["count_*"], r["sum_v"], r["min_v"], r["max_v"])
+              for r in eng._rollup_compute("m", 2 * DAY, specs)
+              .filter((F.col("window_start") >= t1)
+                      & (F.col("window_start") <= t2)).collect()}
+    assert served == direct and served
+
+    # avg is not re-aggregable -> no rewrite for the coarser interval
+    n = getattr(eng, "rollup_rewrites", 0)
+    eng.execute(f"QUERY m FROM {t1} TO {t2} AGGREGATE BY 2d (avg(v))")
+    assert getattr(eng, "rollup_rewrites", 0) == n
+
+    # an exact 2d rollup now exists -> it wins (still one rewrite, and
+    # the direct-interval path needs no re-agg)
+    eng.create_rollup("coarse", "m", 2 * DAY, specs)
+    n = getattr(eng, "rollup_rewrites", 0)
+    again = {(r["series_key"], r["window_start"]):
+             (r["count_*"], r["sum_v"], r["min_v"], r["max_v"])
+             for r in eng.execute(q).collect()}
+    assert getattr(eng, "rollup_rewrites", 0) == n + 1
+    assert again == served
