@@ -1626,7 +1626,7 @@ def q_tpch_q20_shape(spark, sf_dir):
 
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
     li = load_table(spark, sf_dir, "lineitem")
-    pair = (li.join(F.broadcast(p.select("p_partkey")),
+    pair = (li.join(p.select("p_partkey"),
                     li["l_partkey"] == F.col("p_partkey"))
             .groupBy("l_partkey", "l_suppkey")
             .agg(F.sum("l_quantity").alias("qty")))
@@ -1676,6 +1676,6 @@ def q_tpch_q21_shape(spark, sf_dir):
           .join(per_order, "l_orderkey")
           .filter((F.col("n_supp") > 1) & (F.col("n_fault") == 1)))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (l1.join(F.broadcast(s), l1["l_suppkey"] == s["s_suppkey"])
+    return (l1.join(s, l1["l_suppkey"] == s["s_suppkey"])
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait")))
