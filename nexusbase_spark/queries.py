@@ -622,48 +622,40 @@ def q_cursor_page(spark, sf_dir):
 
 # The driver witnesses queries in registry iteration order and caps the run
 # at 50 rows, so iteration order IS the correctness-gate coverage policy.
-# Rounds 1-2 witnessed 78 distinct queries; this round-3 prefix rotates the
-# window (VERDICT r2 "Next round" #1): ~7 canary cores — one per §2 family,
-# re-witnessed every round so a regression in the core surface can never
-# hide — followed by every registered query that has no hard-gate row yet
-# (the TPC-H/analytics extras, ANN variants, text/pack extras, and the
-# round-2 additions). Everything still runs when the driver has the budget;
-# the prefix only decides what a capped run proves.
+# Round-4 rotation (VERDICT r3 "Next round" #2): 8 canary cores — one per
+# §2/pipeline family, re-witnessed every round so a regression in the core
+# surface can never hide — then the 18 round-3 additions that have never
+# been through the hard gate, then 24 of the 28 queries last witnessed in
+# round 1 (oldest evidence first). After this round every registered query
+# has had at least one hard-gate row. Everything still runs when the driver
+# has the budget; the prefix only decides what a capped run proves.
 PRIORITY_PREFIX = [
     # canary cores: scan, final agg, downsample, MVCC, tombstone, cursor,
-    # NBQL planner — one witness per §2 family, every round
+    # NBQL planner, dedup pipeline — one witness per family, every round
     "raw_scan_range_tag", "final_agg_basic", "downsample_1d",
     "mvcc_dedup_latest", "tombstone_series", "cursor_page",
-    "nbql_downsample",
-    # never-witnessed in r1/r2: §2.5 percentile sketch + rollups
-    "downsample_p95_tdigest", "lineitem_rollup_totals",
-    # never-witnessed TPC-H / events analytics
-    "tpch_q13_custdist", "tpch_q16_supplier_variety",
-    "events_gap_fill_linear", "events_zscore_outliers",
-    "events_robust_outliers", "events_series_cardinality",
-    "events_user_set_ops", "events_session_conversion",
-    "orders_cube_totals",
-    # never-witnessed dedup / fingerprint family
-    "doc_dedup_minhash_capped", "doc_dedup_bucket_clusters",
-    "doc_dedup_simhash_pairs", "doc_fingerprint", "doc_winnow_fingerprint",
-    "doc_containment_pairs", "docs_chunk_dedup",
-    # never-witnessed text family
-    "text_repetition", "text_pii_redact", "text_token_distribution",
-    "text_unigram_logprob",
-    # never-witnessed ANN / embedding family
-    "embed_int8_topk", "embed_neardup_pairs", "embed_ivf_kmeans_topk",
-    "embed_lsh_topk", "embed_label_centroids",
-    # new round-3 operators: multi-table LSH (SCALE.md ANN recall probe),
-    # rollup-served tag-matcher downsample (VERDICT r2 #9)
-    "embed_lsh_multitable_topk", "nbql_tag_matchers_rollup",
-    # never-witnessed split / mix / chunk / stats family
-    "docs_stratified_sample", "docs_interleave_mix", "docs_vocab_top50",
-    "docs_tfidf_top3", "docs_chunk_sliding", "docs_quality_filter_report",
-    "docs_length_histogram", "docs_length_deciles", "docs_temperature_mix",
-    "docs_temperature_sample", "docs_quality_classifier",
-    "docs_perplexity_filter",
-    # never-witnessed multimodal
-    "multimodal_frames", "multimodal_features",
+    "nbql_downsample", "doc_dedup_exact",
+    # never-witnessed round-3 additions (18 — VERDICT r3 missing #2)
+    "docs_bm25_topk", "docs_heavy_hitter_bigrams", "docs_bpe_merges",
+    "embed_semdedup_prune", "docs_dedup_index_probe", "events_ewma_level",
+    "events_hll_daily_users", "percentile_rollup_merged", "nbql_fill_value",
+    "docs_budget_select", "docs_epoch_mix", "docs_per_source_panel",
+    "docs_weighted_panel", "docs_boilerplate_ngrams",
+    "tpch_q4_shape_exists_rollup", "tpch_q11_shape_value_concentration",
+    "tpch_q20_shape_nested_in", "tpch_q21_shape_sole_fault",
+    # last witnessed in round 1 — oldest-evidence re-witness (24 of 28;
+    # q3/q5/q6/q8 stay out this round: plan-property tests guard them)
+    "customers_without_orders", "events_asof_enrich",
+    "events_cohort_retention", "events_counter_rate", "events_funnel",
+    "events_gap_fill_locf", "events_proximity_pairs", "events_rolling_24h",
+    "events_sessionize", "events_time_weighted_avg",
+    "events_user_daily_activity", "orders_rank_window",
+    "orders_semi_returned", "tpch_q10_returned_revenue",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_carts",
+    "tpch_q19_or_predicates", "tpch_q1_pricing_summary",
+    "tpch_q22_idle_rich_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_trade", "tpch_q9_profit_proxy",
 ]
 
 
