@@ -200,7 +200,9 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
         grid = series.select(
             "metric", "series_key", "tags",
             F.explode(F.sequence(F.lit(first), F.lit(last), F.lit(slide))).alias("window_start"))
-        agg = grid.join(agg.drop("tags"), ["metric", "series_key", "window_start"], "left")
+        agg = grid.join(
+            agg.drop("tags").withColumn("__present", F.lit(True)),
+            ["metric", "series_key", "window_start"], "left")
         for spec in q.aggregations:
             name = spec.alias or f"{spec.func}_{spec.field}"
             fill = F.lit(0.0) if spec.func in ("count", "sum") else _nan()
@@ -222,15 +224,18 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
                     agg = agg.withColumn(c, F.coalesce(F.col(c), _nan()))
         if q.fill_value is not None:
             # FILL <const> (InfluxQL fill(<value>)): the constant lands in
-            # empty windows of the value-like columns; count/sum keep the
-            # reference's 0.0 empty marker (same column policy as
-            # PREVIOUS/LINEAR).
+            # EMPTY windows only, gated on the grid-join absence marker —
+            # a window whose aggregate is genuinely NaN because its input
+            # values were NaN (the downsampler deliberately keeps NaN)
+            # stays NaN (ADVICE r3: the previous isnan gate overwrote
+            # those too). count/sum keep the reference's 0.0 empty marker
+            # (same column policy as PREVIOUS/LINEAR).
             for spec in q.aggregations:
                 if spec.func in ("count", "sum"):
                     continue
                 c = spec.alias or f"{spec.func}_{spec.field}"
                 agg = agg.withColumn(
-                    c, F.when(F.isnan(F.col(c)),
+                    c, F.when(F.col("__present").isNull(),
                               F.lit(float(q.fill_value))).otherwise(F.col(c)))
         if q.fill_linear:
             # FILL LINEAR (grammar extension): interpolate the NaN-marked
@@ -249,6 +254,8 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
                                   ts_col="window_start")
                 agg = agg.withColumn(c, F.coalesce(F.col(c), _nan()))
 
+    if "__present" in agg.columns:
+        agg = agg.drop("__present")
     agg = agg.withColumn("window_end", F.col("window_start") + F.lit(iv))
     order = [F.col("window_start"), F.col("series_key")]
     if q.sort_desc:

@@ -193,6 +193,11 @@ def ewma_level(df: DataFrame, keys: list[str], alpha: float,
     Output: keys..., n (points folded), ewma (double; NaN for empty).
     """
     o1, o2 = order_cols
+    # NULL values are dropped BEFORE the fold: collect_list of a struct
+    # keeps rows whose value field is null, so one null would null the
+    # whole EWMA while n counted only non-null points (ADVICE r3). With
+    # the filter, n matches exactly the points folded.
+    df = df.filter(F.col(value_col).isNotNull())
     ordered = F.sort_array(F.collect_list(
         F.struct(F.col(o1), F.col(o2), F.col(value_col).alias("v"))))
     g = df.groupBy(*keys).agg(ordered.alias("__pts"),

@@ -158,6 +158,124 @@ class DedupIndex:
         nd.unpersist()
         return matches
 
+    # ---------------------------------------------------------------- audit
+
+    def verify(self, docs: DataFrame, sample: int | None = None,
+               salt: str = "verify-v1") -> dict:
+        """Consistency audit against the base corpus — the same sampled
+        treatment as ``engine.verify_rollup``: a retention sweep or
+        ``compact()`` that rewrites the corpus must not leave the index
+        silently stale. Checks three failure modes:
+
+        - ``stale``: doc_ids in the index whose base document is GONE
+          (deleted/retained-out) — probe hits against them are wrong;
+        - ``missing``: base doc_ids the index never absorbed;
+        - ``mismatched``: for a deterministic ``sample`` of shared ids
+          (salted-md5 rank, so a larger sample audits a superset),
+          re-shingle the base text and diff both the stored shingle-hash
+          SET and the stored band keys.
+
+        Only the sampled docs are re-shingled — a full recompute per
+        check is what the index exists to avoid. Returns
+        {"docs_store", "docs_base", "stale", "missing", "checked",
+        "mismatched", "ok"}.
+        """
+        meta = self._meta()
+        idc = meta["id_col"]
+        base_ids = docs.select(F.col(idc).alias("doc_id")).distinct()
+        store_docs = self._store_docs()
+        store_ids = store_docs.select("doc_id").distinct()
+        stale = store_ids.join(base_ids, "doc_id", "left_anti").count()
+        missing = base_ids.join(store_ids, "doc_id", "left_anti").count()
+
+        shared = store_ids.join(base_ids, "doc_id")
+        if sample is not None:
+            rank = F.md5(F.concat(F.lit(salt), F.lit(":"),
+                                  F.col("doc_id").cast("string")))
+            shared = shared.orderBy(rank, "doc_id").limit(sample)
+        shared = shared.localCheckpoint(eager=True)  # pin the sample
+        checked = shared.count()
+        mismatched = 0
+        if checked:
+            picked = docs.join(shared.withColumnRenamed("doc_id", idc), idc)
+            d, banded = _banded_docs(picked, idc, meta["text_col"],
+                                     meta["n"], meta["num_hashes"],
+                                     meta["bands"], persist=True)
+            rec_sets = d.select(F.col(idc).alias("doc_id"),
+                                F.array_sort(F.array_distinct("hset"))
+                                .alias("__rh"))
+            st_sets = (store_docs.join(shared, "doc_id")
+                       .select("doc_id",
+                               F.array_sort("hset").alias("__sh")))
+            bad_sets = (st_sets.join(rec_sets, "doc_id", "full_outer")
+                        .filter(F.col("__sh").isNull()
+                                | F.col("__rh").isNull()
+                                | (F.col("__sh") != F.col("__rh")))
+                        .count())
+            rec_bands = (banded.withColumnRenamed(idc, "doc_id")
+                         .select("doc_id", "band_idx",
+                                 F.col("band_key").alias("__rk")))
+            st_bands = (self._store_bands().join(shared, "doc_id")
+                        .select("doc_id", "band_idx",
+                                F.col("band_key").alias("__sk")))
+            bad_bands = (st_bands.join(rec_bands, ["doc_id", "band_idx"],
+                                       "full_outer")
+                         .filter(F.col("__sk").isNull()
+                                 | F.col("__rk").isNull()
+                                 | (F.col("__sk") != F.col("__rk")))
+                         .select("doc_id").distinct().count())
+            d.unpersist()
+            mismatched = max(bad_sets, bad_bands)
+        return {"docs_store": store_ids.count(),
+                "docs_base": base_ids.count(),
+                "stale": stale, "missing": missing,
+                "checked": checked, "mismatched": mismatched,
+                "ok": stale == 0 and missing == 0 and mismatched == 0}
+
+    def resync(self, docs: DataFrame) -> dict:
+        """Re-sync after a corpus rewrite WITHOUT re-shingling history:
+        stale entries (base doc gone) are dropped by rewriting the two
+        store tables filtered to surviving ids — a narrow columnar
+        rewrite, no text touched — and missing base docs are shingled
+        and appended (only THEY pay signature cost). Returns the
+        before/after counts. Mutates the store; concurrent probes must
+        be quiesced (same contract as append)."""
+        meta = self._meta()
+        idc = meta["id_col"]
+        base_ids = docs.select(F.col(idc).alias("doc_id")).distinct()
+        store_docs = self._store_docs()
+        stale_ids = (store_docs.select("doc_id").distinct()
+                     .join(base_ids, "doc_id", "left_anti")
+                     .localCheckpoint(eager=True))
+        n_stale = stale_ids.count()
+        if n_stale:
+            kept_docs = (store_docs.join(stale_ids, "doc_id", "left_anti")
+                         .localCheckpoint(eager=True))
+            kept_bands = (self._store_bands()
+                          .join(stale_ids, "doc_id", "left_anti")
+                          .localCheckpoint(eager=True))
+            kept_docs.write.mode("overwrite").parquet(
+                os.path.join(self.path, "docs"))
+            (kept_bands.write.mode("overwrite").partitionBy("band_idx")
+             .parquet(os.path.join(self.path, "bands")))
+        missing = (base_ids.join(self._store_docs().select("doc_id"),
+                                 "doc_id", "left_anti")
+                   .withColumnRenamed("doc_id", idc))
+        n_missing = missing.count()
+        if n_missing:
+            fresh = docs.join(missing, idc)
+            d, banded = _banded_docs(fresh, idc, meta["text_col"],
+                                     meta["n"], meta["num_hashes"],
+                                     meta["bands"], persist=True)
+            (banded.withColumnRenamed(idc, "doc_id")
+             .write.mode("append").partitionBy("band_idx")
+             .parquet(os.path.join(self.path, "bands")))
+            (d.select(F.col(idc).alias("doc_id"),
+                      F.array_distinct("hset").alias("hset"))
+             .write.mode("append").parquet(os.path.join(self.path, "docs")))
+            d.unpersist()
+        return {"dropped_stale": n_stale, "indexed_missing": n_missing}
+
     # ------------------------------------------------------------ streaming
 
     def for_each_batch(self, threshold: float = 0.3,

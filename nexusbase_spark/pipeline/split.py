@@ -279,6 +279,10 @@ def budget_select(df: DataFrame, score_col: str, cost_col: str, budget: int,
     """
     from pyspark.sql import Window
 
+    # NULL scores are excluded up front (mirroring weighted_sample_k's
+    # null/<=0 exclusion): a null score would produce a null __bin and a
+    # driver-side TypeError negating None in the bin sort (ADVICE r3).
+    df = df.filter(F.col(score_col).isNotNull())
     sc = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0 - 1e-9))
     d = df.withColumn("__bin", F.floor(sc * bins).cast("long"))
     bin_rows = sorted(

@@ -113,6 +113,99 @@ class VectorIndex:
         with open(os.path.join(self.path, "meta.json")) as f:
             return json.load(f)
 
+    # ---------------------------------------------------------------- audit
+
+    def verify(self, df: DataFrame, sample: int | None = None,
+               salt: str = "verify-v1") -> dict:
+        """Consistency audit against the base embedding table (the
+        ``verify_rollup`` treatment for the vector store): a retention
+        sweep or corpus rewrite must not leave the index serving deleted
+        or drifted vectors. Checks:
+
+        - ``stale``: ids in the index with no base row;
+        - ``missing``: base ids the index never absorbed;
+        - ``mismatched``: for a deterministic salted-md5 ``sample`` of
+          shared ids, the stored vector must EQUAL the base vector and
+          its stored cluster must equal ``assign_to`` under the CURRENT
+          centroids (a drifted vector in the wrong partition silently
+          corrupts pruned search).
+
+        Returns {"n_store", "n_base", "stale", "missing", "checked",
+        "mismatched", "ok"}."""
+        meta = self._meta()
+        idc, vc = meta["id_col"], meta["vec_col"]
+        vecs = self.spark.read.parquet(os.path.join(self.path, "vectors"))
+        base_ids = df.select(F.col(idc).alias("__id")).distinct()
+        store_ids = vecs.select(F.col(idc).alias("__id")).distinct()
+        stale = store_ids.join(base_ids, "__id", "left_anti").count()
+        missing = base_ids.join(store_ids, "__id", "left_anti").count()
+
+        shared = store_ids.join(base_ids, "__id")
+        if sample is not None:
+            rank = F.md5(F.concat(F.lit(salt), F.lit(":"),
+                                  F.col("__id").cast("string")))
+            shared = shared.orderBy(rank, "__id").limit(sample)
+        shared = shared.localCheckpoint(eager=True)
+        checked = shared.count()
+        mismatched = 0
+        if checked:
+            st = (vecs.join(shared, vecs[idc] == shared["__id"])
+                  .select(F.col(idc).alias("__id"),
+                          F.col(vc).alias("__sv"),
+                          F.col("cluster").alias("__sc")))
+            bs = (self.assign_to(df.join(
+                      shared.withColumnRenamed("__id", idc), idc), vc)
+                  .select(F.col(idc).alias("__id"),
+                          F.col(vc).alias("__bv"),
+                          F.col("cluster").alias("__bc")))
+            mismatched = (st.join(bs, "__id", "full_outer")
+                          .filter(F.col("__sv").isNull()
+                                  | F.col("__bv").isNull()
+                                  | (F.col("__sv") != F.col("__bv"))
+                                  | (F.col("__sc") != F.col("__bc")))
+                          .count())
+        return {"n_store": store_ids.count(), "n_base": base_ids.count(),
+                "stale": stale, "missing": missing, "checked": checked,
+                "mismatched": mismatched,
+                "ok": stale == 0 and missing == 0 and mismatched == 0}
+
+    def resync(self, df: DataFrame) -> dict:
+        """Re-sync after a corpus rewrite without retraining: stale rows
+        are dropped by rewriting the vector store (narrow columnar
+        rewrite), missing base vectors are assigned to the EXISTING
+        centroids and appended under their cluster partitions. The
+        quantizer is untouched — retrain (``build``) when ``verify``
+        mismatches grow or the assignment distribution drifts. Returns
+        {"dropped_stale", "assigned_missing"}."""
+        meta = self._meta()
+        idc, vc = meta["id_col"], meta["vec_col"]
+        vdir = os.path.join(self.path, "vectors")
+        vecs = self.spark.read.parquet(vdir)
+        base_ids = df.select(F.col(idc).alias("__id")).distinct()
+        stale_ids = (vecs.select(F.col(idc).alias("__id")).distinct()
+                     .join(base_ids, "__id", "left_anti")
+                     .localCheckpoint(eager=True))
+        n_stale = stale_ids.count()
+        if n_stale:
+            kept = (vecs.join(stale_ids, vecs[idc] == stale_ids["__id"],
+                              "left_anti")
+                    .localCheckpoint(eager=True))
+            (kept.write.mode("overwrite").partitionBy("cluster")
+             .parquet(vdir))
+        missing = (base_ids.join(
+            self.spark.read.parquet(vdir).select(
+                F.col(idc).alias("__id")).distinct(),
+            "__id", "left_anti").withColumnRenamed("__id", idc))
+        n_missing = missing.count()
+        if n_missing:
+            fresh = self.assign_to(df.join(missing, idc), vc)
+            (fresh.select(idc, vc, "cluster")
+             .write.mode("append").partitionBy("cluster").parquet(vdir))
+        meta["n_vectors"] = self.spark.read.parquet(vdir).count()
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return {"dropped_stale": n_stale, "assigned_missing": n_missing}
+
     # ----------------------------------------------------------- incremental
 
     def assign_to(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:

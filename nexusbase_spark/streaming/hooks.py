@@ -68,8 +68,13 @@ class HookBus:
     """Listener registry keyed by event name, with the reference's
     priority + sync/async dispatch contract (hooks/hooks.go:541-648):
 
-    - listeners are invoked in PRIORITY order (lower first, stable within
-      a priority — Register keeps the slice sorted, hooks.go:569-586);
+    - listeners are invoked in PRIORITY order, lower first. Within equal
+      priority this implementation is FIFO-stable (registration order),
+      an INTENTIONAL divergence from the reference: hooks.go Register
+      (:569-586) uses sort.Search with >= and inserts a new equal-priority
+      listener BEFORE existing ones (LIFO among equals). FIFO is the
+      saner contract — "registered first, runs first" — and no reference
+      test depends on the LIFO quirk (ADVICE r3);
     - pre_* hooks are ALWAYS synchronous so a raising listener can cancel
       the operation (an ``is_async`` request on a pre-hook is honored
       sync, mirroring the reference's warn-and-run-sync at :612-619);

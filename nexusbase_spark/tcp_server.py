@@ -316,19 +316,33 @@ class NBQLClient:
     def push_bulk(self, points: list, chunk_size: int | None = None) -> int:
         """Bulk push: each point is {'metric', 'fields', optional
         'timestamp'/'tags'} — the reference client's push_bulk shape.
-        Returns the number of points pushed."""
+        Sends are PIPELINED within a chunk: all ``chunk_size`` PUSHS
+        frames are written before any response is read, so ``chunk_size``
+        bounds the frames in flight (ADVICE r3: the previous version
+        awaited each response before the next send, making the parameter
+        a no-op). Returns the number of points pushed; raises on the
+        first server error after draining that chunk's responses."""
         for p in points:
             if not isinstance(p, dict) or "metric" not in p or "fields" not in p:
                 raise ValueError(f"point needs 'metric' and 'fields': {p!r}")
         n = 0
-        size = chunk_size or len(points)
-        for i in range(0, len(points), max(size, 1)):
-            for p in points[i:i + size]:
+        size = max(chunk_size or len(points), 1)
+        for i in range(0, len(points), size):
+            chunk = points[i:i + size]
+            for p in chunk:
                 stmt, params = self._push_statement(
                     p["metric"], p["fields"], p.get("timestamp"),
                     p.get("tags"), batch=True)
-                self.push(stmt, *params)
-                n += 1
+                write_frame(self.sock, CMD_PUSH,
+                            self._statement(stmt, params).encode())
+            err = None
+            for _ in chunk:  # drain the chunk's responses in order
+                cmd, payload = read_frame(self.sock)
+                if cmd == RESP_ERROR and err is None:
+                    err = json.loads(payload)["error"]
+            if err is not None:
+                raise RuntimeError(err)
+            n += len(chunk)
         return n
 
     def close(self) -> None:

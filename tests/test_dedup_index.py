@@ -141,3 +141,46 @@ def test_streaming_ingest_dedup(spark, tmp_path):
     assert (61, 52) in dropped
     ids = {r["doc_id"] for r in idx._store_docs().collect()}
     assert 52 in ids and 51 not in ids and 61 not in ids
+
+
+def test_verify_clean_then_stale_then_resync(spark, tmp_path):
+    """verify() is green right after build; deleting base docs flags
+    them stale (and a never-indexed doc flags missing); resync() drops
+    the stale entries and absorbs the missing doc WITHOUT re-shingling
+    history, after which verify() is green again and probes no longer
+    match the deleted doc."""
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"), _corpus(spark, BASE))
+    rep = idx.verify(_corpus(spark, BASE))
+    assert rep["ok"] and rep["stale"] == 0 and rep["missing"] == 0
+    assert rep["checked"] == 4 and rep["mismatched"] == 0
+
+    # retention event: doc 1 deleted from the corpus, doc 9 newly arrived
+    survivors = [r for r in BASE if r[0] != 1] + [
+        (9, "a brand new document about parquet band buckets and spark")]
+    rep = idx.verify(_corpus(spark, survivors))
+    assert not rep["ok"] and rep["stale"] == 1 and rep["missing"] == 1
+
+    out = idx.resync(_corpus(spark, survivors))
+    assert out == {"dropped_stale": 1, "indexed_missing": 1}
+    rep = idx.verify(_corpus(spark, survivors))
+    assert rep["ok"] and rep["docs_store"] == 4
+
+    # a probe that would have matched the deleted doc 1 now finds nothing
+    probe = _corpus(spark, [(100,
+        "the quick brown fox jumps over the lazy dog again and again")])
+    assert idx.probe(probe, threshold=0.5).count() == 0
+
+
+def test_verify_detects_corrupted_signature(spark, tmp_path):
+    """A text rewrite the index never saw (same doc_id, new content —
+    the compact()-rewrote-the-corpus case) surfaces as mismatched, even
+    though id sets agree."""
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"), _corpus(spark, BASE))
+    mutated = [(1, "entirely different text after an in-place rewrite"),
+               *BASE[1:]]
+    rep = idx.verify(_corpus(spark, mutated))
+    assert rep["stale"] == 0 and rep["missing"] == 0
+    assert rep["mismatched"] == 1 and not rep["ok"]
+    # sampled audit: sample=2 checks exactly 2 docs deterministically
+    rep2 = idx.verify(_corpus(spark, mutated), sample=2)
+    assert rep2["checked"] == 2

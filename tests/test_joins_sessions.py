@@ -236,3 +236,11 @@ def test_ewma_level_fold_order_and_seed(spark):
     assert got["a"] == (3, pytest.approx(0.3 * 40 + 0.7 * (0.3 * 20 + 0.7 * 10),
                                          abs=1e-12))
     assert got["b"] == (1, 7.5)
+
+    # NULL values are dropped before the fold: n matches the points
+    # actually folded and one null cannot NaN the whole EWMA (ADVICE r3)
+    rows_n = [("a", 1, 0, 10.0), ("a", 2, 1, None), ("a", 3, 2, 40.0)]
+    dfn = spark.createDataFrame(rows_n, "k string, ts long, seq long, value double")
+    got_n = {r["k"]: (r["n"], r["ewma"])
+             for r in ewma_level(dfn, ["k"], 0.3).collect()}
+    assert got_n["a"] == (2, pytest.approx(0.3 * 40 + 0.7 * 10, abs=1e-12))

@@ -180,6 +180,28 @@ def test_emit_empty_windows(engine):
     assert rows[2]["sum_latency_ms"] == 50.0
 
 
+def test_fill_value_gates_on_empty_window_not_nan_data(spark, tmp_path_factory):
+    """FILL <const> fills only EMPTY windows (the grid-join absence
+    marker). A window whose aggregate is NaN because its DATA was NaN —
+    the downsampler deliberately keeps NaN — is NOT overwritten
+    (ADVICE r3: the old isnan gate clobbered those too)."""
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("fillv_wh")))
+    base = 1_700_000_040 * 1_000_000_000
+    eng.put_batch([
+        ("m.fillv", {"h": "a"}, {"v": float("nan")}, base),        # NaN-data window
+        ("m.fillv", {"h": "a"}, {"v": 5.0}, base + 2 * MIN),       # observed window
+    ])
+    start = base - (base % MIN)
+    df = eng.execute(
+        f"QUERY m.fillv FROM {start} TO {start + 3 * MIN} "
+        "AGGREGATE BY 1m (avg(v)) EMIT EMPTY WINDOWS FILL -1.0")
+    rows = sorted(df.collect(), key=lambda r: r["window_start"])
+    assert len(rows) == 3
+    assert math.isnan(rows[0]["avg_v"])      # NaN data stays NaN
+    assert rows[1]["avg_v"] == -1.0          # genuinely empty -> const
+    assert rows[2]["avg_v"] == 5.0
+
+
 def test_emit_empty_series_grid_is_range_independent(engine):
     """Series resolve through the tag index (range-INDEPENDENT): a series
     whose points all fall OUTSIDE [start, end] still emits its empty

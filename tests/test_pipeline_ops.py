@@ -623,3 +623,11 @@ def test_budget_select_semantics(spark):
     again = {r["id"] for r in
              budget_select(df.repartition(7), "score", "cost", 150, "id").collect()}
     assert again == ids
+
+    # NULL scores are excluded, never crash the driver-side bin sort
+    # (ADVICE r3: null -> null __bin -> TypeError negating None)
+    with_null = df.unionByName(spark.createDataFrame(
+        [(999, None, 10)], "id long, score double, cost long"))
+    sel2 = {r["id"] for r in
+            budget_select(with_null, "score", "cost", 150, "id").collect()}
+    assert 999 not in sel2 and sel2 == ids

@@ -148,3 +148,21 @@ def test_client_convenience_surface(tcp):
         assert rows[0]["fields"]["mode"] == "sys"
         with pytest.raises(ValueError, match="metric"):
             c.push_bulk([{"fields": {"value": 1.0}}])
+        # pipelined multi-point chunk: all frames of a chunk are written
+        # before responses are read (ADVICE r3 — chunk_size was a no-op);
+        # all points land and the wire stays in sync for the next query
+        n = c.push_bulk(
+            [{"metric": "cli.bulk", "fields": {"value": float(i)},
+              "timestamp": 1_000 * (i + 1)} for i in range(5)],
+            chunk_size=3)
+        assert n == 5
+        rows, end = c.query("QUERY cli.bulk FROM 0 TO 10000")
+        assert end["total_rows"] == 5
+        # a bad statement inside a chunk raises after the chunk drains,
+        # and the connection remains usable
+        with pytest.raises(RuntimeError):
+            c.push_bulk(
+                [{"metric": "cli.bulk", "fields": {"value": 1.0}},
+                 {"metric": "", "fields": {"value": 2.0}}], chunk_size=2)
+        rows, end = c.query("QUERY cli.bulk FROM 0 TO 10000")
+        assert end["total_rows"] >= 5

@@ -58,3 +58,36 @@ def test_index_incremental_assign(spark, corpus, index):
     base = index.assign_to(
         corpus.filter("vec_id = 0")).collect()[0]
     assert got["cluster"] == base["cluster"]
+
+
+def test_verify_and_resync_after_corpus_rewrite(spark, corpus, tmp_path_factory):
+    """verify() green after build; a retention rewrite (drop some ids,
+    add new ones) flags stale+missing; resync() drops/assigns without
+    retraining and verify() is green again with search excluding the
+    deleted ids."""
+    from pyspark.sql import functions as F
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+    path = str(tmp_path_factory.mktemp("vecidx_sync"))
+    idx = VectorIndex.build(spark, path, corpus, nlist=4, iters=3)
+    rep = idx.verify(corpus)
+    assert rep["ok"] and rep["checked"] == corpus.count()
+
+    # drop vec_ids 0..7, add two new vectors near axis 0
+    new = spark.createDataFrame(
+        [(1000, [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.1]),
+         (1001, [9.5, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    base2 = corpus.filter(F.col("vec_id") >= 8).unionByName(new)
+    rep = idx.verify(base2)
+    assert not rep["ok"] and rep["stale"] == 8 and rep["missing"] == 2
+
+    out = idx.resync(base2)
+    assert out == {"dropped_stale": 8, "assigned_missing": 2}
+    rep = idx.verify(base2, sample=50)
+    assert rep["ok"] and rep["checked"] == 50
+    assert idx._meta()["n_vectors"] == base2.count()
+
+    got = {r["vec_id"] for r in
+           idx.search([10.0, 0, 0, 0, 0, 0, 0, 0], k=3, nprobe=1).collect()}
+    assert 1000 in got or 1001 in got
+    assert not any(v < 8 for v in got)
