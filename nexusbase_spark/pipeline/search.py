@@ -104,3 +104,164 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
     return (scored.select(id_col, q)
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+class CorpusStats:
+    """Incrementally-maintained BM25 corpus statistics — the streaming
+    composition of ``bm25_scores``'s one-row aggregate (VERDICT r3 next
+    #8): under continuous ingest the N/avgdl/df statistics are kept
+    current by folding each document micro-batch into a persistent
+    store, so retrieval never pays a full-corpus recompute.
+
+    Store layout (all mergeable, append-only between compactions):
+
+        <path>/globals/   delta rows (n_docs, sum_dl) — one per batch;
+                          readers SUM them (count-sketch-free exact merge)
+        <path>/df/        delta rows (token, df) — per-batch distinct-doc
+                          counts per token; readers sum per token
+
+    Scale shape: an update appends O(batch vocabulary) narrow rows and
+    never rewrites history; a lookup reads the globals (tiny) plus the
+    df table FILTERED to the query terms — a pushed-down predicate on a
+    token-sorted parquet, touching a few row groups, not the vocabulary.
+    ``compact()`` folds the deltas into one aggregated layer (token-sorted
+    for row-group pruning) when the delta count grows. This is the same
+    delta + compact + pushdown-lookup pattern as the engine's rollups.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ---------------------------------------------------------------- build
+
+    @classmethod
+    def build(cls, spark, path: str, docs: DataFrame, *,
+              text_col: str = "text", id_col: str = "doc_id") -> "CorpusStats":
+        import json
+        import os
+        os.makedirs(path, exist_ok=True)
+        st = cls(spark, path)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"text_col": text_col, "id_col": id_col}, f)
+        # seed with empty globals so a lookup before any update is defined
+        spark.createDataFrame([(0, 0)], "n_docs long, sum_dl long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "globals"))
+        spark.createDataFrame([], "token string, df long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "df"))
+        if docs is not None and docs.head(1):
+            st.update(docs)
+        return st
+
+    def _meta(self) -> dict:
+        import json
+        import os
+        with open(os.path.join(self.path, "meta.json")) as f:
+            return json.load(f)
+
+    # --------------------------------------------------------------- update
+
+    def update(self, batch: DataFrame) -> None:
+        """Fold one document batch into the store: one narrow pass for
+        (n_docs, sum_dl), one distinct-token explode for df deltas.
+        Append-only — never reads or rewrites existing stats."""
+        import os
+        meta = self._meta()
+        toks = tokens_col(F.col(meta["text_col"]))
+        d = batch.select(F.col(meta["id_col"]).alias("__id"),
+                         F.array_distinct(toks).alias("__t"),
+                         F.size(toks).alias("__dl"))
+        d = d.localCheckpoint(eager=True)  # one tokenize, two consumers
+        (d.agg(F.count(F.lit(1)).alias("n_docs"),
+               F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"))
+         .coalesce(1).write.mode("append")
+         .parquet(os.path.join(self.path, "globals")))
+        (d.select(F.explode("__t").alias("token"))
+         .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+         .sortWithinPartitions("token")
+         .write.mode("append").parquet(os.path.join(self.path, "df")))
+
+    def compact(self) -> None:
+        """Fold the delta layers into one: globals to a single row, df to
+        one token-aggregated, token-sorted layer (row-group pruning for
+        term lookups)."""
+        import os
+        g = (self.spark.read.parquet(os.path.join(self.path, "globals"))
+             .agg(F.sum("n_docs").alias("n_docs"),
+                  F.sum("sum_dl").alias("sum_dl"))
+             .localCheckpoint(eager=True))
+        df_t = (self.spark.read.parquet(os.path.join(self.path, "df"))
+                .groupBy("token").agg(F.sum("df").alias("df"))
+                .sortWithinPartitions("token")
+                .localCheckpoint(eager=True))
+        g.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, "globals"))
+        df_t.write.mode("overwrite").parquet(os.path.join(self.path, "df"))
+
+    # --------------------------------------------------------------- lookup
+
+    def lookup(self, query_terms: list[str]) -> tuple[int, float, list[int]]:
+        """(n_docs, avgdl, df per term). Globals sum a handful of delta
+        rows; term dfs come from a pushed-down IN-filter over the df
+        table — k terms, a few row groups, never the vocabulary."""
+        import os
+        g = (self.spark.read.parquet(os.path.join(self.path, "globals"))
+             .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+             .collect()[0])
+        n_docs = int(g["n"] or 0)
+        avgdl = (float(g["s"]) / n_docs) if n_docs else 0.0
+        rows = (self.spark.read.parquet(os.path.join(self.path, "df"))
+                .filter(F.col("token").isin(list(query_terms)))
+                .groupBy("token").agg(F.sum("df").alias("df"))
+                .collect())
+        by_tok = {r["token"]: int(r["df"]) for r in rows}
+        return n_docs, avgdl, [by_tok.get(t, 0) for t in query_terms]
+
+    # ------------------------------------------------------------ streaming
+
+    def for_each_batch(self):
+        """Structured-Streaming sink: fold each micro-batch of documents
+        into the stats store (state = the parquet store, restart-safe,
+        shared with batch readers — same pattern as
+        ``DedupIndex.for_each_batch``)."""
+        def run(batch: DataFrame, batch_id: int) -> None:
+            if batch.head(1):
+                self.update(batch)
+        return run
+
+
+def bm25_topk_served(df: DataFrame, stats: CorpusStats,
+                     query_terms: list[str], k: int = 10, *,
+                     k1: float = 1.2, b: float = 0.75,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k BM25 retrieval SERVED from a ``CorpusStats`` store: the
+    N/avgdl/df aggregate is a driver-side constant lookup (no corpus
+    pass for statistics) and the only scan of ``df`` is the scoring
+    pass itself. With stats maintained by the ingest stream this is the
+    continuously-correct retrieval path. Identical scoring arithmetic
+    and rank-stable quantization as ``bm25_topk``."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    n_docs, avgdl, dfs = stats.lookup(query_terms)
+    toks = tokens_col(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log((F.lit(float(n_docs)) - dfs[i] + 0.5)
+                    / (dfs[i] + 0.5) + 1.0)
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        return idf * tf * (k1 + 1.0) / denom
+
+    score = reduce(lambda acc, i: acc + contrib(i),
+                   range(1, len(query_terms)), contrib(0))
+    q = (F.floor(score * 1e4 + F.lit(0.5)) / 1e4).alias("score")
+    return (scored.select(id_col, q)
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

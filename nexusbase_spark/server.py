@@ -71,6 +71,66 @@ def execute_to_json(engine: NexusEngine, query: str, params=()) -> dict:
     return body
 
 
+_QUERY_PAGE = """<!doctype html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>NBQL Query</title>
+<style>
+  body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 60rem; }
+  textarea { width: 100%; height: 6rem; font-family: monospace; }
+  button { margin: .5rem 0; padding: .4rem 1.2rem; }
+  table { border-collapse: collapse; margin-top: 1rem; width: 100%; }
+  th, td { border: 1px solid #999; padding: .25rem .5rem; font-family: monospace;
+           font-size: .85rem; overflow-wrap: anywhere; }
+  #err { color: #b00; white-space: pre-wrap; }
+</style>
+</head>
+<body>
+<h1>NBQL Query</h1>
+<textarea id="q" placeholder="QUERY cpu.usage FROM 0 TO 2000000000000000000 LIMIT 10"></textarea>
+<br><button id="run">Run Query</button>
+<div id="err"></div>
+<div id="out"></div>
+<script>
+const run = document.getElementById('run');
+run.addEventListener('click', async () => {
+  const errEl = document.getElementById('err'), out = document.getElementById('out');
+  errEl.textContent = ''; out.innerHTML = ''; run.disabled = true;
+  try {
+    const r = await fetch('/query', {
+      method: 'POST',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify({query: document.getElementById('q').value}),
+    });
+    const body = await r.json();
+    if (!r.ok) { errEl.textContent = body.error || r.statusText; return; }
+    const rows = body.results || [];
+    if (!rows.length) { out.textContent = '(no rows)'; return; }
+    const cols = Object.keys(rows[0]);
+    const tbl = document.createElement('table');
+    const head = tbl.createTHead().insertRow();
+    for (const c of cols) {
+      const th = document.createElement('th'); th.textContent = c; head.appendChild(th);
+    }
+    const tb = tbl.createTBody();
+    for (const row of rows) {
+      const tr = tb.insertRow();
+      for (const c of cols) {
+        tr.insertCell().textContent =
+          typeof row[c] === 'object' ? JSON.stringify(row[c]) : String(row[c]);
+      }
+    }
+    out.appendChild(tbl);
+  } catch (e) { errEl.textContent = String(e); }
+  finally { run.disabled = false; }
+});
+</script>
+</body>
+</html>
+"""
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: NexusEngine   # set by serve()
     authenticator = None  # set by serve()
@@ -95,7 +155,21 @@ class _Handler(BaseHTTPRequestHandler):
         backlog, warehouse bytes/files, result-cache hit/miss, write
         amplification). The expvar/monitor surface of the reference
         (server/http_server.go:95-105, ui/memstats.html, ui/monitor.html)
-        as one JSON document. Requires reader role when auth is on."""
+        as one JSON document. Requires reader role when auth is on.
+
+        GET / (or /ui) — a minimal NBQL query page mirroring the
+        reference's ui/query.html flow (served at /query by
+        server/http_server.go:37): textarea + run button POSTing to this
+        server's /query endpoint, results rendered as a table. Original
+        markup; auth (when on) is enforced by the POST, not the page."""
+        if self.path in ("/", "/ui"):
+            data = _QUERY_PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
         if self.path != "/metrics":
             self._reply(404, {"error": "not found"})
             return

@@ -139,3 +139,22 @@ def test_http_auth_roles(spark, tmp_path_factory):
             assert resp.status == 200
     finally:
         srv.shutdown()
+
+
+def test_query_ui_page_served(http_engine):
+    """GET / (and /ui) serves the minimal query page (the reference's
+    ui/query.html surface at http_server.go:37): HTML with the textarea
+    and a POST flow targeting this server's /query endpoint."""
+    for path in ("/", "/ui"):
+        with urllib.request.urlopen(f"{http_engine}{path}") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            body = resp.read().decode()
+        assert "<textarea" in body and "fetch('/query'" in body
+        assert "NBQL" in body
+    # unknown paths still 404 as JSON
+    try:
+        urllib.request.urlopen(f"{http_engine}/nope")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -460,6 +460,79 @@ def test_bm25_topk_is_distributed_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_corpus_stats_incremental_equals_batch(spark, tmp_path):
+    """CorpusStats maintained by incremental update()s over three batches
+    serves EXACTLY the ranking the batch bm25_topk computes on the union
+    corpus — same ids, same quantized scores — and lookup() returns the
+    true N/avgdl/df. compact() folds the delta layers without changing
+    any answer."""
+    from nexusbase_spark.pipeline.search import (
+        CorpusStats, bm25_topk, bm25_topk_served)
+    batches = [
+        [(1, "cat dog cat"), (2, "dog bird")],
+        [(3, "fish fish fish bird"), (4, "cat fish dog")],
+        [(5, "bird bird cat dog fish")],
+    ]
+    schema = "doc_id long, text string"
+    st = CorpusStats.build(spark, str(tmp_path / "st"), None)
+    for b in batches:
+        st.update(spark.createDataFrame(b, schema))
+    union = spark.createDataFrame([r for b in batches for r in b], schema)
+
+    n, avgdl, dfs = st.lookup(["cat", "bird", "nosuch"])
+    assert n == 5 and avgdl == pytest.approx(17 / 5)
+    assert dfs == [3, 3, 0]
+
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk(union, ["cat", "bird"], k=5).collect()]
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk_served(union, st, ["cat", "bird"], k=5).collect()]
+    assert got == want
+
+    st.compact()
+    assert st.lookup(["cat", "bird", "nosuch"]) == (n, avgdl, dfs)
+    got2 = [(r["doc_id"], r["score"]) for r in
+            bm25_topk_served(union, st, ["cat", "bird"], k=5).collect()]
+    assert got2 == want
+
+
+def test_corpus_stats_streaming_sink(spark, tmp_path):
+    """CorpusStats.for_each_batch as a Structured Streaming sink: stats
+    stay current as document batches arrive; retrieval served from the
+    store matches the batch recompute on everything ingested so far."""
+    from nexusbase_spark.pipeline.search import (
+        CorpusStats, bm25_topk, bm25_topk_served)
+    from nexusbase_spark.streaming.subscribe import stream_ingest
+
+    schema = "doc_id long, text string"
+    st = CorpusStats.build(spark, str(tmp_path / "st"), None)
+    src = tmp_path / "doc_src"
+    src.mkdir()
+
+    def feed(rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+
+    q = (stream_ingest(spark, str(src), schema).writeStream
+         .queryName("t_corpus_stats").foreachBatch(st.for_each_batch())
+         .outputMode("append").start())
+    try:
+        feed([(1, "spark shuffles partitions"), (2, "parquet row groups")])
+        q.processAllAvailable()
+        feed([(3, "spark reads parquet fast"), (4, "row groups prune scans")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n, _avgdl, dfs = st.lookup(["spark", "parquet"])
+    assert n == 4 and dfs == [2, 2]
+    corpus = spark.read.parquet(str(src))
+    want = [(r["doc_id"], r["score"]) for r in
+            bm25_topk(corpus, ["spark", "parquet"], k=4).collect()]
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk_served(corpus, st, ["spark", "parquet"], k=4).collect()]
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # two-phase heavy hitters (pipeline/heavyhitters.py)
 
