@@ -1104,37 +1104,10 @@ class NexusEngine:
 
     def _restore_manifest(self, path: str) -> None:
         """Materialize a manifest snapshot: each file comes from the
-        nearest snapshot in the parent chain that stores it."""
-        import json
-        chain = []
-        cur: str | None = path
-        while cur is not None:
-            with open(os.path.join(cur, "manifest.json")) as f:
-                m = json.load(f)
-            chain.append((cur, m))
-            cur = m.get("parent")
-        top = chain[0][1]["files"]
-        catalog_incomplete = False
-        for rel in top:
-            src = None
-            for snap_path, m in chain:
-                entry = m["files"].get(rel)
-                if entry is not None and entry["stored"]:
-                    src = os.path.join(snap_path, rel)
-                    break
-            if src is None or not os.path.isfile(src):
-                # the catalog is derived state (rebuildable from points);
-                # a snapshot whose catalog files were pruned still restores
-                if rel.split(os.sep, 1)[0] == "catalog":
-                    catalog_incomplete = True
-                    continue
-                raise ValueError(f"snapshot chain is missing {rel!r}")
-            dst = os.path.join(self.warehouse, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copy2(src, dst)
-        if catalog_incomplete:  # drop the partial copy; restore() rebuilds
-            shutil.rmtree(os.path.join(self.warehouse, "catalog"),
-                          ignore_errors=True)
+        nearest snapshot in the parent chain that stores it (shared with
+        the restore-util CLI — nexusbase_spark/snapshots.py)."""
+        from nexusbase_spark.snapshots import restore_files
+        restore_files(path, self.warehouse, overwrite=True)
 
     def restore(self, path: str, overwrite: bool = False) -> None:
         have = any(os.path.isdir(os.path.join(self.warehouse, n))

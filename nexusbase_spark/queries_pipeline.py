@@ -1996,6 +1996,67 @@ def q_docs_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B)
 
 
+_CORPUS_STATS_CACHE: dict = {}
+
+
+def _bm25_oracle(limit: int = 10) -> str:
+    """The docs_bm25_topk oracle body, shared with the served variant —
+    both paths must equal the same full-corpus SQL recompute."""
+    t = _BM25_TERMS
+    per_term = "\n           + ".join(
+        f"ln((CAST(n_docs - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        f" * tf{i} * {_BM25_K1 + 1.0!r}"
+        f" / (tf{i} + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))"
+        for i in range(len(t)))
+    tf_cols = ",\n                 ".join(
+        f"len(list_filter(toks, x -> x = '{t[i]}')) AS tf{i}"
+        for i in range(len(t)))
+    df_cols = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(t)))
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, len(toks) AS dl,
+                 {tf_cols}
+          FROM t),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+                 {df_cols}
+          FROM s),
+    sc AS (SELECT doc_id, {per_term} AS score FROM s, g)
+    SELECT doc_id, floor(score * 1e4 + 0.5) / 1e4 AS score
+    FROM sc
+    ORDER BY floor(score * 1e4 + 0.5) / 1e4 DESC, doc_id
+    LIMIT {limit}
+"""
+
+
+@register("docs_bm25_served", _bm25_oracle(10))
+def q_docs_bm25_served(spark, sf_dir):
+    """BM25 top-10 SERVED from the incrementally-maintained CorpusStats
+    store (pipeline/search.py): the corpus is folded into the stats
+    store in TWO separate update() batches (exercising the delta-merge
+    path a continuously-ingesting pipeline uses), then retrieval reads
+    N/avgdl/df from the store — no full-corpus statistics pass at query
+    time. Must equal the one-shot batch recompute, which is exactly the
+    oracle (same SQL as docs_bm25_topk)."""
+    import tempfile
+
+    from nexusbase_spark.pipeline.search import CorpusStats, bm25_topk_served
+
+    docs = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _CORPUS_STATS_CACHE:
+        path = tempfile.mkdtemp(prefix="nexusbase_corpus_stats_")
+        st = CorpusStats.build(spark, path, None)
+        mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        st.update(docs.filter(F.col("doc_id") <= mid))
+        st.update(docs.filter(F.col("doc_id") > mid))
+        _CORPUS_STATS_CACHE[sf_dir] = st
+    st = _CORPUS_STATS_CACHE[sf_dir]
+    return bm25_topk_served(docs, st, list(_BM25_TERMS), k=10,
+                            k1=_BM25_K1, b=_BM25_B)
+
+
 @register("docs_heavy_hitter_bigrams", """
     WITH t AS (SELECT string_split(trim(lower(text)), ' ') AS t
                FROM documents),
