@@ -309,3 +309,35 @@ def budget_select(df: DataFrame, score_col: str, cost_col: str, budget: int,
                 .filter(F.col("__cum") <= remaining).drop("__cum"))
         out = out.unionByName(part)
     return out.drop("__bin")
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, epoch: int, num_shards: int,
+                  salt: str = "shuffle-v1") -> DataFrame:
+    """Deterministic per-epoch global shuffle into training shards:
+    -> original columns + (shard, pos). Every epoch gets a different but
+    REPRODUCIBLE permutation (the salted hash keys on epoch), which is
+    how shard writers give each pass over the corpus a fresh order
+    without ever materializing a global sort.
+
+    Scale shape: shard = hash prefix mod num_shards (one hash-partition
+    exchange, uniformly sized shards by construction), pos = rank within
+    the shard ordered by the hash (per-shard local sort — Spark's window
+    sort spills; no global ordering ever exists and none is needed,
+    because (shard, pos) IS the epoch order). Downstream the writer does
+    ``.repartition(num_shards, "shard").sortWithinPartitions("pos")`` and
+    streams each shard out in order.
+
+    DuckDB mirror: shard = CAST(('0x' || substring(md5(salt || ':' ||
+    epoch || ':' || id), 1, 15)) AS BIGINT) % num_shards; pos =
+    row_number() OVER (PARTITION BY shard ORDER BY md5(...), id).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.lit(str(epoch)),
+                          F.col(id_col).cast("string")))
+    d = df.withColumn("__h", h).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("__h"), 1, 15), 16, 10).cast("long")
+         % num_shards))
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return d.withColumn("pos", F.row_number().over(w)).drop("__h")

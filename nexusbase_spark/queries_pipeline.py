@@ -832,6 +832,32 @@ def q_docs_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang", "source")
 
 
+@register("docs_epoch_shuffle", """
+    WITH h AS (SELECT doc_id,
+                      md5('shuffle-v1:1:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents),
+    s AS (SELECT doc_id, hx,
+                 CAST(('0x' || substring(hx, 1, 15)) AS BIGINT) % 8 AS shard
+          FROM h)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+""")
+def q_docs_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-1 shuffle into 8 training shards: shard =
+    salted-hash bucket (one hash exchange, uniform shard sizes), pos =
+    rank within shard by the hash — a reproducible per-epoch permutation
+    with NO global sort anywhere (each shard orders locally; (shard,pos)
+    IS the epoch order a shard writer streams out). See
+    pipeline/split.epoch_shuffle."""
+    from nexusbase_spark.pipeline.split import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (epoch_shuffle(docs, "doc_id", epoch=1, num_shards=8)
+            .select("doc_id", "shard", F.col("pos").cast("long").alias("pos")))
+
+
 @register("docs_corpus_mix", """
     WITH per AS (
         SELECT source, count(*) AS n_docs,
@@ -1999,9 +2025,12 @@ def q_docs_bm25_topk(spark, sf_dir):
 _CORPUS_STATS_CACHE: dict = {}
 
 
-def _bm25_oracle(limit: int = 10) -> str:
-    """The docs_bm25_topk oracle body, shared with the served variant —
-    both paths must equal the same full-corpus SQL recompute."""
+def _bm25_oracle(limit: int = 10, match_only: bool = False) -> str:
+    """The docs_bm25_topk oracle body, shared with the served and
+    index-backed variants — every path must equal the same full-corpus
+    SQL recompute. ``match_only`` restricts candidates to docs containing
+    at least one query term (the inverted-index contract: non-matching
+    docs never enter the postings join)."""
     t = _BM25_TERMS
     per_term = "\n           + ".join(
         f"ln((CAST(n_docs - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
@@ -2023,7 +2052,9 @@ def _bm25_oracle(limit: int = 10) -> str:
     g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
                  {df_cols}
           FROM s),
-    sc AS (SELECT doc_id, {per_term} AS score FROM s, g)
+    sc AS (SELECT doc_id, {per_term} AS score FROM s, g
+           {"WHERE " + " + ".join(f"tf{i}" for i in range(len(t))) + " > 0"
+            if match_only else ""})
     SELECT doc_id, floor(score * 1e4 + 0.5) / 1e4 AS score
     FROM sc
     ORDER BY floor(score * 1e4 + 0.5) / 1e4 DESC, doc_id
@@ -2055,6 +2086,35 @@ def q_docs_bm25_served(spark, sf_dir):
     st = _CORPUS_STATS_CACHE[sf_dir]
     return bm25_topk_served(docs, st, list(_BM25_TERMS), k=10,
                             k1=_BM25_K1, b=_BM25_B)
+
+
+_INV_INDEX_CACHE: dict = {}
+
+
+@register("docs_bm25_indexed", _bm25_oracle(10, match_only=True))
+def q_docs_bm25_indexed(spark, sf_dir):
+    """BM25 top-10 through the MATERIALIZED InvertedIndex
+    (pipeline/invindex.py): the corpus is tokenized ONCE into a
+    bucket-partitioned postings store (built here incrementally — base
+    build + one append batch — the continuous-ingest shape); the query
+    reads only the query terms' buckets (directory pruning) and scores
+    only candidate documents. Oracle = the same BM25 SQL restricted to
+    docs matching at least one term (the postings-join contract; the
+    scan path's zero-score padding rows never enter an index)."""
+    import tempfile
+
+    from nexusbase_spark.pipeline.invindex import InvertedIndex
+
+    docs = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _INV_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="nexusbase_inv_ix_")
+        mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+        ix = InvertedIndex.build(spark, path,
+                                 docs.filter(F.col("doc_id") <= mid))
+        ix.append(docs.filter(F.col("doc_id") > mid))
+        _INV_INDEX_CACHE[sf_dir] = ix
+    ix = _INV_INDEX_CACHE[sf_dir]
+    return ix.search(list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B)
 
 
 @register("docs_heavy_hitter_bigrams", """

@@ -675,6 +675,32 @@ def test_epoch_repeat_copy_counts_and_stability(spark):
     assert all(big_counts[d] == len(by_doc[d]) for d in range(400))
 
 
+def test_epoch_shuffle_determinism_and_coverage(spark):
+    """(shard, pos) is a permutation: every doc appears once, positions
+    within a shard are 1..n_shard dense; the same epoch reproduces the
+    same assignment under any partitioning; a different epoch yields a
+    different order."""
+    from nexusbase_spark.pipeline.split import epoch_shuffle
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = epoch_shuffle(df, "doc_id", epoch=1, num_shards=4).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+
+    again = epoch_shuffle(df.repartition(7), "doc_id", epoch=1,
+                          num_shards=4).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == \
+        {(r["doc_id"], r["shard"], r["pos"]) for r in out}
+
+    e2 = epoch_shuffle(df, "doc_id", epoch=2, num_shards=4).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in e2} != \
+        {(r["doc_id"], r["shard"], r["pos"]) for r in out}
+
+
 def test_budget_select_semantics(spark):
     """Selection cost never exceeds the budget; higher-score bins are
     taken before lower ones; budget >= total selects everything; the
