@@ -72,3 +72,27 @@ def merges_df(spark: SparkSession, df: DataFrame, rounds: int = 3, *,
     rows = learn_merges(df, rounds, text_col=text_col)
     return spark.createDataFrame(
         rows, "round long, lhs string, rhs string, pair_count long")
+
+
+def encode_with_merges(df: DataFrame, merges: list[tuple[int, str, str, int]],
+                       *, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge table to the corpus — the tokenizer-APPLY
+    step that follows mining: -> (id, tokens array after all merges,
+    n_tokens). Merges apply in learned order (merge i+1 was mined on the
+    corpus with merges 1..i already fused; the nested replace reproduces
+    exactly that sequence).
+
+    Unlike mining, encoding is NOT iterative state: the k merges are
+    constants, so the whole chain is one narrow projection of k nested
+    ``replace`` calls inside a single whole-stage-codegen stage — no
+    actions, no checkpoints, no shuffle. At 100 TB this is a pure
+    map-side pass."""
+    s = F.concat(F.lit(" "),
+                 F.concat_ws("  ", tokens_col(F.col(text_col))),
+                 F.lit(" "))
+    for _rnd, l, r, _c in merges:
+        s = F.replace(s, F.lit(f" {l}  {r} "), F.lit(f" {l}_{r} "))
+    toks = F.split(F.trim(s), "  ")
+    return df.select(F.col(id_col), toks.alias("tokens"),
+                     F.size(toks).alias("n_tokens"))

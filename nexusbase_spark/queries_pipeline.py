@@ -2252,6 +2252,66 @@ def q_docs_bpe_merges(spark, sf_dir):
     return merges_df(spark, docs, rounds=3)
 
 
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Mine ``rounds`` merges in SQL (same chain as _bpe_oracle, with
+    doc_id threaded through), apply ALL of them, report per-doc token
+    stats after encoding."""
+    def pcount(src: str, dst: str) -> str:
+        return f"""
+    {dst} AS (SELECT pr, count(*) AS c FROM (
+         SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                i -> t[i] || chr(1) || t[i+1])) AS pr
+         FROM (SELECT string_split(trim(s), '  ') AS t FROM {src}))
+       GROUP BY pr)"""
+
+    def fuse(src: str, dst: str, m: str) -> str:
+        return f""",
+    {dst} AS (SELECT doc_id, replace(s,
+         ' ' || split_part((SELECT pr FROM {m}), chr(1), 1) || '  ' || split_part((SELECT pr FROM {m}), chr(1), 2) || ' ',
+         ' ' || split_part((SELECT pr FROM {m}), chr(1), 1) || '_' || split_part((SELECT pr FROM {m}), chr(1), 2) || ' ') AS s
+       FROM {src})"""
+
+    parts = ["""
+    WITH s0 AS (SELECT doc_id,
+            ' ' || array_to_string(string_split(trim(lower(text)), ' '), '  ') || ' ' AS s
+            FROM documents)"""]
+    for i in range(1, rounds + 1):
+        parts.append("," + pcount(f"s{i-1}", f"p{i}"))
+        parts.append(f""",
+    m{i} AS (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1)""")
+        parts.append(fuse(f"s{i-1}", f"s{i}", f"m{i}"))
+    return "".join(parts) + f"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(trim(s), '  '),
+                                x -> contains(x, '_'))) AS BIGINT) AS n_fused
+    FROM s{rounds}
+"""
+
+
+_BPE_MERGES_CACHE: dict = {}
+
+
+@register("docs_bpe_encode", _bpe_encode_oracle(3))
+def q_docs_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLY: encode every document with the first 3 mined BPE
+    merges (pipeline/bpe.encode_with_merges) and report per-doc token
+    counts after fusing. Mining is the iterative part; encoding is one
+    narrow whole-stage-codegen projection of constant replaces — the
+    pure map-side pass a 100 TB tokenization job is."""
+    from nexusbase_spark.pipeline.bpe import encode_with_merges, learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    if sf_dir not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[sf_dir] = learn_merges(docs, rounds=3)
+    enc = encode_with_merges(docs, _BPE_MERGES_CACHE[sf_dir])
+    fused = F.size(F.filter(F.col("tokens"),
+                            lambda x: x.contains("_")))
+    return enc.select("doc_id",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      fused.cast("long").alias("n_fused"))
+
+
 @register("docs_per_source_panel", """
     WITH r AS (
         SELECT source, doc_id,

@@ -617,6 +617,33 @@ def test_bpe_greedy_nonoverlap_and_fused_unit(spark):
     assert merges[1] == (2, "a_a", "a", 3)
 
 
+def test_bpe_encode_applies_merges_in_order(spark):
+    """encode_with_merges reproduces the mined fusion sequence: after 2
+    merges of 'a a a b' corpora, encoding yields the same token streams
+    the mining loop's internal state held — and a doc the miner never
+    saw encodes by the same rules."""
+    from nexusbase_spark.pipeline.bpe import encode_with_merges, learn_merges
+    df = spark.createDataFrame([(i, "a a a b") for i in range(3)],
+                               "doc_id long, text string")
+    merges = learn_merges(df, rounds=2)
+    # round 2 ties (a_a,a) with (a,b) at 3; (a,b) wins — the \x01 pair
+    # separator sorts below '_', so 'a\x01b' < 'a_a\x01a'
+    assert [(m[1], m[2]) for m in merges] == [("a", "a"), ("a", "b")]
+    enc = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in encode_with_merges(df, merges).collect()}
+    assert enc[0] == (["a_a", "a_b"], 2)
+    unseen = spark.createDataFrame([(9, "a a b a a a")],
+                                   "doc_id long, text string")
+    out = encode_with_merges(unseen, merges).collect()[0]
+    # merge1 fuses greedily first: 'a_a b a_a a' — merge2's ' a  b '
+    # pattern no longer matches (the lone 'a' fused), exactly the
+    # order-dependence BPE encoding must reproduce
+    assert out["tokens"] == ["a_a", "b", "a_a", "a"] and out["n_tokens"] == 4
+    # empty merge table = identity tokenization
+    out0 = encode_with_merges(unseen, []).collect()[0]
+    assert out0["tokens"] == ["a", "a", "b", "a", "a", "a"]
+
+
 def test_bpe_tiebreak_lexicographic(spark):
     from nexusbase_spark.pipeline.bpe import learn_merges
     df = spark.createDataFrame([(1, "z y"), (2, "b c")],
