@@ -95,11 +95,16 @@ class InvertedIndex:
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
 
     def _globals(self) -> tuple[int, float]:
-        g = (self.spark.read.parquet(os.path.join(self.path, "globals"))
-             .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-             .collect()[0])
-        n = int(g["n"] or 0)
-        return n, (float(g["s"]) / n if n else 0.0)
+        # cached per instance: serving reads this once, appends/resyncs
+        # invalidate (the globals delta table is tiny either way — the
+        # cache only saves the per-query job-submission latency)
+        if getattr(self, "_globals_cache", None) is None:
+            g = (self.spark.read.parquet(os.path.join(self.path, "globals"))
+                 .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+                 .collect()[0])
+            n = int(g["n"] or 0)
+            self._globals_cache = (n, (float(g["s"]) / n if n else 0.0))
+        return self._globals_cache
 
     # --------------------------------------------------------------- append
 
@@ -114,6 +119,7 @@ class InvertedIndex:
          .parquet(os.path.join(self.path, "postings")))
         glob.coalesce(1).write.mode("append").parquet(
             os.path.join(self.path, "globals"))
+        self._globals_cache = None
 
     # --------------------------------------------------------------- search
 
@@ -121,18 +127,20 @@ class InvertedIndex:
         """Pruned postings for ``terms``: bucket partition filter +
         token predicate (row-group min/max inside token-sorted files)."""
         meta = self._meta()
-        buckets = sorted({self._bucket_of(t, meta["n_buckets"])
-                          for t in terms})
+        buckets = self._buckets_of(terms, meta["n_buckets"])
         return (self._postings()
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("token").isin(list(terms))))
 
-    def _bucket_of(self, term: str, n_buckets: int) -> int:
-        # driver-side mirror of F.pmod(F.hash(token), n_buckets)
-        row = self.spark.range(1).select(
-            F.pmod(F.hash(F.lit(term)), F.lit(n_buckets)).alias("b")
-        ).collect()[0]
-        return int(row["b"])
+    def _buckets_of(self, terms: list[str], n_buckets: int) -> list[int]:
+        """Buckets for all terms in ONE local job (mirror of
+        F.pmod(F.hash(token), n_buckets) — the Murmur3 the writer used;
+        a 1-row-per-term local relation, no executor round trip)."""
+        rows = (self.spark.createDataFrame([(t,) for t in terms],
+                                           "token string")
+                .select(F.pmod(F.hash("token"), F.lit(n_buckets)).alias("b"))
+                .collect())
+        return sorted({int(r["b"]) for r in rows})
 
     def search(self, query_terms: list[str], k: int = 10, *,
                k1: float = 1.2, b: float = 0.75) -> DataFrame:
@@ -147,11 +155,15 @@ class InvertedIndex:
         candidate postings, TakeOrderedAndProject."""
         if not query_terms:
             raise ValueError("query_terms must be non-empty")
+        from pyspark.sql import Window
+
         n_docs, avgdl = self._globals()
         posts = self.term_postings(query_terms)
-        dfs = posts.groupBy("token").agg(
-            F.count(F.lit(1)).alias("__df"))
-        j = posts.join(F.broadcast(dfs), "token")
+        # per-term df via a window over the candidate postings — ONE
+        # pruned scan (an agg+broadcast-join would read it twice), and
+        # the only rows ever shuffled are the candidates themselves
+        j = posts.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         idf = F.log((F.lit(float(n_docs)) - F.col("__df") + 0.5)
                     / (F.col("__df") + 0.5) + 1.0)
         tf = F.col("tf").cast("double")
@@ -263,4 +275,5 @@ class InvertedIndex:
         n_missing = missing.count()
         if n_missing:
             self.append(docs.join(missing, idc))
+        self._globals_cache = None
         return {"dropped_stale": n_stale, "indexed_missing": n_missing}
