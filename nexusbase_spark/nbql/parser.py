@@ -431,6 +431,9 @@ def _parse_show(t: _Tokens) -> ShowStatement:
     if what == "ROLLUPS":
         # extension, paired with CREATE/REFRESH/QUERY ROLLUP
         return ShowStatement("rollups")
+    if what == "SNAPSHOTS":
+        # extension: the snapshot-util inventory over the wire
+        return ShowStatement("snapshots")
     if what == "STATS":
         # extension: per-metric warehouse statistics
         metric = None

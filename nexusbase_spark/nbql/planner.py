@@ -311,6 +311,23 @@ def plan_show(engine, s: ShowStatement) -> DataFrame:
         return engine.spark.createDataFrame(
             rows, "name string, metric string, interval_ns long, "
                   "aggregates string, last_seq long")
+    if s.what == "snapshots":
+        # extension: cmd/snapshot-util's inventory as a statement (the
+        # engine's snapshot base dir; file inspection only, no Spark job
+        # beyond the local relation)
+        import os as _os
+
+        from nexusbase_spark.snapshots import list_snapshots
+        rows = [(s_["id"], s_["type"], s_["created_at"],
+                 s_["stored_bytes"], s_["total_bytes"], s_["n_files"],
+                 s_["parent_id"])
+                for s_ in list_snapshots(
+                    _os.path.join(getattr(engine, "warehouse", ""),
+                                  "snapshots"))]
+        return engine.spark.createDataFrame(
+            rows, "id string, type string, created_at string, "
+                  "stored_bytes long, total_bytes long, n_files long, "
+                  "parent_id string")
     pts = engine.points()
     if s.what == "stats":
         # extension: live data statistics per metric — points (MVCC-

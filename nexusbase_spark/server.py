@@ -131,6 +131,48 @@ run.addEventListener('click', async () => {
 """
 
 
+_MONITOR_PAGE = """<!doctype html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>NexusBase Monitor</title>
+<style>
+  body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 44rem; }
+  table { border-collapse: collapse; width: 100%; }
+  th, td { border: 1px solid #999; padding: .25rem .6rem; font-family: monospace;
+           font-size: .85rem; text-align: left; }
+  #err { color: #b00; }
+</style>
+</head>
+<body>
+<h1>Engine monitor</h1>
+<p>Operational counters from <code>/metrics</code>, refreshed every 2s.</p>
+<div id="err"></div>
+<table id="t"></table>
+<script>
+async function tick() {
+  const errEl = document.getElementById('err'), t = document.getElementById('t');
+  try {
+    const r = await fetch('/metrics');
+    const m = await r.json();
+    if (!r.ok) { errEl.textContent = m.error || r.statusText; return; }
+    errEl.textContent = '';
+    t.innerHTML = '';
+    for (const k of Object.keys(m).sort()) {
+      const tr = t.insertRow();
+      tr.insertCell().textContent = k;
+      tr.insertCell().textContent =
+        typeof m[k] === 'object' ? JSON.stringify(m[k]) : String(m[k]);
+    }
+  } catch (e) { errEl.textContent = String(e); }
+}
+tick(); setInterval(tick, 2000);
+</script>
+</body>
+</html>
+"""
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: NexusEngine   # set by serve()
     authenticator = None  # set by serve()
@@ -160,10 +202,15 @@ class _Handler(BaseHTTPRequestHandler):
         GET / (or /ui) — a minimal NBQL query page mirroring the
         reference's ui/query.html flow (served at /query by
         server/http_server.go:37): textarea + run button POSTing to this
-        server's /query endpoint, results rendered as a table. Original
-        markup; auth (when on) is enforced by the POST, not the page."""
-        if self.path in ("/", "/ui"):
-            data = _QUERY_PAGE.encode()
+        server's /query endpoint, results rendered as a table.
+        GET /monitor — the ui/monitor.html / memstats.html analog: the
+        /metrics counters auto-refreshed into a table. Original markup;
+        auth (when on) is enforced by the JSON endpoints, not the
+        pages."""
+        pages = {"/": _QUERY_PAGE, "/ui": _QUERY_PAGE,
+                 "/monitor": _MONITOR_PAGE}
+        if self.path in pages:
+            data = pages[self.path].encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(data)))

@@ -79,7 +79,7 @@ def test_metrics_endpoint(http_engine):
     assert isinstance(m["tombstone_files"], dict)
     # unknown GET path is a 404
     try:
-        urllib.request.urlopen(f"{http_engine}/monitor")
+        urllib.request.urlopen(f"{http_engine}/metricz")
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
@@ -152,6 +152,11 @@ def test_query_ui_page_served(http_engine):
             body = resp.read().decode()
         assert "<textarea" in body and "fetch('/query'" in body
         assert "NBQL" in body
+    # /monitor serves the metrics page (ui/monitor.html analog)
+    with urllib.request.urlopen(f"{http_engine}/monitor") as resp:
+        assert resp.status == 200
+        body = resp.read().decode()
+    assert "fetch('/metrics')" in body and "Engine monitor" in body
     # unknown paths still 404 as JSON
     try:
         urllib.request.urlopen(f"{http_engine}/nope")

@@ -302,6 +302,13 @@ def test_snapshot_restore(engine):
     assert engine.execute("SHOW METRICS").count() == before + 1
     engine.execute(f"RESTORE FROM '{snap}' WITH OVERWRITE")
     assert engine.execute("SHOW METRICS").count() == before
+    # SHOW SNAPSHOTS extension: the snapshot-util inventory as a statement
+    inv = {r["id"]: r for r in engine.execute("SHOW SNAPSHOTS").collect()}
+    import os
+    assert os.path.basename(snap) in inv
+    row = inv[os.path.basename(snap)]
+    assert row["type"] == "full" and row["n_files"] > 0
+    assert row["stored_bytes"] == row["total_bytes"]
 
 
 def test_points_wide_typed_export(engine):
