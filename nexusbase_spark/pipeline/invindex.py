@@ -121,6 +121,17 @@ class InvertedIndex:
             os.path.join(self.path, "globals"))
         self._globals_cache = None
 
+    def for_each_batch(self):
+        """Structured-Streaming sink: fold each document micro-batch into
+        the postings store (state = the parquet store, restart-safe,
+        shared with batch readers — the same contract as
+        DedupIndex/CorpusStats.for_each_batch). Retrieval served from the
+        index stays current under continuous ingest."""
+        def run(batch: DataFrame, batch_id: int) -> None:
+            if batch.head(1):
+                self.append(batch)
+        return run
+
     # --------------------------------------------------------------- search
 
     def term_postings(self, terms: list[str]) -> DataFrame:

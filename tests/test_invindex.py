@@ -116,3 +116,37 @@ def test_empty_and_tokenless_docs(spark, tmp_path):
     assert n_docs == 1 and avgdl == 2.0
     rep = ix2.verify(nulldoc)
     assert rep["ok"] and rep["missing"] == 0
+
+
+def test_streaming_ingest_updates_index(spark, tmp_path):
+    """InvertedIndex.for_each_batch as a Structured Streaming sink:
+    retrieval served from the index matches the batch recompute over
+    everything ingested so far."""
+    from nexusbase_spark.pipeline.search import bm25_topk
+    from nexusbase_spark.streaming.subscribe import stream_ingest
+
+    ix = InvertedIndex.build(spark, str(tmp_path / "ix"),
+                             _df(spark, CORPUS[:2]))
+    src = tmp_path / "doc_src"
+    src.mkdir()
+
+    def feed(rows):
+        (spark.createDataFrame(rows, SCHEMA).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+
+    q = (stream_ingest(spark, str(src), SCHEMA).writeStream
+         .queryName("t_inv_ix").foreachBatch(ix.for_each_batch())
+         .outputMode("append").start())
+    try:
+        feed(CORPUS[2:4])
+        q.processAllAvailable()
+        feed(CORPUS[4:])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    terms = ["cat", "bird"]
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk(_df(spark, CORPUS), terms, k=6).collect()
+            if r["score"] > 0.0]
+    got = [(r["doc_id"], r["score"]) for r in ix.search(terms, k=6).collect()]
+    assert got == want

@@ -131,11 +131,18 @@ def main() -> None:
             acc(f"lsh nbits=8 hamming={hamming}",
                 recall(got100[:10], exact10), recall(got100, exact100))
 
-        for n_tables in (2, 4, 8):
+        # multi-table sweep across band widths (round-3 backlog #5):
+        # wider signatures (nbits up) shrink the scanned fraction per
+        # table ~2x per bit, and more tables L buy the recall back —
+        # the (nbits, hamming, L) surface IS the cost/recall dial
+        for nbits, hamming, n_tables in (
+                (8, 1, 2), (8, 1, 4), (8, 1, 8),
+                (12, 1, 4), (12, 1, 8), (12, 2, 8),
+                (16, 1, 8), (16, 2, 8)):
             got100 = [r["vec_id"] for r in
-                      lsh_topk(emb, vec, 100, nbits=8, hamming=1,
+                      lsh_topk(emb, vec, 100, nbits=nbits, hamming=hamming,
                                n_tables=n_tables, exclude_id=pid).collect()]
-            acc(f"lsh nbits=8 hamming=1 L={n_tables}",
+            acc(f"lsh nbits={nbits} hamming={hamming} L={n_tables}",
                 recall(got100[:10], exact10), recall(got100, exact100))
 
         got100 = [r["vec_id"] for r in
