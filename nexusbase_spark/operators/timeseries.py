@@ -209,3 +209,42 @@ def ewma_level(df: DataFrame, keys: list[str], alpha: float,
         F.element_at(F.col("__pts"), 1)["v"].cast("double"),
         lambda acc, x: F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * acc)
     return g.select(*keys, "n", ew.alias("ewma"))
+
+
+def seasonal_count_outliers(df, keys: list[str], ts_col: str = "ts",
+                            interval_ns: int = 3_600_000_000_000,
+                            season: int = 24,
+                            threshold: float = 2.0):
+    """Seasonal-profile anomaly detection on event VOLUME: bucket events
+    into ``interval_ns`` windows, learn a per-(keys, phase) baseline
+    (phase = bucket mod ``season`` — hour-of-day for hourly buckets),
+    and flag buckets whose count deviates more than ``threshold`` sample
+    standard deviations from their phase's mean. The volume-seasonality
+    companion of ``zscore_flag`` (value outliers): a traffic drop at
+    14:00 is an anomaly against other days' 14:00s, not against 03:00.
+
+    Output: keys..., bucket (window index), cnt, mu, z — alert-sized.
+    Only OBSERVED buckets participate (an entirely-empty bucket emits no
+    row and doesn't depress the baseline; grid-fill upstream via the
+    downsampler's EMIT EMPTY WINDOWS when zero-count hours must alarm).
+
+    Plan: one count aggregation to bucket granularity, then mean/stddev
+    as window functions over (keys, phase) — two exchanges, both over
+    bucket-count rows (one row per key-bucket, corpus size already
+    reduced away). Deterministic; z floor-quantized to 1e-4.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.floor(F.col(ts_col).cast("long") / F.lit(int(interval_ns)))
+    hourly = (df.groupBy(*keys, bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy(*keys, F.pmod(F.col("bucket"), F.lit(season)))
+    out = (hourly
+           .withColumn("mu", F.avg("cnt").over(w))
+           .withColumn("__sigma", F.stddev_samp(F.col("cnt").cast("double")).over(w))
+           .filter(F.col("__sigma") > 0)
+           .withColumn("z", F.floor((F.col("cnt") - F.col("mu"))
+                                    / F.col("__sigma") * 1e4 + F.lit(0.5)) / 1e4)
+           .filter(F.abs(F.col("z")) > threshold))
+    return out.select(*keys, "bucket", F.col("cnt").cast("long").alias("cnt"),
+                      F.round("mu", 4).alias("mu"), "z")

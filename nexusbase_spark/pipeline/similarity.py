@@ -320,3 +320,36 @@ def knn_classify(df: DataFrame, probes: DataFrame, k: int = 10,
     return (votes.withColumn("__r", F.row_number().over(w3))
             .filter(F.col("__r") == 1)
             .select("probe_id", F.col(label_col).alias("pred_label"), "votes"))
+
+
+def knn_graph(df: DataFrame, k: int = 3, part_col: str = "label",
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """k-nearest-neighbor GRAPH within partitions: for every vector, its
+    top-k cosine neighbors among vectors sharing ``part_col`` ->
+    (id, nbr, cosine, rank). The batch companion of the single-probe
+    top-k paths — kNN graphs feed semantic clustering, SemDeDup-style
+    pruning, and graph-based label propagation.
+
+    Scale shape: the pair space is PARTITION-LOCAL (the same bound as
+    semdedup_prune / embed_neardup_pairs — O(sum of cluster sizes
+    squared), never corpus squared; route through kmeans_assign first
+    when no natural partition exists), and the per-source ranking is a
+    window over those pairs. Cosines are floor-quantized to 1e-4 BEFORE
+    ranking so rank order is engine-stable; ties break on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    a = df.select(F.col(part_col).alias("__p"), F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("__va"))
+    b = df.select(F.col(part_col).alias("__p"), F.col(id_col).alias("nbr"),
+                  F.col(vec_col).alias("__vb"))
+    pairs = (a.join(b, "__p")
+             .filter(F.col("id") != F.col("nbr"))
+             .withColumn("cosine",
+                         F.floor(cosine_sim_expr(F.col("__va"), F.col("__vb"))
+                                 * 1e4 + F.lit(0.5)) / 1e4))
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
+                                         F.col("nbr"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "nbr", "cosine", F.col("rank").cast("long").alias("rank")))

@@ -1290,6 +1290,38 @@ def q_events_zscore_outliers(spark, sf_dir):
                     F.round("zscore", 4).alias("zscore")))
 
 
+@register("events_seasonal_volume_outliers", """
+    WITH h AS (
+        SELECT event_type AS metric,
+               CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS bucket,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    z AS (
+        SELECT metric, bucket, cnt,
+               avg(cnt) OVER w AS mu,
+               stddev_samp(cnt) OVER w AS sigma
+        FROM h
+        WINDOW w AS (PARTITION BY metric, bucket % 24))
+    SELECT metric, bucket, CAST(cnt AS BIGINT) AS cnt,
+           round(mu, 4) AS mu,
+           floor((cnt - mu) / sigma * 1e4 + 0.5) / 1e4 AS z
+    FROM z
+    WHERE sigma > 0 AND abs(floor((cnt - mu) / sigma * 1e4 + 0.5) / 1e4) > 2.0
+""")
+def q_events_seasonal_volume_outliers(spark, sf_dir):
+    """Seasonal traffic anomalies: hourly event counts per metric judged
+    against their hour-of-day baseline (phase = hour mod 24 across the
+    30-day span) — a drop at 14:00 alarms against other days' 14:00s,
+    not against midnight. Volume-seasonality companion of the z-score /
+    MAD value-outlier family (operators/timeseries.seasonal_count_
+    outliers): one count rollup to hour grain, then baseline as a window
+    over (metric, phase) — both exchanges carry hour-count rows only."""
+    from nexusbase_spark.operators.timeseries import seasonal_count_outliers
+
+    pts = _event_points(spark, sf_dir)
+    return seasonal_count_outliers(pts, ["metric"], threshold=2.0)
+
+
 @register("events_series_cardinality", """
     WITH pts AS (
         SELECT event_type AS metric,

@@ -1375,6 +1375,43 @@ def q_embed_label_centroids(spark, sf_dir):
             .select("label", "pos", "centroid"))
 
 
+@register("embed_knn_graph", """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 300
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id, b.vec_id AS nbr,
+               floor(sum(a.v[r.i] * b.v[r.i])
+                     / (sqrt(sum(a.v[r.i] * a.v[r.i]))
+                        * sqrt(sum(b.v[r.i] * b.v[r.i]))) * 1e4 + 0.5) / 1e4
+                   AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id,
+             range(1, 65) r(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT id, nbr, cosine,
+               CAST(row_number() OVER (PARTITION BY id
+                                       ORDER BY cosine DESC, nbr) AS BIGINT)
+                   AS rank
+        FROM pairs)
+    SELECT id, nbr, cosine, rank FROM ranked WHERE rank <= 3
+""")
+def q_embed_knn_graph(spark, sf_dir):
+    """Label-partitioned 3-NN graph over the first 300 vectors
+    (pipeline/similarity.knn_graph): partition-local pairs (never corpus
+    squared — route through kmeans_assign when no natural partition
+    exists), per-source window rank over floor-quantized cosine, ties by
+    neighbor id. The batch kNN-graph primitive behind semantic
+    clustering and graph-based dedup."""
+    from nexusbase_spark.pipeline.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return knn_graph(emb, k=3)
+
+
 @register("embed_knn_classify", """
     WITH pr AS (
         SELECT vec_id AS probe_id, r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS pv

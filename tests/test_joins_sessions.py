@@ -221,6 +221,32 @@ def test_robust_zscore_resists_masking(spark):
     assert ("a", 500.0) not in classic
 
 
+def test_seasonal_count_outliers_phase_baseline(spark):
+    """An hour anomalous against its own phase (hour-of-day) is flagged
+    even when its count is unremarkable globally; constant phases never
+    alert (sigma=0 filtered); unobserved hours emit no row."""
+    from nexusbase_spark.operators.timeseries import seasonal_count_outliers
+    H = 3_600_000_000_000
+    rows = []
+    sid = 0
+    # 10 days, phase 0 has ~2 events/day except day 9 with 40 (anomaly);
+    # phase 1 constant at 3/day (sigma 0 -> never flags)
+    for day in range(10):
+        n0 = 40 if day == 9 else 2 + (day % 2)
+        for i in range(n0):
+            rows.append(("m", day * 24 * H + i, sid)); sid += 1
+        for i in range(3):
+            rows.append(("m", day * 24 * H + H + i, sid)); sid += 1
+    df = spark.createDataFrame(rows, "metric string, ts long, seq long")
+    out = seasonal_count_outliers(df, ["metric"], threshold=2.0).collect()
+    flagged = {(r["metric"], r["bucket"]): r for r in out}
+    assert ("m", 9 * 24) in flagged            # the anomalous phase-0 hour
+    anom = flagged[("m", 9 * 24)]
+    assert anom["cnt"] == 40 and anom["z"] > 2.0
+    # nothing from the constant phase 1, nothing from unobserved hours
+    assert all(b % 24 == 0 for (_m, b) in flagged)
+
+
 def test_ewma_level_fold_order_and_seed(spark):
     """EWMA folds in (ts, seq) order seeded with the FIRST value —
     0.3*x + 0.7*acc over [10, 20, 40] = 0.3*40 + 0.7*(0.3*20 + 0.7*10)

@@ -702,6 +702,33 @@ def test_epoch_repeat_copy_counts_and_stability(spark):
     assert all(big_counts[d] == len(by_doc[d]) for d in range(400))
 
 
+def test_knn_graph_ranks_within_partition(spark):
+    """Every vector gets at most k neighbors, all from its own
+    partition, ranked by quantized cosine desc with id tie-break; a
+    partition of size <= k+1 yields size-1 neighbors."""
+    from nexusbase_spark.pipeline.similarity import knn_graph
+    rows = [
+        (1, "a", [1.0, 0.0]), (2, "a", [0.9, 0.1]),
+        (3, "a", [0.0, 1.0]), (4, "a", [-1.0, 0.0]),
+        (5, "b", [1.0, 1.0]), (6, "b", [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+    out = knn_graph(df, k=2)
+    by_src: dict = {}
+    for r in out.collect():
+        by_src.setdefault(r["id"], []).append((r["rank"], r["nbr"], r["cosine"]))
+    # vec 1's nearest is 2 (0.9939), then 3 (0.0)
+    assert sorted(by_src[1]) == [(1, 2, pytest.approx(0.9939)),
+                                 (2, 3, 0.0)]
+    # partition b has only 2 members -> exactly 1 neighbor each, cos 1.0
+    assert by_src[5] == [(1, 6, 1.0)] and by_src[6] == [(1, 5, 1.0)]
+    # nobody crosses partitions and nobody exceeds k
+    assert all(len(v) <= 2 for v in by_src.values())
+    assert not any(n in (5, 6) for v in (by_src[1], by_src[3], by_src[4])
+                   for _, n, _c in v)
+
+
 def test_epoch_shuffle_determinism_and_coverage(spark):
     """(shard, pos) is a permutation: every doc appears once, positions
     within a shard are 1..n_shard dense; the same epoch reproduces the
