@@ -1412,6 +1412,67 @@ def q_embed_knn_graph(spark, sf_dir):
     return knn_graph(emb, k=3)
 
 
+@register("embed_mutual_knn_clusters", """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 300
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id, b.vec_id AS nbr,
+               floor(sum(a.v[r.i] * b.v[r.i])
+                     / (sqrt(sum(a.v[r.i] * a.v[r.i]))
+                        * sqrt(sum(b.v[r.i] * b.v[r.i]))) * 1e4 + 0.5) / 1e4
+                   AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id,
+             range(1, 65) r(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT id, nbr, cosine,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cosine DESC, nbr) AS rank
+        FROM pairs),
+    knn AS (SELECT id, nbr, cosine FROM ranked WHERE rank <= 3),
+    mutual AS (
+        SELECT a.id AS src, a.nbr AS dst FROM knn a
+        JOIN knn b ON b.id = a.nbr AND b.nbr = a.id
+        WHERE a.cosine >= 0.2
+    ),
+    edges AS (SELECT src, dst FROM mutual
+              UNION SELECT dst AS src, src AS dst FROM mutual),
+    reach(node, label) AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+        UNION
+        SELECT edges.src, reach.label FROM edges
+        JOIN reach ON reach.node = edges.dst
+    )
+    SELECT node AS vec_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+""")
+def q_embed_mutual_knn_clusters(spark, sf_dir):
+    """Semantic clustering by MUTUAL-kNN connected components: an edge
+    exists only when two vectors appear in each other's 3-NN lists with
+    cosine >= 0.2 (the strict clustering used for curation groupings —
+    mutual-kNN prunes the hub links plain threshold graphs suffer),
+    then min-label CC over those edges. Composition: knn_graph ->
+    mutual filter (self-join on reversed pairs) -> dedup_clusters'
+    iterative min-label propagation; the oracle runs the identical
+    edge construction plus a transitive-closure recursive CTE."""
+    from nexusbase_spark.pipeline.dedup import dedup_clusters
+    from nexusbase_spark.pipeline.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    knn = knn_graph(emb, k=3)
+    rev = knn.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+    mutual = (knn.join(rev, ["id", "nbr"], "left_semi")
+              .filter(F.col("cosine") >= 0.2)
+              .select(F.col("id").alias("id_a"), F.col("nbr").alias("id_b")))
+    return (dedup_clusters(mutual)
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.col("canonical_id").alias("cluster_id")))
+
+
 @register("embed_knn_classify", """
     WITH pr AS (
         SELECT vec_id AS probe_id, r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS pv
