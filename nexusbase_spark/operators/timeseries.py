@@ -248,3 +248,56 @@ def seasonal_count_outliers(df, keys: list[str], ts_col: str = "ts",
            .filter(F.abs(F.col("z")) > threshold))
     return out.select(*keys, "bucket", F.col("cnt").cast("long").alias("cnt"),
                       F.round("mu", 4).alias("mu"), "z")
+
+
+def cusum_changepoints(df: DataFrame, keys: list[str],
+                       value_col: str = "value",
+                       order_cols: tuple[str, str] = ("ts", "seq"),
+                       slack: float = 0.5,
+                       threshold: float = 4.0) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per series (Page 1954).
+
+    The textbook statistic is a sequential recursion
+    ``S+_t = max(0, S+_{t-1} + (x_t - mu - k))`` — but it has an exact
+    closed form as a WINDOW expression: with prefix sums
+    ``P_t = sum_{i<=t}(x_i - mu - k)``, ``S+_t = P_t - min(0, min_{j<=t} P_j)``
+    (and symmetrically for the downward side). So no sequential fold, no
+    collect_list, no UDF: one exchange on the series key, a within-
+    partition sort, and two running-frame window aggregates — the same
+    physical plan as any ranked window, scale-safe for billion-point
+    series because nothing materializes a series in one row (unlike the
+    EWMA fold above, which documents that bound).
+
+    mu (per-series level) and sigma are learned over the whole series and
+    floor-quantized to 1e-6 BEFORE the prefix sums so both engines fold
+    bit-identical operands in the deterministic (ts, seq) frame order;
+    slack k = slack*sigma, decision threshold h = threshold*sigma. The
+    statistic does NOT reset after an alarm (the no-reset CUSUM curve);
+    emitted rows are those beyond h — alert-sized output.
+
+    Output: keys..., ts, seq, value, s_pos, s_neg (4dp), direction.
+    """
+    o1, o2 = order_cols
+    wp = Window.partitionBy(*keys)
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    df = (df.filter(F.col(value_col).isNotNull())
+          .withColumn("__mu", q6(F.avg(value_col).over(wp)))
+          .withColumn("__sigma",
+                      q6(F.stddev_samp(F.col(value_col).cast("double")).over(wp)))
+          .filter(F.col("__sigma") > 0))
+    k = F.col("__sigma") * slack
+    h = F.col("__sigma") * threshold
+    wr = (Window.partitionBy(*keys).orderBy(o1, o2)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    p = F.sum(F.col(value_col) - F.col("__mu") - k).over(wr)
+    q = F.sum(F.col("__mu") - F.col(value_col) - k).over(wr)
+    df = (df.withColumn("__p", p).withColumn("__q", q)
+          .withColumn("__sp", F.col("__p") - F.least(F.min("__p").over(wr), F.lit(0.0)))
+          .withColumn("__sn", F.col("__q") - F.least(F.min("__q").over(wr), F.lit(0.0))))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (df.filter((F.col("__sp") > h) | (F.col("__sn") > h))
+            .select(*keys, o1, o2, F.col(value_col).alias("value"),
+                    q4(F.col("__sp")).alias("s_pos"),
+                    q4(F.col("__sn")).alias("s_neg"),
+                    F.when(F.col("__sp") > h, F.lit("up"))
+                     .otherwise(F.lit("down")).alias("direction")))

@@ -1711,3 +1711,135 @@ def q_tpch_q21_shape(spark, sf_dir):
     return (l1.join(s, l1["l_suppkey"] == s["s_suppkey"])
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@register("events_cusum_changepoints", """
+    WITH pts AS (
+        SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS user,
+               epoch_ns(ts) AS ts, event_id AS seq, value
+        FROM events WHERE value IS NOT NULL),
+    st AS (
+        SELECT *,
+               floor(avg(value) OVER w * 1e6 + 0.5) / 1e6 AS mu,
+               floor(stddev_samp(value) OVER w * 1e6 + 0.5) / 1e6 AS sigma
+        FROM pts
+        WINDOW w AS (PARTITION BY metric, user)),
+    pre AS (
+        SELECT *,
+               sum(value - mu - 0.5 * sigma) OVER wr AS p,
+               sum(mu - value - 0.5 * sigma) OVER wr AS q
+        FROM st WHERE sigma > 0
+        WINDOW wr AS (PARTITION BY metric, user ORDER BY ts, seq
+                      ROWS UNBOUNDED PRECEDING)),
+    cs AS (
+        SELECT *,
+               p - least(min(p) OVER wr, 0.0) AS sp,
+               q - least(min(q) OVER wr, 0.0) AS sn
+        FROM pre
+        WINDOW wr AS (PARTITION BY metric, user ORDER BY ts, seq
+                      ROWS UNBOUNDED PRECEDING))
+    SELECT metric, user, ts, seq, value,
+           floor(sp * 1e4 + 0.5) / 1e4 AS s_pos,
+           floor(sn * 1e4 + 0.5) / 1e4 AS s_neg,
+           CASE WHEN sp > 4.0 * sigma THEN 'up' ELSE 'down' END AS direction
+    FROM cs WHERE sp > 4.0 * sigma OR sn > 4.0 * sigma
+""")
+def q_events_cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM level-shift alarms per (event_type, user) series —
+    the change-DETECTION companion of events_zscore_outliers (point
+    outliers) and events_seasonal_volume_outliers (volume seasonality):
+    a sustained small drift that never trips a z-score accumulates in
+    the CUSUM statistic and alarms. Uses the closed-form window
+    formulation (prefix sum minus running minimum) in
+    operators/timeseries.cusum_changepoints — no sequential fold, no
+    per-series row materialization; one exchange + in-partition sort,
+    safe at any series length."""
+    from nexusbase_spark.operators.timeseries import cusum_changepoints
+
+    pts = _event_points(spark, sf_dir)
+    return (cusum_changepoints(pts, ["metric", "user"],
+                               slack=0.5, threshold=4.0)
+            .select("metric", "user", "ts", "seq", "value",
+                    "s_pos", "s_neg", "direction"))
+
+
+@register("events_markov_transitions", """
+    WITH seq AS (
+        SELECT user_id,
+               event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events),
+    c AS (
+        SELECT src, dst, count(*) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 4) AS prob
+    FROM c
+    ORDER BY src, n DESC, dst
+""")
+def q_events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current) — the behavioral model behind funnel
+    design and next-action prediction. lead() over (user, time) then one
+    count rollup to the (src, dst) grid: the big exchange is the per-user
+    window (bounded by the events table once), the probability
+    normalization is a window over the TYPE-squared grid — tiny. Output
+    is |types|^2 rows regardless of corpus scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = (ev.select("user_id", F.col("event_type").alias("src"), "ts",
+                      "event_id")
+            .withColumn("dst", F.lead("src").over(wseq))
+            .filter(F.col("dst").isNotNull()))
+    c = seqd.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return (c.withColumn("prob",
+                         F.round(F.col("n").cast("double")
+                                 / F.sum("n").over(wsrc), 4))
+            .orderBy("src", F.col("n").desc(), "dst"))
+
+
+@register("events_winsorized_stats", """
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type),
+    wz AS (
+        SELECT e.event_type,
+               least(greatest(e.value, b.lo), b.hi) AS wv
+        FROM events e JOIN b USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(wv) + 0.0, 4) AS win_mean,
+           round(stddev_samp(wv) + 0.0, 4) AS win_std,
+           round(min(wv), 4) AS lo_clamp,
+           round(max(wv), 4) AS hi_clamp
+    FROM wz GROUP BY event_type
+""")
+def q_events_winsorized_stats(spark, sf_dir):
+    """Winsorized robust statistics per event type — the feature-prep
+    normalization step (clamp to the [p5, p95] band, then moment stats)
+    that makes downstream models immune to the heavy tails raw telemetry
+    always has. Two aggregations over the same grouping key: the exact
+    percentile bounds (k rows, broadcast back), then the clamped moment
+    rollup — at scale the bounds table is |types| rows so the join is a
+    broadcast regardless of corpus size; swap percentile for
+    percentile_approx when exactness isn't gate-checked."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"))
+    wz = (ev.join(b, "event_type")
+          .select("event_type",
+                  F.least(F.greatest(F.col("value"), F.col("lo")),
+                          F.col("hi")).alias("wv")))
+    return (wz.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("wv") + F.lit(0.0), 4).alias("win_mean"),
+                 F.round(F.stddev_samp("wv") + F.lit(0.0), 4).alias("win_std"),
+                 F.round(F.min("wv"), 4).alias("lo_clamp"),
+                 F.round(F.max("wv"), 4).alias("hi_clamp")))

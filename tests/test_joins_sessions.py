@@ -270,3 +270,56 @@ def test_ewma_level_fold_order_and_seed(spark):
     got_n = {r["k"]: (r["n"], r["ewma"])
              for r in ewma_level(dfn, ["k"], 0.3).collect()}
     assert got_n["a"] == (2, pytest.approx(0.3 * 40 + 0.7 * 10, abs=1e-12))
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The window closed form (prefix sum minus running min) must equal
+    the textbook recursion S_t = max(0, S_{t-1} + (x_t - mu - k))
+    computed in plain Python on the same quantized mu/sigma, and a
+    sustained small shift (never a z-score outlier) must alarm."""
+    import math
+
+    from nexusbase_spark.operators.timeseries import cusum_changepoints
+
+    # 40 points at level 10 +/- small noise, then 40 at level 11:
+    # the +1 sigma-scale drift accumulates
+    vals = [10.0 + (0.2 if i % 2 else -0.2) for i in range(40)]
+    vals += [11.0 + (0.2 if i % 2 else -0.2) for i in range(40)]
+    rows = [("s", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, seq long, value double").repartition(5)
+    out = cusum_changepoints(df, ["k"], slack=0.5, threshold=4.0).collect()
+    assert out, "sustained drift must alarm"
+    # the post-shift half must raise UP alarms (the drift direction);
+    # DOWN alarms in the below-mean first half are legitimate too (the
+    # global-mean baseline makes a mid-series shift drift both sides)
+    assert any(r["direction"] == "up" and r["ts"] >= 40 for r in out)
+
+    # python recursion (both sides) on identically quantized parameters
+    n = len(vals)
+    mu = math.floor(sum(vals) / n * 1e6 + 0.5) / 1e6
+    # sample stddev about the UNquantized mean, like stddev_samp
+    m = sum(vals) / n
+    var = sum((v - m) ** 2 for v in vals) / (n - 1)
+    sigma = math.floor(math.sqrt(var) * 1e6 + 0.5) / 1e6
+    k, h = 0.5 * sigma, 4.0 * sigma
+    sp = sn = 0.0
+    alarms = {}
+    for i, v in enumerate(vals):
+        sp = max(0.0, sp + (v - mu - k))
+        sn = max(0.0, sn + (mu - v - k))
+        if sp > h or sn > h:
+            alarms[i] = (math.floor(sp * 1e4 + 0.5) / 1e4,
+                         math.floor(sn * 1e4 + 0.5) / 1e4)
+    got = {r["ts"]: (r["s_pos"], r["s_neg"]) for r in out}
+    assert set(got) == set(alarms)
+    for t in got:
+        assert abs(got[t][0] - alarms[t][0]) < 1e-9, (t, got[t], alarms[t])
+        assert abs(got[t][1] - alarms[t][1]) < 1e-9, (t, got[t], alarms[t])
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    from nexusbase_spark.operators.timeseries import cusum_changepoints
+    rows = [("c", i, i, 5.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, ts long, seq long, value double")
+    assert cusum_changepoints(df, ["k"]).count() == 0  # sigma=0 filtered
