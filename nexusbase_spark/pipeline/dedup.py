@@ -504,3 +504,47 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def scrub_frequent_chunks(docs: DataFrame, min_docs: int = 5,
+                          window: int = 8, mask_hex: str = "0",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Corpus-frequency chunk scrubbing — the APPLY step of chunk-level
+    dedup (C4/RefinedWeb line-dedup generalized to delimiter-free text):
+    content-defined chunks (``pack.cdc_chunks``) whose hash occurs in at
+    least ``min_docs`` DISTINCT documents are boilerplate; they are cut
+    out and each document's remaining chunks are re-concatenated in
+    order. CDC boundaries make the pass alignment-proof: boilerplate
+    pasted at any offset chunks identically past its first internal cut,
+    which fixed-width windows cannot do. (docs_chunk_dedup reports the
+    shared-chunk SIGNAL; this operator edits the text.)
+
+    Plan at corpus scale: the doc-frequency rollup shuffles only
+    (chunk_md5, doc_id) pairs — never text; the surviving frequent-hash
+    table is tiny (only hashes with df >= min_docs) so marking chunks is
+    a broadcast join; the single text-carrying shuffle is the per-doc
+    reconstruction groupBy, which any rewrite pass pays.
+
+    Output: id_col, clean_text, n_chunks, n_scrubbed.
+    """
+    from nexusbase_spark.pipeline.pack import cdc_chunks
+
+    ch = cdc_chunks(docs, window=window, mask_hex=mask_hex,
+                    id_col=id_col, text_col=text_col, with_text=True)
+    freq = (ch.groupBy("chunk_md5")
+            .agg(F.countDistinct(id_col).alias("__df"))
+            .filter(F.col("__df") >= min_docs)
+            .select("chunk_md5", F.lit(True).alias("__boiler")))
+    marked = (ch.join(freq, "chunk_md5", "left")
+              .withColumn("__keep", F.col("__boiler").isNull()))
+    # collect_list drops NULLs, so the CASE keeps only surviving chunks;
+    # sort_array on the (chunk_idx, text) struct restores document order
+    return (marked.groupBy(id_col)
+            .agg(F.array_join(F.expr(
+                     "transform(sort_array(collect_list("
+                     "  case when __keep then struct(chunk_idx, chunk_text) end"
+                     ")), s -> s.chunk_text)"), "").alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+                 .cast("long").alias("n_scrubbed")))

@@ -127,7 +127,8 @@ def chunk_documents(
 
 
 def cdc_chunks(df, window: int = 8, mask_hex: str = "0",
-               id_col: str = "doc_id", text_col: str = "text"):
+               id_col: str = "doc_id", text_col: str = "text",
+               with_text: bool = False):
     """Content-defined chunking (window-hash CDC): cut after every
     position whose `window`-char substring hashes into the mask (md5 hex
     suffix match, boundary probability 16^-len(mask_hex)) ->
@@ -167,10 +168,16 @@ def cdc_chunks(df, window: int = 8, mask_hex: str = "0",
     ch = seg.select(
         id_col, "__t",
         F.posexplode(F.arrays_zip("__starts", "__ends")).alias("chunk_idx", "z"))
-    return (ch.select(
-        id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"),
+    cols = [
+        F.col(id_col), F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.col("z.__starts").cast("long").alias("chunk_start"),
         (F.col("z.__ends") - F.col("z.__starts") + 1).cast("long").alias("chunk_len"),
         F.md5(F.expr("substring(__t, z.__starts, z.__ends - z.__starts + 1)"))
-        .alias("chunk_md5"))
-        .filter(F.col("chunk_len") > 0))
+        .alias("chunk_md5"),
+    ]
+    if with_text:
+        # carried only when the caller reconstructs (scrub_frequent_chunks)
+        # — the md5-only default keeps the dedup-signal path text-free
+        cols.append(F.expr("substring(__t, z.__starts, z.__ends - z.__starts + 1)")
+                    .alias("chunk_text"))
+    return ch.select(*cols).filter(F.col("chunk_len") > 0)

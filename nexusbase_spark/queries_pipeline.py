@@ -2561,3 +2561,123 @@ def q_docs_budget_select(spark, sf_dir):
     return (sel.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("cost").alias("n_tokens")))
+
+
+# fixed boilerplate injected into every doc_id % 3 == 0 document — long
+# enough that CDC (8-char window, '%0' mask, p=1/16 per position) is
+# certain to cut inside it, so its tail chunks hash identically across
+# docs regardless of where the paste lands
+_BOILER = ("subscribe to our newsletter now click here for more offers "
+           "terms and conditions apply all rights reserved")
+
+_BOILER_AUG_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' ' || '{_BOILER}'
+                ELSE text END AS text
+    FROM documents
+"""
+
+
+@register("docs_boilerplate_scrub", f"""
+    WITH aug AS ({_BOILER_AUG_SQL}),
+    seg AS (
+        SELECT doc_id, text,
+               list_transform(
+                   list_filter(range(1, greatest(length(text) - 7, 0) + 1),
+                               p -> md5(substring(text, p, 8)) LIKE '%0'),
+                   b -> b + 7) AS cuts
+        FROM aug),
+    arr AS (
+        SELECT doc_id, text,
+               list_prepend(1, list_transform(cuts, c -> c + 1)) AS starts,
+               list_append(cuts, length(text)) AS ends
+        FROM seg),
+    zz AS (SELECT doc_id, unnest(starts) AS s, unnest(ends) AS e, text FROM arr),
+    ch AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+               substring(text, s, e - s + 1) AS chunk_text,
+               md5(substring(text, s, e - s + 1)) AS chunk_md5
+        FROM zz WHERE e - s + 1 > 0),
+    freq AS (
+        SELECT chunk_md5 FROM ch
+        GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 5),
+    marked AS (
+        SELECT ch.*, (f.chunk_md5 IS NOT NULL) AS boiler
+        FROM ch LEFT JOIN freq f USING (chunk_md5))
+    SELECT doc_id,
+           coalesce(string_agg(chunk_text, '' ORDER BY chunk_idx)
+                    FILTER (WHERE NOT boiler), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed
+    FROM marked GROUP BY doc_id
+""")
+def q_docs_boilerplate_scrub(spark, sf_dir):
+    """Boilerplate scrubbing end-to-end: a fixed junk sentence is pasted
+    onto every third document (both engines build the identical corpus),
+    then pipeline/dedup.scrub_frequent_chunks removes every content-
+    defined chunk appearing in >= 5 distinct docs and re-concatenates
+    the survivors in order — the APPLY step whose SIGNAL twin is
+    docs_chunk_dedup. Only the chunk-hash doc-frequency rollup and the
+    per-doc reconstruction shuffle; the frequent-chunk set is tiny and
+    broadcasts."""
+    from nexusbase_spark.pipeline.dedup import scrub_frequent_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" " + _BOILER)))
+        .otherwise(F.col("text")).alias("text"))
+    return scrub_frequent_chunks(docs, min_docs=5)
+
+
+@register("docs_dsir_select", """
+    WITH g AS (
+        SELECT doc_id, source IN ('src1', 'src2') AS tgt,
+               unnest(list_transform(t, x ->
+                   CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)
+                   % 2147483647 % 1024)
+                   || list_transform(range(1, greatest(len(t), 1)), i ->
+                   CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 15))
+                        AS BIGINT) % 2147483647 % 1024)) AS b
+        FROM (SELECT doc_id, source,
+                     string_split(trim(lower(text)), ' ') AS t
+              FROM documents)),
+    raw AS (SELECT b, count(*) AS cnt_r FROM g GROUP BY b),
+    tgt AS (SELECT b, count(*) AS cnt_t FROM g WHERE tgt GROUP BY b),
+    tot AS (SELECT count(*) AS n_r,
+                   sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t FROM g),
+    pd AS (
+        SELECT g.doc_id,
+               sum(ln(coalesce(tgt.cnt_t, 0) + 1.0) - ln(raw.cnt_r + 1.0))
+                   AS lr_sum,
+               count(*) AS n_grams
+        FROM g JOIN raw USING (b) LEFT JOIN tgt USING (b)
+        GROUP BY g.doc_id),
+    sc AS (
+        SELECT doc_id, n_grams,
+               lr_sum + n_grams * (ln(n_r + 1024.0) - ln(n_t + 1024.0))
+                   AS lam,
+               floor((lr_sum + n_grams * (ln(n_r + 1024.0) - ln(n_t + 1024.0))
+                      - ln(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT) % 2147483647 + 1.0)
+                               / 2147483648.0))) * 1e6 + 0.5) / 1e6 AS skey
+        FROM pd CROSS JOIN tot)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           floor(lam * 1e4 + 0.5) / 1e4 AS lam,
+           floor(skey * 1e4 + 0.5) / 1e4 AS sel_key
+    FROM sc ORDER BY skey DESC, doc_id LIMIT 50
+""")
+def q_docs_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): choose the 50 docs whose
+    hashed-ngram profile looks most like the src1/src2 'curated' target
+    — Gumbel-top-k over Laplace-smoothed importance log-weights, with
+    the Gumbel noise derived from md5(doc_id) so the resample is seeded
+    and the oracle exact. Bucket rollups shuffle m=1024 keys map-combined;
+    the fitted models broadcast; no driver collect (see
+    pipeline/importance.dsir_select)."""
+    from nexusbase_spark.pipeline.importance import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    return dsir_select(docs, F.col("source").isin("src1", "src2"), k=50)

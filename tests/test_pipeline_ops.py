@@ -784,3 +784,67 @@ def test_budget_select_semantics(spark):
     sel2 = {r["id"] for r in
             budget_select(with_null, "score", "cost", 150, "id").collect()}
     assert 999 not in sel2 and sel2 == ids
+
+
+def test_scrub_frequent_chunks_removes_boiler_keeps_rest(spark):
+    """Docs sharing a pasted boilerplate string (at DIFFERENT offsets)
+    lose its content-defined chunks; a doc without it reconstructs to
+    its exact original text (chunks partition the text losslessly)."""
+    from nexusbase_spark.pipeline.dedup import scrub_frequent_chunks
+
+    boiler = ("subscribe to our newsletter now click here for more "
+              "offers terms and conditions apply")
+    uniq = ["alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine ten",
+            "lorem ipsum dolor sit amet consectetur adipiscing",
+            "spark shuffle partition broadcast join window agg",
+            "red orange yellow green blue indigo violet colors"]
+    rows = [(i, u + " " + boiler) for i, u in enumerate(uniq)]
+    rows.append((99, "completely unrelated standalone document text here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           scrub_frequent_chunks(df, min_docs=5).collect()}
+    # the untouched doc reconstructs byte-identically, zero scrubbed
+    assert out[99]["clean_text"] == rows[-1][1]
+    assert out[99]["n_scrubbed"] == 0
+    # every boilered doc lost chunks, and lost MOST of the boiler text
+    for i, u in enumerate(uniq):
+        assert out[i]["n_scrubbed"] >= 1, i
+        assert len(out[i]["clean_text"]) < len(rows[i][1]), i
+        # its own unique prefix survives (possibly plus the junction
+        # fragment before the boiler's first internal CDC cut)
+        assert out[i]["clean_text"].startswith(u[:20]), i
+
+
+def test_scrub_no_frequent_chunks_is_identity(spark):
+    from nexusbase_spark.pipeline.dedup import scrub_frequent_chunks
+    rows = [(1, "totally unique text one"), (2, "another unique text two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_scrubbed"])
+           for r in scrub_frequent_chunks(df, min_docs=2).collect()}
+    assert out == {1: (rows[0][1], 0), 2: (rows[1][1], 0)}
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Docs written in the target's vocabulary must win the importance
+    ranking over docs in a disjoint vocabulary, and the Gumbel-seeded
+    selection is deterministic across runs."""
+    from nexusbase_spark.pipeline.importance import dsir_select
+    from pyspark.sql import functions as F
+
+    tgt_vocab = "quantum flux entangle qubit gate circuit measure state"
+    off_vocab = "pasta sauce tomato basil oven cheese crust dough"
+    rows = []
+    for i in range(10):      # target corpus (flagged)
+        rows.append((i, "t", tgt_vocab + f" extra{i}"))
+    for i in range(10, 20):  # raw candidates in the target vocabulary
+        rows.append((i, "r", tgt_vocab + f" other{i}"))
+    for i in range(20, 30):  # raw candidates in a disjoint vocabulary
+        rows.append((i, "r", off_vocab + f" filler{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    sel = dsir_select(df, F.col("grp") == "t", k=15)
+    ids = {r["doc_id"] for r in sel.collect()}
+    # all 15 winners come from the target-vocabulary pool (ids < 20)
+    assert all(i < 20 for i in ids), ids
+    assert ids == {r["doc_id"] for r in
+                   dsir_select(df, F.col("grp") == "t", k=15).collect()}
