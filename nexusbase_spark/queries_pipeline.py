@@ -2681,3 +2681,104 @@ def q_docs_dsir_select(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
     return dsir_select(docs, F.col("source").isin("src1", "src2"), k=50)
+
+
+def _pq_ctes(m_sub: int = 4, k: int = 4, iters: int = 2,
+             sub_len: int = 16) -> str:
+    """Per-subspace deterministic k-means + ADC distance tables — the
+    exact mirror of pipeline/similarity.pq_encode/pq_topk: each subspace
+    runs _kmeans_ctes' unrolled Lloyd loop over its slice (re-indexed
+    positions), the probe's distance table is floor-quantized to 6dp
+    like the Python side, and codes come from the closing assignment."""
+    ctes = [
+        "ev AS (SELECT vec_id, r.i - 1 AS pos, CAST(embedding[r.i] AS DOUBLE) AS x"
+        " FROM embeddings, range(1, 65) r(i))",
+    ]
+    for s in range(m_sub):
+        lo = s * sub_len
+        ctes.append(f"e{s} AS (SELECT vec_id, pos - {lo} AS pos, x FROM ev"
+                    f" WHERE pos >= {lo} AND pos < {lo + sub_len})")
+        ctes.append(f"s{s}c0 AS (SELECT vec_id AS cid, pos, round(x, 6) AS val"
+                    f" FROM e{s} WHERE vec_id < {k})")
+        for t in range(1, iters + 2):
+            ctes.append(f"""s{s}d{t} AS (
+                SELECT e.vec_id, c.cid,
+                       round(sum((e.x - c.val) * (e.x - c.val)), 6) AS dist
+                FROM e{s} e JOIN s{s}c{t-1} c ON c.pos = e.pos
+                GROUP BY e.vec_id, c.cid)""")
+            ctes.append(f"""s{s}a{t} AS (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY dist, cid) AS rn
+                    FROM s{s}d{t}) WHERE rn = 1)""")
+            if t <= iters:
+                ctes.append(f"""s{s}c{t} AS (
+                    SELECT a.cid, e.pos, round(avg(e.x), 6) AS val
+                    FROM s{s}a{t} a JOIN e{s} e ON e.vec_id = a.vec_id
+                    GROUP BY a.cid, e.pos)""")
+        # probe subvector (vec_id 0) against the FINAL codebook c{iters}
+        ctes.append(f"""t{s} AS (
+            SELECT c.cid,
+                   floor(sum((p.x - c.val) * (p.x - c.val)) * 1e6 + 0.5) / 1e6 AS d
+            FROM s{s}c{iters} c JOIN e{s} p ON p.pos = c.pos AND p.vec_id = 0
+            GROUP BY c.cid)""")
+    return ",\n    ".join(ctes)
+
+
+@register("embed_pq_topk", f"""
+    WITH {_pq_ctes(m_sub=4, k=4, iters=2, sub_len=16)}
+    SELECT a0.vec_id,
+           floor((t0.d + t1.d + t2.d + t3.d) * 1e4 + 0.5) / 1e4 AS adist
+    FROM s0a3 a0
+    JOIN s1a3 a1 USING (vec_id) JOIN s2a3 a2 USING (vec_id)
+    JOIN s3a3 a3 USING (vec_id)
+    JOIN t0 ON t0.cid = a0.cid JOIN t1 ON t1.cid = a1.cid
+    JOIN t2 ON t2.cid = a2.cid JOIN t3 ON t3.cid = a3.cid
+    WHERE a0.vec_id <> 0
+    ORDER BY t0.d + t1.d + t2.d + t3.d, a0.vec_id LIMIT 10
+""")
+def q_embed_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): 4 subspaces x 4
+    codes, deterministic per-subspace Lloyd training, asymmetric-distance
+    scan — every vector scored by 4 table lookups on codes 64x smaller
+    than the raw floats (pipeline/similarity.pq_topk). The memory-bound
+    scale path beyond int8: at 100 TB the codes table is ~1.5 GB/billion
+    vectors and the codebooks are literals in the plan."""
+    from nexusbase_spark.pipeline.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, _probe_vec(spark, sf_dir), k=10,
+                   m_sub=4, k_codes=4, iters=2, exclude_id=0)
+
+
+@register("embed_pq_rerank_topk", f"""
+    WITH {_pq_ctes(m_sub=4, k=4, iters=2, sub_len=16)},
+    sc AS (
+        SELECT a0.vec_id, t0.d + t1.d + t2.d + t3.d AS adist
+        FROM s0a3 a0
+        JOIN s1a3 a1 USING (vec_id) JOIN s2a3 a2 USING (vec_id)
+        JOIN s3a3 a3 USING (vec_id)
+        JOIN t0 ON t0.cid = a0.cid JOIN t1 ON t1.cid = a1.cid
+        JOIN t2 ON t2.cid = a2.cid JOIN t3 ON t3.cid = a3.cid
+        WHERE a0.vec_id <> 0),
+    short AS (SELECT vec_id FROM sc ORDER BY adist, vec_id LIMIT 100),
+    ex AS (
+        SELECT e.vec_id, sum((e.x - p.x) * (e.x - p.x)) AS dist
+        FROM ev e JOIN short USING (vec_id)
+        JOIN ev p ON p.vec_id = 0 AND p.pos = e.pos
+        GROUP BY e.vec_id)
+    SELECT vec_id, floor(dist * 1e4 + 0.5) / 1e4 AS dist
+    FROM ex ORDER BY dist, vec_id LIMIT 10
+""")
+def q_embed_pq_rerank_topk(spark, sf_dir):
+    """PQ serving path: ADC shortlist (100 candidates by table-lookup
+    distance) re-scored by exact L2 — the two-stage retrieval every PQ
+    deployment runs, because tiny codebooks alias vectors to identical
+    codes and pure ADC top-k saturates at code resolution (recall
+    measured in SCALE.md). Exact math touches 100 rows, not the corpus."""
+    from nexusbase_spark.pipeline.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, _probe_vec(spark, sf_dir), k=10,
+                   m_sub=4, k_codes=4, iters=2, exclude_id=0, rerank=100)

@@ -848,3 +848,29 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert all(i < 20 for i in ids), ids
     assert ids == {r["doc_id"] for r in
                    dsir_select(df, F.col("grp") == "t", k=15).collect()}
+
+
+def test_pq_encode_topk_quantization_sanity(spark):
+    """PQ codes reconstruct cluster structure: on a corpus of two tight
+    blobs, every vector's ADC distance to a probe from blob A is far
+    smaller for blob-A vectors, so top-k returns exactly blob A; and the
+    codebook has one centroid per (subspace, observed code)."""
+    from nexusbase_spark.pipeline.similarity import pq_encode, pq_topk
+
+    a = [1.0, 1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0]
+    rows = []
+    for i in range(8):   # blob A with tiny deterministic jitter
+        rows.append((i, [x + 0.01 * ((i + j) % 3) for j, x in enumerate(a)]))
+    for i in range(8, 16):
+        rows.append((i, [x + 0.01 * ((i + j) % 3) for j, x in enumerate(b)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    enc, books = pq_encode(df, m_sub=2, k_codes=2, iters=2, dim=8)
+    assert set(c for (s, c) in books) <= {0, 1}
+    assert all(len(v) == 4 for v in books.values())
+
+    got = [r["vec_id"] for r in
+           pq_topk(df, rows[0][1], k=7, m_sub=2, k_codes=2, iters=2,
+                   exclude_id=0).collect()]
+    assert set(got) == set(range(1, 8)), got

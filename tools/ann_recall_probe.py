@@ -71,7 +71,7 @@ def main() -> None:
 
     from nexusbase_spark.datamodel import load_table
     from nexusbase_spark.pipeline.similarity import (
-        cosine_topk, int8_topk, ivf_topk, lsh_topk)
+        cosine_topk, int8_topk, ivf_topk, lsh_topk, pq_encode)
     from nexusbase_spark.pipeline.vecindex import VectorIndex
     from nexusbase_spark.session import get_spark
 
@@ -95,6 +95,45 @@ def main() -> None:
 
     idx_dir = tempfile.mkdtemp(prefix="ann_recall_idx_")
     index = VectorIndex.build(spark, idx_dir, emb, nlist=8, iters=3)
+
+    # PQ: train each codebook config ONCE (the index-build step), reuse
+    # the encoded frame across probes; recall is measured against exact
+    # L2 — PQ's design metric (cosine-recall would conflate norm spread
+    # with quantization error)
+    def l2_topk(frame, vec, k, exclude_id):
+        p = F.array(*[F.lit(float(x)) for x in vec])
+        d = F.aggregate(
+            F.zip_with(F.col("embedding"), p,
+                       lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return (frame.select("vec_id", d.alias("d"))
+                .filter(F.col("vec_id") != exclude_id)
+                .orderBy("d", "vec_id").limit(k))
+
+    pq_trained = {}
+    for m_sub, k_codes in ((4, 4), (4, 16), (8, 16)):
+        enc, books = pq_encode(emb, m_sub=m_sub, k_codes=k_codes, iters=2)
+        pq_trained[(m_sub, k_codes)] = (enc.cache(), books)
+
+    def pq_search(m_sub, k_codes, vec, k, exclude_id):
+        import math
+        enc, books = pq_trained[(m_sub, k_codes)]
+        sub_len = len(vec) // m_sub
+        adist = F.lit(0.0)
+        for s in range(m_sub):
+            qs = vec[s * sub_len:(s + 1) * sub_len]
+            keys, vals = [], []
+            for (sub, cid), cvec in sorted(books.items()):
+                if sub != s:
+                    continue
+                d = sum((qv - cv) * (qv - cv) for qv, cv in zip(qs, cvec))
+                keys.append(F.lit(cid))
+                vals.append(F.lit(math.floor(d * 1e6 + 0.5) / 1e6))
+            adist = adist + F.map_from_arrays(
+                F.array(*keys), F.array(*vals))[F.col(f"code_{s}")]
+        return (enc.select("vec_id", adist.alias("adist"))
+                .filter(F.col("vec_id") != exclude_id)
+                .orderBy("adist", "vec_id").limit(k))
 
     configs: dict[str, dict] = {}
 
@@ -149,6 +188,20 @@ def main() -> None:
                   int8_topk(emb, 100, probe_id=pid).collect()]
         acc("int8 full-scan",
             recall(got100[:10], exact10), recall(got100, exact100))
+
+        l2_10 = [r["vec_id"] for r in l2_topk(emb, vec, 10, pid).collect()]
+        l2_100 = [r["vec_id"] for r in l2_topk(emb, vec, 100, pid).collect()]
+        for (m_sub, k_codes) in pq_trained:
+            got100 = [r["vec_id"] for r in
+                      pq_search(m_sub, k_codes, vec, 100, pid).collect()]
+            acc(f"pq m={m_sub} k={k_codes} (vs exact L2)",
+                recall(got100[:10], l2_10), recall(got100, l2_100))
+            # serving path: ADC shortlist of 200 -> exact re-rank
+            short = [r["vec_id"] for r in
+                     pq_search(m_sub, k_codes, vec, 200, pid).collect()]
+            rr10 = [i for i in l2_100 if i in set(short)][:10]
+            acc(f"pq m={m_sub} k={k_codes} rerank=200 (vs exact L2)",
+                recall(rr10, l2_10), recall(short, l2_100))
 
     rows = []
     for name, c in configs.items():
