@@ -21,3 +21,4 @@ from nexusbase_spark.streaming.hooks import (  # noqa: F401
     WriteAmplificationListener,
     WriteFirewallListener,
 )
+from nexusbase_spark.streaming.changepoints import live_cusum  # noqa: F401

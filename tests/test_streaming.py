@@ -667,3 +667,64 @@ def test_import_jsonl_bulk_load(spark, tmp_path):
     # re-import: same points, higher seqs -> reads unchanged
     assert eng.import_jsonl(str(src)) == 2
     assert eng.execute(f"QUERY j.m FROM 0 TO {ts + 10}").count() == 2
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """The live CUSUM fold across two micro-batches equals the batch
+    closed-form operator on the concatenated data when fed the same
+    (mu, sigma) baseline: same final statistics, same alarm count."""
+    import math
+
+    from nexusbase_spark.operators.timeseries import cusum_changepoints
+    from nexusbase_spark.streaming.changepoints import live_cusum
+
+    vals1 = [10.0 + (0.2 if i % 2 else -0.2) for i in range(30)]
+    vals2 = [11.2 + (0.2 if i % 2 else -0.2) for i in range(30)]
+    allv = vals1 + vals2
+    n = len(allv)
+    mu = math.floor(sum(allv) / n * 1e6 + 0.5) / 1e6
+    m = sum(allv) / n
+    sigma = math.floor(math.sqrt(
+        sum((v - m) ** 2 for v in allv) / (n - 1)) * 1e6 + 0.5) / 1e6
+
+    # batch reference: alarm rows from the closed-form window operator
+    rows = [("s", i, i, v) for i, v in enumerate(allv)]
+    bdf = spark.createDataFrame(
+        rows, "k string, ts long, seq long, value double")
+    batch_alarms = cusum_changepoints(
+        bdf, ["k"], slack=0.5, threshold=4.0).count()
+
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    schema = "k string, ts long, seq long, value double"
+
+    def feed(vals, off):
+        spark.createDataFrame(
+            [("s", off + i, off + i, v) for i, v in enumerate(vals)],
+            schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    feed(vals1, 0)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = live_cusum(stream, "k", mu, sigma, slack=0.5, threshold=4.0)
+    q = (out.writeStream.format("memory").queryName("live_cusum_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        feed(vals2, 30)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM live_cusum_t").collect()
+        final = max(rows, key=lambda r: r["n"])
+        assert final["n"] == 60
+        assert final["alarms"] == batch_alarms
+
+        # python recursion cross-check of the final statistic
+        sp = sn = 0.0
+        for v in allv:
+            sp = max(0.0, sp + (v - mu - 0.5 * sigma))
+            sn = max(0.0, sn + (mu - v - 0.5 * sigma))
+        assert final["s_pos"] == pytest.approx(sp)
+        assert final["s_neg"] == pytest.approx(sn)
+    finally:
+        q.stop()
