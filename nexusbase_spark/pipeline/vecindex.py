@@ -44,12 +44,30 @@ class VectorIndex:
     @classmethod
     def build(cls, spark: SparkSession, path: str, df: DataFrame,
               nlist: int = 8, iters: int = 3, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> "VectorIndex":
+              vec_col: str = "embedding", pq_m: int = 0,
+              pq_codes: int = 16, pq_iters: int = 2) -> "VectorIndex":
         """Train the coarse quantizer (deterministic Lloyd k-means) and
-        materialize vectors partitioned by their cluster."""
+        materialize vectors partitioned by their cluster.
+
+        ``pq_m > 0`` additionally PQ-encodes every vector (``pq_m``
+        subspaces x ``pq_codes`` centroids, pipeline/similarity.pq_encode)
+        and stores the codes beside it — the FAISS-IVFPQ layout: routing
+        prunes cluster FILES, the in-cluster scan reads m small ints per
+        row instead of the vector, and only the re-rank shortlist touches
+        raw floats. Codebooks (driver-sized) land in meta.json."""
         assigned = kmeans_assign(df, k=nlist, iters=iters,
                                  id_col=id_col, vec_col=vec_col)
-        (assigned.select(id_col, vec_col, "cluster")
+        books = None
+        cols = [id_col, vec_col, "cluster"]
+        if pq_m:
+            from nexusbase_spark.pipeline.similarity import pq_encode
+            dim = len(df.select(vec_col).first()[0])
+            assigned, bk = pq_encode(assigned, m_sub=pq_m, k_codes=pq_codes,
+                                     iters=pq_iters, dim=dim, id_col=id_col,
+                                     vec_col=vec_col)
+            books = {f"{s}:{c}": v for (s, c), v in bk.items()}
+            cols += [f"code_{s}" for s in range(pq_m)]
+        (assigned.select(*cols)
          .write.mode("overwrite").partitionBy("cluster")
          .parquet(os.path.join(path, "vectors")))
         cents = centroids(assigned, "cluster", vec_col)
@@ -57,7 +75,9 @@ class VectorIndex:
         n = assigned.count()
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"nlist": nlist, "iters": iters, "n_vectors": n,
-                       "id_col": id_col, "vec_col": vec_col}, f)
+                       "id_col": id_col, "vec_col": vec_col,
+                       "pq_m": pq_m, "pq_codes": pq_codes,
+                       "pq_iters": pq_iters, "pq_books": books}, f)
         return cls(spark, path)
 
     # --------------------------------------------------------------- search
@@ -86,6 +106,61 @@ class VectorIndex:
         pruned = vecs.filter(F.col("cluster").isin(probed))
         return cosine_topk(pruned, probe, k, meta["id_col"],
                            meta["vec_col"], exclude_id)
+
+    def search_pq(self, probe: list[float], k: int = 10, nprobe: int = 2,
+                  rerank: int = 100,
+                  exclude_id: int | None = None) -> DataFrame:
+        """IVFPQ serving: route to ``nprobe`` clusters (file pruning),
+        ADC-score the pruned rows from their stored codes (the scan
+        reads pq_m ints per row — the raw vector column is never
+        touched until re-rank, and parquet's column pruning makes that
+        real I/O savings), shortlist ``rerank`` candidates, exact cosine
+        re-rank. Requires an index built with ``pq_m > 0``."""
+        import math as _m
+
+        meta = self._meta()
+        if not meta.get("pq_m"):
+            raise ValueError("index was built without PQ codes")
+        books = {tuple(int(p) for p in key.split(":")): vec
+                 for key, vec in meta["pq_books"].items()}
+        m_sub = meta["pq_m"]
+        sub_len = len(probe) // m_sub
+
+        pn = _m.sqrt(sum(x * x for x in probe))
+        scored = []
+        for cid, c in self._centroids_local():
+            cn = _m.sqrt(sum(x * x for x in c))
+            cs = (sum(a * b for a, b in zip(probe, c)) / (cn * pn)
+                  if cn > 0 and pn > 0 else -2.0)
+            scored.append((-cs, cid))
+        probed = [cid for _, cid in sorted(scored)[:nprobe]]
+
+        vecs = self.spark.read.parquet(os.path.join(self.path, "vectors"))
+        pruned = vecs.filter(F.col("cluster").isin(probed))
+        adist = F.lit(0.0)
+        for s in range(m_sub):
+            qs = probe[s * sub_len:(s + 1) * sub_len]
+            keys, vals = [], []
+            for (sub, cid), cvec in sorted(books.items()):
+                if sub != s:
+                    continue
+                d = sum((qv - cv) * (qv - cv) for qv, cv in zip(qs, cvec))
+                keys.append(F.lit(cid))
+                vals.append(F.lit(_m.floor(d * 1e6 + 0.5) / 1e6))
+            adist = adist + F.map_from_arrays(
+                F.array(*keys), F.array(*vals))[F.col(f"code_{s}")]
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+        # two passes so the ADC scan PRUNES the vector column at the
+        # parquet reader (codes are m ints vs dim floats); the second,
+        # rerank-sized pass reads vectors only for the broadcast-joined
+        # shortlist ids
+        codes_only = pruned.select(id_col, adist.alias("__adist"))
+        if exclude_id is not None:
+            codes_only = codes_only.filter(F.col(id_col) != exclude_id)
+        short_ids = (codes_only.orderBy(F.col("__adist").asc(), F.col(id_col))
+                     .limit(rerank).select(id_col))
+        cand = pruned.join(F.broadcast(short_ids), id_col)
+        return cosine_topk(cand, probe, k, id_col, vec_col)
 
     def probed_files(self, probe: list[float], nprobe: int = 2) -> tuple[int, int]:
         """(files the search actually reads, total index files) — the

@@ -2684,13 +2684,13 @@ def q_docs_dsir_select(spark, sf_dir):
 
 
 def _pq_ctes(m_sub: int = 4, k: int = 4, iters: int = 2,
-             sub_len: int = 16) -> str:
+             sub_len: int = 16, include_ev: bool = True) -> str:
     """Per-subspace deterministic k-means + ADC distance tables — the
     exact mirror of pipeline/similarity.pq_encode/pq_topk: each subspace
     runs _kmeans_ctes' unrolled Lloyd loop over its slice (re-indexed
     positions), the probe's distance table is floor-quantized to 6dp
     like the Python side, and codes come from the closing assignment."""
-    ctes = [
+    ctes = [] if not include_ev else [
         "ev AS (SELECT vec_id, r.i - 1 AS pos, CAST(embedding[r.i] AS DOUBLE) AS x"
         " FROM embeddings, range(1, 65) r(i))",
     ]
@@ -2782,3 +2782,62 @@ def q_embed_pq_rerank_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, _probe_vec(spark, sf_dir), k=10,
                    m_sub=4, k_codes=4, iters=2, exclude_id=0, rerank=100)
+
+
+@register("embed_ivfpq_topk", f"""
+    WITH {_kmeans_ctes(k=4, iters=3)},
+    {_pq_ctes(m_sub=4, k=4, iters=2, sub_len=16, include_ev=False)},
+    probe AS (SELECT pos, x AS pv FROM ev WHERE vec_id = 0),
+    pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM probe),
+    dim AS (
+        SELECT cl.cid, e.pos, avg(e.x) AS m
+        FROM clusters cl JOIN ev e ON e.vec_id = cl.vec_id
+        GROUP BY cl.cid, e.pos),
+    cs AS (
+        SELECT d.cid, sum(d.m * p.pv) / (sqrt(sum(d.m * d.m)) * any_value(pn.n)) AS c
+        FROM dim d JOIN probe p ON p.pos = d.pos, pn GROUP BY d.cid),
+    best AS (SELECT cid FROM cs ORDER BY c DESC, cid LIMIT 2),
+    adc AS (
+        SELECT a0.vec_id, t0.d + t1.d + t2.d + t3.d AS adist
+        FROM s0a3 a0
+        JOIN s1a3 a1 USING (vec_id) JOIN s2a3 a2 USING (vec_id)
+        JOIN s3a3 a3 USING (vec_id)
+        JOIN t0 ON t0.cid = a0.cid JOIN t1 ON t1.cid = a1.cid
+        JOIN t2 ON t2.cid = a2.cid JOIN t3 ON t3.cid = a3.cid
+        JOIN clusters cl ON cl.vec_id = a0.vec_id
+                        AND cl.cid IN (SELECT cid FROM best)
+        WHERE a0.vec_id <> 0),
+    short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 100),
+    m AS (
+        SELECT e.vec_id,
+               sum(e.x * p.pv) AS dot,
+               sqrt(sum(e.x * e.x)) AS vn
+        FROM ev e JOIN short USING (vec_id)
+        JOIN probe p ON p.pos = e.pos
+        GROUP BY e.vec_id)
+    SELECT vec_id, round(dot / (vn * (SELECT n FROM pn)), 4) AS cosine FROM m
+    ORDER BY dot / (vn * (SELECT n FROM pn)) DESC, vec_id LIMIT 10
+""")
+def q_embed_ivfpq_topk(spark, sf_dir):
+    """FAISS-IVFPQ end to end from the materialized index: coarse
+    routing prunes cluster FILES, the in-cluster ADC scan reads only the
+    stored pq codes (parquet column pruning keeps raw vectors unread),
+    the 100-candidate shortlist re-ranks by exact cosine. Same routing
+    quantizer as embed_vecindex_topk, same PQ codebooks as
+    embed_pq_topk — the composition changes I/O, never the answer
+    (pipeline/vecindex.VectorIndex.search_pq)."""
+    import tempfile
+
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+
+    key = (sf_dir, "pq")
+    if key not in _VECINDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="nexusbase_ivfpq_")
+        _VECINDEX_CACHE[key] = VectorIndex.build(
+            spark, path, emb, nlist=4, iters=3,
+            pq_m=4, pq_codes=4, pq_iters=2)
+    idx = _VECINDEX_CACHE[key]
+    out = idx.search_pq(_probe_vec(spark, sf_dir), k=10, nprobe=2,
+                        rerank=100, exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))

@@ -91,3 +91,33 @@ def test_verify_and_resync_after_corpus_rewrite(spark, corpus, tmp_path_factory)
            idx.search([10.0, 0, 0, 0, 0, 0, 0, 0], k=3, nprobe=1).collect()}
     assert 1000 in got or 1001 in got
     assert not any(v < 8 for v in got)
+
+
+def test_ivfpq_index_serving_matches_brute(spark, corpus, tmp_path_factory):
+    """IVFPQ layout: codes stored beside vectors, search_pq routes ->
+    ADC-shortlists from codes -> exact re-ranks, and on the separated
+    corpus returns exactly the brute-force top-k. Codebooks round-trip
+    through meta.json."""
+    from nexusbase_spark.pipeline.similarity import cosine_topk
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    idx = VectorIndex.build(spark, path, corpus, nlist=4, iters=3,
+                            pq_m=2, pq_codes=4, pq_iters=2)
+    meta = idx._meta()
+    assert meta["pq_m"] == 2 and meta["pq_books"]
+    vecs = spark.read.parquet(path + "/vectors")
+    assert {"code_0", "code_1"} <= set(vecs.columns)
+
+    probe_row = corpus.filter("vec_id = 5").collect()[0]
+    probe = [float(x) for x in probe_row["embedding"]]
+    brute = [r["vec_id"] for r in
+             cosine_topk(corpus, probe, k=10, exclude_id=5).collect()]
+    served = [r["vec_id"] for r in
+              idx.search_pq(probe, k=10, nprobe=1, rerank=40,
+                            exclude_id=5).collect()]
+    assert served == brute
+
+    with pytest.raises(ValueError):
+        VectorIndex.build(spark, str(tmp_path_factory.mktemp("noq")),
+                          corpus, nlist=4, iters=3).search_pq(probe)
