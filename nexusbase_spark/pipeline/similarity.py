@@ -392,7 +392,8 @@ def pq_encode(df: DataFrame, m_sub: int = 4, k_codes: int = 4,
 def pq_topk(df: DataFrame, probe: list[float], k: int = 10,
             m_sub: int = 4, k_codes: int = 4, iters: int = 2,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            exclude_id: int | None = None, rerank: int = 0) -> DataFrame:
+            exclude_id: int | None = None, rerank: int = 0,
+            encoded=None) -> DataFrame:
     """PQ/ADC top-k: encode the corpus (see ``pq_encode``), build the
     probe's asymmetric distance tables (squared L2 from each probe
     subvector to each subspace centroid — m_sub*k_codes doubles, computed
@@ -417,8 +418,11 @@ def pq_topk(df: DataFrame, probe: list[float], k: int = 10,
     SCALE.md "ANN recall": recall@10 0.07 -> ~1.0 on the clustered
     corpus at rerank=100). Output then is (id, dist) — exact distance.
     """
-    enc, books = pq_encode(df, m_sub=m_sub, k_codes=k_codes, iters=iters,
-                           dim=len(probe), id_col=id_col, vec_col=vec_col)
+    # ``encoded=(enc_df, codebooks)`` reuses a prior pq_encode — training
+    # is an index build, not a per-query cost (callers memoize it)
+    enc, books = (encoded if encoded is not None else
+                  pq_encode(df, m_sub=m_sub, k_codes=k_codes, iters=iters,
+                            dim=len(probe), id_col=id_col, vec_col=vec_col))
     sub_len = len(probe) // m_sub
     q6 = lambda x: __import__("math").floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
     adist = F.lit(0.0)

@@ -643,19 +643,21 @@ PRIORITY_PREFIX = [
     "docs_weighted_panel", "docs_boilerplate_ngrams",
     "tpch_q4_shape_exists_rollup", "tpch_q11_shape_value_concentration",
     "tpch_q20_shape_nested_in", "tpch_q21_shape_sole_fault",
-    # last witnessed in round 1 — oldest-evidence re-witness (24 of 28;
-    # q3/q5/q6/q8 stay out this round: plan-property tests guard them)
+    # round-4 in-round additions — never witnessed, same class as the 18
+    "events_cusum_changepoints", "events_markov_transitions",
+    "events_winsorized_stats", "docs_boilerplate_scrub",
+    "docs_dsir_select", "embed_pq_topk", "embed_pq_rerank_topk",
+    "embed_ivfpq_topk",
+    # last witnessed in round 1 — oldest-evidence re-witness (16 of 28;
+    # q3/q5/q6/q8 stay out this round: plan-property tests guard them;
+    # the other 8 r1-only slots ceded to the round-4 additions above)
     "customers_without_orders", "events_asof_enrich",
     "events_cohort_retention", "events_counter_rate", "events_funnel",
     "events_gap_fill_locf", "events_proximity_pairs", "events_rolling_24h",
     "events_sessionize", "events_time_weighted_avg",
-    "events_user_daily_activity", "orders_rank_window",
-    "orders_semi_returned", "tpch_q10_returned_revenue",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue", "tpch_q18_large_carts",
-    "tpch_q19_or_predicates", "tpch_q1_pricing_summary",
-    "tpch_q22_idle_rich_customers", "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_trade", "tpch_q9_profit_proxy",
+    "tpch_q10_returned_revenue", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_carts", "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier", "tpch_q9_profit_proxy",
 ]
 
 

