@@ -45,7 +45,8 @@ class VectorIndex:
     def build(cls, spark: SparkSession, path: str, df: DataFrame,
               nlist: int = 8, iters: int = 3, id_col: str = "vec_id",
               vec_col: str = "embedding", pq_m: int = 0,
-              pq_codes: int = 16, pq_iters: int = 2) -> "VectorIndex":
+              pq_codes: int = 16, pq_iters: int = 2,
+              pq_residual: bool = False) -> "VectorIndex":
         """Train the coarse quantizer (deterministic Lloyd k-means) and
         materialize vectors partitioned by their cluster.
 
@@ -54,17 +55,51 @@ class VectorIndex:
         and stores the codes beside it — the FAISS-IVFPQ layout: routing
         prunes cluster FILES, the in-cluster scan reads m small ints per
         row instead of the vector, and only the re-rank shortlist touches
-        raw floats. Codebooks (driver-sized) land in meta.json."""
+        raw floats. Codebooks (driver-sized) land in meta.json.
+
+        ``pq_residual=True`` encodes RESIDUALS ``x - centroid(cluster(x))``
+        instead of raw vectors — the canonical IVFPQ (IVFADC) coding:
+        after routing removes the coarse component, the codebook only has
+        to cover the within-cluster spread, so the same code budget
+        quantizes far finer. Residual centroids are 6dp-rounded before
+        the subtraction so training inputs are bit-identical in the
+        DuckDB oracle; the rounded table is stored in meta.json for the
+        per-cluster probe tables search_pq needs."""
         assigned = kmeans_assign(df, k=nlist, iters=iters,
                                  id_col=id_col, vec_col=vec_col)
-        books = None
+        books, res_cents = None, None
         cols = [id_col, vec_col, "cluster"]
         if pq_m:
             from nexusbase_spark.pipeline.similarity import pq_encode
             dim = len(df.select(vec_col).first()[0])
+            enc_src_col = vec_col
+            if pq_residual:
+                c6_rows = (assigned.select(
+                               "cluster",
+                               F.posexplode(F.col(vec_col)).alias("pos", "x"))
+                           .groupBy("cluster", "pos")
+                           .agg(F.round(F.avg(F.col("x").cast("double")), 6)
+                                .alias("v"))
+                           .collect())
+                by_c: dict[int, dict[int, float]] = {}
+                for r in c6_rows:
+                    by_c.setdefault(int(r["cluster"]), {})[int(r["pos"])] = \
+                        float(r["v"])
+                res_cents = {c: [d[p] for p in sorted(d)]
+                             for c, d in by_c.items()}
+                centmap = F.create_map(*[
+                    part for c in sorted(res_cents)
+                    for part in (F.lit(c),
+                                 F.array(*[F.lit(v) for v in res_cents[c]]))])
+                assigned = assigned.withColumn(
+                    "__res", F.zip_with(F.col(vec_col),
+                                        centmap[F.col("cluster")],
+                                        lambda x, y: x.cast("double") - y))
+                enc_src_col = "__res"
             assigned, bk = pq_encode(assigned, m_sub=pq_m, k_codes=pq_codes,
                                      iters=pq_iters, dim=dim, id_col=id_col,
-                                     vec_col=vec_col)
+                                     vec_col=enc_src_col)
+            assigned = assigned.drop("__res")
             books = {f"{s}:{c}": v for (s, c), v in bk.items()}
             cols += [f"code_{s}" for s in range(pq_m)]
         (assigned.select(*cols)
@@ -77,7 +112,11 @@ class VectorIndex:
             json.dump({"nlist": nlist, "iters": iters, "n_vectors": n,
                        "id_col": id_col, "vec_col": vec_col,
                        "pq_m": pq_m, "pq_codes": pq_codes,
-                       "pq_iters": pq_iters, "pq_books": books}, f)
+                       "pq_iters": pq_iters, "pq_books": books,
+                       "pq_residual": bool(pq_residual),
+                       "residual_centroids":
+                           ({str(c): v for c, v in res_cents.items()}
+                            if res_cents else None)}, f)
         return cls(spark, path)
 
     # --------------------------------------------------------------- search
@@ -137,6 +176,15 @@ class VectorIndex:
 
         vecs = self.spark.read.parquet(os.path.join(self.path, "vectors"))
         pruned = vecs.filter(F.col("cluster").isin(probed))
+        # residual coding: the probe's distance table differs per probed
+        # cluster (q - centroid_c is the query in that cluster's residual
+        # space), so table keys become cluster * k_codes + code — still
+        # one map lookup per subspace, nprobe * k_codes entries
+        res_cents = ({int(c): v for c, v in
+                      (meta.get("residual_centroids") or {}).items()}
+                     if meta.get("pq_residual") else None)
+        k_codes = meta["pq_codes"]
+        q6 = lambda x: _m.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
         adist = F.lit(0.0)
         for s in range(m_sub):
             qs = probe[s * sub_len:(s + 1) * sub_len]
@@ -144,11 +192,23 @@ class VectorIndex:
             for (sub, cid), cvec in sorted(books.items()):
                 if sub != s:
                     continue
-                d = sum((qv - cv) * (qv - cv) for qv, cv in zip(qs, cvec))
-                keys.append(F.lit(cid))
-                vals.append(F.lit(_m.floor(d * 1e6 + 0.5) / 1e6))
+                if res_cents is None:
+                    keys.append(F.lit(cid))
+                    vals.append(F.lit(q6(sum(
+                        (qv - cv) * (qv - cv)
+                        for qv, cv in zip(qs, cvec)))))
+                else:
+                    for rc in probed:
+                        cc = res_cents[rc][s * sub_len:(s + 1) * sub_len]
+                        keys.append(F.lit(rc * k_codes + cid))
+                        vals.append(F.lit(q6(sum(
+                            (qv - ccv - cv) * (qv - ccv - cv)
+                            for qv, ccv, cv in zip(qs, cc, cvec)))))
+            lookup = (F.col(f"code_{s}") if res_cents is None else
+                      F.col("cluster").cast("int") * k_codes
+                      + F.col(f"code_{s}"))
             adist = adist + F.map_from_arrays(
-                F.array(*keys), F.array(*vals))[F.col(f"code_{s}")]
+                F.array(*keys), F.array(*vals))[lookup]
         id_col, vec_col = meta["id_col"], meta["vec_col"]
         # two passes so the ADC scan PRUNES the vector column at the
         # parquet reader (codes are m ints vs dim floats); the second,

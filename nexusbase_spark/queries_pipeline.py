@@ -2698,7 +2698,8 @@ def q_docs_dsir_select(spark, sf_dir):
 
 
 def _pq_ctes(m_sub: int = 4, k: int = 4, iters: int = 2,
-             sub_len: int = 16, include_ev: bool = True) -> str:
+             sub_len: int = 16, include_ev: bool = True,
+             src: str = "ev", prefix: str = "") -> str:
     """Per-subspace deterministic k-means + ADC distance tables — the
     exact mirror of pipeline/similarity.pq_encode/pq_topk: each subspace
     runs _kmeans_ctes' unrolled Lloyd loop over its slice (re-indexed
@@ -2708,34 +2709,35 @@ def _pq_ctes(m_sub: int = 4, k: int = 4, iters: int = 2,
         "ev AS (SELECT vec_id, r.i - 1 AS pos, CAST(embedding[r.i] AS DOUBLE) AS x"
         " FROM embeddings, range(1, 65) r(i))",
     ]
+    pf = prefix
     for s in range(m_sub):
         lo = s * sub_len
-        ctes.append(f"e{s} AS (SELECT vec_id, pos - {lo} AS pos, x FROM ev"
+        ctes.append(f"{pf}e{s} AS (SELECT vec_id, pos - {lo} AS pos, x FROM {src}"
                     f" WHERE pos >= {lo} AND pos < {lo + sub_len})")
-        ctes.append(f"s{s}c0 AS (SELECT vec_id AS cid, pos, round(x, 6) AS val"
-                    f" FROM e{s} WHERE vec_id < {k})")
+        ctes.append(f"{pf}s{s}c0 AS (SELECT vec_id AS cid, pos, round(x, 6) AS val"
+                    f" FROM {pf}e{s} WHERE vec_id < {k})")
         for t in range(1, iters + 2):
-            ctes.append(f"""s{s}d{t} AS (
+            ctes.append(f"""{pf}s{s}d{t} AS (
                 SELECT e.vec_id, c.cid,
                        round(sum((e.x - c.val) * (e.x - c.val)), 6) AS dist
-                FROM e{s} e JOIN s{s}c{t-1} c ON c.pos = e.pos
+                FROM {pf}e{s} e JOIN {pf}s{s}c{t-1} c ON c.pos = e.pos
                 GROUP BY e.vec_id, c.cid)""")
-            ctes.append(f"""s{s}a{t} AS (
+            ctes.append(f"""{pf}s{s}a{t} AS (
                 SELECT vec_id, cid FROM (
                     SELECT vec_id, cid,
                            row_number() OVER (PARTITION BY vec_id
                                               ORDER BY dist, cid) AS rn
-                    FROM s{s}d{t}) WHERE rn = 1)""")
+                    FROM {pf}s{s}d{t}) WHERE rn = 1)""")
             if t <= iters:
-                ctes.append(f"""s{s}c{t} AS (
+                ctes.append(f"""{pf}s{s}c{t} AS (
                     SELECT a.cid, e.pos, round(avg(e.x), 6) AS val
-                    FROM s{s}a{t} a JOIN e{s} e ON e.vec_id = a.vec_id
+                    FROM {pf}s{s}a{t} a JOIN {pf}e{s} e ON e.vec_id = a.vec_id
                     GROUP BY a.cid, e.pos)""")
         # probe subvector (vec_id 0) against the FINAL codebook c{iters}
-        ctes.append(f"""t{s} AS (
+        ctes.append(f"""{pf}t{s} AS (
             SELECT c.cid,
                    floor(sum((p.x - c.val) * (p.x - c.val)) * 1e6 + 0.5) / 1e6 AS d
-            FROM s{s}c{iters} c JOIN e{s} p ON p.pos = c.pos AND p.vec_id = 0
+            FROM {pf}s{s}c{iters} c JOIN {pf}e{s} p ON p.pos = c.pos AND p.vec_id = 0
             GROUP BY c.cid)""")
     return ",\n    ".join(ctes)
 
@@ -2854,6 +2856,112 @@ def q_embed_ivfpq_topk(spark, sf_dir):
         _VECINDEX_CACHE[key] = VectorIndex.build(
             spark, path, emb, nlist=4, iters=3,
             pq_m=4, pq_codes=4, pq_iters=2)
+    idx = _VECINDEX_CACHE[key]
+    out = idx.search_pq(_probe_vec(spark, sf_dir), k=10, nprobe=2,
+                        rerank=100, exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+@register("embed_ivfpq_residual_topk", f"""
+    WITH {_kmeans_ctes(k=4, iters=3)},
+    cents6 AS (
+        SELECT cl.cid, e.pos, round(avg(e.x), 6) AS v
+        FROM clusters cl JOIN ev e ON e.vec_id = cl.vec_id
+        GROUP BY cl.cid, e.pos),
+    r_ev AS (
+        SELECT e.vec_id, e.pos, e.x - c6.v AS x
+        FROM ev e JOIN clusters cl ON cl.vec_id = e.vec_id
+        JOIN cents6 c6 ON c6.cid = cl.cid AND c6.pos = e.pos),
+    {_pq_ctes(m_sub=4, k=4, iters=2, sub_len=16, include_ev=False,
+              src="r_ev", prefix="r")},
+    probe AS (SELECT pos, x AS pv FROM ev WHERE vec_id = 0),
+    pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM probe),
+    dim AS (
+        SELECT cl.cid, e.pos, avg(e.x) AS m
+        FROM clusters cl JOIN ev e ON e.vec_id = cl.vec_id
+        GROUP BY cl.cid, e.pos),
+    cs AS (
+        SELECT d.cid, sum(d.m * p.pv) / (sqrt(sum(d.m * d.m)) * any_value(pn.n)) AS c
+        FROM dim d JOIN probe p ON p.pos = d.pos, pn GROUP BY d.cid),
+    best AS (SELECT cid FROM cs ORDER BY c DESC, cid LIMIT 2),
+    tr0 AS (
+        SELECT c6.cid AS rcid, cb.cid AS code,
+               floor(sum((p.pv - c6.v - cb.val) * (p.pv - c6.v - cb.val))
+                     * 1e6 + 0.5) / 1e6 AS d
+        FROM cents6 c6
+        JOIN probe p ON p.pos = c6.pos
+        JOIN rs0c2 cb ON cb.pos = c6.pos - 0
+        WHERE c6.pos >= 0 AND c6.pos < 16
+        GROUP BY c6.cid, cb.cid),
+    tr1 AS (
+        SELECT c6.cid AS rcid, cb.cid AS code,
+               floor(sum((p.pv - c6.v - cb.val) * (p.pv - c6.v - cb.val))
+                     * 1e6 + 0.5) / 1e6 AS d
+        FROM cents6 c6
+        JOIN probe p ON p.pos = c6.pos
+        JOIN rs1c2 cb ON cb.pos = c6.pos - 16
+        WHERE c6.pos >= 16 AND c6.pos < 32
+        GROUP BY c6.cid, cb.cid),
+    tr2 AS (
+        SELECT c6.cid AS rcid, cb.cid AS code,
+               floor(sum((p.pv - c6.v - cb.val) * (p.pv - c6.v - cb.val))
+                     * 1e6 + 0.5) / 1e6 AS d
+        FROM cents6 c6
+        JOIN probe p ON p.pos = c6.pos
+        JOIN rs2c2 cb ON cb.pos = c6.pos - 32
+        WHERE c6.pos >= 32 AND c6.pos < 48
+        GROUP BY c6.cid, cb.cid),
+    tr3 AS (
+        SELECT c6.cid AS rcid, cb.cid AS code,
+               floor(sum((p.pv - c6.v - cb.val) * (p.pv - c6.v - cb.val))
+                     * 1e6 + 0.5) / 1e6 AS d
+        FROM cents6 c6
+        JOIN probe p ON p.pos = c6.pos
+        JOIN rs3c2 cb ON cb.pos = c6.pos - 48
+        WHERE c6.pos >= 48 AND c6.pos < 64
+        GROUP BY c6.cid, cb.cid),
+    adc AS (
+        SELECT a0.vec_id, tr0.d + tr1.d + tr2.d + tr3.d AS adist
+        FROM rs0a3 a0
+        JOIN rs1a3 a1 USING (vec_id) JOIN rs2a3 a2 USING (vec_id)
+        JOIN rs3a3 a3 USING (vec_id)
+        JOIN clusters cl ON cl.vec_id = a0.vec_id
+                        AND cl.cid IN (SELECT cid FROM best)
+        JOIN tr0 ON tr0.rcid = cl.cid AND tr0.code = a0.cid
+        JOIN tr1 ON tr1.rcid = cl.cid AND tr1.code = a1.cid
+        JOIN tr2 ON tr2.rcid = cl.cid AND tr2.code = a2.cid
+        JOIN tr3 ON tr3.rcid = cl.cid AND tr3.code = a3.cid
+        WHERE a0.vec_id <> 0),
+    short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 100),
+    m AS (
+        SELECT e.vec_id,
+               sum(e.x * p.pv) AS dot,
+               sqrt(sum(e.x * e.x)) AS vn
+        FROM ev e JOIN short USING (vec_id)
+        JOIN probe p ON p.pos = e.pos
+        GROUP BY e.vec_id)
+    SELECT vec_id, round(dot / (vn * (SELECT n FROM pn)), 4) AS cosine FROM m
+    ORDER BY dot / (vn * (SELECT n FROM pn)) DESC, vec_id LIMIT 10
+""")
+def q_embed_ivfpq_residual_topk(spark, sf_dir):
+    """Canonical IVFADC (residual-coded IVFPQ, Jégou et al. 2011 §IV):
+    codes quantize x - centroid(cluster(x)), so the code budget covers
+    only within-cluster spread — measurably finer than raw-vector PQ
+    (test_ivfpq_residual_serving_and_finer_quantization). The probe's
+    distance tables become per-probed-cluster (q - centroid_c residual
+    space) — still driver-built literals, nprobe*k_codes entries, one
+    map lookup per subspace in the codes-only scan."""
+    import tempfile
+
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+
+    key = (sf_dir, "pq_res")
+    if key not in _VECINDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="nexusbase_ivfpq_res_")
+        _VECINDEX_CACHE[key] = VectorIndex.build(
+            spark, path, emb, nlist=4, iters=3,
+            pq_m=4, pq_codes=4, pq_iters=2, pq_residual=True)
     idx = _VECINDEX_CACHE[key]
     out = idx.search_pq(_probe_vec(spark, sf_dir), k=10, nprobe=2,
                         rerank=100, exclude_id=0)
