@@ -106,6 +106,52 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
             .limit(k))
 
 
+def rrf_fuse(shortlists: list[DataFrame], k: int = 10, *,
+             c: int = 60, id_col: str = "doc_id",
+             score_col: str = "score",
+             score_quant: float = 1e4) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N ranked
+    shortlists: fused(d) = sum over lists of 1/(c + rank_list(d)), docs
+    absent from a list contribute nothing for it. The standard hybrid
+    lexical+dense retrieval combiner — rank-based, so BM25 and cosine
+    scores need no calibration onto a shared scale.
+
+    Each input is an already-retrieved shortlist (id_col, score_col) —
+    the k-row output of ``bm25_topk`` / ``similarity.cosine_topk`` — so
+    every DataFrame here is at most shortlist-sized; the unpartitioned
+    rank window and the final top-k run over O(sum of shortlist lengths)
+    rows, never the corpus. At 100 TB the heavy lifting stays in the
+    retrievers (scan-shaped, distributed); fusion is a constant-size
+    epilogue.
+
+    Determinism: ranks are assigned on the FLOOR-QUANTIZED score
+    (``score_quant``, matching the retrievers' own rank quantization)
+    with ties broken by id, and the fused score is floor-quantized to
+    1e-6 before the final ordering — identical ranks and output on any
+    engine re-implementing the arithmetic.
+    """
+    from pyspark.sql import Window
+
+    if not shortlists:
+        raise ValueError("shortlists must be non-empty")
+    ranked = []
+    w = Window.orderBy(F.col("__qs").desc(), F.col(id_col))
+    for sl in shortlists:
+        qs = F.floor(F.col(score_col).cast("double") * score_quant
+                     + F.lit(0.5)) / score_quant
+        ranked.append(
+            sl.select(F.col(id_col), qs.alias("__qs"))
+              .withColumn("__r", F.row_number().over(w))
+              .select(id_col,
+                      (F.lit(1.0) / (F.lit(float(c)) + F.col("__r")))
+                      .alias("__w")))
+    u = reduce(lambda a, b: a.unionAll(b), ranked)
+    fused = (F.floor(F.sum("__w") * 1e6 + F.lit(0.5)) / 1e6).alias("rrf")
+    return (u.groupBy(id_col).agg(fused)
+            .orderBy(F.col("rrf").desc(), F.col(id_col))
+            .limit(k))
+
+
 class CorpusStats:
     """Incrementally-maintained BM25 corpus statistics — the streaming
     composition of ``bm25_scores``'s one-row aggregate (VERDICT r3 next

@@ -42,13 +42,20 @@ def _probe_lit(probe: list[float]) -> Column:
 
 def cosine_topk(df: DataFrame, probe: list[float], k: int = 20,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                exclude_id: int | None = None) -> DataFrame:
-    """Brute-force exact top-k by cosine; deterministic tie-break on id."""
+                exclude_id: int | None = None,
+                quant: float | None = None) -> DataFrame:
+    """Brute-force exact top-k by cosine; deterministic tie-break on id.
+
+    ``quant`` floor-quantizes the score BEFORE ranking (same rank-stable
+    contract as ``search.bm25_topk``) — required when the shortlist feeds
+    a rank-based combiner (``search.rrf_fuse``) that must agree with a
+    re-implementation: quantize-after-limit would let sub-quantum score
+    differences pick a different boundary row on each engine."""
     p = _probe_lit(probe)
-    out = df.select(
-        F.col(id_col),
-        cosine_sim_expr(F.col(vec_col), p).alias("cosine"),
-    )
+    cos = cosine_sim_expr(F.col(vec_col), p)
+    if quant:
+        cos = F.floor(cos * quant + F.lit(0.5)) / quant
+    out = df.select(F.col(id_col), cos.alias("cosine"))
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

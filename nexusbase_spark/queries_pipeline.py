@@ -2215,6 +2215,56 @@ def q_docs_bm25_indexed(spark, sf_dir):
     return ix.search(list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B)
 
 
+@register("docs_hybrid_rrf_topk", f"""
+    WITH lex0 AS ({_bm25_oracle(50)}),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+            FROM lex0),
+    pr AS (SELECT r.i AS pos, CAST(p.embedding[r.i] AS DOUBLE) AS pv
+           FROM embeddings p, range(1, 65) r(i) WHERE p.vec_id = 0),
+    pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM pr),
+    mden AS (SELECT v.vec_id,
+                    sum(CAST(v.embedding[pr.pos] AS DOUBLE) * pr.pv) AS dot,
+                    sqrt(sum(CAST(v.embedding[pr.pos] AS DOUBLE) ** 2)) AS vn
+             FROM embeddings v, pr WHERE v.vec_id <> 0 GROUP BY v.vec_id),
+    den0 AS (SELECT vec_id AS doc_id,
+                    floor(dot / (vn * (SELECT n FROM pn)) * 1e4 + 0.5) / 1e4 AS qc
+             FROM mden
+             ORDER BY floor(dot / (vn * (SELECT n FROM pn)) * 1e4 + 0.5) / 1e4
+                      DESC, vec_id
+             LIMIT 50),
+    den AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY qc DESC, doc_id) AS r
+            FROM den0),
+    u AS (SELECT doc_id, 1.0 / (60.0 + r) AS w FROM lex
+          UNION ALL SELECT doc_id, 1.0 / (60.0 + r) FROM den)
+    SELECT doc_id, floor(sum(w) * 1e6 + 0.5) / 1e6 AS rrf
+    FROM u GROUP BY doc_id
+    ORDER BY floor(sum(w) * 1e6 + 0.5) / 1e6 DESC, doc_id LIMIT 10
+""")
+def q_docs_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid lexical+dense retrieval with reciprocal-rank fusion: BM25
+    top-50 over the text and exact-cosine top-50 over the document
+    embeddings (doc_id == vec_id in the testdata), fused as
+    sum(1/(60+rank)) per RRF (Cormack et al. 2009) — the standard hybrid
+    search combiner since it needs no score calibration across the two
+    retrieval spaces. Both retrievers are corpus-scan shaped
+    (distributed top-k, one stats broadcast); fusion touches only the
+    two 50-row shortlists. Ranks assigned on floor-quantized scores,
+    ties by id — rank-stable across engines (see search.rrf_fuse)."""
+    from nexusbase_spark.pipeline.search import bm25_topk, rrf_fuse
+    from nexusbase_spark.pipeline.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, list(_BM25_TERMS), k=50, k1=_BM25_K1, b=_BM25_B)
+    den = (cosine_topk(emb, _probe_vec(spark, sf_dir), k=50,
+                       exclude_id=0, quant=1e4)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.col("cosine").alias("score")))
+    return rrf_fuse([lex, den], k=10, c=60)
+
+
 @register("docs_heavy_hitter_bigrams", """
     WITH t AS (SELECT string_split(trim(lower(text)), ' ') AS t
                FROM documents),

@@ -874,3 +874,41 @@ def test_pq_encode_topk_quantization_sanity(spark):
            pq_topk(df, rows[0][1], k=7, m_sub=2, k_codes=2, iters=2,
                    exclude_id=0).collect()]
     assert set(got) == set(range(1, 8)), got
+
+
+def test_rrf_fuse_hand_computation_and_absence(spark):
+    """Fused score = sum over lists of 1/(60+rank); a doc present in one
+    list only gets that single term; ranks come from quantized scores
+    with id tie-break; output ordered by fused desc then id."""
+    from nexusbase_spark.pipeline.search import rrf_fuse
+
+    # list A ranks: 10 (r1), 20 (r2), 30 (r3); list B: 20 (r1), 40 (r2)
+    a = spark.createDataFrame([(10, 0.9), (20, 0.5), (30, 0.1)],
+                              "doc_id long, score double")
+    b = spark.createDataFrame([(20, 0.8), (40, 0.2)],
+                              "doc_id long, score double")
+    rows = rrf_fuse([a, b], k=10, c=60).collect()
+    got = {r["doc_id"]: r["rrf"] for r in rows}
+
+    def q6(x):
+        import math
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert got[20] == q6(1 / 62 + 1 / 61)       # r2 in A, r1 in B
+    assert got[10] == q6(1 / 61)                # A only
+    assert got[30] == q6(1 / 63)
+    assert got[40] == q6(1 / 62)
+    # doc 20 fused first; 10 and 40 tie-broken... 1/61 > 1/62 so 10 next
+    assert [r["doc_id"] for r in rows] == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_rank_on_quantized_score_ties(spark):
+    """Scores equal after 1e-4 quantization rank by id ascending — the
+    cross-engine stability contract."""
+    from nexusbase_spark.pipeline.search import rrf_fuse
+
+    a = spark.createDataFrame([(5, 0.500004), (2, 0.500001)],
+                              "doc_id long, score double")
+    rows = rrf_fuse([a], k=2, c=60).collect()
+    # both quantize to 0.5 -> rank by id: doc 2 gets r1
+    assert [r["doc_id"] for r in rows] == [2, 5]
