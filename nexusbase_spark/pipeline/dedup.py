@@ -506,6 +506,66 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def duplicate_ngram_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Exact repeated-substring span detection (the n-gram formulation of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every token n-gram occurring at least ``min_count`` times
+    in the corpus (any document, including self-repetition) marks its
+    token span [start, start+n) as duplicated; overlapping and adjacent
+    marked spans inside a document merge into maximal cut regions — the
+    span list a substring-dedup pass would excise before training.
+
+    Plan at corpus scale (wordcount-shaped, nothing quadratic):
+
+    - positional n-grams are a narrow transform + posexplode — rows grow
+      by ~tokens-per-doc, the same expansion any tokenizing pass pays;
+    - the duplicate-gram rollup is one hash groupBy with map-side
+      combine; only grams passing ``min_count`` survive to the mark join
+      (at 100 TB you would pre-hash grams to 8 bytes before the shuffle
+      and carry the string only through verification — here the gram IS
+      the key so the DuckDB oracle is hash-free);
+    - span merging is the gaps-and-islands idiom per document: one
+      window partitioning (running max of span end; a span starting past
+      it opens a new island), then a groupBy island — all partitioned by
+      doc, no global ordering anywhere.
+
+    Output: (id_col, span_start, span_end, span_tokens) with token
+    offsets, span_end exclusive; adjacent spans (s == previous end)
+    merge, so output regions are maximal contiguous duplicated runs.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size("__t") >= n,
+        F.transform(F.sequence(F.lit(0), F.size("__t") - n),
+                    lambda i: F.concat_ws(" ", F.slice("__t", i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    ng = (docs.select(F.col(id_col), toks.alias("__t"))
+          .select(id_col, F.posexplode(grams).alias("s", "g")))
+    dup = (ng.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") >= min_count).select("g"))
+    spans = (ng.join(dup, "g")
+             .select(id_col, F.col("s").cast("long").alias("s"),
+                     (F.col("s") + n).cast("long").alias("e")))
+    w_prev = (Window.partitionBy(id_col).orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(id_col).orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    pmax = F.max("e").over(w_prev)
+    new_island = F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0)
+    return (spans
+            .withColumn("__isl", F.sum(new_island).over(w_run))
+            .groupBy(id_col, "__isl")
+            .agg(F.min("s").alias("span_start"),
+                 F.max("e").alias("span_end"))
+            .select(id_col, "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("span_tokens")))
+
+
 def scrub_frequent_chunks(docs: DataFrame, min_docs: int = 5,
                           window: int = 8, mask_hex: str = "0",
                           id_col: str = "doc_id",

@@ -2695,6 +2695,42 @@ def q_docs_boilerplate_scrub(spark, sf_dir):
     return scrub_frequent_chunks(docs, min_docs=5)
 
 
+@register("docs_duplicate_spans", """
+    WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+               FROM documents),
+    ng AS (SELECT doc_id, u - 1 AS s, array_to_string(toks[u:u+7], ' ') AS g
+           FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS one(u)),
+    dup AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+    sp AS (SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(s + 8 AS BIGINT) AS e
+           FROM ng WHERE g IN (SELECT g FROM dup)),
+    w AS (SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmax
+          FROM sp),
+    isl AS (SELECT doc_id, s, e,
+                   sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS isl
+            FROM w)
+    SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) AS span_tokens
+    FROM isl GROUP BY doc_id, isl
+""")
+def q_docs_duplicate_spans(spark, sf_dir):
+    """Exact repeated-substring spans (Lee et al. 2021 n-gram
+    formulation): maximal per-doc token regions covered by 8-grams that
+    occur >= 2 times anywhere in the corpus — the cut list a
+    substring-dedup pass excises before training. Wordcount-shaped
+    (posexplode + one gram rollup), island merge windowed per doc.
+    See pipeline/dedup.duplicate_ngram_spans."""
+    from nexusbase_spark.pipeline.dedup import duplicate_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, n=8, min_count=2)
+
+
 @register("docs_dsir_select", """
     WITH g AS (
         SELECT doc_id, source IN ('src1', 'src2') AS tgt,

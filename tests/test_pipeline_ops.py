@@ -912,3 +912,24 @@ def test_rrf_fuse_rank_on_quantized_score_ties(spark):
     rows = rrf_fuse([a], k=2, c=60).collect()
     # both quantize to 0.5 -> rank by id: doc 2 gets r1
     assert [r["doc_id"] for r in rows] == [2, 5]
+
+
+def test_duplicate_ngram_spans_merge_and_self_repetition(spark):
+    """Overlapping duplicated n-grams merge into one maximal span;
+    repetition within a single doc counts toward min_count; docs shorter
+    than n produce nothing; span_end is exclusive."""
+    from nexusbase_spark.pipeline.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame([
+        # docs 1 and 2 share the 5-token run "a b c d e" -> 3-grams at
+        # starts 0..2 all duplicated -> one merged span [0, 5)
+        (1, "a b c d e zz1 yy1"),
+        (2, "a b c d e zz2 yy2"),
+        # doc 3 repeats "p q r" internally (starts 0 and 3, adjacent):
+        # both occurrences duplicated -> merged [0, 6)
+        (3, "p q r p q r tail3"),
+        (4, "too short"),
+    ], "doc_id long, text string")
+    rows = {(r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
+            for r in duplicate_ngram_spans(docs, n=3, min_count=2).collect()}
+    assert rows == {(1, 0, 5): 5, (2, 0, 5): 5, (3, 0, 6): 6}
