@@ -35,6 +35,7 @@ from nexusbase_spark.operators.metadata import (  # noqa: F401
     series_by_tags,
 )
 from nexusbase_spark.operators.timeseries import (  # noqa: F401
+    acf_lags,
     fill_forward,
     fill_linear,
     robust_zscore_flag,

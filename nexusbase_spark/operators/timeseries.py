@@ -301,3 +301,47 @@ def cusum_changepoints(df: DataFrame, keys: list[str],
                     q4(F.col("__sn")).alias("s_neg"),
                     F.when(F.col("__sp") > h, F.lit("up"))
                      .otherwise(F.lit("down")).alias("direction")))
+
+
+def acf_lags(df: DataFrame, keys: list[str], max_lag: int = 3,
+             value_col: str = "value", ts_col: str = "ts",
+             seq_col: str = "seq") -> DataFrame:
+    """Per-series autocorrelation function at lags 1..max_lag — the
+    seasonality/persistence fingerprint (an AR(1) process shows
+    geometrically decaying r_k; a periodic series spikes at its period).
+
+    Classical biased estimator (statsmodels/Box-Jenkins default):
+
+        r_k = sum_{t>k} (x_t - mu)(x_{t-k} - mu) / sum_t (x_t - mu)^2
+
+    with mu the FULL-series mean — a plain ratio of sums, reproducible
+    on any engine, unlike corr() whose one-pass covariance accumulates
+    engine-specific float error.
+
+    One exchange total: the series mean comes from a whole-partition
+    window, all max_lag lag() columns share the same (keys, ts, seq)
+    sort, and the final per-series groupBy folds the products — no
+    self-joins, no per-lag re-shuffles. Per-series math, so at 100 TB
+    this scales with the number of series exactly like the other
+    per-series operators. Output floor-quantized to 1e-4; series with
+    zero variance (or fewer than 2 points) emit NULL r_k.
+    """
+    o1, o2 = F.col(ts_col).asc(), F.col(seq_col).asc()
+    wp = Window.partitionBy(*keys)
+    wo = Window.partitionBy(*keys).orderBy(o1, o2)
+    v = F.col(value_col).cast("double")
+    df = (df.withColumn("__mu", F.avg(v).over(wp))
+          .withColumn("__c", v - F.col("__mu")))
+    for k in range(1, max_lag + 1):
+        df = df.withColumn(f"__l{k}", F.lag("__c", k).over(wo))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    den = F.sum(F.col("__c") * F.col("__c"))
+    return (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 den.alias("__den"),
+                 *[F.sum(F.col("__c") * F.col(f"__l{k}")).alias(f"__num{k}")
+                   for k in range(1, max_lag + 1)])
+            .select(*keys, "n_pts",
+                    *[q4(F.when(F.col("__den") > 0,
+                                F.col(f"__num{k}") / F.col("__den")))
+                      .alias(f"r{k}") for k in range(1, max_lag + 1)]))

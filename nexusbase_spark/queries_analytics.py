@@ -1322,6 +1322,41 @@ def q_events_seasonal_volume_outliers(spark, sf_dir):
     return seasonal_count_outliers(pts, ["metric"], threshold=2.0)
 
 
+@register("events_acf", """
+    WITH pts AS (
+        SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS user,
+               epoch_ns(ts) AS ts, event_id AS seq, value
+        FROM events),
+    c AS (SELECT metric, user, ts, seq,
+                 value - avg(value) OVER (PARTITION BY metric, user) AS c
+          FROM pts),
+    l AS (SELECT metric, user, c,
+                 lag(c, 1) OVER w AS l1, lag(c, 2) OVER w AS l2,
+                 lag(c, 3) OVER w AS l3
+          FROM c WINDOW w AS (PARTITION BY metric, user ORDER BY ts, seq)),
+    a AS (SELECT metric, user, CAST(count(*) AS BIGINT) AS n_pts,
+                 sum(c * c) AS den, sum(c * l1) AS n1,
+                 sum(c * l2) AS n2, sum(c * l3) AS n3
+          FROM l GROUP BY metric, user)
+    SELECT metric, user, n_pts,
+           floor((CASE WHEN den > 0 THEN n1 / den END) * 1e4 + 0.5) / 1e4 AS r1,
+           floor((CASE WHEN den > 0 THEN n2 / den END) * 1e4 + 0.5) / 1e4 AS r2,
+           floor((CASE WHEN den > 0 THEN n3 / den END) * 1e4 + 0.5) / 1e4 AS r3
+    FROM a
+""")
+def q_events_acf(spark, sf_dir):
+    """Per-series autocorrelation at lags 1-3 (classical Box-Jenkins
+    biased estimator — a ratio of centered-product sums, engine-
+    reproducible unlike one-pass corr()): the seasonality/persistence
+    fingerprint per (metric, user) series. One exchange: full-partition
+    mean window, all lag columns share one sort, products fold in a
+    per-series groupBy (operators/timeseries.acf_lags)."""
+    from nexusbase_spark.operators.timeseries import acf_lags
+
+    pts = _event_points(spark, sf_dir)
+    return acf_lags(pts, ["metric", "user"], max_lag=3)
+
+
 @register("events_series_cardinality", """
     WITH pts AS (
         SELECT event_type AS metric,

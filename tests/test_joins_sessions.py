@@ -323,3 +323,22 @@ def test_cusum_constant_series_never_alarms(spark):
     rows = [("c", i, i, 5.0) for i in range(30)]
     df = spark.createDataFrame(rows, "k string, ts long, seq long, value double")
     assert cusum_changepoints(df, ["k"]).count() == 0  # sigma=0 filtered
+
+
+def test_acf_lags_hand_computation_and_degenerate(spark):
+    """r_k equals the classical estimator on a hand series; constant
+    series (zero variance) emits NULL r_k; ordering is (ts, seq)."""
+    from nexusbase_spark.operators.timeseries import acf_lags
+
+    rows = [("a", i + 1, i + 1, v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+    rows += [("const", i + 1, i + 1, 7.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "metric string, ts long, seq long, value double")
+    out = {r["metric"]: r for r in
+           acf_lags(df, ["metric"], max_lag=3, value_col="value").collect()}
+    # series a: c = [-1.5,-.5,.5,1.5], den=5
+    # r1 = (0.75-0.25+0.75)/5 = 0.25; r2 = (-0.75-0.75)/5 = -0.3; r3 = -2.25/5
+    a = out["a"]
+    assert a["n_pts"] == 4
+    assert (a["r1"], a["r2"], a["r3"]) == (0.25, -0.3, -0.45)
+    c = out["const"]
+    assert c["r1"] is None and c["r2"] is None and c["r3"] is None
