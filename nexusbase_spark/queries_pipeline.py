@@ -1412,6 +1412,78 @@ def q_embed_knn_graph(spark, sf_dir):
     return knn_graph(emb, k=3)
 
 
+@register("embed_pagerank_topk", """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 300
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id, b.vec_id AS nbr,
+               floor(sum(a.v[r.i] * b.v[r.i])
+                     / (sqrt(sum(a.v[r.i] * a.v[r.i]))
+                        * sqrt(sum(b.v[r.i] * b.v[r.i]))) * 1e4 + 0.5) / 1e4
+                   AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id,
+             range(1, 65) r(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT id, nbr, cosine,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cosine DESC, nbr) AS rank
+        FROM pairs),
+    edges AS (SELECT id AS src, nbr AS dst FROM ranked WHERE rank <= 3),
+    nodes AS (SELECT vec_id AS id FROM e),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src, CAST(6 // count(*) AS BIGINT) AS fac
+            FROM edges GROUP BY src),
+    pr0 AS (SELECT id, CAST(1 AS BIGINT) AS p FROM nodes),
+    c1 AS (SELECT eg.dst AS id, sum(dg.fac * p.p) AS c
+           FROM edges eg JOIN pr0 p ON p.id = eg.src
+           JOIN deg dg ON dg.src = eg.src GROUP BY eg.dst),
+    pr1 AS (SELECT nodes.id,
+                   CAST(18 + 17 * coalesce(c1.c, 0) AS BIGINT) AS p
+            FROM nodes LEFT JOIN c1 ON c1.id = nodes.id),
+    c2 AS (SELECT eg.dst AS id, sum(dg.fac * p.p) AS c
+           FROM edges eg JOIN pr1 p ON p.id = eg.src
+           JOIN deg dg ON dg.src = eg.src GROUP BY eg.dst),
+    pr2 AS (SELECT nodes.id,
+                   CAST(2160 + 17 * coalesce(c2.c, 0) AS BIGINT) AS p
+            FROM nodes LEFT JOIN c2 ON c2.id = nodes.id),
+    c3 AS (SELECT eg.dst AS id, sum(dg.fac * p.p) AS c
+           FROM edges eg JOIN pr2 p ON p.id = eg.src
+           JOIN deg dg ON dg.src = eg.src GROUP BY eg.dst),
+    pr3 AS (SELECT nodes.id,
+                   CAST(259200 + 17 * coalesce(c3.c, 0) AS BIGINT) AS p
+            FROM nodes LEFT JOIN c3 ON c3.id = nodes.id)
+    SELECT id, CAST(p AS DOUBLE) / ((SELECT n FROM nn) * 1728000.0) AS pr
+    FROM pr3
+    ORDER BY CAST(p AS DOUBLE) / ((SELECT n FROM nn) * 1728000.0) DESC, id
+    LIMIT 20
+""")
+def q_embed_pagerank_topk(spark, sf_dir):
+    """PageRank centrality over the label-partitioned 3-NN graph (3
+    synchronous rounds, d=17/20): which vectors anchor their semantic
+    neighborhoods — the centrality prior a link/semantic-graph quality
+    weighting uses. Iterative DataFrame loop with eager localCheckpoint
+    per round (pipeline/graph.pagerank); oracle = the same three rounds
+    unrolled as CTEs. The recurrence runs on an exact INTEGER lattice
+    (P' = (b-a)L(bL)^t + a*sum((L/outdeg)P), only the final P/S division
+    is float) — float quantization is unsafe here because PageRank's
+    reachable values include exact rounding-boundary points (bit us at
+    1e-9: 0.0078391195 straddled)."""
+    from nexusbase_spark.pipeline.graph import pagerank
+    from nexusbase_spark.pipeline.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    g = knn_graph(emb, k=3)
+    edges = g.select(F.col("id").alias("src"), F.col("nbr").alias("dst"))
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    pr = pagerank(edges, nodes, iters=3, damp_num=17, damp_den=20)
+    return pr.orderBy(F.col("pr").desc(), F.col("id")).limit(20)
+
+
 @register("embed_mutual_knn_clusters", """
     WITH RECURSIVE e AS (
         SELECT vec_id, label,

@@ -933,3 +933,28 @@ def test_duplicate_ngram_spans_merge_and_self_repetition(spark):
     rows = {(r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
             for r in duplicate_ngram_spans(docs, n=3, min_count=2).collect()}
     assert rows == {(1, 0, 5): 5, (2, 0, 5): 5, (3, 0, 6): 6}
+
+
+def test_pagerank_cycle_and_dangling_exact(spark):
+    """A 2-cycle holds the uniform stationary distribution exactly; a
+    dangling sink drops mass (simplified formulation) with hand-computed
+    values; out-degree above max_outdeg raises."""
+    import pytest as _pt
+
+    from nexusbase_spark.pipeline.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["id"]: r["pr"] for r in pagerank(cyc, nodes, iters=3).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+    chain = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["id"]: r["pr"] for r in pagerank(chain, nodes, iters=2).collect()}
+    # pr1 = (0.075, 0.075+0.85*0.5) ; pr2 = (0.075, 0.075+0.85*0.075)
+    assert got[1] == 0.075 and got[2] == 0.13875
+
+    fan = spark.createDataFrame([(1, 2), (1, 3), (1, 4), (1, 5)],
+                                "src long, dst long")
+    n5 = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    with _pt.raises(ValueError):
+        pagerank(fan, n5, iters=1, max_outdeg=3)
