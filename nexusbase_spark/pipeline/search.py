@@ -152,6 +152,68 @@ def rrf_fuse(shortlists: list[DataFrame], k: int = 10, *,
             .limit(k))
 
 
+def mmr_select(shortlist: DataFrame, k: int = 5, *,
+               id_col: str = "vec_id", rel_col: str = "rel",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell/Goldstein
+    1998, lambda = 0.5) of a retrieval shortlist: greedily pick the
+    candidate maximizing relevance minus its similarity to anything
+    already picked — the standard redundancy-removal epilogue before
+    showing (or sampling) retrieved context.
+
+    Scale shape: candidate-pair similarities are computed IN SPARK (a
+    self-join of the shortlist — at most |shortlist|^2 tiny rows, e.g.
+    20x20); only the quantized (id, rel) list and pair-sim list land on
+    the driver for the k-step greedy loop, which is O(k*|shortlist|)
+    over <= a few hundred numbers — the same shortlist-sized epilogue
+    contract as ``rrf_fuse``. Nothing corpus-sized leaves the cluster.
+
+    Determinism — integer lattice (see pipeline/graph.py's PageRank
+    note): rel and pair-sims floor-quantize to 1e-4 and are then scaled
+    to exact int64; with lambda = 1/2 the MMR objective
+    0.5*rel - 0.5*maxsim orders identically to the INTEGER score
+    rel_q - maxsim_q, so the greedy argmax (ties -> min id) involves no
+    float comparison at all on either engine.
+
+    Output: (id_col, sel_rank 1..k, mmr_score = the integer objective /
+    1e4 as double; the first pick's score is its relevance).
+    """
+    q4i = lambda c: F.floor(c.cast("double") * 1e4 + F.lit(0.5))  # noqa: E731
+    base = shortlist.select(F.col(id_col).alias("__id"),
+                            q4i(F.col(rel_col)).cast("long").alias("__rel"),
+                            F.col(vec_col).alias("__v")).localCheckpoint(True)
+    a, b = base.alias("a"), base.alias("b")
+    from nexusbase_spark.pipeline.similarity import cosine_sim_expr
+    pair_rows = (a.join(b, F.col("a.__id") < F.col("b.__id"))
+                 .select(F.col("a.__id").alias("ia"),
+                         F.col("b.__id").alias("ib"),
+                         q4i(cosine_sim_expr(F.col("a.__v"), F.col("b.__v")))
+                         .cast("long").alias("s"))
+                 .collect())
+    sims: dict[tuple, int] = {}
+    for r in pair_rows:
+        sims[(r["ia"], r["ib"])] = sims[(r["ib"], r["ia"])] = int(r["s"])
+    cands = {r["__id"]: int(r["__rel"]) for r in base.collect()}
+    picked: list[tuple] = []
+    chosen: list = []
+    for step in range(1, min(k, len(cands)) + 1):
+        best = None
+        for cid, rel in cands.items():
+            if chosen:
+                score = rel - max(sims.get((cid, s), 0) for s in chosen)
+            else:
+                score = rel
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, score)
+        picked.append((best[1], step, best[2] / 1e4))
+        chosen.append(best[1])
+        del cands[best[1]]
+    spark = shortlist.sparkSession
+    return spark.createDataFrame(
+        picked, f"{id_col} long, sel_rank long, mmr_score double")
+
+
 class CorpusStats:
     """Incrementally-maintained BM25 corpus statistics — the streaming
     composition of ``bm25_scores``'s one-row aggregate (VERDICT r3 next

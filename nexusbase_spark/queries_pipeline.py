@@ -1412,6 +1412,71 @@ def q_embed_knn_graph(spark, sf_dir):
     return knn_graph(emb, k=3)
 
 
+def _mmr_oracle(k: int = 5, n_short: int = 20) -> str:
+    """Unrolled greedy MMR (lambda=1/2, integer lattice): step CTEs pick
+    argmax of rel_q - max(sim_q to selected); ties by id. Mirrors
+    pipeline/search.mmr_select exactly."""
+    # MATERIALIZED: cand/pairs are referenced by every greedy step —
+    # inlined, DuckDB re-runs the corpus scan per reference (25s vs
+    # 0.2s at sf0.1)
+    ctes = [f"""cand AS MATERIALIZED (
+        SELECT vec_id AS id,
+               CAST(floor(sum(v.x * p.x)
+                    / (sqrt(sum(v.x * v.x)) * sqrt(sum(p.x * p.x)))
+                    * 1e4 + 0.5) AS BIGINT) AS rel, any_value(v.emb) AS emb
+        FROM (SELECT vec_id, r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS x,
+                     embedding AS emb
+              FROM embeddings, range(1, 65) r(i) WHERE vec_id <> 0) v
+        JOIN (SELECT r.i AS pos, CAST(embedding[r.i] AS DOUBLE) AS x
+              FROM embeddings, range(1, 65) r(i) WHERE vec_id = 0) p
+          ON p.pos = v.pos
+        GROUP BY vec_id
+        ORDER BY rel DESC, vec_id LIMIT {n_short})""",
+            """pairs AS MATERIALIZED (
+        SELECT a.id AS ia, b.id AS ib,
+               CAST(floor(sum(CAST(a.emb[r.i] AS DOUBLE) * CAST(b.emb[r.i] AS DOUBLE))
+                    / (sqrt(sum(CAST(a.emb[r.i] AS DOUBLE) ** 2))
+                       * sqrt(sum(CAST(b.emb[r.i] AS DOUBLE) ** 2)))
+                    * 1e4 + 0.5) AS BIGINT) AS s
+        FROM cand a JOIN cand b ON a.id <> b.id, range(1, 65) r(i)
+        GROUP BY a.id, b.id)""",
+            "s1 AS (SELECT id, rel AS score FROM cand"
+            " ORDER BY rel DESC, id LIMIT 1)",
+            "sel1 AS (SELECT id FROM s1)"]
+    for t in range(2, k + 1):
+        ctes.append(f"""s{t} AS (
+        SELECT c.id,
+               c.rel - (SELECT max(p.s) FROM pairs p WHERE p.ia = c.id
+                        AND p.ib IN (SELECT id FROM sel{t-1})) AS score
+        FROM cand c WHERE c.id NOT IN (SELECT id FROM sel{t-1})
+        ORDER BY score DESC, c.id LIMIT 1)""")
+        ctes.append(f"sel{t} AS (SELECT id FROM sel{t-1}"
+                    f" UNION ALL SELECT id FROM s{t})")
+    unions = "\n    UNION ALL ".join(
+        f"SELECT id AS vec_id, CAST({t} AS BIGINT) AS sel_rank,"
+        f" score / 1e4 AS mmr_score FROM s{t}" for t in range(1, k + 1))
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@register("embed_mmr_diversified", _mmr_oracle(k=5, n_short=20))
+def q_embed_mmr_diversified(spark, sf_dir):
+    """MMR-diversified retrieval (lambda=1/2): cosine top-20 shortlist
+    for the probe, then 5 greedy picks maximizing relevance minus max
+    similarity to anything picked — redundancy removal over near-
+    duplicate retrieval hits. Pair sims computed in Spark; the greedy
+    loop runs on integer-lattice scores (no float comparisons — see
+    search.mmr_select), oracle = the same greedy unrolled per step."""
+    from nexusbase_spark.pipeline.search import mmr_select
+    from nexusbase_spark.pipeline.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sl = (cosine_topk(emb, _probe_vec(spark, sf_dir), k=20,
+                      exclude_id=0, quant=1e4)
+          .join(emb.select("vec_id", "embedding"), "vec_id"))
+    return mmr_select(sl, k=5, id_col="vec_id", rel_col="cosine",
+                      vec_col="embedding")
+
+
 @register("embed_pagerank_topk", """
     WITH e AS (
         SELECT vec_id, label,

@@ -958,3 +958,19 @@ def test_pagerank_cycle_and_dangling_exact(spark):
     n5 = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
     with _pt.raises(ValueError):
         pagerank(fan, n5, iters=1, max_outdeg=3)
+
+
+def test_mmr_select_prefers_diverse_over_redundant(spark):
+    """Greedy MMR (lambda=1/2): an exact duplicate of the first pick is
+    deferred behind an orthogonal lower-relevance candidate; scores are
+    the integer-lattice objective / 1e4."""
+    from nexusbase_spark.pipeline.search import mmr_select
+
+    sl = spark.createDataFrame([
+        (1, 0.9, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0.89, [1.0, 0.0, 0.0, 0.0]),   # duplicate of 1 -> sim 1.0
+        (3, 0.5, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+    ], "vec_id long, rel double, embedding array<double>")
+    rows = mmr_select(sl, k=3).collect()
+    assert [(r["vec_id"], r["sel_rank"], r["mmr_score"]) for r in rows] == [
+        (1, 1, 0.9), (3, 2, 0.5), (2, 3, -0.11)]
