@@ -85,3 +85,58 @@ def dsir_select(docs: DataFrame, target_flag: Column, k: int = 50,
             .limit(k)
             .select(id_col, "n_grams", q4(F.col("__lam")).alias("lam"),
                     q4(F.col("__key")).alias("sel_key")))
+
+
+def source_kl_report(docs: DataFrame, group_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    """Per-group distribution drift: KL(p_group || q_corpus) between
+    Laplace-smoothed unigram LMs — the mixture-shift diagnostic that
+    tells a curation pipeline which source's language diverges from the
+    blend (feeding temperature/mixture re-weighting decisions).
+
+    p_g(t) = (c_gt + 1)/(n_g + V), q(t) = (c_t + 1)/(N + V) over the
+    corpus vocabulary V. The sum over tokens ABSENT from a group closes
+    to a scalar form (all such tokens share p = 1/(n_g+V)):
+
+        KL_g = sum_present p (ln p - ln q)
+             + a * [ (V - V_g) ln a - (SLQ - sum_present ln q) ],
+        a = 1/(n_g+V),  SLQ = sum over vocab of ln q
+
+    so nothing vocab-x-groups is ever materialized: the only shuffles
+    are the (group, token) and (token) count rollups (map-side combined)
+    and the per-group fold; V/N/SLQ are three driver scalars (one agg
+    job). The DuckDB oracle mirrors this exact decomposition so both
+    engines fold the same multisets. Output floor-quantized to 1e-4.
+
+    Output: (group_col, n_tokens, vocab_seen, kl).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    tok = docs.select(F.col(group_col).alias("grp"),
+                      F.explode(tokens_col(F.col(text_col))).alias("t"))
+    corpus = (tok.groupBy("t").agg(F.count(F.lit(1)).alias("cq"))
+              .localCheckpoint(eager=True))  # reused: scalars + join
+    g = corpus.agg(F.count(F.lit(1)).alias("v"), F.sum("cq").alias("n"),
+                   F.sum(F.log(F.col("cq") + 1)).alias("slncq")).collect()[0]
+    vocab, n_tot = int(g["v"]), int(g["n"])
+    ln_nv = math.log(n_tot + vocab)
+    slq = float(g["slncq"]) - vocab * ln_nv  # sum over vocab of ln q
+    sc = tok.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("cs"))
+    wg = Window.partitionBy("grp")
+    sc = (sc.withColumn("ns", F.sum("cs").over(wg))
+          .withColumn("vs", F.count(F.lit(1)).over(wg))
+          .join(corpus, "t"))
+    p = (F.col("cs") + 1) / (F.col("ns") + vocab)
+    lnq = F.log(F.col("cq") + 1) - ln_nv
+    agg = (sc.groupBy("grp", "ns", "vs")
+           .agg(F.sum(p * (F.log(p) - lnq)).alias("s1"),
+                F.sum(lnq).alias("s2")))
+    a = 1.0 / (F.col("ns") + vocab)
+    kl = (F.col("s1")
+          + a * ((vocab - F.col("vs")) * F.log(a) - (slq - F.col("s2"))))
+    return agg.select(F.col("grp").alias(group_col),
+                      F.col("ns").alias("n_tokens"),
+                      F.col("vs").alias("vocab_seen"),
+                      (F.floor(kl * 1e4 + F.lit(0.5)) / 1e4).alias("kl"))

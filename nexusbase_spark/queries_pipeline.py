@@ -2920,6 +2920,51 @@ def q_docs_dsir_select(spark, sf_dir):
     return dsir_select(docs, F.col("source").isin("src1", "src2"), k=50)
 
 
+@register("docs_source_kl", """
+    WITH tok AS (SELECT source AS grp,
+                        unnest(string_split(trim(lower(text)), ' ')) AS t
+                 FROM documents),
+    corpus AS MATERIALIZED (
+        SELECT t, CAST(count(*) AS BIGINT) AS cq FROM tok GROUP BY t),
+    sc AS (SELECT grp, t, CAST(count(*) AS BIGINT) AS cs
+           FROM tok GROUP BY grp, t),
+    gl AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                  CAST(sum(cq) AS BIGINT) AS n,
+                  sum(ln(cq + 1.0)) AS slncq
+           FROM corpus),
+    pg AS (SELECT grp, CAST(sum(cs) AS BIGINT) AS ns,
+                  CAST(count(*) AS BIGINT) AS vs
+           FROM sc GROUP BY grp),
+    ag AS (SELECT s.grp, p.ns, p.vs,
+                  sum(((s.cs + 1.0) / (p.ns + g.v))
+                      * (ln((s.cs + 1.0) / (p.ns + g.v))
+                         - (ln(c.cq + 1.0) - ln(g.n + g.v)))) AS s1,
+                  sum(ln(c.cq + 1.0) - ln(g.n + g.v)) AS s2,
+                  any_value(g.v) AS v, any_value(g.n) AS n,
+                  any_value(g.slncq) AS slncq
+           FROM sc s JOIN corpus c ON c.t = s.t
+           JOIN pg p ON p.grp = s.grp, gl g
+           GROUP BY s.grp, p.ns, p.vs)
+    SELECT grp AS source, ns AS n_tokens, vs AS vocab_seen,
+           floor((s1 + (1.0 / (ns + v))
+                  * ((v - vs) * ln(1.0 / (ns + v))
+                     - ((slncq - v * ln(n + v)) - s2))) * 1e4 + 0.5) / 1e4
+               AS kl
+    FROM ag
+""")
+def q_docs_source_kl(spark, sf_dir):
+    """Per-source distribution drift: KL(source unigram LM || corpus
+    unigram LM), Laplace-smoothed over the corpus vocabulary — the
+    mixture-shift diagnostic behind temperature/mixture re-weighting.
+    Absent-token mass closes to a scalar (see importance.source_kl_report)
+    so nothing vocab-x-sources materializes; oracle mirrors the exact
+    decomposition so both engines fold identical multisets."""
+    from nexusbase_spark.pipeline.importance import source_kl_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_kl_report(docs, group_col="source")
+
+
 def _pq_ctes(m_sub: int = 4, k: int = 4, iters: int = 2,
              sub_len: int = 16, include_ev: bool = True,
              src: str = "ev", prefix: str = "") -> str:

@@ -974,3 +974,20 @@ def test_mmr_select_prefers_diverse_over_redundant(spark):
     rows = mmr_select(sl, k=3).collect()
     assert [(r["vec_id"], r["sel_rank"], r["mmr_score"]) for r in rows] == [
         (1, 1, 0.9), (3, 2, 0.5), (2, 3, -0.11)]
+
+
+def test_source_kl_report_zero_for_identical_and_positive_for_skew(spark):
+    """A single source IS the corpus -> KL exactly 0 (p == q after
+    smoothing); disjoint-vocabulary sources diverge positively; n_tokens
+    and vocab_seen count per group."""
+    from nexusbase_spark.pipeline.importance import source_kl_report
+
+    one = spark.createDataFrame([("a", "x y z"), ("a", "x y")],
+                                "source string, text string")
+    row = source_kl_report(one).collect()[0]
+    assert row["kl"] == 0.0 and row["n_tokens"] == 5 and row["vocab_seen"] == 3
+
+    two = spark.createDataFrame(
+        [("a", "x x x y"), ("b", "z w z w")], "source string, text string")
+    got = {r["source"]: r["kl"] for r in source_kl_report(two).collect()}
+    assert got["a"] > 0 and got["b"] > 0
