@@ -16,8 +16,11 @@ Layout on disk:
 Search path: centroids are read driver-side (nlist rows by definition),
 the probe ranks them with plain Python (no Spark job), and one pruned
 scan + exact cosine rescore over the probed clusters returns top-k.
-Appends invalidate the index (rebuild); an incremental path would assign
-new vectors to existing centroids, which is exactly `assign_to` below.
+Incremental ingest: ``append`` assigns new vectors to the existing
+centroids (PQ-encoding them against the stored codebooks) and lands them
+under their cluster partitions — ``for_each_batch`` wires it as a
+Structured-Streaming sink; retrain (build) when ``verify`` mismatches
+grow or the assignment distribution drifts.
 """
 
 from __future__ import annotations
@@ -334,7 +337,13 @@ class VectorIndex:
         n_missing = missing.count()
         if n_missing:
             fresh = self.assign_to(df.join(missing, idc), vc)
-            (fresh.select(idc, vc, "cluster")
+            cols = [idc, vc, "cluster"]
+            if meta.get("pq_m"):
+                # without re-encoding, appended rows would carry NULL
+                # code_* columns and silently vanish from the ADC scan
+                fresh = self._encode_codes(fresh, meta)
+                cols += [f"code_{s}" for s in range(meta["pq_m"])]
+            (fresh.select(*cols)
              .write.mode("append").partitionBy("cluster").parquet(vdir))
         meta["n_vectors"] = self.spark.read.parquet(vdir).count()
         with open(os.path.join(self.path, "meta.json"), "w") as f:
@@ -342,6 +351,81 @@ class VectorIndex:
         return {"dropped_stale": n_stale, "assigned_missing": n_missing}
 
     # ----------------------------------------------------------- incremental
+
+    def _encode_codes(self, df: DataFrame, meta: dict) -> DataFrame:
+        """PQ-encode rows against the STORED codebooks (no retraining) —
+        the apply half of pq_encode, mirroring kmeans_assign's assignment
+        arithmetic exactly (squared L2 rounded 6dp, argmin ties by code
+        id) so appended rows encode as a rebuild over the same books
+        would. Residual mode subtracts the stored 6dp cluster centroid
+        first. Requires a ``cluster`` column (from assign_to)."""
+        books: dict[tuple[int, int], list[float]] = {}
+        for key, vec in meta["pq_books"].items():
+            s, c = (int(x) for x in key.split(":"))
+            books[(s, c)] = [float(v) for v in vec]
+        m_sub = meta["pq_m"]
+        sub_len = len(next(iter(books.values())))
+        src = F.col(meta["vec_col"])
+        if meta.get("pq_residual"):
+            res = {int(c): v for c, v in meta["residual_centroids"].items()}
+            centmap = F.create_map(*[
+                part for c in sorted(res)
+                for part in (F.lit(c),
+                             F.array(*[F.lit(float(v)) for v in res[c]]))])
+            src = F.zip_with(src, centmap[F.col("cluster")],
+                             lambda x, y: x.cast("double") - y)
+        df = df.withColumn("__enc", src)
+        for s in range(m_sub):
+            entries = []
+            for (bs, bc) in sorted(books):
+                if bs != s:
+                    continue
+                c = F.array(*[F.lit(v) for v in books[(bs, bc)]])
+                sub = F.slice(F.col("__enc"), s * sub_len + 1, sub_len)
+                d = F.aggregate(
+                    F.zip_with(sub, c,
+                               lambda x, y: (x.cast("double") - y)
+                               * (x.cast("double") - y)),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                entries.append(F.struct(F.round(d, 6).alias("d"),
+                                        F.lit(bc).alias("c")))
+            df = df.withColumn(f"code_{s}",
+                               F.array_min(F.array(*entries))["c"])
+        return df.drop("__enc")
+
+    def append(self, df: DataFrame) -> int:
+        """Incremental ingest: assign new vectors to the EXISTING
+        centroids, PQ-encode them with the STORED codebooks (when the
+        index carries codes), and append under their cluster partitions.
+        No retraining — retrain (build) when verify() mismatches grow or
+        the assignment distribution drifts. Returns rows appended."""
+        meta = self._meta()
+        idc, vc = meta["id_col"], meta["vec_col"]
+        assigned = self.assign_to(df, vc).localCheckpoint(eager=True)
+        n = assigned.count()
+        if not n:
+            return 0
+        cols = [idc, vc, "cluster"]
+        if meta.get("pq_m"):
+            assigned = self._encode_codes(assigned, meta)
+            cols += [f"code_{s}" for s in range(meta["pq_m"])]
+        (assigned.select(*cols)
+         .write.mode("append").partitionBy("cluster")
+         .parquet(os.path.join(self.path, "vectors")))
+        meta["n_vectors"] = int(meta.get("n_vectors") or 0) + n
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return n
+
+    def for_each_batch(self):
+        """Structured-Streaming sink: fold each embedding micro-batch
+        into the index (state = the parquet store, restart-safe, shared
+        with batch readers — the DedupIndex/CorpusStats pattern). Serving
+        sees new vectors as soon as their batch lands; no rebuild."""
+        def run(batch: DataFrame, batch_id: int) -> None:
+            if batch.head(1):
+                self.append(batch)
+        return run
 
     def assign_to(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Assign NEW vectors to the existing centroids (the incremental

@@ -161,3 +161,90 @@ def test_ivfpq_residual_serving_and_finer_quantization(spark, corpus,
                    for vec in books.values()) / len(books)
 
     assert mean_book_norm(res) < 0.5 * mean_book_norm(raw)
+
+
+def test_pq_append_encodes_with_stored_books_and_serves(spark, corpus,
+                                                        tmp_path_factory):
+    """append() on a PQ index encodes new rows with the STORED codebooks
+    (no null code_* columns — the resync bug class) and serving equals
+    brute force over the grown corpus."""
+    from pyspark.sql import functions as F
+
+    from nexusbase_spark.pipeline.similarity import cosine_topk
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+
+    half = corpus.filter("vec_id < 80")
+    rest = corpus.filter("vec_id >= 80")
+    path = str(tmp_path_factory.mktemp("pq_app"))
+    idx = VectorIndex.build(spark, path, half, nlist=4, iters=3,
+                            pq_m=2, pq_codes=4, pq_iters=2)
+    assert idx.append(rest) == rest.count()
+
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.count() == corpus.count()
+    assert vecs.filter(F.col("code_0").isNull()
+                       | F.col("code_1").isNull()).count() == 0
+
+    probe_row = corpus.filter("vec_id = 85").collect()[0]
+    probe = [float(x) for x in probe_row["embedding"]]
+    brute = [r["vec_id"] for r in
+             cosine_topk(corpus, probe, k=10, exclude_id=85).collect()]
+    served = [r["vec_id"] for r in
+              idx.search_pq(probe, k=10, nprobe=1, rerank=40,
+                            exclude_id=85).collect()]
+    assert served == brute
+
+
+def test_pq_resync_reencodes_missing(spark, corpus, tmp_path_factory):
+    """resync() on a PQ index must re-encode appended missing rows —
+    NULL codes would silently drop them from the ADC scan."""
+    from pyspark.sql import functions as F
+
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+
+    path = str(tmp_path_factory.mktemp("pq_rs"))
+    idx = VectorIndex.build(spark, path, corpus.filter("vec_id < 120"),
+                            nlist=4, iters=3, pq_m=2, pq_codes=4, pq_iters=2)
+    rep = idx.resync(corpus)  # 40 missing base rows
+    assert rep["assigned_missing"] == 40 and rep["dropped_stale"] == 0
+    vecs = spark.read.parquet(path + "/vectors")
+    assert vecs.filter(F.col("code_0").isNull()).count() == 0
+    assert idx.verify(corpus)["ok"]
+
+
+def test_vecindex_streaming_sink_appends(spark, corpus, tmp_path_factory):
+    """for_each_batch as a Structured-Streaming sink: vectors landed by
+    the stream become servable without a rebuild."""
+    from nexusbase_spark.pipeline.similarity import cosine_topk
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+    from nexusbase_spark.streaming.subscribe import stream_ingest
+
+    path = str(tmp_path_factory.mktemp("vx_stream"))
+    idx = VectorIndex.build(spark, path, corpus.filter("vec_id < 100"),
+                            nlist=4, iters=3)
+    src = tmp_path_factory.mktemp("vec_src")
+    schema = "vec_id long, embedding array<double>"
+    rows = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in corpus.filter("vec_id >= 100").collect()]
+
+    stream = stream_ingest(spark, str(src), schema)
+    q = (stream.writeStream.queryName("t_vx_sink")
+         .foreachBatch(idx.for_each_batch()).outputMode("append").start())
+    try:
+        (spark.createDataFrame(rows[:30], schema).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+        q.processAllAvailable()
+        (spark.createDataFrame(rows[30:], schema).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert idx._meta()["n_vectors"] == corpus.count()
+    probe_row = corpus.filter("vec_id = 150").collect()[0]
+    probe = [float(x) for x in probe_row["embedding"]]
+    brute = [r["vec_id"] for r in
+             cosine_topk(corpus, probe, k=10, exclude_id=150).collect()]
+    served = [r["vec_id"] for r in
+              idx.search(probe, k=10, nprobe=1, exclude_id=150).collect()]
+    assert served == brute
