@@ -345,3 +345,94 @@ def acf_lags(df: DataFrame, keys: list[str], max_lag: int = 3,
                     *[q4(F.when(F.col("__den") > 0,
                                 F.col(f"__num{k}") / F.col("__den")))
                       .alias(f"r{k}") for k in range(1, max_lag + 1)]))
+
+
+def series_linreg(df: DataFrame, keys: list[str],
+                  value_col: str = "value", ts_col: str = "ts") -> DataFrame:
+    """Per-series ordinary-least-squares trend: slope/intercept/r2 of
+    value over time — the deg-1 trend fit behind capacity forecasting
+    and drift triage (slope units: value per day).
+
+    Closed-form raw-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) folded in ONE
+    map-side-combinable groupBy — no windows, no second pass. This is
+    the textbook distributed-OLS shape: at 100 TB it is exactly one
+    aggregation. (Raw epoch-day x values leave ~9 significant digits
+    after the nΣx²-(Σx)² cancellation at a 30-day span — documented
+    headroom, fine in double; re-anchor x if series ever span decades.)
+
+    slope = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²); r² = explained/total with
+    NULL when x or y variance is zero (vertical/constant series).
+    Output floor-quantized to 1e-4; n_pts kept for confidence gating.
+    """
+    day = F.col(ts_col).cast("double") / F.lit(86400.0 * 1e9)
+    y = F.col(value_col).cast("double")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(day).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(day * y).alias("sxy"),
+        F.sum(day * day).alias("sxx"), F.sum(y * y).alias("syy"))
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(vx > 0, cov / vx)
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return agg.select(*keys, F.col("n").cast("long").alias("n_pts"),
+                      q4(slope).alias("slope"),
+                      q4(intercept).alias("intercept"),
+                      q4(r2).alias("r2"))
+
+
+def holt_linear(df: DataFrame, keys: list[str], alpha: float, beta: float,
+                value_col: str = "value",
+                order_cols: tuple[str, str] = ("ts", "seq"),
+                horizon: int = 3) -> DataFrame:
+    """Per-series Holt double exponential smoothing (level + trend):
+
+        l_t = alpha*x_t + (1-alpha)(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta) b_{t-1}
+
+    seeded l_1 = x_1, b_1 = x_2 - x_1 (series with fewer than 2 points
+    are dropped) — the trend-aware upgrade of ``ewma_level`` and the
+    h-step forecaster behind capacity alerts: forecast = l_n + h*b_n.
+
+    Same sequential-fold shape as ewma_level (one shuffle; ordered
+    struct-list fold, JVM-side, no UDF) with a STRUCT accumulator
+    carrying (l, b). Sequential folds have no summation-order freedom,
+    so given identical inputs both engines produce bit-identical doubles
+    step by step; the DuckDB oracle steps the same recurrence with a
+    recursive CTE (its list_reduce accumulator is scalar-only).
+
+    Output: keys..., n, level, trend, forecast (all floor-quantized to
+    1e-4 by the CALLER if hash-gated; raw doubles here).
+    """
+    o1, o2 = order_cols
+    df = df.filter(F.col(value_col).isNotNull())
+    ordered = F.sort_array(F.collect_list(
+        F.struct(F.col(o1), F.col(o2), F.col(value_col).alias("v"))))
+    g = (df.groupBy(*keys)
+         .agg(ordered.alias("__pts"), F.count(F.col(value_col)).alias("n"))
+         .filter(F.col("n") >= 2))
+    xs = F.transform(F.col("__pts"), lambda p: p["v"].cast("double"))
+    g = g.withColumn("__x", xs)
+    x1 = F.element_at(F.col("__x"), 1)
+    x2 = F.element_at(F.col("__x"), 2)
+    rest = F.slice(F.col("__x"), 2, F.size(F.col("__x")) - 1)
+    a, ia = F.lit(alpha), F.lit(1.0 - alpha)
+    bt, ib = F.lit(beta), F.lit(1.0 - beta)
+
+    def step(acc, xv):
+        lnew = a * xv + ia * (acc["l"] + acc["b"])
+        return F.struct(
+            lnew.alias("l"),
+            (bt * (lnew - acc["l"]) + ib * acc["b"]).alias("b"))
+
+    st = F.aggregate(
+        rest,
+        F.struct(x1.alias("l"), (x2 - x1).alias("b")),
+        step)
+    return g.select(*keys, "n", st["l"].alias("level"),
+                    st["b"].alias("trend"),
+                    (st["l"] + F.lit(float(horizon)) * st["b"])
+                    .alias("forecast"))

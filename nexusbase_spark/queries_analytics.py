@@ -1357,6 +1357,41 @@ def q_events_acf(spark, sf_dir):
     return acf_lags(pts, ["metric", "user"], max_lag=3)
 
 
+@register("events_linreg_trend", """
+    WITH pts AS (
+        SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS user,
+               epoch_ns(ts) / (86400.0 * 1e9) AS x, value AS y
+        FROM events),
+    a AS (SELECT metric, user,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pts GROUP BY metric, user),
+    f AS (SELECT metric, user, n,
+                 n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+                 n * sxy - sx * sy AS cov, sx, sy
+          FROM a)
+    SELECT metric, user, CAST(n AS BIGINT) AS n_pts,
+           floor((CASE WHEN vx > 0 THEN cov / vx END) * 1e4 + 0.5) / 1e4
+               AS slope,
+           floor(((sy - (CASE WHEN vx > 0 THEN cov / vx END) * sx) / n)
+                 * 1e4 + 0.5) / 1e4 AS intercept,
+           floor((CASE WHEN vx > 0 AND vy > 0
+                       THEN cov * cov / (vx * vy) END) * 1e4 + 0.5) / 1e4
+               AS r2
+    FROM f
+""")
+def q_events_linreg_trend(spark, sf_dir):
+    """Per-series OLS trend (slope per day, intercept, r²) from closed-
+    form moment sums — one map-side-combinable aggregation, the
+    distributed regression shape (operators/timeseries.series_linreg).
+    Capacity-forecasting companion to ACF/CUSUM in the drift family."""
+    from nexusbase_spark.operators.timeseries import series_linreg
+
+    pts = _event_points(spark, sf_dir)
+    return series_linreg(pts, ["metric", "user"])
+
+
 @register("events_series_cardinality", """
     WITH pts AS (
         SELECT event_type AS metric,
@@ -1596,6 +1631,56 @@ def q_events_ewma_level(spark, sf_dir):
     q = F.floor(F.col("ewma") * 1e4 + F.lit(0.5)) / 1e4
     return (out.filter(F.col("n") >= 2)
             .select("user", "n", q.alias("ewma")))
+
+
+@register("events_holt_forecast", f"""
+    WITH RECURSIVE p AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, value
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) BETWEEN {1_704_412_800 * 10**9} AND {1_705_708_800 * 10**9}),
+    l AS (SELECT user, CAST(count(value) AS BIGINT) AS n,
+                 list(CAST(value AS DOUBLE) ORDER BY ts, seq) AS vs
+          FROM p GROUP BY user),
+    base AS (SELECT user, n, vs FROM l WHERE n >= 2),
+    st AS (
+        SELECT user, n, vs, 2 AS i, vs[1] AS lv, vs[2] - vs[1] AS bv
+        FROM base
+        UNION ALL
+        SELECT user, n, vs, i + 1,
+               0.4 * vs[i] + {1 - 0.4!r} * (lv + bv),
+               0.3 * ((0.4 * vs[i] + {1 - 0.4!r} * (lv + bv)) - lv)
+                   + {1 - 0.3!r} * bv
+        FROM st WHERE i <= n)
+    SELECT user, n,
+           floor(lv * 1e4 + 0.5) / 1e4 AS level,
+           floor(bv * 1e4 + 0.5) / 1e4 AS trend,
+           floor((lv + 3.0 * bv) * 1e4 + 0.5) / 1e4 AS forecast
+    FROM st WHERE i = n + 1
+""")
+def q_events_holt_forecast(spark, sf_dir):
+    """Per-user Holt double exponential smoothing (alpha .4, beta .3)
+    over the purchase probe range, plus the 3-step-ahead forecast
+    l + 3b — trend-aware capacity forecasting (operators/timeseries.
+    holt_linear). Sequential struct-accumulator fold JVM-side; the
+    oracle steps the identical recurrence with a recursive CTE (one
+    global iteration per series step), so doubles match bit-for-bit
+    before the 1e-4 floor quantization."""
+    from nexusbase_spark.operators.timeseries import holt_linear
+
+    T1, T2 = 1_704_412_800 * 10**9, 1_705_708_800 * 10**9
+    pts = load_table(spark, sf_dir, "events")
+    sel = (pts.filter(F.col("event_type") == "purchase")
+           .select(F.col("user_id").cast("string").alias("user"),
+                   source_ts_ns(pts).alias("ts"),
+                   F.col("event_id").alias("seq"), "value"))
+    sel = sel.filter((F.col("ts") >= T1) & (F.col("ts") <= T2))
+    out = holt_linear(sel, ["user"], 0.4, 0.3, horizon=3)
+    q = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return out.select("user", "n", q(F.col("level")).alias("level"),
+                      q(F.col("trend")).alias("trend"),
+                      q(F.col("forecast")).alias("forecast"))
 
 
 # ---------------------------------------------------------------------------

@@ -342,3 +342,53 @@ def test_acf_lags_hand_computation_and_degenerate(spark):
     assert (a["r1"], a["r2"], a["r3"]) == (0.25, -0.3, -0.45)
     c = out["const"]
     assert c["r1"] is None and c["r2"] is None and c["r3"] is None
+
+
+def test_series_linreg_exact_line_and_degenerates(spark):
+    """A perfect line recovers slope/intercept/r2=1 exactly; constant y
+    gives slope 0 with NULL r2; a single point gives NULL slope."""
+    from nexusbase_spark.operators.timeseries import series_linreg
+
+    day = 86400 * 10**9
+    rows = [("line", i * day, 2.0 * i + 5.0) for i in range(5)]
+    rows += [("flat", i * day, 3.0) for i in range(4)]
+    rows += [("one", day, 9.0)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = {r["metric"]: r for r in series_linreg(df, ["metric"]).collect()}
+    ln = out["line"]
+    assert (ln["slope"], ln["intercept"], ln["r2"]) == (2.0, 5.0, 1.0)
+    fl = out["flat"]
+    assert fl["slope"] == 0.0 and fl["r2"] is None and fl["intercept"] == 3.0
+    assert out["one"]["slope"] is None and out["one"]["n_pts"] == 1
+
+
+def test_holt_linear_hand_recursion_and_trend_forecast(spark):
+    """Holt fold equals the hand-stepped recurrence; a perfect linear
+    series locks level/trend onto the line so forecast extrapolates it
+    exactly; n<2 series are dropped."""
+    from nexusbase_spark.operators.timeseries import holt_linear
+
+    xs = [3.0, 5.0, 4.0, 8.0]
+    rows = [("a", i + 1, i + 1, v) for i, v in enumerate(xs)]
+    rows += [("line", i + 1, i + 1, 10.0 + 2.0 * i) for i in range(6)]
+    rows += [("single", 1, 1, 7.0)]
+    df = spark.createDataFrame(rows, "m string, ts long, seq long, value double")
+    out = {r["m"]: r for r in
+           holt_linear(df, ["m"], 0.4, 0.3, horizon=3).collect()}
+
+    a, b = 0.4, 0.3
+    l, t = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        ln = a * x + (1 - a) * (l + t)
+        t = b * (ln - l) + (1 - b) * t
+        l = ln
+    got = out["a"]
+    assert got["level"] == l and got["trend"] == t
+    assert got["forecast"] == l + 3.0 * t and got["n"] == 4
+
+    # on an exact line, l_t = x_t and b_t = slope at every step
+    ln = out["line"]
+    assert ln["level"] == 20.0 and ln["trend"] == 2.0
+    assert ln["forecast"] == 26.0
+
+    assert "single" not in out
