@@ -436,3 +436,75 @@ def holt_linear(df: DataFrame, keys: list[str], alpha: float, beta: float,
                     st["b"].alias("trend"),
                     (st["l"] + F.lit(float(horizon)) * st["b"])
                     .alias("forecast"))
+
+
+def seasonal_decompose(df: DataFrame, keys: list[str], ts_col: str = "ts",
+                       interval_ns: int = 3_600_000_000_000,
+                       period: int = 24, half: int = 12,
+                       value_col: str | None = None) -> DataFrame:
+    """Classical additive seasonal decomposition of per-series volume
+    (or mean value): y(slot) = trend + seasonal + residual — the STL-
+    shaped triage view separating "traffic is growing" from "it is 3am"
+    from "something actually happened".
+
+    - slot grain: ``interval_ns`` buckets (default hourly); y = count of
+      points (or avg of ``value_col``);
+    - trend: centered moving average over a RANGE frame of +-``half``
+      slots (time-based, so missing slots shrink the window instead of
+      silently widening it);
+    - seasonal: per-phase (slot mod ``period``) mean of the detrended
+      series — phase means over the whole span, the classical estimator;
+    - residual: what neither explains.
+
+    One slot-grain rollup then two window passes over slot-count-sized
+    data (hours, not points) — the decomposition costs the same as the
+    seasonal_count_outliers baseline regardless of input scale.
+
+    Determinism (count mode): every quantity here is an exact rational —
+    y integer, trend = S/c with window-sum S and window-count
+    c <= 2*half+1 — and phase means of such rationals land exactly ON
+    1e-4 quantization boundaries (bit us: seasonal 1.21825 straddled).
+    So the whole decomposition runs on the integer lattice
+    d = (y*c - S) * (L/c) with L = lcm(1..2*half+1): seasonal =
+    sum(d)/(L*m), residual = (d*m - sum(d))/(L*m) — single float
+    divisions of exact int64s, bit-identical on any engine (the
+    PageRank lesson, pipeline/graph.py). ``value_col`` mode (float
+    inputs) falls back to plain floor quantization without the exactness
+    guarantee.
+    """
+    import math as _math
+
+    slot = F.floor(F.col(ts_col).cast("double") / interval_ns).cast("long")
+    wt = (Window.partitionBy(*keys).orderBy("slot")
+          .rangeBetween(-half, half))
+    wp = Window.partitionBy(*keys, F.pmod(F.col("slot"), F.lit(period)))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    if value_col:
+        hc = (df.groupBy(*keys, slot.alias("slot"))
+              .agg(F.avg(F.col(value_col).cast("double")).alias("y")))
+        hc = (hc.withColumn("trend", F.avg("y").over(wt))
+              .withColumn("__detr", F.col("y") - F.col("trend")))
+        hc = hc.withColumn("__seas", F.avg("__detr").over(wp))
+        return hc.select(
+            *keys, "slot", F.col("y"),
+            q4(F.col("trend")).alias("trend"),
+            q4(F.col("__seas")).alias("seasonal"),
+            q4(F.col("__detr") - F.col("__seas")).alias("residual"))
+    lcm = _math.lcm(*range(1, 2 * half + 2))
+    hc = (df.groupBy(*keys, slot.alias("slot"))
+          .agg(F.count(F.lit(1)).alias("y")))
+    hc = (hc.withColumn("__s", F.sum("y").over(wt))
+          .withColumn("__c", F.count(F.lit(1)).over(wt)))
+    d = (F.col("y") * F.col("__c") - F.col("__s")) \
+        * F.floor(F.lit(lcm) / F.col("__c")).cast("long")
+    hc = (hc.withColumn("__d", d)
+          .withColumn("__m", F.count(F.lit(1)).over(wp))
+          .withColumn("__sd", F.sum("__d").over(wp)))
+    seas = F.col("__sd") / (F.lit(float(lcm)) * F.col("__m"))
+    resid = (F.col("__d") * F.col("__m") - F.col("__sd")) \
+        / (F.lit(float(lcm)) * F.col("__m"))
+    return hc.select(
+        *keys, "slot", F.col("y").cast("double").alias("y"),
+        q4(F.col("__s") / F.col("__c")).alias("trend"),
+        q4(seas).alias("seasonal"),
+        q4(resid).alias("residual"))

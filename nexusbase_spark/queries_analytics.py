@@ -1392,6 +1392,45 @@ def q_events_linreg_trend(spark, sf_dir):
     return series_linreg(pts, ["metric", "user"])
 
 
+@register("events_seasonal_decompose", """
+    WITH pts AS (SELECT event_type AS metric, epoch_ns(ts) AS ts
+                 FROM events),
+    hc AS (SELECT metric,
+                  CAST(floor(ts / 3600000000000.0) AS BIGINT) AS slot,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM pts GROUP BY metric, slot),
+    t AS (SELECT metric, slot, y,
+                 sum(y) OVER w AS s, count(*) OVER w AS c
+          FROM hc
+          WINDOW w AS (PARTITION BY metric ORDER BY slot
+                       RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    d AS (SELECT metric, slot, y, s, c,
+                 (y * c - s) * (26771144400 // c) AS d
+          FROM t),
+    p AS (SELECT metric, slot, y, s, c, d,
+                 sum(d) OVER wp AS sd, count(*) OVER wp AS m
+          FROM d
+          WINDOW wp AS (PARTITION BY metric, slot % 24))
+    SELECT metric, slot, CAST(y AS DOUBLE) AS y,
+           floor(CAST(s AS DOUBLE) / c * 1e4 + 0.5) / 1e4 AS trend,
+           floor(CAST(sd AS DOUBLE) / (26771144400.0 * m) * 1e4 + 0.5) / 1e4
+               AS seasonal,
+           floor(CAST(d * m - sd AS DOUBLE) / (26771144400.0 * m)
+                 * 1e4 + 0.5) / 1e4 AS residual
+    FROM p
+""")
+def q_events_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of hourly event volume per
+    metric: centered ±12h moving-average trend, hour-of-day phase-mean
+    seasonal, residual — the STL-shaped triage view
+    (operators/timeseries.seasonal_decompose). One hour-grain rollup
+    then two window passes over hour-count-sized data."""
+    from nexusbase_spark.operators.timeseries import seasonal_decompose
+
+    pts = _event_points(spark, sf_dir)
+    return seasonal_decompose(pts, ["metric"])
+
+
 @register("events_series_cardinality", """
     WITH pts AS (
         SELECT event_type AS metric,

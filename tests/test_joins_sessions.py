@@ -392,3 +392,23 @@ def test_holt_linear_hand_recursion_and_trend_forecast(spark):
     assert ln["forecast"] == 26.0
 
     assert "single" not in out
+
+
+def test_seasonal_decompose_identity_and_phase_sign(spark):
+    """y - trend == seasonal + residual (quantization-tight) and an
+    alternating series puts opposite-sign seasonal on the two phases."""
+    from nexusbase_spark.operators.timeseries import seasonal_decompose
+
+    rows = []
+    for slot in range(6):
+        n = 10 if slot % 2 == 0 else 20
+        rows += [("m", slot * 100 + i) for i in range(n)]
+    df = spark.createDataFrame(rows, "metric string, ts long")
+    out = seasonal_decompose(df, ["metric"], interval_ns=100,
+                             period=2, half=1).collect()
+    assert len(out) == 6
+    for r in out:
+        assert abs((r["y"] - r["trend"]) - (r["seasonal"] + r["residual"])) \
+            < 2e-4
+    seas = {r["slot"] % 2: r["seasonal"] for r in out if 0 < r["slot"] < 5}
+    assert seas[0] < 0 < seas[1]
