@@ -1,0 +1,93 @@
+"""Declarative data-quality expectations — the contract-checking pass a
+training-data pipeline runs on every ingest batch before anything
+downstream trusts the table (the Great-Expectations shape, engine-side).
+
+A check list compiles into ONE aggregate pass over the table: every
+row-local expectation (not_null / in_range / in_set / matches / custom
+predicate) becomes a conditional sum in the same agg, and uniqueness
+becomes a count vs count-distinct in that same agg — a single scan with
+map-side partial aggregation no matter how many checks. Referential-
+integrity checks are the only ones that join (left-anti against the
+referenced key set — broadcast when the dim is small, AQE decides).
+
+At 100 TB: one scan for N row-local checks is the whole point; the
+report is checks-sized. Exact count-distinct pays one shuffle on the
+checked column — swap `unique` for an HLL sketch when approximate
+uniqueness monitoring is enough (operators/sketches.py).
+
+Output: one row per check — (check, kind, column, n_rows, violations,
+passed).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation_expr(kind: str, col: str, arg) -> Column:
+    c = F.col(col)
+    if kind == "not_null":
+        return c.isNull()
+    if kind == "in_range":
+        lo, hi = arg
+        return c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))
+    if kind == "in_set":
+        return c.isNull() | ~c.isin(list(arg))
+    if kind == "matches":
+        return c.isNull() | ~c.rlike(arg)
+    if kind == "predicate":  # arg: Column, True = row OK
+        return ~F.coalesce(arg, F.lit(False))
+    raise ValueError(f"unknown expectation kind: {kind}")
+
+
+def check_expectations(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Run a check list against ``df``.
+
+    Each check: {"name": str, "kind": one of not_null / in_range /
+    in_set / matches / predicate / unique / ref, "column": str, and for
+    in_range "arg": (lo, hi), in_set "arg": iterable, matches "arg":
+    regex string, predicate "arg": a boolean Column (True = row passes),
+    ref "arg": (other_df, other_col)}.
+
+    Returns (check, kind, column, n_rows, violations, passed) — one row
+    per check in the given order.
+    """
+    spark = df.sparkSession
+    row_local = [c for c in checks if c["kind"] not in ("unique", "ref")]
+    uniques = [c for c in checks if c["kind"] == "unique"]
+    refs = [c for c in checks if c["kind"] == "ref"]
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(row_local):
+        aggs.append(F.sum(
+            _violation_expr(c["kind"], c.get("column", ""), c.get("arg"))
+            .cast("long")).alias(f"__v{i}"))
+    for i, c in enumerate(uniques):
+        col = c["column"]
+        aggs.append((F.count(col) - F.count_distinct(F.col(col)))
+                    .alias(f"__u{i}"))
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"])
+
+    out = []
+    by_name = {}
+    for i, c in enumerate(row_local):
+        by_name[c["name"]] = (c, int(row[f"__v{i}"] or 0))
+    for i, c in enumerate(uniques):
+        by_name[c["name"]] = (c, int(row[f"__u{i}"] or 0))
+    for c in refs:
+        other_df, other_col = c["arg"]
+        v = (df.select(F.col(c["column"]).alias("__k"))
+             .filter(F.col("__k").isNotNull())
+             .join(other_df.select(F.col(other_col).alias("__k")).distinct(),
+                   "__k", "left_anti").count())
+        by_name[c["name"]] = (c, int(v))
+    for c in checks:
+        spec, v = by_name[c["name"]]
+        out.append((c["name"], c["kind"], c.get("column", ""), n, v, v == 0))
+    return spark.createDataFrame(
+        out, "check string, kind string, column string, n_rows long,"
+             " violations long, passed boolean")

@@ -1672,6 +1672,76 @@ def q_events_ewma_level(spark, sf_dir):
             .select("user", "n", q.alias("ewma")))
 
 
+@register("orders_expectations", """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    v AS (
+        SELECT 'orderkey_not_null' AS check, 'not_null' AS kind,
+               'o_orderkey' AS "column",
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'price_range', 'in_range', 'o_totalprice',
+               CAST(sum(CASE WHEN o_totalprice IS NULL
+                             OR o_totalprice < 900.0
+                             OR o_totalprice > 400000.0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'status_domain', 'in_set', 'o_orderstatus',
+               CAST(sum(CASE WHEN o_orderstatus IS NULL
+                             OR o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'priority_format', 'matches', 'o_orderpriority',
+               CAST(sum(CASE WHEN o_orderpriority IS NULL
+                             OR NOT regexp_matches(o_orderpriority,
+                                                   '^[1-5]-[A-Z]+$')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_ref', 'ref', 'o_custkey',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND o.o_custkey NOT IN
+                      (SELECT c_custkey FROM customer)))
+    SELECT v.check, v.kind, v."column", n.n AS n_rows, v.violations,
+           v.violations = 0 AS passed
+    FROM v, n
+""")
+def q_orders_expectations(spark, sf_dir):
+    """Declarative data-quality contract over orders: null/unique/range/
+    domain/format checks compiled into ONE aggregate scan (conditional
+    sums + count-distinct share the pass) plus a broadcast-able anti-join
+    for referential integrity against customer — the ingest-gate
+    expectations report (pipeline/expectations.check_expectations).
+    price_range is deliberately tighter than the data so the report
+    exercises a failing check."""
+    from nexusbase_spark.pipeline.expectations import check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return check_expectations(orders, [
+        {"name": "orderkey_not_null", "kind": "not_null",
+         "column": "o_orderkey"},
+        {"name": "orderkey_unique", "kind": "unique",
+         "column": "o_orderkey"},
+        {"name": "price_range", "kind": "in_range",
+         "column": "o_totalprice", "arg": (900.0, 400000.0)},
+        {"name": "status_domain", "kind": "in_set",
+         "column": "o_orderstatus", "arg": ("O", "F", "P")},
+        {"name": "priority_format", "kind": "matches",
+         "column": "o_orderpriority", "arg": "^[1-5]-[A-Z]+$"},
+        {"name": "custkey_ref", "kind": "ref", "column": "o_custkey",
+         "arg": (customer, "c_custkey")},
+    ])
+
+
 @register("events_holt_forecast", f"""
     WITH RECURSIVE p AS (
         SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,

@@ -991,3 +991,40 @@ def test_source_kl_report_zero_for_identical_and_positive_for_skew(spark):
         [("a", "x x x y"), ("b", "z w z w")], "source string, text string")
     got = {r["source"]: r["kl"] for r in source_kl_report(two).collect()}
     assert got["a"] > 0 and got["b"] > 0
+
+
+def test_check_expectations_kinds_and_violation_counts(spark):
+    """Each expectation kind counts its violations exactly; null handling
+    per kind (null fails in_range/in_set/matches); ref integrity counts
+    non-null dangling keys; predicate checks arbitrary columns."""
+    from pyspark.sql import functions as F
+
+    from nexusbase_spark.pipeline.expectations import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A", "ok-1"), (2, -1.0, "B", "bad"),
+         (2, 50.0, None, "ok-2"), (None, None, "Z", "ok-3")],
+        "id long, x double, cat string, tag string")
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    rows = {r["check"]: r for r in check_expectations(df, [
+        {"name": "id_nn", "kind": "not_null", "column": "id"},
+        {"name": "id_uq", "kind": "unique", "column": "id"},
+        {"name": "x_rng", "kind": "in_range", "column": "x",
+         "arg": (0.0, 10.0)},
+        {"name": "cat_set", "kind": "in_set", "column": "cat",
+         "arg": ("A", "B")},
+        {"name": "tag_fmt", "kind": "matches", "column": "tag",
+         "arg": "^ok-[0-9]$"},
+        {"name": "pred", "kind": "predicate", "column": "x",
+         "arg": F.col("x") > 0},
+        {"name": "id_ref", "kind": "ref", "column": "id",
+         "arg": (dim, "k")},
+    ]).collect()}
+    assert rows["id_nn"]["violations"] == 1 and not rows["id_nn"]["passed"]
+    assert rows["id_uq"]["violations"] == 1          # id 2 twice
+    assert rows["x_rng"]["violations"] == 3          # -1, 50, NULL
+    assert rows["cat_set"]["violations"] == 2        # None, 'Z'
+    assert rows["tag_fmt"]["violations"] == 1        # 'bad'
+    assert rows["pred"]["violations"] == 2           # -1 and null fail
+    assert rows["id_ref"]["violations"] == 0 and rows["id_ref"]["passed"]
+    assert all(r["n_rows"] == 4 for r in rows.values())
