@@ -728,3 +728,53 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
         assert final["s_neg"] == pytest.approx(sn)
     finally:
         q.stop()
+
+
+def test_streaming_holt_matches_batch(spark, tmp_path):
+    """The live Holt fold across two micro-batches equals the batch
+    struct-fold operator on the concatenated series: same level, trend,
+    and forecast; a single-point key emits NULLs until its second point."""
+    from nexusbase_spark.operators.timeseries import holt_linear
+    from nexusbase_spark.streaming.smoothing import live_holt
+
+    vals1 = [10.0, 12.0, 11.0, 15.0]
+    vals2 = [14.0, 18.0, 17.0]
+    allv = vals1 + vals2
+    bdf = spark.createDataFrame(
+        [("s", i, i, v) for i, v in enumerate(allv)],
+        "k string, ts long, seq long, value double")
+    bref = holt_linear(bdf, ["k"], 0.4, 0.3, horizon=3).collect()[0]
+
+    src = tmp_path / "holt_src"
+    src.mkdir()
+    schema = "k string, ts long, seq long, value double"
+
+    def feed(vals, off, key="s"):
+        spark.createDataFrame(
+            [(key, off + i, off + i, v) for i, v in enumerate(vals)],
+            schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    feed(vals1, 0)
+    feed([42.0], 0, key="lonely")
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = live_holt(stream, "k", 0.4, 0.3, horizon=3)
+    q = (out.writeStream.format("memory").queryName("live_holt_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "holt_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        mid = {r["k"]: r for r in
+               spark.sql("SELECT * FROM live_holt_t").collect()}
+        assert mid["lonely"]["level"] is None and mid["lonely"]["n"] == 1
+        feed(vals2, len(vals1))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM live_holt_t WHERE k = 's'").collect()
+    last = max(rows, key=lambda r: r["n"])
+    assert last["n"] == len(allv)
+    assert last["level"] == bref["level"]
+    assert last["trend"] == bref["trend"]
+    assert last["forecast"] == bref["forecast"]
