@@ -91,3 +91,49 @@ def check_expectations(df: DataFrame, checks: list[dict]) -> DataFrame:
     return spark.createDataFrame(
         out, "check string, kind string, column string, n_rows long,"
              " violations long, passed boolean")
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column profile report — the first look any pipeline takes at a new
+    table: per column, null count, exact distinct count, numeric min/max,
+    and string length min/max. ONE aggregate pass computes every
+    null/min/max/length stat (conditional aggs share the scan, map-side
+    combined); exact distincts ride the same agg (one expand per column —
+    swap for approx_count_distinct when profiling petabytes and 2% error
+    is fine; exact here so the DuckDB oracle can hash-check).
+
+    Output long-format: (column, dtype, n_rows, n_nulls, n_distinct,
+    num_min, num_max, len_min, len_max) — numeric stats NULL for
+    non-numeric columns and vice versa; booleans/timestamps profile
+    null/distinct only.
+    """
+    spark = df.sparkSession
+    num_types = {"int", "bigint", "double", "float", "smallint", "tinyint",
+                 "decimal", "long"}
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        is_num = dtypes[c].split("(")[0] in num_types
+        is_str = dtypes[c] == "string"
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nul{i}"),
+            F.count_distinct(F.col(c)).alias(f"__dst{i}"),
+            (F.min(F.col(c).cast("double")) if is_num
+             else F.lit(None).cast("double")).alias(f"__mn{i}"),
+            (F.max(F.col(c).cast("double")) if is_num
+             else F.lit(None).cast("double")).alias(f"__mx{i}"),
+            (F.min(F.length(F.col(c))).cast("long") if is_str
+             else F.lit(None).cast("long")).alias(f"__ln{i}"),
+            (F.max(F.length(F.col(c))).cast("long") if is_str
+             else F.lit(None).cast("long")).alias(f"__lx{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = [(c, dtypes[c], int(row["__n"]), int(row[f"__nul{i}"] or 0),
+            int(row[f"__dst{i}"] or 0), row[f"__mn{i}"], row[f"__mx{i}"],
+            row[f"__ln{i}"], row[f"__lx{i}"])
+           for i, c in enumerate(cols)]
+    return spark.createDataFrame(
+        out, "column string, dtype string, n_rows long, n_nulls long,"
+             " n_distinct long, num_min double, num_max double,"
+             " len_min long, len_max long")

@@ -2920,6 +2920,63 @@ def q_docs_dsir_select(spark, sf_dir):
     return dsir_select(docs, F.col("source").isin("src1", "src2"), k=50)
 
 
+@register("docs_profile", """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    p AS (
+        SELECT 'doc_id' AS "column", 'bigint' AS dtype,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               CAST(min(doc_id) AS DOUBLE) AS num_min,
+               CAST(max(doc_id) AS DOUBLE) AS num_max,
+               CAST(NULL AS BIGINT) AS len_min, CAST(NULL AS BIGINT) AS len_max
+        FROM documents
+        UNION ALL
+        SELECT 'text', 'string',
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT text) AS BIGINT),
+               NULL, NULL,
+               CAST(min(length(text)) AS BIGINT),
+               CAST(max(length(text)) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', 'string',
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT lang) AS BIGINT),
+               NULL, NULL,
+               CAST(min(length(lang)) AS BIGINT),
+               CAST(max(length(lang)) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'source', 'string',
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT),
+               NULL, NULL,
+               CAST(min(length(source)) AS BIGINT),
+               CAST(max(length(source)) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', 'bigint',
+               CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT n_chars) AS BIGINT),
+               CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+               NULL, NULL
+        FROM documents)
+    SELECT p."column", p.dtype, n.n AS n_rows, p.n_nulls, p.n_distinct,
+           p.num_min, p.num_max, p.len_min, p.len_max
+    FROM p, n
+""")
+def q_docs_profile(spark, sf_dir):
+    """Column profile of the documents table — nulls, exact distincts,
+    numeric min/max, string length bounds — in ONE aggregate pass
+    (pipeline/expectations.profile_table): the first-look report every
+    new-table onboarding runs before trusting the data."""
+    from nexusbase_spark.pipeline.expectations import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs)
+
+
 @register("docs_source_kl", """
     WITH tok AS (SELECT source AS grp,
                         unnest(string_split(trim(lower(text)), ' ')) AS t

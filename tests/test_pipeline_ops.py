@@ -1028,3 +1028,24 @@ def test_check_expectations_kinds_and_violation_counts(spark):
     assert rows["pred"]["violations"] == 2           # -1 and null fail
     assert rows["id_ref"]["violations"] == 0 and rows["id_ref"]["passed"]
     assert all(r["n_rows"] == 4 for r in rows.values())
+
+
+def test_profile_table_stats_per_dtype(spark):
+    """Numeric columns get num bounds, strings get length bounds, nulls
+    and exact distincts count per column."""
+    from nexusbase_spark.pipeline.expectations import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "ab", 2.5), (2, "xyz", None), (2, None, -1.0)],
+        "id long, s string, x double")
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    i = rows["id"]
+    assert (i["n_rows"], i["n_nulls"], i["n_distinct"]) == (3, 0, 2)
+    assert (i["num_min"], i["num_max"]) == (1.0, 2.0)
+    assert i["len_min"] is None
+    s = rows["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["len_min"], s["len_max"]) == (2, 3)
+    assert s["num_min"] is None
+    x = rows["x"]
+    assert (x["n_nulls"], x["num_min"], x["num_max"]) == (1, -1.0, 2.5)
