@@ -240,3 +240,51 @@ def quality_filter_exprs(text: Column) -> dict[str, Column]:
     for name in QUALITY_RULE_ORDER[1:]:
         keep = keep & ~flags[name]
     return {**flags, "keep": keep, "reason": reason}
+
+
+def pmi_collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
+                     text_col: str = "text") -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token pairs: PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) with bigram and
+    unigram MLE probabilities — the corpus-linguistics staple for mining
+    multiword units (named entities, idioms) that tokenizer/vocab
+    decisions should treat as one unit.
+
+    Wordcount-shaped: one unigram rollup, one bigram rollup (both
+    map-side combined), two token-keyed joins to attach the marginals,
+    distributed top-k. ``min_count`` on the bigram kills the classic
+    PMI pathology (two hapaxes that co-occur once score the maximum).
+    The PMI argument is a ratio of exact integer products (< 2^53, so
+    the doubles are exact); ln is the only transcendental, same as every
+    LM-scoring oracle here. Floor-quantized 1e-4; ties break on (x, y).
+    """
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(toks.alias("__t"))
+    uni = (base.select(F.explode("__t").alias("x"))
+           .groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
+           .localCheckpoint(eager=True))  # reused for both marginals + N
+    n_uni = uni.agg(F.sum("cx")).collect()[0][0]
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__t", i).alias("x"),
+                        F.element_at("__t", i + 1).alias("y")))
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    bi = (base.select(F.explode(bigrams).alias("b"))
+          .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+          .groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+          .filter(F.col("cxy") >= min_count))
+    # total bigrams counts ALL bigrams, not just the min_count survivors
+    n_big = (base.select((F.greatest(F.size("__t") - 1, F.lit(0)))
+                         .alias("nb"))
+             .agg(F.sum("nb")).collect()[0][0])
+    j = (bi.join(uni.select(F.col("x"), F.col("cx")), "x")
+         .join(uni.select(F.col("x").alias("y"),
+                          F.col("cx").alias("cy")), "y"))
+    num = F.col("cxy").cast("double") * float(n_uni) * float(n_uni)
+    den = F.lit(float(n_big)) * F.col("cx") * F.col("cy")
+    pmi = F.floor(F.log(num / den) * 1e4 + F.lit(0.5)) / 1e4
+    return (j.select("x", "y", "cxy", pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), F.col("x"), F.col("y"))
+            .limit(k))

@@ -2920,6 +2920,39 @@ def q_docs_dsir_select(spark, sf_dir):
     return dsir_select(docs, F.col("source").isin("src1", "src2"), k=50)
 
 
+@register("docs_pmi_collocations", """
+    WITH t AS (SELECT string_split(trim(lower(text)), ' ') AS t
+               FROM documents),
+    uni AS (SELECT u AS x, CAST(count(*) AS BIGINT) AS cx
+            FROM t, unnest(t.t) AS one(u) GROUP BY u),
+    nu AS (SELECT CAST(sum(cx) AS BIGINT) AS n FROM uni),
+    bg AS (SELECT t[i] AS x, t[i + 1] AS y
+           FROM t, unnest(range(1, greatest(len(t), 1))) AS one(i)),
+    bi AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+           FROM bg GROUP BY x, y HAVING count(*) >= 5),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+    j AS (SELECT b.x, b.y, b.cxy, ux.cx, uy.cx AS cy
+          FROM bi b JOIN uni ux ON ux.x = b.x
+          JOIN uni uy ON uy.x = b.y)
+    SELECT x, y, cxy,
+           floor(ln((cxy * 1.0 * (SELECT n FROM nu) * (SELECT n FROM nu))
+                    / ((SELECT n FROM nb) * 1.0 * cx * cy))
+                 * 1e4 + 0.5) / 1e4 AS pmi
+    FROM j
+    ORDER BY pmi DESC, x, y LIMIT 20
+""")
+def q_docs_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by PMI over adjacent token pairs (bigram vs
+    unigram MLE marginals, min bigram count 5) — multiword-unit mining
+    for tokenizer/vocab decisions. Wordcount-shaped rollups + two
+    token-keyed marginal joins + distributed top-k
+    (pipeline/text.pmi_collocations)."""
+    from nexusbase_spark.pipeline.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, k=20, min_count=5)
+
+
 @register("docs_profile", """
     WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
     p AS (

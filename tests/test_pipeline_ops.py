@@ -1049,3 +1049,28 @@ def test_profile_table_stats_per_dtype(spark):
     assert s["num_min"] is None
     x = rows["x"]
     assert (x["n_nulls"], x["num_min"], x["num_max"]) == (1, -1.0, 2.5)
+
+
+def test_pmi_collocations_hand_computation(spark):
+    """PMI equals ln(p(x,y)/(p(x)p(y))) on a hand corpus; min_count
+    filters rare pairs; a pair repeated together outranks independent
+    co-occurrence."""
+    import math
+
+    from nexusbase_spark.pipeline.text import pmi_collocations
+
+    # "new york" always adjacent (5x); "of the" frequent but independent
+    text1 = "new york " * 5            # 5 "new york" bigrams inside
+    text2 = "of the cat of a dog the of end"
+    df = spark.createDataFrame([(1, text1.strip()), (2, text2)],
+                               "doc_id long, text string")
+    rows = {(r["x"], r["y"]): r for r in
+            pmi_collocations(df, k=10, min_count=2).collect()}
+    assert ("new", "york") in rows
+    ny = rows[("new", "york")]
+    # corpus: N_uni = 10 + 9 = 19; c_new = c_york = 5; N_big = 9 + 8 = 17
+    expect = math.log((5 * 19 * 19) / (17 * 5 * 5))
+    assert abs(ny["pmi"] - math.floor(expect * 1e4 + 0.5) / 1e4) < 1e-12
+    assert ny["cxy"] == 5
+    # every returned pair met min_count
+    assert all(r["cxy"] >= 2 for r in rows.values())
