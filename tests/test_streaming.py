@@ -778,3 +778,50 @@ def test_streaming_holt_matches_batch(spark, tmp_path):
     assert last["level"] == bref["level"]
     assert last["trend"] == bref["trend"]
     assert last["forecast"] == bref["forecast"]
+
+
+def test_streaming_panel_matches_batch(spark, tmp_path):
+    """The live exact-k panel across two micro-batches equals the batch
+    per_group_sample_k over the union — same members, same ranks —
+    because both are pure (md5, id) order with no arrival-order state."""
+    from nexusbase_spark.pipeline.split import per_group_sample_k
+    from nexusbase_spark.streaming.panels import live_panel
+
+    rows1 = [("g1", i) for i in range(20)] + [("g2", i) for i in range(5)]
+    rows2 = [("g1", i) for i in range(20, 40)]
+    bdf = spark.createDataFrame(rows1 + rows2, "grp string, doc_id long")
+    bref = {(r["grp"], str(r["doc_id"]))
+            for r in per_group_sample_k(bdf, "grp", 3, "doc_id").collect()}
+
+    src = tmp_path / "panel_src"
+    src.mkdir()
+    schema = "grp string, doc_id long"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    feed(rows1)
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = live_panel(stream, "grp", 3, "doc_id")
+    q = (out.writeStream.format("memory").queryName("live_panel_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "panel_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        feed(rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # memory sink appends per batch; the LAST emission per (group, rank)
+    # is the current panel slot
+    rows = spark.sql("SELECT * FROM live_panel_t").collect()
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault((r["grp"], r["rank"]), []).append(r["doc_id"])
+    live = {(g, ids[-1]) for (g, rk), ids in per_group.items()}
+    assert live == bref
+    # g2 saw no batch-2 rows; its panel is its 5-row top-3
+    assert sum(1 for g, _ in live if g == "g2") == 3
