@@ -137,3 +137,25 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         out, "column string, dtype string, n_rows long, n_nulls long,"
              " n_distinct long, num_min double, num_max double,"
              " len_min long, len_max long")
+
+
+def expectations_sink(checks: list[dict], report_path: str):
+    """Structured-Streaming sink: run the check list on every document
+    micro-batch and APPEND the per-batch report (plus batch_id and a
+    wall-clock-free batch ordinal) to a parquet quality-history table —
+    the ingest-gate pattern: the report table trends violation counts
+    per batch, alert rules read the latest row group, and the single
+    aggregate pass per batch costs what the ingest write already costs.
+
+    Note ref-integrity checks against a FIXED dimension work per batch;
+    uniqueness is per-batch only (cross-batch uniqueness is the
+    DedupIndex's job — state in a store, not in a stream)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        rep = check_expectations(batch, checks)
+        (rep.withColumn("batch_id", F.lit(int(batch_id)))
+         .coalesce(1).write.mode("append").parquet(report_path))
+    return run

@@ -825,3 +825,46 @@ def test_streaming_panel_matches_batch(spark, tmp_path):
     assert live == bref
     # g2 saw no batch-2 rows; its panel is its 5-row top-3
     assert sum(1 for g, _ in live if g == "g2") == 3
+
+
+def test_streaming_expectations_sink(spark, tmp_path):
+    """Each micro-batch appends its contract report; violation counts
+    are per batch and the history table accumulates one row per check
+    per batch."""
+    from nexusbase_spark.pipeline.expectations import expectations_sink
+
+    src = tmp_path / "exp_src"
+    src.mkdir()
+    rep = str(tmp_path / "exp_report")
+    schema = "id long, x double"
+    checks = [
+        {"name": "id_nn", "kind": "not_null", "column": "id"},
+        {"name": "x_pos", "kind": "in_range", "column": "x",
+         "arg": (0.0, 100.0)},
+    ]
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    feed([(1, 5.0), (2, -3.0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (stream.writeStream.queryName("t_exp_sink")
+         .foreachBatch(expectations_sink(checks, rep))
+         .option("checkpointLocation", str(tmp_path / "exp_ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        feed([(None, 7.0), (4, 8.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hist = spark.read.parquet(rep).collect()
+    assert len(hist) == 4  # 2 checks x 2 batches
+    by = {(r["batch_id"], r["check"]): r["violations"] for r in hist}
+    batches = sorted({b for b, _ in by})
+    assert by[(batches[0], "x_pos")] == 1      # -3.0
+    assert by[(batches[0], "id_nn")] == 0
+    assert by[(batches[1], "id_nn")] == 1      # the NULL id
+    assert by[(batches[1], "x_pos")] == 0

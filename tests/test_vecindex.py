@@ -248,3 +248,26 @@ def test_vecindex_streaming_sink_appends(spark, corpus, tmp_path_factory):
     served = [r["vec_id"] for r in
               idx.search(probe, k=10, nprobe=1, exclude_id=150).collect()]
     assert served == brute
+
+
+def test_residual_pq_append_serves(spark, corpus, tmp_path_factory):
+    """append() on a RESIDUAL-coded index subtracts the stored cluster
+    centroid before encoding, so appended rows serve through search_pq
+    identically to built rows."""
+    from nexusbase_spark.pipeline.similarity import cosine_topk
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+
+    path = str(tmp_path_factory.mktemp("pq_res_app"))
+    idx = VectorIndex.build(spark, path, corpus.filter("vec_id < 100"),
+                            nlist=4, iters=3, pq_m=2, pq_codes=4,
+                            pq_iters=2, pq_residual=True)
+    idx.append(corpus.filter("vec_id >= 100"))
+
+    probe_row = corpus.filter("vec_id = 110").collect()[0]
+    probe = [float(x) for x in probe_row["embedding"]]
+    brute = [r["vec_id"] for r in
+             cosine_topk(corpus, probe, k=10, exclude_id=110).collect()]
+    served = [r["vec_id"] for r in
+              idx.search_pq(probe, k=10, nprobe=1, rerank=60,
+                            exclude_id=110).collect()]
+    assert served == brute
