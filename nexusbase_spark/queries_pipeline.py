@@ -2953,6 +2953,48 @@ def q_docs_pmi_collocations(spark, sf_dir):
     return pmi_collocations(docs, k=20, min_count=5)
 
 
+@register("docs_table_diff", """
+    WITH newt AS (
+        SELECT doc_id, text, lang, source,
+               CASE WHEN doc_id % 31 = 7 THEN n_chars + 1
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 97 <> 3
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 101 = 5),
+    j AS (SELECT o.doc_id AS oid, n.doc_id AS nid,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN NOT (o.text IS NOT DISTINCT FROM n.text
+                            AND o.lang IS NOT DISTINCT FROM n.lang
+                            AND o.source IS NOT DISTINCT FROM n.source
+                            AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+                      THEN 'changed' END AS change
+          FROM documents o FULL OUTER JOIN newt n ON n.doc_id = o.doc_id)
+    SELECT coalesce(oid, nid) AS doc_id, change
+    FROM j WHERE change IS NOT NULL
+""")
+def q_docs_table_diff(spark, sf_dir):
+    """Snapshot diff report: the documents table against a deterministic
+    'next version' (drops doc_id%97==3, bumps n_chars where %31==7,
+    re-keys %101==5 as additions) — added/removed/changed per row via
+    one full-outer join with null-safe column equality
+    (pipeline/expectations.table_diff). The migration/replication audit
+    primitive; identical rows never leave the join."""
+    from nexusbase_spark.pipeline.expectations import table_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 97 != 3)
+    changed = kept.withColumn(
+        "n_chars", F.when(F.col("doc_id") % 31 == 7,
+                          F.col("n_chars") + 1).otherwise(F.col("n_chars")))
+    adds = (docs.filter(F.col("doc_id") % 101 == 5)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    "text", "lang", "source", "n_chars"))
+    new = changed.unionByName(adds)
+    return table_diff(docs, new, "doc_id")
+
+
 @register("docs_profile", """
     WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
     p AS (

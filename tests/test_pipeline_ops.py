@@ -1074,3 +1074,22 @@ def test_pmi_collocations_hand_computation(spark):
     assert ny["cxy"] == 5
     # every returned pair met min_count
     assert all(r["cxy"] >= 2 for r in rows.values())
+
+
+def test_table_diff_classifies_and_null_safety(spark):
+    """added/removed/changed classification; NULL-to-NULL columns are
+    equal (no false 'changed'); NULL-to-value is a change; identical
+    rows emit nothing."""
+    from nexusbase_spark.pipeline.expectations import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "c", 1.0), (4, "d", None)],
+        "id long, s string, x double")
+    new = spark.createDataFrame(
+        [(1, "a", None),          # identical (null == null)
+         (2, "b2", 5.0),          # changed (s)
+         (4, "d", 7.0),           # changed (null -> value)
+         (5, "e", 0.0)],          # added; id 3 removed
+        "id long, s string, x double")
+    got = {r["id"]: r["change"] for r in table_diff(old, new, "id").collect()}
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
