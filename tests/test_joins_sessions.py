@@ -412,3 +412,23 @@ def test_seasonal_decompose_identity_and_phase_sign(spark):
             < 2e-4
     seas = {r["slot"] % 2: r["seasonal"] for r in out if 0 < r["slot"] < 5}
     assert seas[0] < 0 < seas[1]
+
+
+def test_seasonal_decompose_value_mode(spark):
+    """value_col mode decomposes slot MEANS instead of counts; identity
+    holds within quantization."""
+    from nexusbase_spark.operators.timeseries import seasonal_decompose
+
+    rows = []
+    for slot in range(4):
+        base = 100.0 if slot % 2 == 0 else 200.0
+        rows += [("m", slot * 10 + i, base + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "metric string, ts long, value double")
+    out = seasonal_decompose(df, ["metric"], interval_ns=10, period=2,
+                             half=1, value_col="value").collect()
+    assert len(out) == 4
+    ys = {r["slot"]: r["y"] for r in out}
+    assert ys[0] == 101.0 and ys[1] == 201.0   # mean of base, base+1, base+2
+    for r in out:
+        assert abs((r["y"] - r["trend"]) - (r["seasonal"] + r["residual"])) \
+            < 2e-4
