@@ -1096,6 +1096,31 @@ def q_lineitem_rollup(spark, sf_dir):
     )
 
 
+@register("orders_cube_volume", """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_orders_cube_volume(spark, sf_dir):
+    """CUBE grouping (all 2^k aggregation levels in one pass —
+    per-status, per-priority, cross, grand total): the OLAP companion of
+    lineitem_rollup_totals; Catalyst expands the grouping sets map-side
+    so the fact table is read once. gid disambiguates real NULL keys
+    from cube placeholders."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select("o_orderstatus", "o_orderpriority", "gid",
+                "n_orders", "sum_price")
+    )
+
+
 @register("orders_priority_pivot", """
     SELECT o_orderstatus,
            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
