@@ -329,6 +329,10 @@ def acf_lags(df: DataFrame, keys: list[str], max_lag: int = 3,
     o1, o2 = F.col(ts_col).asc(), F.col(seq_col).asc()
     wp = Window.partitionBy(*keys)
     wo = Window.partitionBy(*keys).orderBy(o1, o2)
+    # null values leave the series BEFORE lagging: a null row would
+    # still occupy a lag position, silently turning r_k into "r_k over
+    # observation slots" instead of over the observed series
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("double")
     df = (df.withColumn("__mu", F.avg(v).over(wp))
           .withColumn("__c", v - F.col("__mu")))
@@ -364,6 +368,8 @@ def series_linreg(df: DataFrame, keys: list[str],
     NULL when x or y variance is zero (vertical/constant series).
     Output floor-quantized to 1e-4; n_pts kept for confidence gating.
     """
+    # drop null observations so n counts exactly the fitted points
+    df = df.filter(F.col(value_col).isNotNull())
     day = F.col(ts_col).cast("double") / F.lit(86400.0 * 1e9)
     y = F.col(value_col).cast("double")
     agg = df.groupBy(*keys).agg(

@@ -169,7 +169,10 @@ def table_diff(old: DataFrame, new: DataFrame, id_col: str,
     column equality. Output: (id_col, change) for every non-identical
     row; identical rows are dropped so the report is delta-sized.
 
-    One join keyed on the id — the minimal shuffle any diff pays. For
+    Precondition: ``id_col`` is unique per side (a duplicate id would
+    fan out in the join) — pair with a ``unique`` expectation when that
+    isn't guaranteed. One join keyed on the id — the minimal shuffle any
+    diff pays. For
     100-column tables at corpus scale, pre-hash the compared columns to
     one 16-byte digest per side (md5(concat_ws with null sentinels)) so
     the shuffle carries (id, digest) instead of full rows; spelled out

@@ -1351,7 +1351,7 @@ def q_events_seasonal_volume_outliers(spark, sf_dir):
     WITH pts AS (
         SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS user,
                epoch_ns(ts) AS ts, event_id AS seq, value
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     c AS (SELECT metric, user, ts, seq,
                  value - avg(value) OVER (PARTITION BY metric, user) AS c
           FROM pts),
@@ -1386,7 +1386,7 @@ def q_events_acf(spark, sf_dir):
     WITH pts AS (
         SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS user,
                epoch_ns(ts) / (86400.0 * 1e9) AS x, value AS y
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     a AS (SELECT metric, user,
                  CAST(count(*) AS DOUBLE) AS n,
                  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
