@@ -1093,3 +1093,60 @@ def test_table_diff_classifies_and_null_safety(spark):
         "id long, s string, x double")
     got = {r["id"]: r["change"] for r in table_diff(old, new, "id").collect()}
     assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_pca_rotation_orthonormal_and_improves_pq(spark):
+    """OPQ-lite: the fitted rotation is orthonormal (neighbor structure
+    preserved — rotated search equals raw search), and on correlated
+    anisotropic data PQ in the rotated space reconstructs with lower
+    error than PQ on the raw axes (the point of the rotation)."""
+    import random
+
+    import numpy as np
+
+    from nexusbase_spark.pipeline.similarity import (
+        apply_rotation, cosine_topk, pca_rotation, pq_encode, rotate_probe)
+
+    rng = random.Random(11)
+    dim, n = 8, 300
+    # adversarial-for-raw-PQ data: BOTH strong directions live in raw
+    # subspace 0 (dims 0 and 1), the rest is noise — raw PQ spends one
+    # 4-code codebook on a 2-D cloud and wastes the other on noise;
+    # eigenvalue allocation deals one strong PC to each subspace
+    rows = []
+    for i in range(n):
+        v = [rng.gauss(0, 10), rng.gauss(0, 10)] + \
+            [0.1 * rng.gauss(0, 1) for _ in range(dim - 2)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    rot = pca_rotation(df, dim=dim, sample=n, m_sub=2)
+    r_np = np.array(rot)
+    assert np.allclose(r_np @ r_np.T, np.eye(dim), atol=1e-8)
+
+    rdf = apply_rotation(df, rot).select(
+        "vec_id", F.col("rotated").alias("embedding"))
+    probe = [float(x) for x in rows[7][1]]
+    raw_nn = [r["vec_id"] for r in
+              cosine_topk(df, probe, k=5, exclude_id=7).collect()]
+    rot_nn = [r["vec_id"] for r in
+              cosine_topk(rdf, rotate_probe(probe, rot), k=5,
+                          exclude_id=7).collect()]
+    assert raw_nn == rot_nn
+
+    def recon_err(frame, books, m_sub, sub_len):
+        tot = 0.0
+        enc = {r["vec_id"]: r for r in frame.collect()}
+        for vid, r in enc.items():
+            v = [float(x) for x in r["embedding"]]
+            for s in range(m_sub):
+                cb = books[(s, r[f"code_{s}"])]
+                seg = v[s * sub_len:(s + 1) * sub_len]
+                tot += sum((a - b) ** 2 for a, b in zip(seg, cb))
+        return tot
+
+    raw_enc, raw_books = pq_encode(df, m_sub=2, k_codes=4, iters=3, dim=dim)
+    rot_enc, rot_books = pq_encode(rdf, m_sub=2, k_codes=4, iters=3, dim=dim)
+    raw_e = recon_err(raw_enc, raw_books, 2, 4)
+    rot_e = recon_err(rot_enc, rot_books, 2, 4)
+    assert rot_e < 0.9 * raw_e, (raw_e, rot_e)
