@@ -288,3 +288,51 @@ def pmi_collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
     return (j.select("x", "y", "cxy", pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), F.col("x"), F.col("y"))
             .limit(k))
+
+
+def typo_pairs(vocab: DataFrame, word_col: str = "w",
+               count_col: str = "n", min_len: int = 4) -> DataFrame:
+    """Edit-distance-1 token pairs via SymSpell-style deletion-
+    neighborhood blocking (Garbe's public symmetric-delete scheme): every
+    word emits itself plus its 1-deletion variants; any two words within
+    Levenshtein distance 1 (substitution, insertion, or deletion) are
+    GUARANTEED to share a variant, so the candidate join runs on short
+    hash keys — never all-pairs — and only candidates pay the
+    levenshtein verification. The typo-normalization primitive: map rare
+    misspellings onto their frequent canonical form before vocab/token
+    statistics.
+
+    Input: a (word, count) vocabulary frame (one wordcount rollup
+    upstream). Scale shape: the exploded deletion table is
+    O(vocab * avg_len) short strings, the self-join keys on the variant
+    (skew-free: a variant bucket holds words of one length band), and
+    the verify filter is exact. Output one row per unordered pair:
+    (rare, canon, rare_n, canon_n) with canon = the higher-count word
+    (ties: lexicographically smaller).
+    """
+    w, n = F.col(word_col), F.col(count_col)
+    base = vocab.filter(F.length(w) >= min_len).select(
+        w.alias("__w"), n.alias("__n"))
+    variants = F.concat(
+        F.array(F.col("__w")),
+        F.transform(
+            F.sequence(F.lit(1), F.length("__w")),
+            lambda i: F.concat(
+                F.col("__w").substr(F.lit(1), i - 1),
+                F.col("__w").substr(i + 1, F.length("__w")))))
+    dels = base.select("__w", "__n", F.explode(variants).alias("__v"))
+    a = dels.alias("a")
+    b = dels.alias("b")
+    cand = (a.join(b, (F.col("a.__v") == F.col("b.__v"))
+                   & (F.col("a.__w") < F.col("b.__w")))
+            .select(F.col("a.__w").alias("wa"), F.col("a.__n").alias("na"),
+                    F.col("b.__w").alias("wb"), F.col("b.__n").alias("nb"))
+            .distinct())
+    pairs = cand.filter(F.levenshtein(F.col("wa"), F.col("wb")) == 1)
+    a_canon = (F.col("na") > F.col("nb")) | \
+              ((F.col("na") == F.col("nb")) & (F.col("wa") < F.col("wb")))
+    return pairs.select(
+        F.when(a_canon, F.col("wb")).otherwise(F.col("wa")).alias("rare"),
+        F.when(a_canon, F.col("wa")).otherwise(F.col("wb")).alias("canon"),
+        F.when(a_canon, F.col("nb")).otherwise(F.col("na")).alias("rare_n"),
+        F.when(a_canon, F.col("na")).otherwise(F.col("nb")).alias("canon_n"))

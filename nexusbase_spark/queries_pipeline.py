@@ -2953,6 +2953,62 @@ def q_docs_pmi_collocations(spark, sf_dir):
     return pmi_collocations(docs, k=20, min_count=5)
 
 
+@register("docs_typo_pairs", """
+    WITH vocab AS (
+        SELECT u AS w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(lower(text)), ' ') AS t
+              FROM documents),
+             unnest(t) AS one(u)
+        GROUP BY u),
+    corrupt AS (
+        SELECT substring(w, 1, 2) || substring(w, 4) AS w,
+               CAST(1 AS BIGINT) AS n
+        FROM vocab WHERE n >= 20 AND length(w) >= 5),
+    aug AS (SELECT w, CAST(sum(n) AS BIGINT) AS n
+            FROM (SELECT * FROM vocab UNION ALL SELECT * FROM corrupt)
+            GROUP BY w),
+    base AS (SELECT w, n FROM aug WHERE length(w) >= 4),
+    dels AS (SELECT w, n,
+                    CASE WHEN i = 0 THEN w
+                         ELSE substring(w, 1, i - 1) || substring(w, i + 1)
+                    END AS v
+             FROM base, unnest(range(0, length(w) + 1)) AS one(i)),
+    cand AS (SELECT DISTINCT a.w AS wa, a.n AS na, b.w AS wb, b.n AS nb
+             FROM dels a JOIN dels b ON a.v = b.v AND a.w < b.w),
+    pairs AS (SELECT * FROM cand WHERE levenshtein(wa, wb) = 1)
+    SELECT CASE WHEN na > nb OR (na = nb AND wa < wb) THEN wb ELSE wa END
+               AS rare,
+           CASE WHEN na > nb OR (na = nb AND wa < wb) THEN wa ELSE wb END
+               AS canon,
+           CASE WHEN na > nb OR (na = nb AND wa < wb) THEN nb ELSE na END
+               AS rare_n,
+           CASE WHEN na > nb OR (na = nb AND wa < wb) THEN na ELSE nb END
+               AS canon_n
+    FROM pairs
+""")
+def q_docs_typo_pairs(spark, sf_dir):
+    """Typo mining via SymSpell deletion-neighborhood blocking
+    (pipeline/text.typo_pairs): edit-distance-1 token pairs mapped
+    rare -> canonical. The synthetic vocabulary contains no natural
+    typos, so the query INJECTS deterministic corruptions (3rd char
+    deleted from every >=20-count word, identically in the oracle) and
+    must recover them. Candidates come from a variant-keyed self-join —
+    never all-pairs — and only candidates pay levenshtein."""
+    from nexusbase_spark.pipeline.text import tokens_col, typo_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    corrupt = (vocab.filter((F.col("n") >= 20) & (F.length("w") >= 5))
+               .select(F.concat(F.col("w").substr(1, 2),
+                                F.col("w").substr(F.lit(4),
+                                                  F.length("w"))).alias("w"),
+                       F.lit(1).cast("long").alias("n")))
+    aug = (vocab.unionByName(corrupt)
+           .groupBy("w").agg(F.sum("n").alias("n")))
+    return typo_pairs(aug, word_col="w", count_col="n", min_len=4)
+
+
 @register("docs_table_diff", """
     WITH newt AS (
         SELECT doc_id, text, lang, source,

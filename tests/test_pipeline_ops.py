@@ -1150,3 +1150,27 @@ def test_pca_rotation_orthonormal_and_improves_pq(spark):
     raw_e = recon_err(raw_enc, raw_books, 2, 4)
     rot_e = recon_err(rot_enc, rot_books, 2, 4)
     assert rot_e < 0.9 * raw_e, (raw_e, rot_e)
+
+
+def test_typo_pairs_symspell_guarantee_and_canon(spark):
+    """Substitution, insertion, and deletion at distance 1 are all
+    found (the deletion-neighborhood guarantee); distance-2 words are
+    not; canon is the higher-count side."""
+    from nexusbase_spark.pipeline.text import typo_pairs
+
+    vocab = spark.createDataFrame(
+        [("vector", 100), ("vectr", 2),     # deletion
+         ("vektor", 1),                     # substitution
+         ("vecttor", 1),                    # insertion
+         ("metric", 50), ("matrix", 40)],   # distance 3 — no pair
+        "w string, n long")
+    rows = {(r["rare"], r["canon"]) for r in
+            typo_pairs(vocab).collect()}
+    assert ("vectr", "vector") in rows
+    assert ("vektor", "vector") in rows
+    assert ("vecttor", "vector") in rows
+    assert not any("metric" in p or "matrix" in p for pair in rows
+                   for p in pair)
+    got = {r["rare"]: (r["rare_n"], r["canon_n"]) for r in
+           typo_pairs(vocab).collect() if r["canon"] == "vector"}
+    assert got["vectr"] == (2, 100)
