@@ -2056,6 +2056,59 @@ def q_events_markov_transitions(spark, sf_dir):
             .orderBy("src", F.col("n").desc(), "dst"))
 
 
+@register("events_ab_welch", """
+    WITH g AS (
+        SELECT event_type AS metric,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE value IS NOT NULL),
+    s AS (SELECT metric, arm,
+                 CAST(count(*) AS BIGINT) AS n,
+                 avg(value) AS m,
+                 var_samp(value) AS v
+          FROM g GROUP BY metric, arm),
+    w AS (SELECT a.metric,
+                 a.n AS n_a, b.n AS n_b,
+                 a.m AS mean_a, b.m AS mean_b,
+                 (a.m - b.m)
+                 / sqrt(a.v / a.n + b.v / b.n) AS t
+          FROM s a JOIN s b ON b.metric = a.metric
+          WHERE a.arm = 'A' AND b.arm = 'B')
+    SELECT metric, n_a, n_b,
+           floor(mean_a * 1e4 + 0.5) / 1e4 AS mean_a,
+           floor(mean_b * 1e4 + 0.5) / 1e4 AS mean_b,
+           floor(t * 1e4 + 0.5) / 1e4 AS welch_t
+    FROM w
+""")
+def q_events_ab_welch(spark, sf_dir):
+    """Two-sample A/B mean-difference report per metric (Welch t
+    statistic — unequal variances, the experiment-analysis default):
+    arms = even/odd user_id, one grouped-moments pass + a 2-rows-per-
+    metric self-join. The standard deviation uses var_samp, which Spark
+    and DuckDB both compute via numerically stable single-pass
+    aggregation; result floor-quantized 1e-4."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.filter(F.col("value").isNotNull())
+         .select(F.col("event_type").alias("metric"),
+                 F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+                 .alias("arm"), "value"))
+    s = g.groupBy("metric", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"))
+    a = s.filter(F.col("arm") == "A").alias("a")
+    b = s.filter(F.col("arm") == "B").alias("b")
+    t = (F.col("a.m") - F.col("b.m")) / F.sqrt(
+        F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n"))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (a.join(b, F.col("a.metric") == F.col("b.metric"))
+            .select(F.col("a.metric").alias("metric"),
+                    F.col("a.n").alias("n_a"), F.col("b.n").alias("n_b"),
+                    q4(F.col("a.m")).alias("mean_a"),
+                    q4(F.col("b.m")).alias("mean_b"),
+                    q4(t).alias("welch_t")))
+
+
 @register("events_winsorized_stats", """
     WITH b AS (
         SELECT event_type,

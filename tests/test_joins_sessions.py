@@ -432,3 +432,38 @@ def test_seasonal_decompose_value_mode(spark):
     for r in out:
         assert abs((r["y"] - r["trend"]) - (r["seasonal"] + r["residual"])) \
             < 2e-4
+
+
+def test_welch_t_hand_computation(spark):
+    """The registered A/B shape reproduces the textbook Welch statistic
+    on a hand-computed two-arm sample."""
+    import math
+    import statistics as st
+
+    from nexusbase_spark.queries import all_queries
+    import tempfile, os
+
+    a_vals = [10.0, 12.0, 11.0, 13.0]   # users 0,2,4,6  (arm A)
+    b_vals = [20.0, 19.0, 22.0]         # users 1,3,5    (arm B)
+    rows = []
+    eid = 0
+    for i, v in enumerate(a_vals):
+        rows.append((eid, 1_700_000_000_000_000 + eid, i * 2, "m1", v, "{}"))
+        eid += 1
+    for i, v in enumerate(b_vals):
+        rows.append((eid, 1_700_000_000_000_000 + eid, i * 2 + 1, "m1", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string,"
+              " value double, props string")
+    d = tempfile.mkdtemp(prefix="welch_sf_")
+    # the welch query never reads ts; any valid timestamp_ntz will do
+    df.withColumn("ts", F.to_timestamp(F.lit("2024-01-05 00:00:00"))
+                  .cast("timestamp_ntz")) \
+        .write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = all_queries()["events_ab_welch"](spark, d).collect()
+    row = out[0]
+    t = (st.mean(a_vals) - st.mean(b_vals)) / math.sqrt(
+        st.variance(a_vals) / len(a_vals) + st.variance(b_vals) / len(b_vals))
+    assert row["n_a"] == 4 and row["n_b"] == 3
+    assert row["welch_t"] == math.floor(t * 1e4 + 0.5) / 1e4
