@@ -2953,6 +2953,42 @@ def q_docs_pmi_collocations(spark, sf_dir):
     return pmi_collocations(docs, k=20, min_count=5)
 
 
+@register("docs_top_decile_per_source", """
+    WITH s AS (
+        SELECT doc_id, source,
+               len(string_split(trim(lower(text)), ' ')) AS score,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY len(string_split(trim(lower(text)), ' '))) AS pr
+        FROM documents)
+    SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+           floor(pr * 1e4 + 0.5) / 1e4 AS pr
+    FROM s WHERE pr >= 0.9
+""")
+def q_docs_top_decile_per_source(spark, sf_dir):
+    """Per-source rank-normalized quality quota: keep each source's top
+    decile by score (token count here; any quality signal slots in).
+    Raw scores are incomparable across heterogeneous sources — a global
+    threshold would empty the weaker source — so selection normalizes by
+    PERCENT RANK within source first: one window over the source
+    partitioning, no cross-source shuffle coupling. Ties share a rank on
+    both engines (rank depends only on score order)."""
+    from nexusbase_spark.pipeline.text import tokens_col
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = F.size(tokens_col(F.col("text")))
+    w = Window.partitionBy("source").orderBy(score)
+    pr = F.percent_rank().over(w)
+    # filter on the RAW rank (the oracle filters pre-quantization too —
+    # quantize-then-filter would admit 0.89996-ranked rows on one side)
+    return (docs.select("doc_id", "source",
+                        score.cast("long").alias("score"), pr.alias("__pr"))
+            .filter(F.col("__pr") >= 0.9)
+            .select("doc_id", "source", "score",
+                    (F.floor(F.col("__pr") * 1e4 + F.lit(0.5)) / 1e4)
+                    .alias("pr")))
+
+
 @register("docs_typo_pairs", """
     WITH vocab AS (
         SELECT u AS w, CAST(count(*) AS BIGINT) AS n
