@@ -557,3 +557,67 @@ def rotate_probe(probe: list, rotation: list) -> list:
     with a rotated probe returns the same neighbors as raw space."""
     return [sum(r_i * p_i for r_i, p_i in zip(row, probe))
             for row in rotation]
+
+
+def hard_negatives(df: DataFrame, k: int = 1, nlist: int = 4,
+                   iters: int = 3, nprobe: int = 2,
+                   label_col: str = "label", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    anchor, its ``k`` most-cosine-similar vectors with a DIFFERENT label
+    — the pairs a metric-learning loss learns the most from.
+
+    The hardest negatives sit ACROSS class boundaries, so single-cluster
+    routing (knn_graph's partition-local pairs) would miss them when
+    clusters align with labels. Instead every vector soft-assigns to its
+    ``nprobe`` nearest k-means centroids (the IVF multi-probe idea
+    applied to pair generation): boundary vectors co-bucket with the
+    neighboring cluster's members, cross-label candidates appear in the
+    shared bucket, and the pair space stays bucket-local — O(sum of
+    bucket sizes squared), never corpus squared. Duplicate candidates
+    from shared buckets collapse with one distinct.
+
+    Determinism mirrors the kNN/k-means family: centroid distances
+    rounded 6dp (soft-assignment ties by centroid id via struct sort),
+    cosines floor-quantized 1e-4 before ranking, ties by neighbor id.
+
+    Output: (id, label, nbr, nbr_label, cosine, rank 1..k).
+    """
+    from pyspark.sql import Window
+
+    cents: dict[int, list[float]] = {}
+    kmeans_assign(df, k=nlist, iters=iters, id_col=id_col,
+                  vec_col=vec_col, centroids_out=cents)
+    entries = []
+    for cid in sorted(cents):
+        c = F.array(*[F.lit(v) for v in cents[cid]])
+        d = F.round(F.aggregate(
+            F.zip_with(F.col(vec_col), c,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda acc, v: acc + v), 6)
+        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
+    probe_buckets = F.transform(
+        F.slice(F.array_sort(F.array(*entries)), 1, nprobe),
+        lambda s: s["c"])
+    soft = df.select(F.col(id_col), F.col(label_col), F.col(vec_col),
+                     F.explode(probe_buckets).alias("__b"))
+    a = soft.select("__b", F.col(id_col).alias("id"),
+                    F.col(label_col).alias("label"),
+                    F.col(vec_col).alias("__va"))
+    b = soft.select("__b", F.col(id_col).alias("nbr"),
+                    F.col(label_col).alias("nbr_label"),
+                    F.col(vec_col).alias("__vb"))
+    pairs = (a.join(b, "__b")
+             .filter((F.col("id") != F.col("nbr"))
+                     & (F.col("label") != F.col("nbr_label")))
+             .select("id", "label", "nbr", "nbr_label",
+                     (F.floor(cosine_sim_expr(F.col("__va"), F.col("__vb"))
+                              * 1e4 + F.lit(0.5)) / 1e4).alias("cosine"))
+             .distinct())
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
+                                         F.col("nbr"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "label", "nbr", "nbr_label", "cosine",
+                    F.col("rank").cast("long").alias("rank")))

@@ -706,13 +706,16 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_meta(attach_payload(docs))
 
 
-def _kmeans_ctes(k: int = 4, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = 4, iters: int = 3, where: str = "") -> str:
     """Unrolled deterministic Lloyd k-means in SQL — the exact mirror of
     pipeline/similarity.kmeans_assign (init = vec_id < k, centroids and
-    squared-L2 distances rounded to 6 decimals, argmin ties by cid)."""
+    squared-L2 distances rounded to 6 decimals, argmin ties by cid).
+    ``where`` restricts the clustered population (e.g. 'WHERE vec_id <
+    300' when the Spark side trains on a filtered frame)."""
+    src = (f"(SELECT * FROM embeddings {where})" if where else "embeddings")
     ctes = [
         "ev AS (SELECT vec_id, r.i - 1 AS pos, CAST(embedding[r.i] AS DOUBLE) AS x"
-        " FROM embeddings, range(1, 65) r(i))",
+        f" FROM {src} embx, range(1, 65) r(i))",
         f"c0 AS (SELECT vec_id AS cid, pos, round(x, 6) AS val FROM ev WHERE vec_id < {k})",
     ]
     # each iteration t: assign against c{t-1}, then update means -> c{t};
@@ -1475,6 +1478,55 @@ def q_embed_mmr_diversified(spark, sf_dir):
           .join(emb.select("vec_id", "embedding"), "vec_id"))
     return mmr_select(sl, k=5, id_col="vec_id", rel_col="cosine",
                       vec_col="embedding")
+
+
+@register("embed_hard_negatives", f"""
+    WITH {_kmeans_ctes(k=4, iters=3, where="WHERE vec_id < 300")},
+    lab AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 300),
+    soft AS (
+        SELECT d.vec_id, d.cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d4) d
+        WHERE d.rn <= 2),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id, la.label AS label,
+               b.vec_id AS nbr, lb.label AS nbr_label
+        FROM soft a JOIN soft b ON b.cid = a.cid AND b.vec_id <> a.vec_id
+        JOIN lab la ON la.vec_id = a.vec_id
+        JOIN lab lb ON lb.vec_id = b.vec_id
+        WHERE la.label <> lb.label),
+    cosd AS (
+        SELECT c.id, c.label, c.nbr, c.nbr_label,
+               floor(sum(ea.x * eb.x)
+                     / (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x)))
+                     * 1e4 + 0.5) / 1e4 AS cosine
+        FROM cand c
+        JOIN ev ea ON ea.vec_id = c.id
+        JOIN ev eb ON eb.vec_id = c.nbr AND eb.pos = ea.pos
+        GROUP BY c.id, c.label, c.nbr, c.nbr_label),
+    ranked AS (
+        SELECT id, label, nbr, nbr_label, cosine,
+               CAST(row_number() OVER (PARTITION BY id
+                                       ORDER BY cosine DESC, nbr) AS BIGINT)
+                   AS rank
+        FROM cosd)
+    SELECT id, label, nbr, nbr_label, cosine, rank
+    FROM ranked WHERE rank <= 1
+""")
+def q_embed_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive training pairs): each anchor's
+    most-similar DIFFERENT-label vector, candidates generated by
+    soft-assigning every vector to its 2 nearest k-means centroids (the
+    IVF multi-probe idea applied to pair generation — boundary vectors
+    co-bucket with the neighboring cluster, so cross-label candidates
+    exist without corpus-squared pairs). First 300 vectors; see
+    pipeline/similarity.hard_negatives."""
+    from nexusbase_spark.pipeline.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return hard_negatives(emb, k=1, nlist=4, iters=3, nprobe=2)
 
 
 @register("embed_pagerank_topk", """

@@ -1174,3 +1174,32 @@ def test_typo_pairs_symspell_guarantee_and_canon(spark):
     got = {r["rare"]: (r["rare_n"], r["canon_n"]) for r in
            typo_pairs(vocab).collect() if r["canon"] == "vector"}
     assert got["vectr"] == (2, 100)
+
+
+def test_hard_negatives_cross_label_and_boundary(spark):
+    """Every emitted pair crosses labels; the hardest negative (a
+    boundary vector close to another class) is found even though its
+    own cluster is label-pure — the soft-assignment point."""
+    from nexusbase_spark.pipeline.similarity import hard_negatives
+
+    rows = []
+    vid = 0
+    # two tight label clusters on axes 0 and 1 (ids 0..3 seed kmeans:
+    # interleave so each cluster seeds at least one centroid)
+    for j in range(10):
+        for axis, lab in ((0, 0), (1, 1)):
+            v = [0.0] * 4
+            v[axis] = 10.0 + 0.01 * j
+            v[2] = 0.01 * j
+            rows.append((vid, v, lab))
+            vid += 1
+    # a label-0 straggler sitting ON the label-1 cluster: its hardest
+    # negative is any label-1 member with cosine ~1
+    rows.append((vid, [0.05, 10.0, 0.0, 0.0], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r["id"]: r for r in
+           hard_negatives(df, k=1, nlist=2, iters=3, nprobe=2).collect()}
+    assert all(r["label"] != r["nbr_label"] for r in out.values())
+    straggler = out[vid]
+    assert straggler["nbr_label"] == 1 and straggler["cosine"] > 0.99
