@@ -2920,6 +2920,69 @@ def q_docs_duplicate_spans(spark, sf_dir):
     return duplicate_ngram_spans(docs, n=8, min_count=2)
 
 
+@register("docs_dup_mass_by_source", """
+    WITH t AS (SELECT doc_id, source,
+                      string_split(trim(lower(text)), ' ') AS toks
+               FROM documents),
+    ng AS (SELECT doc_id, u - 1 AS s, array_to_string(toks[u:u+7], ' ') AS g
+           FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS one(u)),
+    dup AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+    sp AS (SELECT doc_id, CAST(s AS BIGINT) AS s, CAST(s + 8 AS BIGINT) AS e
+           FROM ng WHERE g IN (SELECT g FROM dup)),
+    w AS (SELECT doc_id, s, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmax
+          FROM sp),
+    isl AS (SELECT doc_id, s, e,
+                   sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS isl
+            FROM w),
+    spans AS (SELECT doc_id, max(e) - min(s) AS dup_toks
+              FROM isl GROUP BY doc_id, isl),
+    per_doc AS (SELECT doc_id, CAST(sum(dup_toks) AS BIGINT) AS dup_toks
+                FROM spans GROUP BY doc_id)
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(p.doc_id) AS BIGINT) AS docs_with_dups,
+           CAST(coalesce(sum(p.dup_toks), 0) AS BIGINT) AS dup_tokens,
+           CAST(sum(len(t.toks)) AS BIGINT) AS total_tokens,
+           floor(coalesce(sum(p.dup_toks), 0) * 1e4 / sum(len(t.toks))
+                 + 0.5) / 1e4 AS dup_share
+    FROM t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    GROUP BY t.source
+""")
+def q_docs_dup_mass_by_source(spark, sf_dir):
+    """Duplicated-token mass per source: the curation signal that ranks
+    sources by how much of their token budget sits inside corpus-level
+    repeated 8-gram spans (docs_duplicate_spans rolled up) — the input
+    to per-source dedup-aggressiveness and mixture decisions. The span
+    pass is wordcount-shaped; this adds one doc-level rollup and one
+    source-level rollup. dup_share floor-quantized to 1e-4 (ratio of
+    exact int64 sums — one division per group)."""
+    from nexusbase_spark.pipeline.dedup import duplicate_ngram_spans
+    from nexusbase_spark.pipeline.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_ngram_spans(docs, n=8, min_count=2)
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.sum("span_tokens").alias("dup_toks")))
+    base = docs.select("doc_id", "source",
+                       F.size(tokens_col(F.col("text"))).alias("__nt"))
+    j = base.join(per_doc, "doc_id", "left")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count("dup_toks").alias("docs_with_dups"),
+                 F.coalesce(F.sum("dup_toks"), F.lit(0)).cast("long")
+                 .alias("dup_tokens"),
+                 F.sum("__nt").cast("long").alias("total_tokens"),
+                 (F.floor(F.coalesce(F.sum("dup_toks"), F.lit(0))
+                          * 1e4 / F.sum("__nt") + F.lit(0.5)) / 1e4)
+                 .alias("dup_share")))
+
+
 @register("docs_dsir_select", """
     WITH g AS (
         SELECT doc_id, source IN ('src1', 'src2') AS tgt,
