@@ -2056,6 +2056,106 @@ def q_events_markov_transitions(spark, sf_dir):
             .orderBy("src", F.col("n").desc(), "dst"))
 
 
+@register("events_last_touch_attribution", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, value, event_type
+        FROM events),
+    purchases AS (
+        SELECT user, ts, seq, round(value, 4) AS amount
+        FROM pts WHERE event_type = 'purchase'),
+    touches AS (
+        SELECT user, ts, event_type AS touch_type
+        FROM (SELECT user, ts, event_type,
+                     row_number() OVER (PARTITION BY user, ts
+                                        ORDER BY seq DESC) AS rn
+              FROM pts WHERE event_type IN ('click', 'view'))
+        WHERE rn = 1)
+    SELECT p.user, p.ts, p.seq, p.amount,
+           t.ts AS touch_ts, t.touch_type,
+           p.ts - t.ts AS gap_ns
+    FROM purchases p ASOF LEFT JOIN touches t
+        ON p.user = t.user AND p.ts >= t.ts
+""")
+def q_events_last_touch_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: every purchase attributed to
+    the same user's most recent prior (inclusive) click or view — the
+    canonical marketing-attribution shape, and a reuse of the as-of join
+    operator with a MIXED-type touch stream (union of two metrics, MVCC
+    seq tie-break inside the join's own sort; one shuffle on user).
+    gap_ns is exact int64 arithmetic."""
+    from nexusbase_spark.operators import asof_join
+
+    pts = _event_points(spark, sf_dir)
+    purchases = (pts.filter(F.col("metric") == "purchase")
+                 .select("user", "ts", "seq",
+                         F.round("value", 4).alias("amount")))
+    touches = (pts.filter(F.col("metric").isin("click", "view"))
+               .select("user", "ts", "seq",
+                       F.col("metric").alias("touch_type")))
+    out = asof_join(purchases, touches, on=["user"],
+                    right_cols=["touch_type"], suffix="_t",
+                    right_tiebreak="seq")
+    return out.select(
+        "user", "ts", "seq", "amount",
+        F.col("ts_t").alias("touch_ts"),
+        F.col("touch_type_t").alias("touch_type"),
+        (F.col("ts") - F.col("ts_t")).cast("long").alias("gap_ns"))
+
+
+@register("events_rfm_segments", """
+    WITH px AS (
+        SELECT user_id, epoch_ns(ts) AS ts, value
+        FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT max(ts) AS anchor FROM px),
+    per_user AS (
+        SELECT CAST(user_id AS VARCHAR) AS user,
+               CAST((SELECT anchor FROM mx) - max(ts) AS BIGINT) AS recency_ns,
+               CAST(count(*) AS BIGINT) AS frequency,
+               round(sum(value), 4) AS monetary
+        FROM px GROUP BY user_id),
+    scored AS (
+        SELECT user, recency_ns, frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_ns, user) AS BIGINT) AS r,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, user) AS BIGINT) AS f,
+               CAST(ntile(4) OVER (ORDER BY monetary DESC, user) AS BIGINT) AS m
+        FROM per_user)
+    SELECT user, recency_ns, frequency, monetary, r, f, m,
+           CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm
+    FROM scored
+""")
+def q_events_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles over purchases; 1 = best quartile): one per-user rollup
+    anchored at data-max ts (the engine's relative-time quirk reused),
+    then three ntile windows over the user-count-sized rollup — the
+    windows sort users, not events. Quartile ties break on user id, so
+    segment assignment is engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    px = (ev.filter(F.col("event_type") == "purchase")
+          .select(F.col("user_id").cast("string").alias("user"),
+                  source_ts_ns(ev).alias("ts"), "value"))
+    anchor = px.agg(F.max("ts")).collect()[0][0]
+    per_user = px.groupBy("user").agg(
+        (F.lit(anchor) - F.max("ts")).cast("long").alias("recency_ns"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 4).alias("monetary"))
+    r = F.ntile(4).over(Window.orderBy(F.col("recency_ns"), F.col("user")))
+    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(),
+                                       F.col("user")))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(),
+                                       F.col("user")))
+    out = per_user.select(
+        "user", "recency_ns", "frequency", "monetary",
+        r.cast("long").alias("r"), f.cast("long").alias("f"),
+        m.cast("long").alias("m"))
+    return out.withColumn(
+        "rfm", (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("long"))
+
+
 @register("events_ab_welch", """
     WITH g AS (
         SELECT event_type AS metric,
