@@ -595,6 +595,78 @@ def q_events_funnel(spark, sf_dir):
                        F.count("t3").alias("n_full_funnel"))
 
 
+@register("events_funnel_latency", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts, event_type
+        FROM events),
+    s1 AS (SELECT user, min(ts) AS t1 FROM pts WHERE event_type = 'view'
+           GROUP BY user),
+    s2 AS (SELECT p.user, min(p.ts) AS t2
+           FROM pts p JOIN s1 ON s1.user = p.user
+           WHERE p.event_type = 'click'
+             AND p.ts >= s1.t1 AND p.ts <= s1.t1 + 604800000000000
+           GROUP BY p.user),
+    s3 AS (SELECT p.user, min(p.ts) AS t3
+           FROM pts p JOIN s2 ON s2.user = p.user
+           WHERE p.event_type = 'purchase'
+             AND p.ts >= s2.t2 AND p.ts <= s2.t2 + 604800000000000
+           GROUP BY p.user),
+    lat AS (SELECT s3.user, s3.t3 - s1.t1 AS total_ns,
+                   s2.t2 - s1.t1 AS step1_ns, s3.t3 - s2.t2 AS step2_ns
+            FROM s3 JOIN s2 ON s2.user = s3.user
+            JOIN s1 ON s1.user = s3.user)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(total_ns, 0.5) AS BIGINT) AS p50_total_ns,
+           CAST(quantile_disc(total_ns, 0.9) AS BIGINT) AS p90_total_ns,
+           CAST(quantile_disc(step1_ns, 0.5) AS BIGINT) AS p50_step1_ns,
+           CAST(quantile_disc(step2_ns, 0.5) AS BIGINT) AS p50_step2_ns
+    FROM lat
+""")
+def q_events_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution over full-funnel users (view ->
+    click -> purchase, 7-day step windows): p50/p90 of total and
+    per-step latency — the funnel's depth companion (events_funnel
+    counts WHO converts; this measures HOW FAST). Same single-scan,
+    single-exchange per-user array shape as the funnel; the latency
+    table is converted-users-sized, so the exact DISCRETE percentiles
+    (quantile_disc both engines — integer ns, no interpolation drift)
+    aggregate a small frame."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.lit(604_800_000_000_000)
+    pts = ev.select(F.col("user_id").cast("string").alias("user"),
+                    source_ts_ns(ev).alias("ts"), "event_type")
+
+    def ts_of(kind):
+        return F.when(F.col("event_type") == kind, F.col("ts"))
+
+    per_user = pts.groupBy("user").agg(
+        F.min(ts_of("view")).alias("t1"),
+        F.sort_array(F.collect_list(ts_of("click"))).alias("clicks"),
+        F.sort_array(F.collect_list(ts_of("purchase"))).alias("purchases"))
+
+    def step_min(arr, lo):
+        return F.array_min(F.filter(
+            arr, lambda x: (x >= lo) & (x <= lo + week)))
+
+    lat = (per_user
+           .withColumn("t2", step_min(F.col("clicks"), F.col("t1")))
+           .withColumn("t3", step_min(F.col("purchases"), F.col("t2")))
+           .filter(F.col("t3").isNotNull()))
+    # exact DISCRETE percentile (lower-of-the-two at even counts) —
+    # matches DuckDB quantile_disc; percentile() would interpolate
+    def pdisc(c, p):
+        return F.expr(f"percentile_approx({c}, {p}, 2147483647)")
+
+    return lat.select((F.col("t3") - F.col("t1")).alias("total_ns"),
+                      (F.col("t2") - F.col("t1")).alias("step1_ns"),
+                      (F.col("t3") - F.col("t2")).alias("step2_ns")) \
+        .agg(F.count(F.lit(1)).alias("n_converted"),
+             pdisc("total_ns", 0.5).cast("long").alias("p50_total_ns"),
+             pdisc("total_ns", 0.9).cast("long").alias("p90_total_ns"),
+             pdisc("step1_ns", 0.5).cast("long").alias("p50_step1_ns"),
+             pdisc("step2_ns", 0.5).cast("long").alias("p50_step2_ns"))
+
+
 @register("events_rolling_24h", """
     WITH pts AS (
         SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
