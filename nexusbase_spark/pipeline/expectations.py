@@ -195,3 +195,38 @@ def table_diff(old: DataFrame, new: DataFrame, id_col: str,
     return (j.select(F.coalesce(F.col("__id"), F.col("__idn"))
                      .alias(id_col), change.alias("change"))
             .filter(F.col("change").isNotNull()))
+
+
+def check_expectations_by_group(df: DataFrame, group_col: str,
+                                checks: list[dict]) -> DataFrame:
+    """Per-group expectations report: the row-local check list evaluated
+    once per ``group_col`` value — which SOURCE is violating the
+    contract, not just whether the table does. Same single-scan
+    compilation as ``check_expectations`` (conditional sums share one
+    groupBy; map-side combined), so N checks x G groups still costs one
+    aggregation. ``unique``/``ref`` kinds are whole-table concepts and
+    are rejected here (use check_expectations).
+
+    Output long-format: (group_col, check, kind, column, n_rows,
+    violations, passed) — one row per (group, check).
+    """
+    bad = [c["kind"] for c in checks if c["kind"] in ("unique", "ref")]
+    if bad:
+        raise ValueError(f"group-wise expectations don't support {bad}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(checks):
+        aggs.append(F.sum(
+            _violation_expr(c["kind"], c.get("column", ""), c.get("arg"))
+            .cast("long")).alias(f"__v{i}"))
+    g = df.groupBy(F.col(group_col)).agg(*aggs)
+    rows = []
+    for i, c in enumerate(checks):
+        rows.append(g.select(
+            F.col(group_col),
+            F.lit(c["name"]).alias("check"),
+            F.lit(c["kind"]).alias("kind"),
+            F.lit(c.get("column", "")).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("violations"),
+            (F.coalesce(F.col(f"__v{i}"), F.lit(0)) == 0).alias("passed")))
+    return reduce(lambda a, b: a.unionByName(b), rows)

@@ -3202,6 +3202,53 @@ def q_docs_table_diff(spark, sf_dir):
     return table_diff(docs, new, "doc_id")
 
 
+@register("docs_expectations_by_source", """
+    WITH g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_text,
+               CAST(sum(CASE WHEN lang IS NULL
+                             OR lang NOT IN ('en', 'de', 'es', 'fr')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+               CAST(sum(CASE WHEN n_chars IS NULL
+                             OR n_chars < 200 OR n_chars > 1500
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_len
+        FROM documents GROUP BY source)
+    SELECT source, 'text_not_null' AS check, 'not_null' AS kind,
+           'text' AS "column", n_rows, v_text AS violations,
+           v_text = 0 AS passed
+    FROM g
+    UNION ALL
+    SELECT source, 'lang_domain', 'in_set', 'lang', n_rows, v_lang,
+           v_lang = 0
+    FROM g
+    UNION ALL
+    SELECT source, 'len_range', 'in_range', 'n_chars', n_rows, v_len,
+           v_len = 0
+    FROM g
+""")
+def q_docs_expectations_by_source(spark, sf_dir):
+    """Per-source contract report: which SOURCE violates the ingest
+    contract, not just whether the table does — the trending input for
+    per-source quarantine decisions. All checks compile into one
+    grouped aggregate (pipeline/expectations.check_expectations_by_group);
+    len_range is deliberately tighter than the data so failing rows
+    exist."""
+    from nexusbase_spark.pipeline.expectations import (
+        check_expectations_by_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return check_expectations_by_group(docs, "source", [
+        {"name": "text_not_null", "kind": "not_null", "column": "text"},
+        {"name": "lang_domain", "kind": "in_set", "column": "lang",
+         "arg": ("en", "de", "es", "fr")},
+        {"name": "len_range", "kind": "in_range", "column": "n_chars",
+         "arg": (200, 1500)},
+    ])
+
+
 @register("docs_profile", """
     WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
     p AS (

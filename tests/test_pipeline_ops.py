@@ -1203,3 +1203,31 @@ def test_hard_negatives_cross_label_and_boundary(spark):
     assert all(r["label"] != r["nbr_label"] for r in out.values())
     straggler = out[vid]
     assert straggler["nbr_label"] == 1 and straggler["cosine"] > 0.99
+
+
+def test_check_expectations_by_group_counts_and_rejects_table_kinds(spark):
+    """Violations count per group; whole-table kinds (unique/ref) are
+    rejected for the grouped variant."""
+    import pytest as _pt
+
+    from nexusbase_spark.pipeline.expectations import (
+        check_expectations_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("b", -1.0), ("b", 2.0), ("b", None)],
+        "grp string, x double")
+    rows = {(r["grp"], r["check"]): r for r in
+            check_expectations_by_group(df, "grp", [
+                {"name": "x_nn", "kind": "not_null", "column": "x"},
+                {"name": "x_rng", "kind": "in_range", "column": "x",
+                 "arg": (0.0, 10.0)},
+            ]).collect()}
+    assert rows[("a", "x_nn")]["violations"] == 1
+    assert rows[("b", "x_nn")]["violations"] == 1
+    assert rows[("a", "x_rng")]["violations"] == 1      # null fails range
+    assert rows[("b", "x_rng")]["violations"] == 2      # -1 and null
+    assert rows[("a", "x_rng")]["n_rows"] == 2
+    with _pt.raises(ValueError):
+        check_expectations_by_group(df, "grp", [
+            {"name": "u", "kind": "unique", "column": "x"}])
