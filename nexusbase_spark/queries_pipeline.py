@@ -1758,6 +1758,61 @@ def q_text_unigram_logprob(spark, sf_dir):
                  F.round(F.avg("logp"), 4).alias("avg_logprob")))
 
 
+@register("text_bigram_logprob", """
+    WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+               FROM documents),
+    inst AS (SELECT doc_id, toks[i] AS pv, toks[i + 1] AS w
+             FROM t, unnest(range(1, greatest(len(toks), 1))) AS one(i)),
+    uni AS (SELECT u AS tokenp, CAST(count(*) AS BIGINT) AS cu
+            FROM t, unnest(t.toks) AS o(u) GROUP BY u),
+    voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    bi AS (SELECT pv, w, CAST(count(*) AS BIGINT) AS cb
+           FROM inst GROUP BY pv, w)
+    SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(ln((b.cb + 1.0) / (u.cu + (SELECT v FROM voc))))
+                 * 1e4 + 0.5) / 1e4 AS avg_logprob
+    FROM inst i JOIN bi b ON b.pv = i.pv AND b.w = i.w
+    JOIN uni u ON u.tokenp = i.pv
+    GROUP BY i.doc_id
+""")
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram language-model scoring: per-doc mean log-probability of
+    each token given its predecessor, add-one smoothed over the corpus
+    vocabulary — the context-aware upgrade of text_unigram_logprob
+    (word salad with typical WORDS scores well under a unigram LM but
+    collapses under the bigram conditionals). Two wordcount rollups +
+    two token-keyed joins onto the bigram-instance stream; at corpus
+    scale, cap to top-V bigrams with an OOV floor so the model table
+    broadcasts — the full table here keeps the oracle exact. Docs with
+    fewer than 2 tokens emit nothing (no bigrams to score)."""
+    from nexusbase_spark.pipeline.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    inst = t.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("toks") >= 2,
+            F.transform(F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at("toks", i).alias("pv"),
+                            F.element_at("toks", i + 1).alias("w"))))
+            .otherwise(F.array().cast(
+                "array<struct<pv:string,w:string>>"))).alias("b")) \
+        .select("doc_id", F.col("b.pv").alias("pv"), F.col("b.w").alias("w"))
+    uni = (t.select(F.explode("toks").alias("tokenp"))
+           .groupBy("tokenp").agg(F.count(F.lit(1)).alias("cu")))
+    v = uni.count()
+    bi = inst.groupBy("pv", "w").agg(F.count(F.lit(1)).alias("cb"))
+    lp = F.log((F.col("cb") + 1.0) / (F.col("cu") + F.lit(float(v))))
+    return (inst.join(bi, ["pv", "w"])
+            .join(uni, inst["pv"] == uni["tokenp"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (F.floor(F.avg(lp) * 1e4 + F.lit(0.5)) / 1e4)
+                 .alias("avg_logprob")))
+
+
 @register("multimodal_frames", """
     WITH d AS (
         SELECT doc_id, octet_length(encode(text))::BIGINT AS n
