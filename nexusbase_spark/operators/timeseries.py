@@ -190,7 +190,11 @@ def ewma_level(df: DataFrame, keys: list[str], alpha: float,
     that, EWMA over raw points is the wrong query and the downsampled
     rollup feeds it instead).
 
-    Output: keys..., n (points folded), ewma (double; NaN for empty).
+    Output: keys..., n (points folded), ewma (double). Series whose
+    values are ALL NULL (and series with no rows) are omitted from the
+    output entirely — the NULL pre-filter below drops their rows before
+    the groupBy, so no n=0/NaN placeholder row is emitted (ADVICE r4
+    docstring correction; the previous contract claimed NaN-for-empty).
     """
     o1, o2 = order_cols
     # NULL values are dropped BEFORE the fold: collect_list of a struct

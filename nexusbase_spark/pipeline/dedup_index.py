@@ -207,25 +207,29 @@ class DedupIndex:
             st_sets = (store_docs.join(shared, "doc_id")
                        .select("doc_id",
                                F.array_sort("hset").alias("__sh")))
-            bad_sets = (st_sets.join(rec_sets, "doc_id", "full_outer")
-                        .filter(F.col("__sh").isNull()
-                                | F.col("__rh").isNull()
-                                | (F.col("__sh") != F.col("__rh")))
-                        .count())
+            bad_set_ids = (st_sets.join(rec_sets, "doc_id", "full_outer")
+                           .filter(F.col("__sh").isNull()
+                                   | F.col("__rh").isNull()
+                                   | (F.col("__sh") != F.col("__rh")))
+                           .select("doc_id"))
             rec_bands = (banded.withColumnRenamed(idc, "doc_id")
                          .select("doc_id", "band_idx",
                                  F.col("band_key").alias("__rk")))
             st_bands = (self._store_bands().join(shared, "doc_id")
                         .select("doc_id", "band_idx",
                                 F.col("band_key").alias("__sk")))
-            bad_bands = (st_bands.join(rec_bands, ["doc_id", "band_idx"],
-                                       "full_outer")
-                         .filter(F.col("__sk").isNull()
-                                 | F.col("__rk").isNull()
-                                 | (F.col("__sk") != F.col("__rk")))
-                         .select("doc_id").distinct().count())
+            bad_band_ids = (st_bands.join(rec_bands, ["doc_id", "band_idx"],
+                                          "full_outer")
+                            .filter(F.col("__sk").isNull()
+                                    | F.col("__rk").isNull()
+                                    | (F.col("__sk") != F.col("__rk")))
+                            .select("doc_id"))
+            # ADVICE r4: count the distinct UNION of docs failing either
+            # check — max(bad_sets, bad_bands) undercounts when different
+            # docs fail different checks.
+            mismatched = (bad_set_ids.union(bad_band_ids)
+                          .distinct().count())
             d.unpersist()
-            mismatched = max(bad_sets, bad_bands)
         return {"docs_store": store_ids.count(),
                 "docs_base": base_ids.count(),
                 "stale": stale, "missing": missing,

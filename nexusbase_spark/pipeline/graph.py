@@ -37,6 +37,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _max_safe_iters(n: int, bl: int) -> int:
+    """Largest iters with n * bl**iters < 2**62 (0 if even iters=1 won't)."""
+    t = 0
+    while n * bl ** (t + 1) < 2 ** 62:
+        t += 1
+    return t
+
+
 def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 3,
              damp_num: int = 17, damp_den: int = 20,
              src_col: str = "src", dst_col: str = "dst",
@@ -63,6 +71,16 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 3,
     if n == 0:
         raise ValueError("nodes must be non-empty")
     lcm = math.lcm(*range(1, max_outdeg + 1))
+    # Lattice overflow guard (ADVICE r4): per-node P_t is bounded by
+    # N * (bL)^t, and Spark long sums WRAP silently on overflow, so an
+    # iters that pushes the bound past int64 would produce wrong ranks
+    # with no error. Refuse up front instead.
+    if n * (damp_den * lcm) ** iters >= 2 ** 62:
+        raise ValueError(
+            f"iters={iters} overflows the int64 lattice: "
+            f"N*(damp_den*lcm)^iters = {n}*({damp_den}*{lcm})^{iters} "
+            f">= 2^62; reduce iters (<= "
+            f"{_max_safe_iters(n, damp_den * lcm)} for this graph)")
     deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__outdeg"))
     bad = deg.filter(F.col("__outdeg") > max_outdeg).head(1)
     if bad:

@@ -210,8 +210,15 @@ def mmr_select(shortlist: DataFrame, k: int = 5, *,
         chosen.append(best[1])
         del cands[best[1]]
     spark = shortlist.sparkSession
-    return spark.createDataFrame(
-        picked, f"{id_col} long, sel_rank long, mmr_score double")
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    # ADVICE r4: derive the id field's type from the input — id_col is a
+    # free parameter, so string (or any) ids must round-trip unchanged.
+    id_type = shortlist.schema[id_col].dataType
+    out_schema = StructType([StructField(id_col, id_type, True),
+                             StructField("sel_rank", LongType(), True),
+                             StructField("mmr_score", DoubleType(), True)])
+    return spark.createDataFrame(picked, out_schema)
 
 
 class CorpusStats:

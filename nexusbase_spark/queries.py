@@ -622,42 +622,46 @@ def q_cursor_page(spark, sf_dir):
 
 # The driver witnesses queries in registry iteration order and caps the run
 # at 50 rows, so iteration order IS the correctness-gate coverage policy.
-# Round-4 rotation (VERDICT r3 "Next round" #2): 8 canary cores — one per
+# Round-5 rotation (VERDICT r4 "Next round" #1): 8 canary cores — one per
 # §2/pipeline family, re-witnessed every round so a regression in the core
-# surface can never hide — then the 18 round-3 additions that have never
-# been through the hard gate, then 24 of the 28 queries last witnessed in
-# round 1 (oldest evidence first). After this round every registered query
-# has had at least one hard-gate row. Everything still runs when the driver
-# has the budget; the prefix only decides what a capped run proves.
+# surface can never hide — then ALL 32 round-4 additions that have never
+# been through the hard gate (the statistics, graph, hybrid-retrieval and
+# data-quality families), then 10 of the 12 queries whose only hard-gate
+# row is from round 1 (oldest evidence first; q7/q8 stay out this round —
+# their join shapes are guarded by plan-property tests). After this round
+# every registered query has had at least one hard-gate row (179/179).
+# Everything still runs when the driver has the budget; the prefix only
+# decides what a capped run proves.
 PRIORITY_PREFIX = [
     # canary cores: scan, final agg, downsample, MVCC, tombstone, cursor,
     # NBQL planner, dedup pipeline — one witness per family, every round
     "raw_scan_range_tag", "final_agg_basic", "downsample_1d",
     "mvcc_dedup_latest", "tombstone_series", "cursor_page",
     "nbql_downsample", "doc_dedup_exact",
-    # never-witnessed round-3 additions (18 — VERDICT r3 missing #2)
-    "docs_bm25_topk", "docs_heavy_hitter_bigrams", "docs_bpe_merges",
-    "embed_semdedup_prune", "docs_dedup_index_probe", "events_ewma_level",
-    "events_hll_daily_users", "percentile_rollup_merged", "nbql_fill_value",
-    "docs_budget_select", "docs_epoch_mix", "docs_per_source_panel",
-    "docs_weighted_panel", "docs_boilerplate_ngrams",
-    "tpch_q4_shape_exists_rollup", "tpch_q11_shape_value_concentration",
-    "tpch_q20_shape_nested_in", "tpch_q21_shape_sole_fault",
-    # round-4 in-round additions — never witnessed, same class as the 18
-    "events_cusum_changepoints", "events_markov_transitions",
-    "events_winsorized_stats", "docs_boilerplate_scrub",
-    "docs_dsir_select", "embed_pq_topk", "embed_pq_rerank_topk",
-    "embed_ivfpq_topk",
-    # last witnessed in round 1 — oldest-evidence re-witness (16 of 28;
-    # q3/q5/q6/q8 stay out this round: plan-property tests guard them;
-    # the other 8 r1-only slots ceded to the round-4 additions above)
-    "customers_without_orders", "events_asof_enrich",
-    "events_cohort_retention", "events_counter_rate", "events_funnel",
-    "events_gap_fill_locf", "events_proximity_pairs", "events_rolling_24h",
-    "events_sessionize", "events_time_weighted_avg",
-    "tpch_q10_returned_revenue", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_carts", "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier", "tpch_q9_profit_proxy",
+    # never-witnessed round-4 additions (32 — VERDICT r4 missing #2):
+    # time-series statistics family
+    "events_acf", "events_linreg_trend", "events_holt_forecast",
+    "events_seasonal_decompose", "events_seasonal_volume_outliers",
+    "events_ab_welch", "events_rfm_segments",
+    "events_last_touch_attribution", "events_funnel_latency",
+    # data-quality family
+    "orders_expectations", "orders_cube_volume", "docs_profile",
+    "docs_source_kl", "docs_table_diff", "docs_expectations_by_source",
+    # dedup / text additions
+    "docs_duplicate_spans", "docs_dup_mass_by_source",
+    "docs_pmi_collocations", "docs_typo_pairs", "text_bigram_logprob",
+    "docs_top_decile_per_source", "docs_bpe_encode", "docs_epoch_shuffle",
+    # retrieval / graph families
+    "docs_hybrid_rrf_topk", "docs_bm25_served", "docs_bm25_indexed",
+    "embed_knn_graph", "embed_mmr_diversified", "embed_hard_negatives",
+    "embed_pagerank_topk", "embed_mutual_knn_clusters",
+    "embed_ivfpq_residual_topk",
+    # last witnessed in round 1 — oldest-evidence re-witness (10 of 12)
+    "events_user_daily_activity", "orders_rank_window",
+    "orders_semi_returned", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier", "tpch_q19_or_predicates",
+    "tpch_q22_idle_rich_customers", "tpch_q3_top_orders",
+    "tpch_q5_region_revenue", "tpch_q6_forecast_revenue",
 ]
 
 

@@ -327,6 +327,7 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     probe_sz = sizes.filter(F.col("doc_id") == 0).collect()[0]["sz"]
     inter = (
         s.filter(F.col("doc_id") != 0)
+        # lint: k-row — probe is ONE document's distinct tokens
         .join(F.broadcast(probe), "tok")
         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("i"))
     )

@@ -320,13 +320,16 @@ class NBQLClient:
         frames are written before any response is read, so ``chunk_size``
         bounds the frames in flight (ADVICE r3: the previous version
         awaited each response before the next send, making the parameter
-        a no-op). Returns the number of points pushed; raises on the
+        a no-op). The default chunk is 512 — the server loop is strictly
+        read-frame->respond, so an unbounded pipeline on a large bulk
+        would fill both TCP buffers and deadlock sender and server
+        (ADVICE r4). Returns the number of points pushed; raises on the
         first server error after draining that chunk's responses."""
         for p in points:
             if not isinstance(p, dict) or "metric" not in p or "fields" not in p:
                 raise ValueError(f"point needs 'metric' and 'fields': {p!r}")
         n = 0
-        size = max(chunk_size or len(points), 1)
+        size = max(min(chunk_size or 512, len(points)), 1)
         for i in range(0, len(points), size):
             chunk = points[i:i + size]
             for p in chunk:

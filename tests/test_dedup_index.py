@@ -184,3 +184,33 @@ def test_verify_detects_corrupted_signature(spark, tmp_path):
     # sampled audit: sample=2 checks exactly 2 docs deterministically
     rep2 = idx.verify(_corpus(spark, mutated), sample=2)
     assert rep2["checked"] == 2
+
+
+def test_verify_mismatched_counts_union_of_failing_docs(spark, tmp_path):
+    """Doc 1's stored hset is corrupted (bands left intact) and doc 2's
+    stored band_key is corrupted (hset left intact): mismatched must
+    count the UNION of docs failing either check — 2, not
+    max(bad_sets, bad_bands) = 1 (ADVICE r4)."""
+    import os
+    idx = DedupIndex.build(spark, str(tmp_path / "ix"), _corpus(spark, BASE))
+    path = str(tmp_path / "ix")
+
+    docs_t = spark.read.parquet(os.path.join(path, "docs"))
+    tampered_docs = docs_t.withColumn(
+        "hset",
+        F.when(F.col("doc_id") == 1,
+               F.transform(F.col("hset"), lambda h: h + 1))
+        .otherwise(F.col("hset"))).localCheckpoint(eager=True)
+    tampered_docs.write.mode("overwrite").parquet(os.path.join(path, "docs"))
+
+    bands_t = spark.read.parquet(os.path.join(path, "bands"))
+    tampered_bands = bands_t.withColumn(
+        "band_key",
+        F.when(F.col("doc_id") == 2, F.lit("corrupted"))
+        .otherwise(F.col("band_key"))).localCheckpoint(eager=True)
+    (tampered_bands.write.mode("overwrite").partitionBy("band_idx")
+     .parquet(os.path.join(path, "bands")))
+
+    rep = idx.verify(_corpus(spark, BASE))
+    assert rep["stale"] == 0 and rep["missing"] == 0
+    assert rep["mismatched"] == 2 and not rep["ok"]

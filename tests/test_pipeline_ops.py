@@ -1231,3 +1231,38 @@ def test_check_expectations_by_group_counts_and_rejects_table_kinds(spark):
     with _pt.raises(ValueError):
         check_expectations_by_group(df, "grp", [
             {"name": "u", "kind": "unique", "column": "x"}])
+
+
+def test_pagerank_rejects_int64_overflowing_iters(spark):
+    """iters large enough that N*(damp_den*lcm)^iters crosses 2^62 must
+    raise up front: Spark long sums wrap silently, so the lattice would
+    produce wrong ranks with no error (ADVICE r4)."""
+    import pytest as _pt
+
+    from nexusbase_spark.pipeline.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    # b*L = 20*6 = 120; 2*120^10 ~ 1.2e21 > 2^62 ~ 4.6e18
+    with _pt.raises(ValueError, match="int64 lattice"):
+        pagerank(cyc, nodes, iters=10)
+    # iters=8 stays inside (2*120^8 ~ 8.6e16) and still runs
+    got = {r["id"]: r["pr"] for r in pagerank(cyc, nodes, iters=8).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_mmr_select_string_ids(spark):
+    """id_col is a free parameter: string ids must round-trip through
+    the greedy epilogue's output schema (ADVICE r4 — it was hardcoded
+    to long)."""
+    from nexusbase_spark.pipeline.search import mmr_select
+
+    sl = spark.createDataFrame([
+        ("docA", 0.9, [1.0, 0.0]),
+        ("docB", 0.89, [1.0, 0.0]),
+        ("docC", 0.5, [0.0, 1.0]),
+    ], "doc string, rel double, embedding array<double>")
+    rows = mmr_select(sl, k=2, id_col="doc").collect()
+    assert [(r["doc"], r["sel_rank"]) for r in rows] == [
+        ("docA", 1), ("docC", 2)]
+    assert rows[0]["mmr_score"] == 0.9

@@ -166,3 +166,37 @@ def test_client_convenience_surface(tcp):
                  {"metric": "", "fields": {"value": 2.0}}], chunk_size=2)
         rows, end = c.query("QUERY cli.bulk FROM 0 TO 10000")
         assert end["total_rows"] >= 5
+
+
+def test_push_bulk_default_chunk_is_bounded(monkeypatch):
+    """The default chunk must cap frames in flight at 512, not
+    len(points): the server loop is strictly read-frame->respond, so an
+    unbounded pipeline on a large bulk fills both TCP buffers and
+    silently deadlocks (ADVICE r4). A monkeypatched frame layer counts
+    writes outstanding before each drain."""
+    import json as _json
+
+    from nexusbase_spark import tcp_server as mod
+
+    state = {"in_flight": 0, "max_in_flight": 0, "total": 0}
+
+    def fake_write(sock, cmd, payload):
+        state["in_flight"] += 1
+        state["total"] += 1
+        state["max_in_flight"] = max(state["max_in_flight"],
+                                     state["in_flight"])
+
+    def fake_read(sock):
+        assert state["in_flight"] > 0, "read with nothing in flight"
+        state["in_flight"] -= 1
+        return mod.RESP_END, _json.dumps({"total_rows": 0}).encode()
+
+    monkeypatch.setattr(mod, "write_frame", fake_write)
+    monkeypatch.setattr(mod, "read_frame", fake_read)
+    c = NBQLClient.__new__(NBQLClient)
+    c.sock = object()
+    pts = [{"metric": "bulkdflt", "fields": {"value": float(i)},
+            "timestamp": i} for i in range(1030)]
+    assert c.push_bulk(pts) == 1030
+    assert state["total"] == 1030
+    assert state["max_in_flight"] == 512  # 512/512/6, never unbounded
