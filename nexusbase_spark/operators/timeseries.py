@@ -186,9 +186,11 @@ def ewma_level(df: DataFrame, keys: list[str], alpha: float,
     with a double accumulator — JVM-side, no UDF, deterministic because
     the struct sort fixes the fold order regardless of shuffle
     nondeterminism. One series' points must fit a row (same bound as any
-    per-series collect; fine for series of millions of points — beyond
-    that, EWMA over raw points is the wrong query and the downsampled
-    rollup feeds it instead).
+    per-series collect). Measured (SCALE.md round-5, 16g heap): fine
+    through ~4M points/series, ~10x slower at 16M (a ~400MB row), OOM
+    between 16M and 64M — route longer series through the minute-grain
+    downsample rollup first (flat ~1s across the whole range, and the
+    right semantics for them anyway).
 
     Output: keys..., n (points folded), ewma (double). Series whose
     values are ALL NULL (and series with no rows) are omitted from the
@@ -408,7 +410,9 @@ def holt_linear(df: DataFrame, keys: list[str], alpha: float, beta: float,
     h-step forecaster behind capacity alerts: forecast = l_n + h*b_n.
 
     Same sequential-fold shape as ewma_level (one shuffle; ordered
-    struct-list fold, JVM-side, no UDF) with a STRUCT accumulator
+    struct-list fold, JVM-side, no UDF — and the same measured
+    one-series-per-row bound: ~4M points/series comfortable, OOM by
+    64M at 16g heap; see SCALE.md round-5) with a STRUCT accumulator
     carrying (l, b). Sequential folds have no summation-order freedom,
     so given identical inputs both engines produce bit-identical doubles
     step by step; the DuckDB oracle steps the same recurrence with a

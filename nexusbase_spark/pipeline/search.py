@@ -298,10 +298,99 @@ class CorpusStats:
          .sortWithinPartitions("token")
          .write.mode("append").parquet(os.path.join(self.path, "df")))
 
+    def retire(self, removed: DataFrame) -> None:
+        """Retention-event fold: subtract a batch of aged-out documents
+        by appending NEGATIVE deltas — one (−n_docs, −sum_dl) globals row
+        and one −df row per distinct token of the removed batch. Readers
+        already SUM deltas, so the store stays exact without touching
+        history: O(removed batch), never O(corpus) — the same
+        mergeable-delta contract as ``update``. Retention always knows
+        which docs it drops, so the removed frame is free at the call
+        site; when it is NOT available, fall back to ``resync``."""
+        import os
+        meta = self._meta()
+        toks = tokens_col(F.col(meta["text_col"]))
+        d = removed.select(F.array_distinct(toks).alias("__t"),
+                           F.size(toks).alias("__dl"))
+        d = d.localCheckpoint(eager=True)  # one tokenize, two consumers
+        (d.agg((-F.count(F.lit(1))).alias("n_docs"),
+               (-F.coalesce(F.sum("__dl"), F.lit(0))).alias("sum_dl"))
+         .coalesce(1).write.mode("append")
+         .parquet(os.path.join(self.path, "globals")))
+        (d.select(F.explode("__t").alias("token"))
+         .groupBy("token").agg((-F.count(F.lit(1))).alias("df"))
+         .sortWithinPartitions("token")
+         .write.mode("append").parquet(os.path.join(self.path, "df")))
+
+    # ----------------------------------------------------------- audit/heal
+
+    def verify(self, docs: DataFrame) -> dict:
+        """Exact audit against the base corpus (the shared DedupIndex /
+        VectorIndex / InvertedIndex contract, VERDICT r4 next #5):
+        recompute (n_docs, sum_dl) and the per-token df table from the
+        base and compare with the summed store. ``df_mismatched`` counts
+        tokens whose summed df differs (full-outer, so both phantom and
+        lost tokens count). One tokenize pass + one anti-joined rollup —
+        O(corpus vocabulary), the audit's inherent cost."""
+        import os
+        meta = self._meta()
+        toks = tokens_col(F.col(meta["text_col"]))
+        base = docs.select(F.array_distinct(toks).alias("__t"),
+                           F.size(toks).alias("__dl"))
+        base = base.localCheckpoint(eager=True)
+        want = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("__dl"), F.lit(0)).alias("s")).collect()[0]
+        g = (self.spark.read.parquet(os.path.join(self.path, "globals"))
+             .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n"),
+                  F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("s"))
+             .collect()[0])
+        want_df = (base.select(F.explode("__t").alias("token"))
+                   .groupBy("token").agg(F.count(F.lit(1)).alias("__wdf")))
+        have_df = (self.spark.read.parquet(os.path.join(self.path, "df"))
+                   .groupBy("token").agg(F.sum("df").alias("__hdf"))
+                   .filter(F.col("__hdf") != 0))  # fully-retired tokens
+        df_mismatched = (have_df.join(want_df, "token", "full_outer")
+                         .filter(F.coalesce(F.col("__hdf"), F.lit(0))
+                                 != F.coalesce(F.col("__wdf"), F.lit(0)))
+                         .count())
+        n_ok = int(g["n"]) == int(want["n"])
+        s_ok = int(g["s"]) == int(want["s"])
+        return {"n_docs_store": int(g["n"]), "n_docs_base": int(want["n"]),
+                "sum_dl_store": int(g["s"]), "sum_dl_base": int(want["s"]),
+                "df_mismatched": df_mismatched,
+                "ok": n_ok and s_ok and df_mismatched == 0}
+
+    def resync(self, docs: DataFrame) -> dict:
+        """Heal after an untracked corpus rewrite: rebuild both layers
+        from the base corpus (stats are corpus-wide sums, so unlike the
+        postings stores there is no per-doc narrow rewrite — O(corpus),
+        the heal-path cost; TRACKED retention should use ``retire``,
+        which is O(batch)). Returns the rebuilt globals."""
+        import os
+        meta = self._meta()
+        toks = tokens_col(F.col(meta["text_col"]))
+        d = docs.select(F.array_distinct(toks).alias("__t"),
+                        F.size(toks).alias("__dl"))
+        d = d.localCheckpoint(eager=True)
+        g = (d.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"))
+             .localCheckpoint(eager=True))
+        df_t = (d.select(F.explode("__t").alias("token"))
+                .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+                .sortWithinPartitions("token")
+                .localCheckpoint(eager=True))
+        g.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.path, "globals"))
+        df_t.write.mode("overwrite").parquet(os.path.join(self.path, "df"))
+        row = g.collect()[0]
+        return {"n_docs": int(row["n_docs"]), "sum_dl": int(row["sum_dl"])}
+
     def compact(self) -> None:
         """Fold the delta layers into one: globals to a single row, df to
         one token-aggregated, token-sorted layer (row-group pruning for
-        term lookups)."""
+        term lookups). Tokens whose df nets to zero (fully retired via
+        negative deltas) are dropped from the compacted layer."""
         import os
         g = (self.spark.read.parquet(os.path.join(self.path, "globals"))
              .agg(F.sum("n_docs").alias("n_docs"),
@@ -309,6 +398,7 @@ class CorpusStats:
              .localCheckpoint(eager=True))
         df_t = (self.spark.read.parquet(os.path.join(self.path, "df"))
                 .groupBy("token").agg(F.sum("df").alias("df"))
+                .filter(F.col("df") != 0)
                 .sortWithinPartitions("token")
                 .localCheckpoint(eager=True))
         g.coalesce(1).write.mode("overwrite").parquet(

@@ -150,3 +150,33 @@ def test_streaming_ingest_updates_index(spark, tmp_path):
             if r["score"] > 0.0]
     got = [(r["doc_id"], r["score"]) for r in ix.search(terms, k=6).collect()]
     assert got == want
+
+
+def test_retention_event_verify_then_resync_heals(spark, tmp_path):
+    """Retention interplay (VERDICT r4 next #5): the base corpus is
+    retention-compacted (old docs dropped, nothing added or mutated) —
+    verify() reports exactly the aged-out docs as stale and globals
+    broken; resync() drops their postings via the narrow filtered
+    rewrite and rebuilds exact globals; verify() is green and search
+    over the survivors is identical to a fresh build."""
+    ix = InvertedIndex.build(spark, str(tmp_path / "ix"), _df(spark, CORPUS))
+    survivors = [r for r in CORPUS if r[0] > 2]  # docs 1-2 age out
+
+    rep = ix.verify(_df(spark, survivors))
+    assert not rep["ok"] and rep["stale"] == 2
+    assert rep["missing"] == 0 and rep["mismatched"] == 0
+    assert not rep["globals_ok"]
+
+    out = ix.resync(_df(spark, survivors))
+    assert out == {"dropped_stale": 2, "indexed_missing": 0}
+    rep = ix.verify(_df(spark, survivors))
+    assert rep["ok"] and rep["globals_ok"]
+
+    fresh = InvertedIndex.build(spark, str(tmp_path / "fresh"),
+                                _df(spark, survivors))
+    for terms in (["cat"], ["cat", "dog"]):
+        got = [(r["doc_id"], r["score"])
+               for r in ix.search(terms, k=10).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in fresh.search(terms, k=10).collect()]
+        assert got == want

@@ -1266,3 +1266,55 @@ def test_mmr_select_string_ids(spark):
     assert [(r["doc"], r["sel_rank"]) for r in rows] == [
         ("docA", 1), ("docC", 2)]
     assert rows[0]["mmr_score"] == 0.9
+
+
+def test_corpus_stats_retention_retire_verify_resync(spark, tmp_path):
+    """Retention interplay for the stats store (VERDICT r4 next #5):
+    aging docs out of the base corpus makes verify() report drift;
+    retire(removed) heals it with O(batch) negative deltas (lookup and
+    the served ranking then match a fresh build on the survivors);
+    compact() folds the mixed-sign deltas and drops net-zero tokens. An
+    UNTRACKED rewrite is healed by resync() instead."""
+    from nexusbase_spark.pipeline.search import (
+        CorpusStats, bm25_topk, bm25_topk_served)
+    schema = "doc_id long, text string"
+    old = [(1, "cat dog cat"), (2, "zebra zebra")]
+    new = [(3, "cat fish dog"), (4, "bird bird cat")]
+    st = CorpusStats.build(spark, str(tmp_path / "st"),
+                           spark.createDataFrame(old + new, schema))
+    survivors = spark.createDataFrame(new, schema)
+    assert st.verify(spark.createDataFrame(old + new, schema))["ok"]
+
+    # retention event: docs 1-2 age out of the base corpus
+    rep = st.verify(survivors)
+    assert not rep["ok"]
+    assert rep["n_docs_store"] == 4 and rep["n_docs_base"] == 2
+    assert rep["df_mismatched"] > 0  # zebra is phantom, cat over-counted
+
+    st.retire(spark.createDataFrame(old, schema))
+    rep = st.verify(survivors)
+    assert rep["ok"] and rep["n_docs_store"] == 2
+    n, avgdl, dfs = st.lookup(["cat", "zebra"])
+    assert n == 2 and avgdl == 3.0 and dfs == [2, 0]
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk(survivors, ["cat"], k=4).collect()]
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_topk_served(survivors, st, ["cat"], k=4).collect()]
+    assert got == want
+
+    # compact folds mixed-sign deltas; fully-retired tokens vanish
+    st.compact()
+    assert st.lookup(["cat", "zebra"]) == (n, avgdl, dfs)
+    import os
+    toks = {r["token"] for r in
+            spark.read.parquet(os.path.join(str(tmp_path / "st"),
+                                            "df")).collect()}
+    assert "zebra" not in toks and "cat" in toks
+
+    # untracked rewrite (doc 3's text mutated in place) -> resync heals
+    mutated = spark.createDataFrame(
+        [(3, "totally new words"), new[1]], schema)
+    assert not st.verify(mutated)["ok"]
+    out = st.resync(mutated)
+    assert out["n_docs"] == 2
+    assert st.verify(mutated)["ok"]
