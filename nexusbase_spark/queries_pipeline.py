@@ -1416,14 +1416,19 @@ def q_embed_knn_graph(spark, sf_dir):
     return knn_graph(emb, k=3)
 
 
-def _mmr_oracle(k: int = 5, n_short: int = 20) -> str:
+def _mmr_oracle(k: int = 5, n_short: int = 20, *,
+                pre_ctes: str = "", cand_sql: str | None = None) -> str:
     """Unrolled greedy MMR (lambda=1/2, integer lattice): step CTEs pick
     argmax of rel_q - max(sim_q to selected); ties by id. Mirrors
-    pipeline/search.mmr_select exactly."""
+    pipeline/search.mmr_select exactly. ``cand_sql`` (a full
+    ``cand AS MATERIALIZED (...)`` CTE producing (id, rel, emb)) swaps
+    in a different shortlist source — e.g. the IVFPQ serving path —
+    with ``pre_ctes`` carrying its upstream CTEs; the greedy epilogue
+    is shared verbatim."""
     # MATERIALIZED: cand/pairs are referenced by every greedy step —
     # inlined, DuckDB re-runs the corpus scan per reference (25s vs
     # 0.2s at sf0.1)
-    ctes = [f"""cand AS MATERIALIZED (
+    default_cand = f"""cand AS MATERIALIZED (
         SELECT vec_id AS id,
                CAST(floor(sum(v.x * p.x)
                     / (sqrt(sum(v.x * v.x)) * sqrt(sum(p.x * p.x)))
@@ -1435,7 +1440,8 @@ def _mmr_oracle(k: int = 5, n_short: int = 20) -> str:
               FROM embeddings, range(1, 65) r(i) WHERE vec_id = 0) p
           ON p.pos = v.pos
         GROUP BY vec_id
-        ORDER BY rel DESC, vec_id LIMIT {n_short})""",
+        ORDER BY rel DESC, vec_id LIMIT {n_short})"""
+    ctes = [cand_sql if cand_sql is not None else default_cand,
             """pairs AS MATERIALIZED (
         SELECT a.id AS ia, b.id AS ib,
                CAST(floor(sum(CAST(a.emb[r.i] AS DOUBLE) * CAST(b.emb[r.i] AS DOUBLE))
@@ -1459,7 +1465,8 @@ def _mmr_oracle(k: int = 5, n_short: int = 20) -> str:
     unions = "\n    UNION ALL ".join(
         f"SELECT id AS vec_id, CAST({t} AS BIGINT) AS sel_rank,"
         f" score / 1e4 AS mmr_score FROM s{t}" for t in range(1, k + 1))
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+    head = "WITH " + (pre_ctes + ",\n    " if pre_ctes else "")
+    return head + ",\n    ".join(ctes) + "\n    " + unions
 
 
 @register("embed_mmr_diversified", _mmr_oracle(k=5, n_short=20))
@@ -3513,8 +3520,11 @@ def q_embed_pq_rerank_topk(spark, sf_dir):
                    encoded=_pq_trained(spark, sf_dir))
 
 
-@register("embed_ivfpq_topk", f"""
-    WITH {_kmeans_ctes(k=4, iters=3)},
+# IVFPQ serving-path CTEs (coarse route -> ADC scan -> 100-candidate
+# shortlist -> exact cosine components) — shared verbatim between the
+# embed_ivfpq_topk gate query and the composed embed_ivfpq_mmr_topk
+# pipeline so the two oracles can never drift apart.
+_IVFPQ_SHORTLIST_CTES = f"""{_kmeans_ctes(k=4, iters=3)},
     {_pq_ctes(m_sub=4, k=4, iters=2, sub_len=16, include_ev=False)},
     probe AS (SELECT pos, x AS pv FROM ev WHERE vec_id = 0),
     pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM probe),
@@ -3543,7 +3553,11 @@ def q_embed_pq_rerank_topk(spark, sf_dir):
                sqrt(sum(e.x * e.x)) AS vn
         FROM ev e JOIN short USING (vec_id)
         JOIN probe p ON p.pos = e.pos
-        GROUP BY e.vec_id)
+        GROUP BY e.vec_id)"""
+
+
+@register("embed_ivfpq_topk", f"""
+    WITH {_IVFPQ_SHORTLIST_CTES}
     SELECT vec_id, round(dot / (vn * (SELECT n FROM pn)), 4) AS cosine FROM m
     ORDER BY dot / (vn * (SELECT n FROM pn)) DESC, vec_id LIMIT 10
 """)
@@ -3555,6 +3569,15 @@ def q_embed_ivfpq_topk(spark, sf_dir):
     quantizer as embed_vecindex_topk, same PQ codebooks as
     embed_pq_topk — the composition changes I/O, never the answer
     (pipeline/vecindex.VectorIndex.search_pq)."""
+    out = _ivfpq_index(spark, sf_dir).search_pq(
+        _probe_vec(spark, sf_dir), k=10, nprobe=2, rerank=100,
+        exclude_id=0)
+    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+def _ivfpq_index(spark, sf_dir):
+    """Memoized IVFPQ VectorIndex build per sf_dir (an index build is a
+    pipeline step, not query work — shared by every serving query)."""
     import tempfile
 
     from nexusbase_spark.pipeline.vecindex import VectorIndex
@@ -3566,10 +3589,38 @@ def q_embed_ivfpq_topk(spark, sf_dir):
         _VECINDEX_CACHE[key] = VectorIndex.build(
             spark, path, emb, nlist=4, iters=3,
             pq_m=4, pq_codes=4, pq_iters=2)
-    idx = _VECINDEX_CACHE[key]
-    out = idx.search_pq(_probe_vec(spark, sf_dir), k=10, nprobe=2,
-                        rerank=100, exclude_id=0)
-    return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+    return _VECINDEX_CACHE[key]
+
+
+@register("embed_ivfpq_mmr_topk", _mmr_oracle(
+    k=5, n_short=20, pre_ctes=_IVFPQ_SHORTLIST_CTES,
+    cand_sql="""cand AS MATERIALIZED (
+        SELECT m.vec_id AS id,
+               CAST(floor(m.dot / (m.vn * (SELECT n FROM pn)) * 1e4 + 0.5)
+                    AS BIGINT) AS rel,
+               e.embedding AS emb
+        FROM m JOIN embeddings e ON e.vec_id = m.vec_id
+        ORDER BY m.dot / (m.vn * (SELECT n FROM pn)) DESC, m.vec_id
+        LIMIT 20)"""))
+def q_embed_ivfpq_mmr_topk(spark, sf_dir):
+    """The serving path composed end to end (VERDICT r4 next #8): IVFPQ
+    index (coarse file-pruned routing -> ADC code scan -> exact-cosine
+    re-rank) produces the 20-candidate shortlist, MMR (lambda = 1/2)
+    diversifies it to the final 5 — retrieval as a deployment runs it,
+    oracle-checked as a PIPELINE rather than stage by stage. The MMR
+    epilogue stays shortlist-sized by construction (20 ids + 190 pair
+    sims on the driver); everything corpus-sized happens in the
+    index scan. Oracle = the shared IVFPQ shortlist CTEs + the shared
+    unrolled greedy MMR, composed the same way."""
+    from nexusbase_spark.pipeline.search import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sl = _ivfpq_index(spark, sf_dir).search_pq(
+        _probe_vec(spark, sf_dir), k=20, nprobe=2, rerank=100,
+        exclude_id=0)
+    sl = sl.join(emb.select("vec_id", "embedding"), "vec_id")
+    return mmr_select(sl, k=5, id_col="vec_id", rel_col="cosine",
+                      vec_col="embedding")
 
 
 @register("embed_ivfpq_residual_topk", f"""
