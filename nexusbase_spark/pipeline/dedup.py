@@ -608,3 +608,78 @@ def scrub_frequent_chunks(docs: DataFrame, min_docs: int = 5,
                  F.count(F.lit(1)).alias("n_chunks"),
                  F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
                  .cast("long").alias("n_scrubbed")))
+
+
+def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """EXACT token-set Jaccard similarity self-join via prefix filtering
+    (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): the lossless companion to MinHash LSH. LSH trades recall
+    for speed; this join is exact — every pair with jaccard >= threshold
+    is returned — yet never compares all pairs.
+
+    The prefix-filter theorem: order every doc's distinct tokens by one
+    GLOBAL order (ascending document frequency, rarest first, ties by
+    token); if |A∩B|/|A∪B| >= t then A and B must share a token within
+    their first |X| - ceil(t·|X|) + 1 tokens. So only docs sharing a
+    PREFIX token become candidates — and because prefixes are built from
+    the rarest tokens, prefix-token buckets are the SMALLEST ones: the
+    candidate self-join is driven by low-df tokens, the exact inverse of
+    the frequent-token hot spot a naive token join dies on.
+
+    Scale shape: one df rollup (wordcount-shaped, map-side combined),
+    one window per doc (partitioned by doc — bounded by doc length), a
+    prefix-token self-join whose per-bucket fan-out is df-bounded by
+    construction, then exact verification ONLY on candidates via
+    array_intersect on the two token arrays. Everything JVM-side; the
+    threshold is applied in exact integer arithmetic (ceil(t·sz) as
+    (num·sz + den − 1) div den with num/den = floor-rational of t, so a
+    float ulp can never shrink a prefix and lose a pair).
+
+    Output: (id_a, id_b, inter, uni, jaccard) for pairs with
+    jaccard >= threshold; jaccard floor-quantized to 1e-4.
+    """
+    from pyspark.sql import Window
+
+    # The operator's effective threshold is the exact rational num/den
+    # (t at 1e-4 resolution): BOTH the prefix length and the final
+    # filter use it, so the prefix-filter theorem applies to the same t
+    # everywhere and no float ulp can shrink a prefix and lose a pair.
+    num, den = int(round(threshold * 10_000)), 10_000
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("__t"))
+    toks = toks.filter(F.size("__t") > 0)
+    tok = toks.select("id", F.explode("__t").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy("__df", "tok")
+    pos = (tok.join(dfreq, "tok")
+           .select("id", "tok", F.row_number().over(w).alias("__pos")))
+    sz = toks.select("id", F.size("__t").alias("__sz"))
+    # prefix length = sz - ceil(num*sz/den) + 1, all-integer
+    pref = (pos.join(sz, "id")
+            .filter(F.col("__pos")
+                    <= F.col("__sz")
+                    - F.floor((F.lit(num) * F.col("__sz") + F.lit(den - 1))
+                              / F.lit(den)) + 1)
+            .select("id", "tok"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
+                  (F.col("a.tok") == F.col("b.tok"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    ta = toks.select(F.col("id").alias("id_a"), F.col("__t").alias("__ta"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("__t").alias("__tb"))
+    ver = (cand.join(ta, "id_a").join(tb, "id_b")
+           .select("id_a", "id_b",
+                   F.size(F.array_intersect("__ta", "__tb")).alias("inter"),
+                   (F.size("__ta") + F.size("__tb")).alias("__s")))
+    out = (ver.withColumn("uni", (F.col("__s") - F.col("inter")).cast("long"))
+           .withColumn("inter", F.col("inter").cast("long"))
+           .withColumn("jaccard",
+                       F.floor(F.col("inter") / F.col("uni") * 1e4 + 0.5)
+                       / 1e4)
+           .filter(F.col("inter") * den >= F.col("uni") * num))
+    return out.select("id_a", "id_b", "inter", "uni", "jaccard")
