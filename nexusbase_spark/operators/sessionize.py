@@ -38,3 +38,30 @@ def sessionize(
     boundary = F.when(prev.isNull() | (F.col(ts) - prev > gap_ns), 1).otherwise(0)
     run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out_col, F.sum(boundary).over(run).cast("long"))
+
+
+def session_paths(df: DataFrame, keys: list[str], gap_ns: int,
+                  type_col: str = "metric", ts: str = "ts",
+                  tiebreak: str = "seq", max_len: int = 8) -> DataFrame:
+    """Session path mining: the ordered event-type sequence of each
+    session (first ``max_len`` steps), rolled up to path frequencies —
+    the "what do users actually do" histogram behind funnel design.
+
+    One sessionize window + one per-session fold + one wordcount-shaped
+    path rollup. The fold holds one SESSION per row (sessions are
+    gap-bounded and capped at max_len for the path), so the
+    one-series-per-row bound of the long-series folds never applies.
+
+    Output: (path — '>'-joined types, n_sessions), unordered; callers
+    add their own top-k.
+    """
+    s = sessionize(df, keys, gap_ns, ts=ts, tiebreak=tiebreak)
+    ordered = F.sort_array(F.collect_list(
+        F.struct(F.col(ts), F.col(tiebreak),
+                 F.col(type_col).alias("t"))))
+    per = s.groupBy(*keys, "session").agg(ordered.alias("__e"))
+    path = F.array_join(
+        F.slice(F.transform(F.col("__e"), lambda e: e["t"]),
+                1, max_len), ">")
+    return (per.select(path.alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions")))

@@ -683,3 +683,38 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
                        / 1e4)
            .filter(F.col("inter") * den >= F.col("uni") * num))
     return out.select("id_a", "id_b", "inter", "uni", "jaccard")
+
+
+def canonical_keep(docs: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The dedup ENDGAME after clustering: pick one canonical
+    representative per duplicate cluster — the longest member (most
+    content preserved), ties to the smallest id — and emit a per-doc
+    keep/drop verdict. This is the row a curation pipeline actually
+    filters on; pairs and clusters are intermediate evidence.
+
+    ``clusters`` is ``dedup_clusters`` output (doc_id, canonical_id);
+    docs absent from it are singletons — their own cluster, always kept.
+
+    Scale shape: one broadcast-or-shuffle join of docs to the cluster
+    map, one max_by rollup per cluster (map-side combined), one join
+    back for the verdict. No text leaves the wire: quality here is
+    length(text), computed at scan and carried as a long.
+
+    Output: (id_col, cluster_id, n_chars, keep).
+    """
+    q = docs.select(F.col(id_col),
+                    F.length(F.col(text_col)).cast("long").alias("n_chars"))
+    lab = (q.join(clusters.withColumnRenamed("doc_id", id_col), id_col,
+                  "left")
+           .withColumn("cluster_id",
+                       F.coalesce(F.col("canonical_id"), F.col(id_col))))
+    # keep = max by (n_chars, -id): longest member, ties to smallest id
+    best = (lab.groupBy("cluster_id")
+            .agg(F.max_by(F.col(id_col),
+                          F.struct(F.col("n_chars"), -F.col(id_col)))
+                 .alias("__keep_id")))
+    return (lab.join(best, "cluster_id")
+            .select(id_col, "cluster_id", "n_chars",
+                    (F.col(id_col) == F.col("__keep_id")).alias("keep")))

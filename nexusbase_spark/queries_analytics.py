@@ -332,6 +332,53 @@ def q_events_sessionize(spark, sf_dir):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+@register("events_session_paths", """
+    WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, event_type
+        FROM events),
+    flagged AS (
+        SELECT user, ts, seq, event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user ORDER BY ts, seq) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user ORDER BY ts, seq)
+                         > 43200000000000
+                    THEN 1 ELSE 0 END AS f
+        FROM pts),
+    sess AS (
+        SELECT user, ts, seq, event_type,
+               sum(f) OVER (PARTITION BY user ORDER BY ts, seq
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged),
+    paths AS (
+        SELECT user, session_id,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY ts, seq), 1, 8),
+                   '>') AS path
+        FROM sess GROUP BY user, session_id)
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+""")
+def q_events_session_paths(spark, sf_dir):
+    """Session path mining: per-user >12h-gap sessions, each reduced to
+    its ordered event-type sequence (first 8 steps), rolled up to the 20
+    most common paths — the "what do users actually do" histogram behind
+    funnel design (operators/sessionize.session_paths). One sessionize
+    window + one per-session fold + a wordcount-shaped path rollup;
+    top-k compiles to TakeOrderedAndProject."""
+    from nexusbase_spark.operators.sessionize import session_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(F.col("user_id").cast("string").alias("user"),
+                    source_ts_ns(ev).alias("ts"),
+                    F.col("event_id").cast("long").alias("seq"),
+                    F.col("event_type").alias("metric"))
+    out = session_paths(pts, ["user"], gap_ns=43_200_000_000_000,
+                        type_col="metric", max_len=8)
+    return (out.orderBy(F.col("n_sessions").desc(), "path").limit(20))
+
+
 @register("orders_semi_returned", """
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders o

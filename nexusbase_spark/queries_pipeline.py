@@ -280,6 +280,45 @@ def q_doc_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+@register("docs_dedup_canonical", f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jpairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM jpairs
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    cl AS (SELECT node AS doc_id, min(label) AS canonical_id
+           FROM reach GROUP BY node),
+    d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+          FROM ({DOCS_AUG_SQL})),
+    lab AS (
+        SELECT d.doc_id, coalesce(cl.canonical_id, d.doc_id) AS cluster_id,
+               d.n_chars
+        FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+    r AS (
+        SELECT doc_id, cluster_id, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM lab)
+    SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep FROM r
+""")
+def q_docs_dedup_canonical(spark, sf_dir):
+    """The dedup endgame composed end to end: near-dup pairs -> connected
+    components -> ONE canonical representative per cluster (longest
+    member, ties to smallest id) with a per-doc keep/drop verdict — the
+    row a curation pipeline actually filters on. Singletons are their
+    own cluster and always kept (pipeline/dedup.canonical_keep)."""
+    from nexusbase_spark.pipeline.dedup import canonical_keep, dedup_clusters
+    docs = _docs_aug(spark, sf_dir)
+    pairs = near_dup_pairs(docs, num_hashes=8, bands=4, threshold=0.3)
+    return canonical_keep(docs, dedup_clusters(pairs))
+
+
 @register("doc_dedup_simhash", f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                  FROM ({DOCS_AUG_SQL})),
@@ -398,6 +437,36 @@ def q_doc_containment_pairs(spark, sf_dir):
     out = containment_pairs(_docs_aug(spark, sf_dir), num_hashes=8,
                             bands=4, threshold=0.8)
     return _r4(out, "containment")
+
+
+@register("docs_ppjoin_pairs", """
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok
+        FROM documents WHERE doc_id < 400),
+    sz AS (SELECT doc_id, count(*) AS s FROM t GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.s + sb.s - i.inter AS BIGINT) AS uni,
+           floor(i.inter / (sa.s + sb.s - i.inter) * 1e4 + 0.5) / 1e4 AS jaccard
+    FROM i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE i.inter * 10000 >= (sa.s + sb.s - i.inter) * 8000
+""")
+def q_docs_ppjoin_pairs(spark, sf_dir):
+    """EXACT token-set Jaccard >= 0.8 self-join via prefix filtering
+    (AllPairs/PPJoin — the lossless companion to MinHash LSH: every
+    qualifying pair, no recall loss, yet candidates come only from the
+    rarest-token prefixes so the frequent-token hot buckets never join).
+    The oracle is the BRUTE-FORCE all-shared-token join — matching it
+    exactly is the losslessness proof the LSH family can't make.
+    Restricted to doc_id < 400 purely to keep the quadratic ORACLE
+    tractable (knn_graph precedent); the operator itself is df-bounded
+    and runs corpus-wide (pipeline/dedup.prefix_filter_pairs)."""
+    from nexusbase_spark.pipeline.dedup import prefix_filter_pairs
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400))
+    return prefix_filter_pairs(docs, threshold=0.8)
 
 
 # ---------------------------------------------------------------------------

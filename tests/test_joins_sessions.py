@@ -467,3 +467,30 @@ def test_welch_t_hand_computation(spark):
         st.variance(a_vals) / len(a_vals) + st.variance(b_vals) / len(b_vals))
     assert row["n_a"] == 4 and row["n_b"] == 3
     assert row["welch_t"] == math.floor(t * 1e4 + 0.5) / 1e4
+
+
+def test_session_paths_orders_within_session_and_caps_length(spark):
+    """Paths are (ts, seq)-ordered within each gap-bounded session,
+    capped at max_len, and identical paths from different users/sessions
+    aggregate into one row."""
+    from pyspark.sql import functions as F
+
+    from nexusbase_spark.operators.sessionize import session_paths
+
+    rows = []
+    # user A: one session view>click>buy, then after a gap view>click
+    for i, et in enumerate(["view", "click", "buy"]):
+        rows.append(("a", 1_000 + i, i, et))
+    rows += [("a", 1_000_000, 10, "view"), ("a", 1_001, 11, "click")]
+    # ^ seq 11 at ts 1001 lands INSIDE session 1 by time order
+    # user B: same first-session path as A's session 1 prefix
+    for i, et in enumerate(["view", "click", "buy"]):
+        rows.append(("b", 5_000 + i, 20 + i, et))
+    df = spark.createDataFrame(
+        rows, "user string, ts long, seq long, metric string")
+    got = {r["path"]: r["n_sessions"]
+           for r in session_paths(df, ["user"], gap_ns=1_000,
+                                  max_len=2).collect()}
+    # A session 1 = view,click,buy,click(ts 1001) -> time order
+    # view(1000),click(1001,seq1),click(1001,seq11),buy(1002) capped at 2
+    assert got == {"view>click": 2, "view": 1}

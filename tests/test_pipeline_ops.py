@@ -1318,3 +1318,57 @@ def test_corpus_stats_retention_retire_verify_resync(spark, tmp_path):
     out = st.resync(mutated)
     assert out["n_docs"] == 2
     assert st.verify(mutated)["ok"]
+
+
+def test_prefix_filter_pairs_lossless_vs_brute_force(spark):
+    """PPJoin-style prefix filtering is EXACT: output equals the brute
+    all-pairs Jaccard join at the same threshold, including a pair whose
+    jaccard lands exactly ON the threshold, and excludes sub-threshold
+    pairs even when they share (frequent) tokens."""
+    from nexusbase_spark.pipeline.dedup import prefix_filter_pairs
+
+    docs = spark.createDataFrame([
+        (1, "a b c d"),            # {a b c d}
+        (2, "a b c e"),            # j(1,2) = 3/5 = 0.6  (on threshold)
+        (3, "a b c d x"),          # j(1,3) = 4/5 = 0.8
+        (4, "a q r s t u v w"),    # shares frequent 'a' only -> below
+        (5, "zz yy"),              # disjoint
+    ], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"], r["jaccard"])
+           for r in prefix_filter_pairs(docs, threshold=0.6).collect()}
+
+    # brute force over all 10 pairs
+    import itertools
+    sets = {1: set("abcd"), 2: set("abce"), 3: set("abcdx"),
+            4: set("aqrstuvw"), 5: {"zz", "yy"}}
+    want = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        i = len(sets[x] & sets[y]); u = len(sets[x] | sets[y])
+        if i * 10000 >= u * 6000:
+            import math
+            want[(x, y)] = (i, u, math.floor(i / u * 1e4 + 0.5) / 1e4)
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][2] == 0.6   # exact-threshold pair
+    assert (1, 3) in got and not any(4 in p or 5 in p for p in got)
+
+
+def test_canonical_keep_longest_wins_and_singletons_kept(spark):
+    """One keeper per cluster (longest member, ties to smallest id),
+    singletons always kept, and exactly one keep=True per cluster."""
+    from nexusbase_spark.pipeline.dedup import canonical_keep
+
+    docs = spark.createDataFrame([
+        (1, "short text"),
+        (2, "much longer text wins here"),
+        (3, "much longer text wins too!"),   # same length as 2 -> min id
+        (4, "a lonely singleton document"),
+    ], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, canonical_id long")
+    rows = {r["doc_id"]: r for r in canonical_keep(docs, clusters).collect()}
+    assert rows[1]["cluster_id"] == 1 and not rows[1]["keep"]
+    assert len(docs.head(1)) and rows[2]["n_chars"] == rows[3]["n_chars"]
+    assert rows[2]["keep"] and not rows[3]["keep"]     # tie -> smaller id
+    assert rows[4]["cluster_id"] == 4 and rows[4]["keep"]
+    keeps = [r for r in rows.values() if r["keep"]]
+    assert len(keeps) == 2
