@@ -9,7 +9,7 @@ aggregation, which is map-side combinable).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # A BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
@@ -336,3 +336,92 @@ def typo_pairs(vocab: DataFrame, word_col: str = "w",
         F.when(a_canon, F.col("wa")).otherwise(F.col("wb")).alias("canon"),
         F.when(a_canon, F.col("nb")).otherwise(F.col("na")).alias("rare_n"),
         F.when(a_canon, F.col("na")).otherwise(F.col("nb")).alias("canon_n"))
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, Table A1 — the
+# published word-level rules; the line-based rules need newline
+# structure this corpus doesn't carry and are documented out of scope).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MIN_ALPHA_FRAC = (4, 5)     # >= 80% of words contain a letter
+GOPHER_MAX_SYMBOL_RATIO = (1, 10)  # '#'/'...' per word <= 0.1
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and",
+                             "that", "have", "with"]
+GOPHER_MIN_REQUIRED_STOPWORDS = 2
+
+
+def gopher_rules_exprs(text: Column) -> dict[str, Column]:
+    """The published Gopher word-level quality rules (Rae et al. 2021):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, and the required-stopword rule. Every
+    FLAG compares integers (counts cross-multiplied against rational
+    thresholds), so verdicts are bit-identical on any engine; the
+    reported ratios are display values, floor-quantized by the caller.
+
+    Returns metric columns + per-rule booleans + the conjunction
+    ``keep``. Scan-speed Column expressions, no shuffle, no UDF.
+    """
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(toks, F.lit(0),
+                             lambda acc, t: acc + F.length(t))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (F.length(text)
+                  - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    n_req = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])))
+    af_n, af_d = GOPHER_MIN_ALPHA_FRAC
+    sr_n, sr_d = GOPHER_MAX_SYMBOL_RATIO
+    flags = {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        # 3 <= word_chars/n_words <= 10, cross-multiplied
+        "ok_mean_word_len":
+            (word_chars >= GOPHER_MIN_MEAN_WORD_LEN * n_words)
+            & (word_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_words),
+        "ok_symbol_ratio": n_symbols * sr_d <= n_words * sr_n,
+        "ok_alpha_words": n_alpha * af_d >= n_words * af_n,
+        "ok_stopwords": n_req >= GOPHER_MIN_REQUIRED_STOPWORDS,
+    }
+    keep = flags["ok_word_count"]
+    for name in list(flags)[1:]:
+        keep = keep & flags[name]
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": word_chars / n_words,
+        "alpha_frac": n_alpha / n_words,
+        "n_required_stop": n_req.cast("long"),
+        **flags,
+        "keep": keep,
+    }
+
+
+def char_entropy(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy in bits — the
+    cheapest "is this natural text or noise/base64/padding" signal
+    (natural English sits ~4.0-4.5 bits/char; uniform random base64
+    ~6; a single repeated char = 0).
+
+    Computed as H = log2(n) - (1/n) * sum c_i*log2(c_i) over the char
+    histogram: one explode + one (doc, char) count rollup (map-side
+    combined) + one per-doc fold — wordcount-shaped, scales with total
+    characters. Output: (id_col, n_chars, entropy) with entropy a raw
+    double (callers quantize for hash gates).
+    """
+    ch = (docs.select(F.col(id_col),
+                      F.explode(F.split(F.col(text_col), "")).alias("c"))
+          .filter(F.col("c") != ""))
+    hist = ch.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("cnt"))
+    ln2 = 0.6931471805599453
+    return (hist.groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_chars"),
+                 F.sum(F.col("cnt") * F.log("cnt")).alias("__s"))
+            .select(id_col, "n_chars",
+                    ((F.log("n_chars") - F.col("__s") / F.col("n_chars"))
+                     / F.lit(ln2)).alias("entropy")))

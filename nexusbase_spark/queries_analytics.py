@@ -2275,6 +2275,71 @@ def q_events_rfm_segments(spark, sf_dir):
         .cast("long"))
 
 
+def _q_events_ab_cuped_oracle() -> str:
+    return """
+    WITH b AS (SELECT CAST((min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
+                           AS BIGINT) AS mid FROM events),
+    u AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               sum(CASE WHEN epoch_ns(ts) < (SELECT mid FROM b)
+                        THEN value ELSE 0 END) AS x,
+               sum(CASE WHEN epoch_ns(ts) >= (SELECT mid FROM b)
+                        THEN value ELSE 0 END) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM u),
+    t AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+                 sx / n AS mx
+          FROM g)
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           floor(avg(y) * 1e4 + 0.5) / 1e4 AS mean_post,
+           floor((avg(y) - (SELECT theta FROM t)
+                            * (avg(x) - (SELECT mx FROM t)))
+                 * 1e4 + 0.5) / 1e4 AS mean_adj
+    FROM u GROUP BY arm
+"""
+
+
+@register("events_ab_cuped", _q_events_ab_cuped_oracle())
+def q_events_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B means (Deng et al. WSDM 2013): the
+    pre-period covariate x (per-user value before the data midpoint)
+    adjusts the post-period metric y, mean_adj = mean(y) − θ(mean(x) −
+    mean(x̄)) with θ = cov(x,y)/var(x) from the POOLED users — the
+    standard trick that cuts experiment runtimes by reusing pre-exposure
+    behavior. One per-user rollup + one 1-row moments pass (θ and the
+    midpoint are scalar plan anchors) + one 2-row arm rollup; everything
+    map-side combinable, nothing user-count-sized leaves the cluster."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = source_ts_ns(ev)
+    lohi = ev.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi")).collect()[0]
+    mid = (int(lohi["lo"]) + int(lohi["hi"])) // 2
+    u = (ev.filter(F.col("value").isNotNull())
+         .groupBy("user_id")
+         .agg(F.sum(F.when(ts < mid, F.col("value")).otherwise(0.0))
+              .alias("x"),
+              F.sum(F.when(ts >= mid, F.col("value")).otherwise(0.0))
+              .alias("y")))
+    u = u.localCheckpoint(eager=True)  # two consumers: moments + arms
+    g = u.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")).collect()[0]
+    theta = ((g["n"] * g["sxy"] - g["sx"] * g["sy"])
+             / (g["n"] * g["sxx"] - g["sx"] * g["sx"]))
+    mx = g["sx"] / g["n"]
+    arm = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (u.groupBy(arm.alias("arm"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 q4(F.avg("y")).alias("mean_post"),
+                 q4(F.avg("y") - F.lit(theta) * (F.avg("x") - F.lit(mx)))
+                 .alias("mean_adj")))
+
+
+
 @register("events_ab_welch", """
     WITH g AS (
         SELECT event_type AS metric,

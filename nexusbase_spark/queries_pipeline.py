@@ -525,6 +525,85 @@ def q_text_quality(spark, sf_dir):
     return _r4(out, "avg_token_len", "punct_ratio", "digit_ratio", "stopword_ratio")
 
 
+@register("docs_gopher_rules", """
+    WITH t AS (SELECT doc_id, text,
+                      string_split(trim(lower(text)), ' ') AS toks
+               FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> length(x))) AS wc,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) // 3
+                    AS BIGINT) AS n_symbols,
+               len(list_intersect(list_distinct(toks),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                   AS n_req
+        FROM t)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           floor(wc / CAST(n_words AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS mean_word_len,
+           floor(n_alpha / CAST(n_words AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS alpha_frac,
+           CAST(n_req AS BIGINT) AS n_required_stop,
+           n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+           wc >= 3 * n_words AND wc <= 10 * n_words AS ok_mean_word_len,
+           n_symbols * 10 <= n_words AS ok_symbol_ratio,
+           n_alpha * 5 >= n_words * 4 AS ok_alpha_words,
+           n_req >= 2 AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+               AND (wc >= 3 * n_words AND wc <= 10 * n_words)
+               AND n_symbols * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_req >= 2 AS keep
+    FROM m
+""")
+def q_docs_gopher_rules(spark, sf_dir):
+    """The published Gopher word-level quality rules (Rae et al. 2021):
+    word-count bounds, mean-word-length 3-10, symbol-to-word ratio,
+    >=80% alphabetic words, >=2 required stopwords — per-rule flags and
+    the keep conjunction, every verdict from integer cross-multiplied
+    comparisons so no float ulp can flip a flag
+    (pipeline/text.gopher_rules_exprs; the line-based Gopher rules need
+    newline structure this corpus doesn't carry)."""
+    from nexusbase_spark.pipeline.text import gopher_rules_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    gx = gopher_rules_exprs(F.col("text"))
+    out = docs.select("doc_id", *[v.alias(k) for k, v in gx.items()])
+    q4 = lambda c: F.floor(F.col(c) * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (out.withColumn("mean_word_len", q4("mean_word_len"))
+            .withColumn("alpha_frac", q4("alpha_frac")))
+
+
+@register("docs_char_entropy", """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents),
+    hist AS (
+        SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars,
+           floor((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt))
+                 / ln(2) * 1e4 + 0.5) / 1e4 AS entropy
+    FROM hist GROUP BY doc_id
+""")
+def q_docs_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (bits/char): the
+    cheapest natural-text-vs-noise signal (English ~4.0-4.5; random
+    base64 ~6; one repeated char = 0). Wordcount-shaped char-histogram
+    rollup, H = log2(n) - sum(c*log2 c)/n (pipeline/text.char_entropy)."""
+    from nexusbase_spark.pipeline.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = char_entropy(docs)
+    return out.withColumn(
+        "entropy", F.floor(F.col("entropy") * 1e4 + F.lit(0.5)) / 1e4)
+
+
 @register("text_token_count", f"""
     SELECT doc_id,
            len(string_split(text, ' '))::BIGINT AS n_ws_tokens,

@@ -1372,3 +1372,65 @@ def test_canonical_keep_longest_wins_and_singletons_kept(spark):
     assert rows[4]["cluster_id"] == 4 and rows[4]["keep"]
     keeps = [r for r in rows.values() if r["keep"]]
     assert len(keeps) == 2
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    """Each Gopher rule flips on its own violation; keep is the
+    conjunction; all verdicts from integer comparisons."""
+    from nexusbase_spark.pipeline.text import gopher_rules_exprs
+
+    good = " ".join(["the", "be", "to", "of"] + ["word"] * 60)
+    docs = spark.createDataFrame([
+        (1, good),                                   # passes everything
+        (2, "too short for the gopher rules to be"), # word count
+        (3, " ".join(["a"] * 60 + ["the", "be"])),   # mean word len < 3
+        (4, " ".join(["####"] * 30 + ["the be to of and word"] * 6)),
+        (5, " ".join(["word"] * 60)),                # no required stops
+    ], "doc_id long, text string")
+    gx = gopher_rules_exprs(F.col("text"))
+    rows = {r["doc_id"]: r for r in
+            docs.select("doc_id", *[v.alias(k) for k, v in gx.items()])
+            .collect()}
+    assert rows[1]["keep"] and rows[1]["n_required_stop"] >= 2
+    assert not rows[2]["ok_word_count"] and not rows[2]["keep"]
+    assert not rows[3]["ok_mean_word_len"] and not rows[3]["keep"]
+    assert not rows[4]["ok_symbol_ratio"] and not rows[4]["ok_alpha_words"]
+    assert not rows[5]["ok_stopwords"] and rows[5]["ok_word_count"]
+
+
+def test_char_entropy_known_values(spark):
+    """Exact entropies: one repeated char = 0 bits; a 2-char alternation
+    = 1 bit; 4 equiprobable chars = 2 bits."""
+    from nexusbase_spark.pipeline.text import char_entropy
+
+    docs = spark.createDataFrame([
+        (1, "aaaaaaaa"), (2, "abababab"), (3, "abcdabcd"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], round(r["entropy"], 10))
+           for r in char_entropy(docs).collect()}
+    assert got == {1: (8, 0.0), 2: (8, 1.0), 3: (8, 2.0)}
+
+
+def test_cuped_reduces_to_unadjusted_when_theta_zero_effect(spark):
+    """CUPED sanity on the registered query shape: when y = x exactly
+    (theta = 1), the adjusted means collapse to the pooled pre-mean —
+    the adjustment removes ALL between-arm covariate imbalance."""
+    from pyspark.sql import functions as F
+
+    u = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 20.0, 20.0), (3, 30.0, 30.0),
+         (4, 40.0, 40.0)],
+        "user_id long, x double, y double")
+    g = u.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")).collect()[0]
+    theta = ((g["n"] * g["sxy"] - g["sx"] * g["sy"])
+             / (g["n"] * g["sxx"] - g["sx"] * g["sx"]))
+    assert theta == 1.0
+    mx = g["sx"] / g["n"]
+    arm = F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+    rows = (u.groupBy(arm.alias("arm"))
+            .agg((F.avg("y") - F.lit(theta) * (F.avg("x") - F.lit(mx)))
+                 .alias("mean_adj")).collect())
+    assert {r["arm"]: r["mean_adj"] for r in rows} == {"A": 25.0, "B": 25.0}
