@@ -868,3 +868,75 @@ def test_streaming_expectations_sink(spark, tmp_path):
     assert by[(batches[0], "id_nn")] == 0
     assert by[(batches[1], "id_nn")] == 1      # the NULL id
     assert by[(batches[1], "x_pos")] == 0
+
+
+def test_hybrid_rrf_served_from_streaming_stores(spark, tmp_path):
+    """The hybrid serving path under continuous ingest (NOTES r4 backlog
+    #5): ONE document stream feeds BOTH retrieval stores — CorpusStats
+    (BM25 statistics) and VectorIndex (dense) — via their foreachBatch
+    sinks; after each micro-batch the RRF fusion of the two served
+    shortlists equals the batch recompute (bm25_topk + cosine_topk +
+    rrf_fuse) over everything ingested so far. No rebuild anywhere."""
+    from nexusbase_spark.pipeline.search import (
+        CorpusStats, bm25_topk, bm25_topk_served, rrf_fuse)
+    from nexusbase_spark.pipeline.similarity import cosine_topk
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+    from nexusbase_spark.streaming.subscribe import stream_ingest
+
+    schema = "doc_id long, text string, embedding array<double>"
+    base = [
+        (1, "spark shuffles partitions", [1.0, 0.0, 0.0]),
+        (2, "parquet row groups", [0.0, 1.0, 0.0]),
+        (3, "spark reads parquet", [0.7, 0.7, 0.0]),
+        (4, "unrelated prose entirely", [0.0, 0.0, 1.0]),
+    ]
+    later = [
+        (5, "spark parquet spark", [0.9, 0.1, 0.0]),
+        (6, "row groups prune scans", [0.1, 0.9, 0.1]),
+    ]
+    probe = [1.0, 0.2, 0.0]
+    terms = ["spark", "parquet"]
+
+    stats = CorpusStats.build(spark, str(tmp_path / "st"),
+                              spark.createDataFrame(base, schema))
+    idx = VectorIndex.build(spark, str(tmp_path / "vx"),
+                            spark.createDataFrame(base, schema),
+                            nlist=2, iters=2, id_col="doc_id")
+    src = tmp_path / "hybrid_src"
+    src.mkdir()
+
+    def served_hybrid(corpus):
+        lex = bm25_topk_served(corpus, stats, terms, k=4, id_col="doc_id")
+        dense = (idx.search(probe, k=4, nprobe=2)
+                 .withColumnRenamed("cosine", "score"))
+        return [(r["doc_id"], r["rrf"]) for r in
+                rrf_fuse([lex, dense], k=4, id_col="doc_id").collect()]
+
+    def batch_hybrid(corpus):
+        lex = bm25_topk(corpus, terms, k=4, id_col="doc_id")
+        dense = (cosine_topk(corpus, probe, k=4, id_col="doc_id")
+                 .withColumnRenamed("cosine", "score"))
+        return [(r["doc_id"], r["rrf"]) for r in
+                rrf_fuse([lex, dense], k=4, id_col="doc_id").collect()]
+
+    stream = stream_ingest(spark, str(src), schema)
+    stq = (stream.writeStream.queryName("t_hybrid_stats")
+           .foreachBatch(stats.for_each_batch())
+           .outputMode("append").start())
+    vxq = (stream.writeStream.queryName("t_hybrid_vec")
+           .foreachBatch(idx.for_each_batch())
+           .outputMode("append").start())
+    try:
+        corpus = spark.createDataFrame(base, schema)
+        assert served_hybrid(corpus) == batch_hybrid(corpus)
+        (spark.createDataFrame(later, schema).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+        stq.processAllAvailable()
+        vxq.processAllAvailable()
+        corpus = spark.createDataFrame(base + later, schema)
+        got = served_hybrid(corpus)
+        assert got == batch_hybrid(corpus)
+        assert 5 in {d for d, _ in got}   # streamed doc is servable
+    finally:
+        stq.stop()
+        vxq.stop()
