@@ -1191,6 +1191,64 @@ def q_events_time_weighted_avg(spark, sf_dir):
     )
 
 
+@register("lineitem_basket_lift", """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM p),
+    c AS (SELECT l_partkey, count(*) AS supp FROM p GROUP BY l_partkey),
+    ab AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS supp_ab
+        FROM p a JOIN p b ON b.l_orderkey = a.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+    SELECT part_a, part_b, CAST(supp_ab AS BIGINT) AS supp_ab,
+           CAST(ca.supp AS BIGINT) AS supp_a,
+           CAST(cb.supp AS BIGINT) AS supp_b,
+           floor(supp_ab * (SELECT n_orders FROM n)
+                 / (CAST(ca.supp AS DOUBLE) * cb.supp) * 1e4 + 0.5) / 1e4
+               AS lift
+    FROM ab JOIN c ca ON ca.l_partkey = part_a
+            JOIN c cb ON cb.l_partkey = part_b
+    ORDER BY floor(supp_ab * (SELECT n_orders FROM n)
+                   / (CAST(ca.supp AS DOUBLE) * cb.supp) * 1e4 + 0.5) DESC,
+             part_a, part_b
+    LIMIT 20
+""")
+def q_lineitem_basket_lift(spark, sf_dir):
+    """Market-basket affinity: top-20 part pairs by lift
+    P(a,b)·N / (P(a)·P(b)) with min pair support 3 — the co-purchase
+    signal behind recommendations. The pair space is generated WITHIN
+    each order (a self-join on l_orderkey after a distinct-parts
+    projection), so fan-out is bounded by lines-per-order squared —
+    basket-sized, never catalog-sized — and the two support rollups are
+    wordcount-shaped. Lift ranks on the floor-quantized value with
+    (part_a, part_b) tie-break; top-k compiles to
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = p.select("l_orderkey").distinct().count()
+    c = p.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a, b = p.alias("a"), p.alias("b")
+    ab = (a.join(b, (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .groupBy(F.col("a.l_partkey").alias("part_a"),
+                   F.col("b.l_partkey").alias("part_b"))
+          .agg(F.count(F.lit(1)).alias("supp_ab"))
+          .filter(F.col("supp_ab") >= 3))
+    out = (ab.join(c.select(F.col("l_partkey").alias("part_a"),
+                            F.col("supp").alias("supp_a")), "part_a")
+           .join(c.select(F.col("l_partkey").alias("part_b"),
+                          F.col("supp").alias("supp_b")), "part_b"))
+    liftq = F.floor(F.col("supp_ab") * F.lit(n_orders)
+                    / (F.col("supp_a").cast("double") * F.col("supp_b"))
+                    * 1e4 + F.lit(0.5))
+    return (out.select("part_a", "part_b", "supp_ab", "supp_a", "supp_b",
+                       (liftq / 1e4).alias("lift"))
+            .orderBy(F.col("lift").desc(), "part_a", "part_b")
+            .limit(20))
+
+
 @register("lineitem_rollup_totals", """
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
