@@ -650,7 +650,10 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens_col(F.col(text_col))).alias("__t"))
-    toks = toks.filter(F.size("__t") > 0)
+    # four consumers (prefix explode, sizes, both verification sides)
+    # would otherwise each re-scan and re-tokenize the TEXT; materialize
+    # the (id, token-set) projection once — strictly smaller than text
+    toks = toks.filter(F.size("__t") > 0).localCheckpoint(eager=True)
     tok = toks.select("id", F.explode("__t").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy("__df", "tok")
