@@ -639,6 +639,12 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
 
     Output: (id_a, id_b, inter, uni, jaccard) for pairs with
     jaccard >= threshold; jaccard floor-quantized to 1e-4.
+
+    Measured (SCALE.md round-5): wall tracks the TRUE pair mass — on a
+    templated corpus qualifying pairs grow near-quadratically and an
+    exact join must emit them all (~29us/pair); on natural corpora the
+    pass is wordcount-shaped. If the corpus is template-heavy, raise
+    the threshold or run boilerplate scrubbing first.
     """
     from pyspark.sql import Window
 
