@@ -2333,6 +2333,56 @@ def q_events_rfm_segments(spark, sf_dir):
         .cast("long"))
 
 
+@register("events_ks_drift", """
+    WITH g AS (SELECT value,
+                      CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+               FROM events WHERE value IS NOT NULL),
+    n AS (SELECT sum(a) AS na, count(*) - sum(a) AS nb FROM g),
+    v AS (SELECT value, sum(a) AS ca, count(*) - sum(a) AS cb
+          FROM g GROUP BY value),
+    c AS (SELECT value,
+                 sum(ca) OVER (ORDER BY value) AS cca,
+                 sum(cb) OVER (ORDER BY value) AS ccb
+          FROM v)
+    SELECT CAST((SELECT na FROM n) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM n) AS BIGINT) AS n_b,
+           floor(max(abs(cca / CAST((SELECT na FROM n) AS DOUBLE)
+                         - ccb / CAST((SELECT nb FROM n) AS DOUBLE)))
+                 * 1e4 + 0.5) / 1e4 AS ks_d
+    FROM c
+""")
+def q_events_ks_drift(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the A/B
+    arms' value distributions: D = max over values of |F_A − F_B| — the
+    standard distribution-shift detector (the nonparametric companion of
+    the per-source KL report). Map-side combine collapses the stream to
+    per-distinct-value counts FIRST; only that value-cardinality-bounded
+    table pays the ordered cumulative window (docstring bound: quantize
+    or bin the metric upstream when its cardinality is unbounded). Every
+    ECDF step is a single int/int division — exactly rounded IEEE, so
+    identical on any engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.filter(F.col("value").isNotNull())
+         .select("value",
+                 F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+                 .alias("a")))
+    tot = g.agg(F.sum("a").alias("na"),
+                (F.count(F.lit(1)) - F.sum("a")).alias("nb")).collect()[0]
+    na, nb = int(tot["na"]), int(tot["nb"])
+    v = g.groupBy("value").agg(
+        F.sum("a").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("cb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    d = v.select(F.abs(F.sum("ca").over(w) / F.lit(float(na))
+                       - F.sum("cb").over(w) / F.lit(float(nb)))
+                 .alias("__d"))
+    return d.agg(F.lit(na).alias("n_a"), F.lit(nb).alias("n_b"),
+                 (F.floor(F.max("__d") * 1e4 + F.lit(0.5)) / 1e4)
+                 .alias("ks_d"))
+
+
 def _q_events_ab_cuped_oracle() -> str:
     return """
     WITH b AS (SELECT CAST((min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2

@@ -579,6 +579,51 @@ def q_docs_gopher_rules(spark, sf_dir):
             .withColumn("alpha_frac", q4("alpha_frac")))
 
 
+@register("docs_zipf_slope", """
+    WITH tok AS (SELECT unnest(string_split(trim(lower(text)), ' ')) AS tok
+                 FROM documents),
+    f AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    r AS (SELECT c,
+                 row_number() OVER (ORDER BY c DESC, tok) AS rk
+          FROM f QUALIFY rk <= 100),
+    s AS (SELECT count(*) AS n,
+                 sum(ln(rk)) AS sx, sum(ln(c)) AS sy,
+                 sum(ln(rk) * ln(rk)) AS sxx,
+                 sum(ln(rk) * ln(c)) AS sxy
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e4 + 0.5)
+               / 1e4 AS zipf_slope
+    FROM s
+""")
+def q_docs_zipf_slope(spark, sf_dir):
+    """Zipf-law fit of the corpus: OLS slope of ln(freq) ~ ln(rank) over
+    the top-100 terms — natural language sits near −1; templated or
+    synthetic corpora flatten. A one-number corpus-health fingerprint
+    beside the per-source KL report. One wordcount rollup, a distributed
+    top-100 (TakeOrderedAndProject — no vocab-wide window), rank
+    assignment and the moment sums over 100 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from nexusbase_spark.pipeline.text import tokens_col
+
+    f = (docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+         .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    top = f.orderBy(F.col("c").desc(), "tok").limit(100)
+    rk = F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
+    r = top.select("c", rk.alias("rk"))
+    x, y = F.log("rk"), F.log("c")
+    s = r.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(F.col("n").cast("long").alias("n_terms"),
+                    (F.floor(slope * 1e4 + F.lit(0.5)) / 1e4)
+                    .alias("zipf_slope"))
+
+
 @register("docs_char_entropy", """
     WITH ch AS (
         SELECT doc_id, unnest(string_split(text, '')) AS c

@@ -1434,3 +1434,64 @@ def test_cuped_reduces_to_unadjusted_when_theta_zero_effect(spark):
             .agg((F.avg("y") - F.lit(theta) * (F.avg("x") - F.lit(mx)))
                  .alias("mean_adj")).collect())
     assert {r["arm"]: r["mean_adj"] for r in rows} == {"A": 25.0, "B": 25.0}
+
+
+def test_ks_drift_known_distributions(spark):
+    """Exact KS on hand-computable samples: identical samples give D=0;
+    disjoint supports give D=1; a half-shifted sample gives D=0.5."""
+    from nexusbase_spark.queries_analytics import q_events_ks_drift  # noqa: F401
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def ks(rows):
+        g = spark.createDataFrame(rows, "value double, a int")
+        tot = g.agg(F.sum("a").alias("na"),
+                    (F.count(F.lit(1)) - F.sum("a")).alias("nb")).collect()[0]
+        na, nb = int(tot["na"]), int(tot["nb"])
+        v = g.groupBy("value").agg(
+            F.sum("a").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("a")).alias("cb"))
+        w = Window.orderBy("value").rowsBetween(
+            Window.unboundedPreceding, 0)
+        d = v.select(F.abs(F.sum("ca").over(w) / F.lit(float(na))
+                           - F.sum("cb").over(w) / F.lit(float(nb)))
+                     .alias("d"))
+        return d.agg(F.max("d")).collect()[0][0]
+
+    same = [(float(x), 1) for x in range(4)] + [(float(x), 0)
+                                                for x in range(4)]
+    assert ks(same) == 0.0
+    disjoint = ([(float(x), 1) for x in range(4)]
+                + [(float(x + 10), 0) for x in range(4)])
+    assert ks(disjoint) == 1.0
+    shifted = ([(0.0, 1), (1.0, 1), (2.0, 1), (3.0, 1)]
+               + [(2.0, 0), (3.0, 0), (4.0, 0), (5.0, 0)])
+    assert ks(shifted) == 0.5
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """A constructed corpus with freq(rank) = 12/rank over 4 terms fits
+    slope exactly -1 (ln-ln points are collinear)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # freq(rank) = 12/rank with DISTINCT freqs (12, 6, 4, 3) so ranks
+    # are unambiguous: ln f = ln 12 - ln rank, perfectly collinear,
+    # slope exactly -1
+    words = ["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id long, text string")
+    from nexusbase_spark.pipeline.text import tokens_col
+    f = (docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+         .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    top = f.orderBy(F.col("c").desc(), "tok")
+    rk = F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
+    r = top.select("c", rk.alias("rk"))
+    x, y = F.log("rk"), F.log("c")
+    s = r.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"))
+    row = s.collect()[0]
+    slope = ((row["n"] * row["sxy"] - row["sx"] * row["sy"])
+             / (row["n"] * row["sxx"] - row["sx"] * row["sx"]))
+    assert abs(slope - (-1.0)) < 1e-9
