@@ -2333,6 +2333,85 @@ def q_events_rfm_segments(spark, sf_dir):
         .cast("long"))
 
 
+@register("events_psi_drift", """
+    WITH b AS (SELECT CAST((min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
+                           AS BIGINT) AS mid FROM events),
+    r AS (SELECT value FROM events
+          WHERE value IS NOT NULL AND epoch_ns(ts) < (SELECT mid FROM b)),
+    c AS (SELECT value FROM events
+          WHERE value IS NOT NULL AND epoch_ns(ts) >= (SELECT mid FROM b)),
+    s AS (SELECT min(value) AS lo,
+                 CASE WHEN max(value) > min(value)
+                      THEN (max(value) - min(value)) / 10 ELSE 1.0 END AS wd
+          FROM r),
+    rh AS (SELECT least(9, greatest(0,
+                   CAST(floor((value - (SELECT lo FROM s))
+                              / (SELECT wd FROM s)) AS BIGINT))) AS bin,
+                  count(*) AS cnt
+           FROM r GROUP BY 1),
+    ch AS (SELECT least(9, greatest(0,
+                   CAST(floor((value - (SELECT lo FROM s))
+                              / (SELECT wd FROM s)) AS BIGINT))) AS bin,
+                  count(*) AS cnt
+           FROM c GROUP BY 1),
+    bins AS (SELECT unnest(range(0, 10)) AS bin),
+    j AS (SELECT bi.bin, coalesce(rh.cnt, 0) AS rc, coalesce(ch.cnt, 0) AS cc
+          FROM bins bi
+          LEFT JOIN rh ON rh.bin = bi.bin
+          LEFT JOIN ch ON ch.bin = bi.bin),
+    t AS (SELECT sum(rc) + 10 AS nr, sum(cc) + 10 AS nc FROM j)
+    SELECT CAST(sum(rc) AS BIGINT) AS n_ref,
+           CAST(sum(cc) AS BIGINT) AS n_cur,
+           floor(sum(((cc + 1) / CAST((SELECT nc FROM t) AS DOUBLE)
+                      - (rc + 1) / CAST((SELECT nr FROM t) AS DOUBLE))
+                     * ln(((cc + 1) / CAST((SELECT nc FROM t) AS DOUBLE))
+                          / ((rc + 1)
+                             / CAST((SELECT nr FROM t) AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS psi
+    FROM j
+""")
+def q_events_psi_drift(spark, sf_dir):
+    """Population stability index between the first and second half of
+    the event stream (by data midpoint): 10 equal-width bins fit on the
+    REFERENCE half (edge bins absorb out-of-range drift), +1 Laplace
+    smoothing, PSI = sum (p−q)·ln(p/q) — the industry drift alarm
+    (<0.1 stable, >0.25 act). Two map-side-combined bin rollups aligned
+    on a constant 10-row bins frame; lo/width are driver scalars. The
+    streaming composition (frozen reference + per-batch folds) is
+    streaming/drift.DriftMonitor with a parity test."""
+    from nexusbase_spark.streaming.drift import histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = source_ts_ns(ev)
+    lohi = ev.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi")).collect()[0]
+    mid = (int(lohi["lo"]) + int(lohi["hi"])) // 2
+    val = ev.filter(F.col("value").isNotNull())
+    ref = val.filter(ts < mid)
+    cur = val.filter(ts >= mid)
+    g = ref.agg(F.min("value").alias("lo"),
+                F.max("value").alias("hi")).collect()[0]
+    lo, hi = float(g["lo"]), float(g["hi"])
+    width = (hi - lo) / 10 if hi > lo else 1.0
+    bins = spark.range(10).select(F.col("id").alias("bin"))
+    rh = histogram(ref, "value", lo, width, 10) \
+        .withColumnRenamed("cnt", "rc")
+    ch = histogram(cur, "value", lo, width, 10) \
+        .withColumnRenamed("cnt", "cc")
+    j = (bins.join(rh, "bin", "left").join(ch, "bin", "left")
+         .select("bin", F.coalesce("rc", F.lit(0)).alias("rc"),
+                 F.coalesce("cc", F.lit(0)).alias("cc")))
+    j = j.localCheckpoint(eager=True)  # two consumers: totals + psi
+    t = j.agg((F.sum("rc") + 10).alias("nr"),
+              (F.sum("cc") + 10).alias("nc")).collect()[0]
+    nr, nc = float(t["nr"]), float(t["nc"])
+    p = (F.col("cc") + 1) / F.lit(nc)
+    q = (F.col("rc") + 1) / F.lit(nr)
+    return j.agg(F.sum("rc").cast("long").alias("n_ref"),
+                 F.sum("cc").cast("long").alias("n_cur"),
+                 (F.floor(F.sum((p - q) * F.log(p / q)) * 1e4
+                          + F.lit(0.5)) / 1e4).alias("psi"))
+
+
 @register("events_ks_drift", """
     WITH g AS (SELECT value,
                       CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a

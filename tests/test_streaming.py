@@ -940,3 +940,58 @@ def test_hybrid_rrf_served_from_streaming_stores(spark, tmp_path):
     finally:
         stq.stop()
         vxq.stop()
+
+
+def test_drift_monitor_streaming_psi_matches_batch(spark, tmp_path):
+    """DriftMonitor under ingest: PSI after each micro-batch equals the
+    batch recompute (psi_of_counts over histograms of everything
+    ingested so far vs the frozen reference); the report table trends
+    batch_id/n_seen/psi; a shifted batch raises PSI."""
+    from nexusbase_spark.streaming.drift import (
+        DriftMonitor, histogram, psi_of_counts)
+    from nexusbase_spark.streaming.subscribe import stream_ingest
+
+    schema = "value double"
+    ref_rows = [(float(x % 10),) for x in range(100)]
+    ref = spark.createDataFrame(ref_rows, schema)
+    mon = DriftMonitor.build(spark, str(tmp_path / "dm"), ref,
+                             value_col="value", bins=10)
+    m = mon._meta()
+
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    rep = str(tmp_path / "drift_report")
+    q = (stream_ingest(spark, str(src), schema).writeStream
+         .queryName("t_drift").foreachBatch(mon.for_each_batch(rep))
+         .outputMode("append").start())
+    seen: list[tuple] = []
+
+    def feed(rows):
+        seen.extend(rows)
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+        q.processAllAvailable()
+
+    def batch_psi():
+        cur = spark.createDataFrame(seen, schema)
+        got = {int(r["bin"]): int(r["cnt"]) for r in
+               histogram(cur, "value", m["lo"], m["width"],
+                         m["bins"]).collect()}
+        return psi_of_counts(m["ref"],
+                             [got.get(i, 0) for i in range(m["bins"])])
+
+    try:
+        feed([(float(x % 10),) for x in range(50)])   # same distribution
+        stable = mon.psi()
+        assert stable == batch_psi() and stable < 0.1
+        feed([(25.0,)] * 60)                          # mass out of range
+        drifted = mon.psi()
+        assert drifted == batch_psi() and drifted > 0.25
+    finally:
+        q.stop()
+
+    hist = sorted(spark.read.parquet(rep).collect(),
+                  key=lambda r: r["batch_id"])
+    assert len(hist) == 2
+    assert hist[0]["n_seen"] == 50 and hist[1]["n_seen"] == 110
+    assert hist[1]["psi"] == drifted
