@@ -2221,6 +2221,84 @@ def q_docs_curation_pipeline(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
+@register("docs_curation_v2", """
+    WITH qf AS ({qf}),
+    kept AS (
+        SELECT d.doc_id, d.text, d.source,
+               CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d JOIN qf ON qf.doc_id = d.doc_id
+        WHERE qf.keep AND d.doc_id < 400),
+    tk AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(trim(lower(text)), ' ')))
+                   AS tok
+        FROM kept),
+    sz AS (SELECT doc_id, count(*) AS s FROM tk GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    jp AS (
+        SELECT i.id_a, i.id_b
+        FROM i JOIN sz sa ON sa.doc_id = i.id_a
+               JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.inter * 10000 >= (sa.s + sb.s - i.inter) * 8000),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM jp
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM jp),
+    reach(node, label) AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+    cl AS (SELECT node AS doc_id, min(label) AS canonical_id
+           FROM reach GROUP BY node),
+    lab AS (
+        SELECT k.doc_id, k.source, k.n_chars,
+               coalesce(cl.canonical_id, k.doc_id) AS cluster_id
+        FROM kept k LEFT JOIN cl ON cl.doc_id = k.doc_id),
+    r AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM lab)
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT)
+               AS sum_chars
+    FROM r WHERE rn = 1 GROUP BY source
+""".replace("{qf}", "SELECT * FROM ("
+            + _QF_RULES_SQL.format(
+                stops=", ".join(repr(w) for w in _STOP_ALL)) + ")")
+            .replace("WITH RECURSIVE", "WITH")
+            .replace("WITH qf", "WITH RECURSIVE qf"))
+def q_docs_curation_v2(spark, sf_dir):
+    """Curation pipeline v2 — the round-5 upgrade of
+    docs_curation_pipeline: quality filter -> EXACT near-dup dedup
+    (prefix-filtered Jaccard >= 0.8 self-join, lossless) -> connected
+    components -> canonical representative (longest member) -> per-
+    source retention report. Every stage is the independently-oracled
+    operator (quality_filter_exprs, prefix_filter_pairs,
+    dedup_clusters, canonical_keep) composed lazily; only the CC
+    iteration materializes between stages (its localCheckpoint round
+    contract). Restricted to doc_id < 400 so the ORACLE's brute-force
+    pair join stays tractable — the Spark side is df-bounded and runs
+    corpus-wide (docs_ppjoin_pairs precedent)."""
+    from nexusbase_spark.pipeline.dedup import (
+        canonical_keep, dedup_clusters, prefix_filter_pairs)
+    from nexusbase_spark.pipeline.text import quality_filter_exprs
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400))
+    fx = quality_filter_exprs(F.col("text"))
+    kept = docs.filter(fx["keep"])
+    kept = kept.localCheckpoint(eager=True)  # filter feeds 3 consumers
+    pairs = prefix_filter_pairs(kept, threshold=0.8)
+    verdicts = canonical_keep(kept, dedup_clusters(pairs))
+    return (verdicts.filter(F.col("keep"))
+            .join(kept.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
 _VECINDEX_CACHE: dict = {}
 
 
