@@ -64,3 +64,63 @@ def estimate_range(sketches: DataFrame, day_from: int, day_to: int) -> DataFrame
             .groupBy("metric")
             .agg(F.hll_sketch_estimate(
                 F.hll_union_agg("sketch", F.lit(True))).alias("users_est")))
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode/Muthukrishnan 2005) — the mergeable FREQUENCY
+# sketch beside HLL (cardinality) and t-digest (quantiles): approximate
+# per-item counts in fixed d x w space, always >= truth, over-estimate
+# bounded by eps*N with eps = e/w at confidence 1 - e^-d. Same md5-affine
+# universal-hash family as MinHash (pipeline/dedup.minhash_params), so
+# sketches built anywhere — any partitioning, any engine mirroring the
+# arithmetic — are bit-identical tables and merge by plain cell-wise SUM.
+
+CMS_P = 2_147_483_647
+
+
+def _cms_cell(col: Column, j: int, width: int) -> Column:
+    a, b = 104_729 * j + 12_823, 98_653 * j + 54_059
+    h = (F.conv(F.substring(F.md5(col), 1, 15), 16, 10)
+         .cast("long") % CMS_P)
+    return (h * a + b) % CMS_P % width
+
+
+def cms_build(df: DataFrame, col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Sketch a column of items into a (j, cell, cnt) table — the CMS in
+    relational form (d*w rows at most, independent of item cardinality).
+    One explode to depth rows per item + one map-side-combined rollup;
+    the exchange carries at most d*w cells."""
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cms_cell(F.col(col), j, width).alias("cell"))
+        for j in range(depth)])
+    return (df.select(F.explode(rows).alias("e"))
+            .select("e.j", "e.cell")
+            .groupBy("j", "cell").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — the lossless merge COUNT lacks: sketches of
+    disjoint shards built independently union to exactly the sketch of
+    the union (deterministic table equality, tested)."""
+    from functools import reduce
+    u = reduce(lambda a, b: a.unionAll(b), sketches)
+    return u.groupBy("j", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, items: list[str], depth: int = 4,
+                 width: int = 256) -> DataFrame:
+    """Point-query estimates: min over rows j of the item's cell count
+    (absent cell = 0). The probe plan joins a k-item literal frame
+    against the d*w-bounded sketch — milliseconds, never the corpus."""
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame([(it,) for it in items], "item string")
+    cells = probe.select("item", F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cms_cell(F.col("item"), j, width).alias("cell"))
+        for j in range(depth)])).alias("e")).select("item", "e.j", "e.cell")
+    joined = (cells.join(sketch, ["j", "cell"], "left")
+              .select("item", F.coalesce("cnt", F.lit(0)).alias("c")))
+    return (joined.groupBy("item")
+            .agg(F.min("c").cast("long").alias("estimate")))

@@ -63,3 +63,39 @@ def test_sketch_rollup_survives_parquet_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     after = estimate_range(back, 0, 2).collect()[0]["users_est"]
     assert before == after
+
+
+def test_cms_overestimates_bounded_and_merges_exactly(spark):
+    """CMS guarantees: estimate >= true count for every item; with width
+    comfortably above distinct-item count the estimates are EXACT; and
+    the sketch of a union equals the cell-wise merge of shard sketches
+    (deterministic table equality — the merge property COUNT lacks)."""
+    from nexusbase_spark.operators.sketches import (
+        cms_build, cms_estimate, cms_merge)
+
+    words_a = ["x"] * 10 + ["y"] * 5 + ["z"]
+    words_b = ["x"] * 3 + ["w"] * 7
+    a = spark.createDataFrame([(w,) for w in words_a], "tok string")
+    b = spark.createDataFrame([(w,) for w in words_b], "tok string")
+    both = a.unionAll(b)
+
+    sk = cms_build(both, "tok", depth=4, width=256)
+    est = {r["item"]: r["estimate"] for r in
+           cms_estimate(sk, ["x", "y", "z", "w", "absent"],
+                        depth=4, width=256).collect()}
+    true = {"x": 13, "y": 5, "z": 1, "w": 7, "absent": 0}
+    for k, t in true.items():
+        assert est[k] >= t
+    assert est == true  # width 256 >> 4 distinct items: no collisions
+
+    merged = cms_merge(cms_build(a, "tok", depth=4, width=256),
+                       cms_build(b, "tok", depth=4, width=256))
+    direct = {(r["j"], r["cell"]): r["cnt"] for r in sk.collect()}
+    via_merge = {(r["j"], r["cell"]): r["cnt"] for r in merged.collect()}
+    assert direct == via_merge
+
+    # a genuinely tiny width forces collisions: still never underestimates
+    tiny = cms_build(both, "tok", depth=2, width=2)
+    est2 = {r["item"]: r["estimate"] for r in
+            cms_estimate(tiny, list(true), depth=2, width=2).collect()}
+    assert all(est2[k] >= t for k, t in true.items())
