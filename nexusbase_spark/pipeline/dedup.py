@@ -696,25 +696,33 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
 
 def canonical_keep(docs: DataFrame, clusters: DataFrame,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   quality_col: str | None = None) -> DataFrame:
     """The dedup ENDGAME after clustering: pick one canonical
-    representative per duplicate cluster — the longest member (most
-    content preserved), ties to the smallest id — and emit a per-doc
-    keep/drop verdict. This is the row a curation pipeline actually
-    filters on; pairs and clusters are intermediate evidence.
+    representative per duplicate cluster — the highest-quality member,
+    ties to the smallest id — and emit a per-doc keep/drop verdict.
+    This is the row a curation pipeline actually filters on; pairs and
+    clusters are intermediate evidence.
+
+    Quality defaults to length(text) (most content preserved); pass
+    ``quality_col`` (any numeric column already on ``docs`` — a
+    classifier_margin score, a perplexity negation) to keep the BEST
+    member instead of the longest. The output column is still named
+    n_chars for schema stability.
 
     ``clusters`` is ``dedup_clusters`` output (doc_id, canonical_id);
     docs absent from it are singletons — their own cluster, always kept.
 
     Scale shape: one broadcast-or-shuffle join of docs to the cluster
     map, one max_by rollup per cluster (map-side combined), one join
-    back for the verdict. No text leaves the wire: quality here is
-    length(text), computed at scan and carried as a long.
+    back for the verdict. No text leaves the wire: quality is computed
+    at scan and carried as a long.
 
     Output: (id_col, cluster_id, n_chars, keep).
     """
-    q = docs.select(F.col(id_col),
-                    F.length(F.col(text_col)).cast("long").alias("n_chars"))
+    qexpr = (F.col(quality_col) if quality_col is not None
+             else F.length(F.col(text_col)))
+    q = docs.select(F.col(id_col), qexpr.cast("long").alias("n_chars"))
     lab = (q.join(clusters.withColumnRenamed("doc_id", id_col), id_col,
                   "left")
            .withColumn("cluster_id",

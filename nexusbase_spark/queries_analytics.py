@@ -2333,6 +2333,66 @@ def q_events_rfm_segments(spark, sf_dir):
         .cast("long"))
 
 
+@register("events_ks_by_type", """
+    WITH g AS (SELECT event_type, value,
+                      CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+               FROM events WHERE value IS NOT NULL),
+    n AS (SELECT event_type, sum(a) AS na, count(*) - sum(a) AS nb
+          FROM g GROUP BY event_type),
+    v AS (SELECT event_type, value, sum(a) AS ca, count(*) - sum(a) AS cb
+          FROM g GROUP BY event_type, value),
+    c AS (SELECT event_type, value,
+                 sum(ca) OVER (PARTITION BY event_type ORDER BY value)
+                     AS cca,
+                 sum(cb) OVER (PARTITION BY event_type ORDER BY value)
+                     AS ccb
+          FROM v)
+    SELECT c.event_type,
+           CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           floor(max(abs(cca / CAST(n.na AS DOUBLE)
+                         - ccb / CAST(n.nb AS DOUBLE))) * 1e4 + 0.5)
+               / 1e4 AS ks_d
+    FROM c JOIN n ON n.event_type = c.event_type
+    GROUP BY c.event_type, n.na, n.nb
+""")
+def q_events_ks_by_type(spark, sf_dir):
+    """GROUPED exact KS drift — one statistic per event type (the
+    per-metric A/B distribution check an experiment readout runs for
+    every metric at once). Same exact-ECDF construction as
+    events_ks_drift but the cumulative window is PARTITIONED by type:
+    per-group state never concentrates on one task, so this is the
+    form that scales to thousands of metrics — the global-window
+    variant is the special case, not the template."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.filter(F.col("value").isNotNull())
+         .select("event_type", "value",
+                 F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+                 .alias("a")))
+    n = g.groupBy("event_type").agg(
+        F.sum("a").alias("na"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("nb"))
+    v = g.groupBy("event_type", "value").agg(
+        F.sum("a").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("cb"))
+    w = (Window.partitionBy("event_type").orderBy("value")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = v.select("event_type",
+                 F.sum("ca").over(w).alias("cca"),
+                 F.sum("cb").over(w).alias("ccb"))
+    d = (c.join(n, "event_type")
+         .select("event_type", "na", "nb",
+                 F.abs(F.col("cca") / F.col("na").cast("double")
+                       - F.col("ccb") / F.col("nb").cast("double"))
+                 .alias("__d")))
+    return (d.groupBy("event_type")
+            .agg(F.first("na").cast("long").alias("n_a"),
+                 F.first("nb").cast("long").alias("n_b"),
+                 (F.floor(F.max("__d") * 1e4 + F.lit(0.5)) / 1e4)
+                 .alias("ks_d")))
+
+
 @register("events_psi_drift", """
     WITH b AS (SELECT CAST((min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
                            AS BIGINT) AS mid FROM events),

@@ -1495,3 +1495,19 @@ def test_zipf_slope_exact_power_law(spark):
     slope = ((row["n"] * row["sxy"] - row["sx"] * row["sy"])
              / (row["n"] * row["sxx"] - row["sx"] * row["sx"]))
     assert abs(slope - (-1.0)) < 1e-9
+
+
+def test_canonical_keep_custom_quality_column(spark):
+    """quality_col overrides the length heuristic: the highest-scoring
+    member wins even when it is the shortest."""
+    from nexusbase_spark.pipeline.dedup import canonical_keep
+
+    docs = spark.createDataFrame([
+        (1, "very long but low quality text here", 10),
+        (2, "short", 99),
+    ], "doc_id long, text string, score long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, canonical_id long")
+    rows = {r["doc_id"]: r for r in
+            canonical_keep(docs, clusters, quality_col="score").collect()}
+    assert rows[2]["keep"] and not rows[1]["keep"]
