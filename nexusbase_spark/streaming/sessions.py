@@ -191,3 +191,88 @@ def live_sessionize_tws(
         outputMode="append",
         timeMode="processingTime",
     )
+
+
+_PATH_STATE_SCHEMA = StructType([
+    StructField("session_start", LongType()),
+    StructField("last_ts", LongType()),
+    StructField("n_events", LongType()),
+    StructField("path", StringType()),
+])
+
+
+def _path_out_schema(key_col: str) -> StructType:
+    return StructType([
+        StructField(key_col, StringType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+        StructField("path", StringType()),
+    ])
+
+
+def live_session_paths(
+    stream: DataFrame,
+    key_col: str,
+    gap_ns: int,
+    type_col: str = "metric",
+    max_len: int = 8,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators/sessionize.session_paths``: one row
+    per CLOSED session carrying its ordered event-type path (first
+    ``max_len`` steps, '>'-joined) — live funnel-discovery feeding the
+    same path-frequency rollup the batch operator computes.
+
+    State per key is (start, last, n, path): O(max_len) bytes no matter
+    how long the session runs, the bound that keeps a million-key
+    stream's state store flat. Close/flush semantics are identical to
+    ``live_sessionize`` (strict > gap; processing-time timeout flushes
+    idle keys). Batch parity on in-order data is tested.
+    """
+    if timeout_ms is None:
+        timeout_ms = max(gap_ns // 1_000_000, 1)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        cols = [key_col, "session_start", "session_end", "n_events",
+                "path"]
+        if state.hasTimedOut:
+            start, last, n, path = state.get
+            state.remove()
+            yield pd.DataFrame([[k, start, last, n, path]], columns=cols)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        order = ["ts", "seq"] if "seq" in rows.columns else ["ts"]
+        rows = rows.sort_values(order)
+        if state.exists:
+            start, last, n, path = state.get
+        else:
+            start = last = None
+            n, path = 0, ""
+        closed: list[list] = []
+        for ts, et in zip(rows["ts"], rows[type_col]):
+            ts = int(ts)
+            et = "" if pd.isna(et) else str(et)
+            if start is None:
+                start, last, n, path = ts, ts, 1, et
+            elif ts - last > gap_ns:
+                closed.append([k, start, last, n, path])
+                start, last, n, path = ts, ts, 1, et
+            else:
+                last, n = max(last, ts), n + 1
+                if n <= max_len:
+                    path = f"{path}>{et}" if path else et
+        state.update((start, last, n, path))
+        state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        _path_out_schema(key_col),
+        _PATH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

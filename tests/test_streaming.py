@@ -995,3 +995,64 @@ def test_drift_monitor_streaming_psi_matches_batch(spark, tmp_path):
     assert len(hist) == 2
     assert hist[0]["n_seen"] == 50 and hist[1]["n_seen"] == 110
     assert hist[1]["psi"] == drifted
+
+
+def test_live_session_paths_matches_batch(spark, tmp_path):
+    """live_session_paths emits each CLOSED session's ordered type path
+    (capped at max_len) with the same close semantics as
+    live_sessionize; the closed sessions' paths equal the batch
+    session_paths computation over the same in-order data."""
+    from nexusbase_spark.operators.sessionize import session_paths
+    from nexusbase_spark.streaming.sessions import live_session_paths
+
+    src = tmp_path / "paths_src"
+    src.mkdir()
+    schema = "user string, ts long, seq long, metric string"
+
+    def feed(rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("append").parquet(str(src)))
+
+    def sink_rows():
+        return {(r["user"], r["session_start"], r["session_end"],
+                 r["n_events"], r["path"])
+                for r in spark.sql("SELECT * FROM live_paths").collect()}
+
+    def await_rows(expected, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if sink_rows() == expected:
+                return sink_rows()
+            time.sleep(0.5)
+        return sink_rows()
+
+    gap = 100
+    # u1: view,click then a gap-split buy (closes session 1 of 2 events);
+    # the cap: session 2 of u2 has 4 events, max_len=3 keeps 3 steps
+    feed([("u1", 0, 0, "view"), ("u1", 50, 1, "click"),
+          ("u1", 200, 2, "buy"),
+          ("u2", 0, 10, "a"), ("u2", 10, 11, "b"), ("u2", 20, 12, "c"),
+          ("u2", 30, 13, "d"), ("u2", 400, 14, "e")])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = live_session_paths(stream, "user", gap_ns=gap, max_len=3,
+                             timeout_ms=3_600_000)
+    q = (out.writeStream.format("memory").queryName("live_paths")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "paths_ckpt"))
+         .start())
+    try:
+        want = {("u1", 0, 50, 2, "view>click"),
+                ("u2", 0, 30, 4, "a>b>c")}
+        assert await_rows(want) == want
+    finally:
+        q.stop()
+
+    # batch parity on the closed sessions' paths
+    batch = spark.createDataFrame(
+        [("u1", 0, 0, "view"), ("u1", 50, 1, "click"),
+         ("u2", 0, 10, "a"), ("u2", 10, 11, "b"), ("u2", 20, 12, "c"),
+         ("u2", 30, 13, "d")], schema)
+    got = {(r["path"], r["n_sessions"]) for r in
+           session_paths(batch, ["user"], gap_ns=gap, type_col="metric",
+                         max_len=3).collect()}
+    assert got == {("view>click", 1), ("a>b>c", 1)}
