@@ -118,3 +118,37 @@ def verify_export(spark, path: str) -> dict:
             bad[k] = "extra shard"
     return {"n_rows": sum(v["n_rows"] for v in got.values()),
             "bad_shards": bad, "ok": not bad}
+
+
+def repair_export(df: DataFrame, path: str) -> dict:
+    """Heal a failed/tampered export WITHOUT re-writing finished shards:
+    verify first, then re-write ONLY the bad shards from the source
+    corpus (dynamic partition overwrite on the shard column — untouched
+    shard directories keep their files and their manifest rows). This is
+    the resume path for a 100 TB export where a handful of shards died:
+    cost is proportional to the damage, not the corpus. Returns
+    {repaired: [...], ok: verify-after}."""
+    spark = df.sparkSession
+    rep = verify_export(spark, path)
+    if rep["ok"]:
+        return {"repaired": [], "ok": True}
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    id_col = manifest["id_col"]
+    cols = manifest["content_cols"]
+    n_shards = manifest["n_shards"]
+    bad = sorted(int(k) for k in rep["bad_shards"])
+    shard = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                    16, 10).cast("long") % n_shards).alias("shard")
+    staged = (df.select(id_col, *cols, shard)
+              .filter(F.col("shard").isin(bad)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (staged.write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(path, "data")))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = verify_export(spark, path)
+    return {"repaired": [str(k) for k in bad], "ok": after["ok"]}

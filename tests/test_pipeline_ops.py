@@ -1545,3 +1545,35 @@ def test_export_shards_manifest_and_verify(spark, tmp_path):
     shutil.rmtree(path + f"/data/shard={victim}")
     rep = verify_export(spark, path)
     assert not rep["ok"] and rep["bad_shards"] == {victim: "missing"}
+
+
+def test_repair_export_rewrites_only_bad_shards(spark, tmp_path):
+    """repair_export heals exactly the damaged shards (dynamic partition
+    overwrite): untouched shard files keep their modification identity,
+    verify is green after, and a clean export is a no-op."""
+    import os
+    import shutil
+
+    from nexusbase_spark.pipeline.export import (
+        export_shards, repair_export, verify_export)
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string")
+    path = str(tmp_path / "exp")
+    m = export_shards(docs, path, n_shards=4)
+    assert repair_export(docs, path) == {"repaired": [], "ok": True}
+
+    victims = [k for k, v in m["shards"].items() if v["n_rows"] > 0][:2]
+    survivor = [k for k, v in m["shards"].items()
+                if v["n_rows"] > 0 and k not in victims][0]
+    surv_dir = path + f"/data/shard={survivor}"
+    before = {f: os.path.getmtime(os.path.join(surv_dir, f))
+              for f in os.listdir(surv_dir)}
+    for v in victims:
+        shutil.rmtree(path + f"/data/shard={v}")
+    out = repair_export(docs, path)
+    assert out["ok"] and sorted(out["repaired"]) == sorted(victims)
+    assert verify_export(spark, path)["ok"]
+    after = {f: os.path.getmtime(os.path.join(surv_dir, f))
+             for f in os.listdir(surv_dir)}
+    assert after == before  # survivor shard untouched
