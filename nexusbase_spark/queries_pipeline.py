@@ -579,6 +579,79 @@ def q_docs_gopher_rules(spark, sf_dir):
             .withColumn("alpha_frac", q4("alpha_frac")))
 
 
+@register("docs_psi_length_by_source", """
+    WITH s AS (SELECT min(n_chars) AS lo,
+                      CASE WHEN max(n_chars) > min(n_chars)
+                           THEN (max(n_chars) - min(n_chars)) / 10.0
+                           ELSE 1.0 END AS wd
+               FROM documents),
+    d AS (SELECT source,
+                 least(9, greatest(0,
+                     CAST(floor((n_chars - (SELECT lo FROM s))
+                                / (SELECT wd FROM s)) AS BIGINT))) AS bin
+          FROM documents),
+    ch AS (SELECT source, bin, count(*) AS cnt FROM d GROUP BY 1, 2),
+    rh AS (SELECT bin, count(*) AS cnt FROM d GROUP BY 1),
+    grid AS (SELECT src.source, b.bin
+             FROM (SELECT DISTINCT source FROM documents) src,
+                  (SELECT unnest(range(0, 10)) AS bin) b),
+    j AS (SELECT g.source, g.bin,
+                 coalesce(rh.cnt, 0) AS rc, coalesce(ch.cnt, 0) AS cc
+          FROM grid g
+          LEFT JOIN rh ON rh.bin = g.bin
+          LEFT JOIN ch ON ch.source = g.source AND ch.bin = g.bin),
+    t AS (SELECT source, sum(rc) + 10 AS nr, sum(cc) + 10 AS nc
+          FROM j GROUP BY source)
+    SELECT j.source, CAST(sum(cc) AS BIGINT) AS n_docs,
+           floor(sum(((cc + 1) / CAST(t.nc AS DOUBLE)
+                      - (rc + 1) / CAST(t.nr AS DOUBLE))
+                     * ln(((cc + 1) / CAST(t.nc AS DOUBLE))
+                          / ((rc + 1) / CAST(t.nr AS DOUBLE))))
+                 * 1e4 + 0.5) / 1e4 AS psi
+    FROM j JOIN t ON t.source = j.source
+    GROUP BY j.source, t.nr, t.nc
+""")
+def q_docs_psi_length_by_source(spark, sf_dir):
+    """Per-source PSI of the document-LENGTH distribution against the
+    whole corpus — the structural-drift companion of docs_source_kl
+    (which compares token distributions): a source whose docs run
+    systematically short/long shifts mixture statistics even when its
+    vocabulary looks normal. Grouped composition: corpus-wide bins
+    (scalar anchors), one per-(source, bin) rollup, the constant
+    sources x 10 grid aligns empty bins; everything map-side combined,
+    nothing vocab- or corpus-sized on the driver."""
+    from pyspark.sql import Window  # noqa: F401
+
+    from nexusbase_spark.streaming.drift import _bin_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.agg(F.min("n_chars").alias("lo"),
+                 F.max("n_chars").alias("hi")).collect()[0]
+    lo, hi = float(g["lo"]), float(g["hi"])
+    width = (hi - lo) / 10.0 if hi > lo else 1.0
+    d = docs.select("source",
+                    _bin_expr(F.col("n_chars"), lo, width, 10).alias("bin"))
+    d = d.localCheckpoint(eager=True)  # two rollups share one binning
+    ch = d.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("cc"))
+    rh = d.groupBy("bin").agg(F.count(F.lit(1)).alias("rc"))
+    grid = (d.select("source").distinct()
+            .crossJoin(spark.range(10).select(F.col("id").alias("bin"))))
+    j = (grid.join(rh, "bin", "left")
+         .join(ch, ["source", "bin"], "left")
+         .select("source", "bin",
+                 F.coalesce("rc", F.lit(0)).alias("rc"),
+                 F.coalesce("cc", F.lit(0)).alias("cc")))
+    t = j.groupBy("source").agg((F.sum("rc") + 10).alias("nr"),
+                                (F.sum("cc") + 10).alias("nc"))
+    jt = j.join(t, "source")
+    p = (F.col("cc") + 1) / F.col("nc").cast("double")
+    q = (F.col("rc") + 1) / F.col("nr").cast("double")
+    return (jt.groupBy("source")
+            .agg(F.sum("cc").cast("long").alias("n_docs"),
+                 (F.floor(F.sum((p - q) * F.log(p / q)) * 1e4
+                          + F.lit(0.5)) / 1e4).alias("psi")))
+
+
 @register("docs_zipf_slope", """
     WITH tok AS (SELECT unnest(string_split(trim(lower(text)), ' ')) AS tok
                  FROM documents),
