@@ -439,6 +439,63 @@ def q_doc_containment_pairs(spark, sf_dir):
     return _r4(out, "containment")
 
 
+@register("docs_cross_source_dups", """
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok
+        FROM documents WHERE doc_id < 400),
+    sz AS (SELECT doc_id, count(*) AS s FROM t GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    p AS (
+        SELECT i.id_a, i.id_b,
+               i.inter / CAST(sa.s + sb.s - i.inter AS DOUBLE) AS j
+        FROM i JOIN sz sa ON sa.doc_id = i.id_a
+               JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.inter * 10000 >= (sa.s + sb.s - i.inter) * 8000),
+    m AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               p.j
+        FROM p JOIN documents da ON da.doc_id = p.id_a
+               JOIN documents db ON db.doc_id = p.id_b)
+    SELECT source_a, source_b, count(*) AS n_pairs,
+           floor(sum(CAST(floor(j * 1e4 + 0.5) AS BIGINT))
+                 / CAST(count(*) AS DOUBLE) + 0.5) / 1e4 AS avg_jaccard
+    FROM m GROUP BY source_a, source_b
+""")
+def q_docs_cross_source_dups(spark, sf_dir):
+    """Cross-source duplication matrix: exact near-dup pairs (PPJoin,
+    j >= 0.8) rolled up by UNORDERED source pair — the mirror-detection
+    report ("source X largely duplicates source Y") that drives source-
+    level dedup and licensing review. Pair space from the lossless
+    prefix-filter join; the matrix rollup is source-cardinality-sized.
+    Same doc_id < 400 oracle-tractability cap as docs_ppjoin_pairs.
+    The mean runs on the INTEGER lattice (sum of per-pair jq int64 /
+    count — one exactly-rounded division), because averaging quantized
+    FLOATS drifts by summation order and hit a boundary at sf0.001."""
+    from nexusbase_spark.pipeline.dedup import prefix_filter_pairs
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400))
+    pairs = prefix_filter_pairs(docs, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    m = (pairs
+         .join(src.select(F.col("doc_id").alias("id_a"),
+                          F.col("source").alias("__sa")), "id_a")
+         .join(src.select(F.col("doc_id").alias("id_b"),
+                          F.col("source").alias("__sb")), "id_b")
+         .select(F.least("__sa", "__sb").alias("source_a"),
+                 F.greatest("__sa", "__sb").alias("source_b"),
+                 "jaccard"))
+    jq = F.floor(F.col("jaccard") * 1e4 + F.lit(0.5)).cast("long")
+    return (m.withColumn("__jq", jq)
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 (F.floor(F.sum("__jq") / F.count(F.lit(1)).cast("double")
+                          + F.lit(0.5)) / 1e4).alias("avg_jaccard")))
+
+
 @register("docs_ppjoin_pairs", """
     WITH t AS (
         SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok
