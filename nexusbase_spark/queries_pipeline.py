@@ -636,6 +636,50 @@ def q_docs_gopher_rules(spark, sf_dir):
             .withColumn("alpha_frac", q4("alpha_frac")))
 
 
+@register("docs_export_manifest", """
+    WITH r AS (
+        SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 8 AS shard,
+               CAST(('0x' || substring(
+                   md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), text,
+                                 coalesce(lang, chr(0)),
+                                 coalesce(source, chr(0)),
+                                 CAST(n_chars AS VARCHAR))), 1, 15))
+                    AS BIGINT) AS d1,
+               CAST(('0x' || substring(
+                   md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), text,
+                                 coalesce(lang, chr(0)),
+                                 coalesce(source, chr(0)),
+                                 CAST(n_chars AS VARCHAR))), 17, 15))
+                    AS BIGINT) AS d2
+        FROM documents)
+    SELECT shard, count(*) AS n_rows,
+           bit_xor(d1) AS w1, bit_xor(d2) AS w2
+    FROM r GROUP BY shard
+""")
+def q_docs_export_manifest(spark, sf_dir):
+    """The export manifest computed as a query: per-shard row counts and
+    order-free XOR digest words over the documents corpus — the exact
+    arithmetic ``pipeline/export.export_shards`` writes to
+    manifest.json, gated cross-engine so a digest divergence (hash
+    construction, column serialization, null encoding) can never hide
+    in the sink. Content-addressed shard = md5(id) mod 8; digests are
+    bit_xor folds of two 60-bit md5 words (order-free, overflow-free)."""
+    from nexusbase_spark.pipeline.export import _row_digest_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["text", "lang", "source", "n_chars"]
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                1, 15), 16, 10).cast("long") % 8)
+    d1, d2 = _row_digest_cols(docs, "doc_id", cols)
+    return (docs.select(shard.alias("shard"),
+                        d1.alias("__d1"), d2.alias("__d2"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(__d1)").alias("w1"),
+                 F.expr("bit_xor(__d2)").alias("w2")))
+
+
 @register("docs_psi_length_by_source", """
     WITH s AS (SELECT min(n_chars) AS lo,
                       CASE WHEN max(n_chars) > min(n_chars)
