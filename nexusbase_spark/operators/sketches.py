@@ -124,3 +124,66 @@ def cms_estimate(sketch: DataFrame, items: list[str], depth: int = 4,
               .select("item", F.coalesce("cnt", F.lit(0)).alias("c")))
     return (joined.groupBy("item")
             .agg(F.min("c").cast("long").alias("estimate")))
+
+
+class CMSStore:
+    """Persistent count-min sketch under continuous ingest — the same
+    mergeable-delta store contract as CorpusStats/DriftMonitor: each
+    micro-batch appends its own d x w cell table (O(d*w) rows, never a
+    history rewrite), readers SUM cells, ``compact()`` folds the delta
+    layers. Gives a stream approximate per-item counts in fixed space —
+    the pre-filter in front of exact heavy-hitter verification when the
+    key space is unbounded."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    @classmethod
+    def build(cls, spark, path: str, *, col: str = "tok",
+              depth: int = 4, width: int = 256) -> "CMSStore":
+        import json
+        import os
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"col": col, "depth": depth, "width": width}, f)
+        (spark.createDataFrame([], "j int, cell long, cnt long")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(path, "cells")))
+        return cls(spark, path)
+
+    def _meta(self) -> dict:
+        import json
+        import os
+        with open(os.path.join(self.path, "meta.json")) as f:
+            return json.load(f)
+
+    def update(self, batch: DataFrame) -> None:
+        import os
+        m = self._meta()
+        (cms_build(batch, m["col"], m["depth"], m["width"])
+         .coalesce(1).write.mode("append")
+         .parquet(os.path.join(self.path, "cells")))
+
+    def _cells(self) -> DataFrame:
+        import os
+        return (self.spark.read.parquet(os.path.join(self.path, "cells"))
+                .groupBy("j", "cell").agg(F.sum("cnt").alias("cnt")))
+
+    def estimate(self, items: list[str]) -> dict[str, int]:
+        m = self._meta()
+        rows = cms_estimate(self._cells(), items,
+                            m["depth"], m["width"]).collect()
+        return {r["item"]: int(r["estimate"]) for r in rows}
+
+    def compact(self) -> None:
+        import os
+        folded = self._cells().localCheckpoint(eager=True)
+        (folded.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(self.path, "cells")))
+
+    def for_each_batch(self):
+        def run(batch: DataFrame, batch_id: int) -> None:
+            if batch.head(1):
+                self.update(batch)
+        return run

@@ -99,3 +99,47 @@ def test_cms_overestimates_bounded_and_merges_exactly(spark):
     est2 = {r["item"]: r["estimate"] for r in
             cms_estimate(tiny, list(true), depth=2, width=2).collect()}
     assert all(est2[k] >= t for k, t in true.items())
+
+
+def test_cms_store_streaming_matches_batch(spark, tmp_path):
+    """CMSStore under ingest: after each micro-batch the served
+    estimates equal a batch-built CMS over everything ingested so far
+    (deterministic hash family -> identical tables); compact() folds
+    deltas without changing any estimate."""
+    from nexusbase_spark.operators.sketches import CMSStore, cms_build, cms_estimate
+    from nexusbase_spark.streaming.subscribe import stream_ingest
+
+    st = CMSStore.build(spark, str(tmp_path / "cms"), col="tok",
+                        depth=3, width=64)
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    q = (stream_ingest(spark, str(src), "tok string").writeStream
+         .queryName("t_cms").foreachBatch(st.for_each_batch())
+         .outputMode("append").start())
+    seen: list[tuple] = []
+
+    def feed(words):
+        rows = [(w,) for w in words]
+        seen.extend(rows)
+        (spark.createDataFrame(rows, "tok string").coalesce(1)
+         .write.mode("append").parquet(str(src)))
+        q.processAllAvailable()
+
+    def batch_est(items):
+        sk = cms_build(spark.createDataFrame(seen, "tok string"), "tok",
+                       3, 64)
+        return {r["item"]: int(r["estimate"]) for r in
+                cms_estimate(sk, items, 3, 64).collect()}
+
+    items = ["x", "y", "w", "absent"]
+    try:
+        feed(["x"] * 5 + ["y"] * 2)
+        assert st.estimate(items) == batch_est(items)
+        feed(["x"] * 3 + ["w"] * 7)
+        got = st.estimate(items)
+        assert got == batch_est(items)
+        assert got["x"] >= 8 and got["absent"] == 0
+    finally:
+        q.stop()
+    st.compact()
+    assert st.estimate(items) == got
