@@ -208,6 +208,62 @@ def q_doc_dedup_minhash_capped(spark, sf_dir):
 _DEDUP_INDEX_CACHE: dict = {}
 
 
+_EXACT_INDEX_CACHE: dict = {}
+
+
+@register("docs_exact_dedup_index_probe", """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(list_slice(t, 1,
+                   greatest(CAST(floor(len(t) * 0.6) AS INTEGER), 3)), ' ')
+                   AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0)),
+    tk AS (SELECT doc_id,
+                  unnest(list_distinct(string_split(trim(lower(text)), ' ')))
+                      AS tok
+           FROM aug),
+    sz AS (SELECT doc_id, count(*) AS s FROM tk GROUP BY doc_id),
+    i AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+                 count(*) AS inter
+          FROM tk n JOIN tk o ON n.tok = o.tok
+                            AND n.doc_id >= 1000000 AND o.doc_id < 1000000
+          GROUP BY 1, 2)
+    SELECT i.new_id, i.old_id, CAST(i.inter AS BIGINT) AS inter,
+           CAST(sn.s + so.s - i.inter AS BIGINT) AS uni,
+           floor(i.inter / (sn.s + so.s - i.inter) * 1e4 + 0.5) / 1e4
+               AS jaccard
+    FROM i JOIN sz sn ON sn.doc_id = i.new_id
+           JOIN sz so ON so.doc_id = i.old_id
+    WHERE i.inter * 10000 >= (sn.s + so.s - i.inter) * 5000
+""")
+def q_docs_exact_dedup_index_probe(spark, sf_dir):
+    """The LOSSLESS incremental-dedup path: an ExactDupIndex built once
+    on the historical corpus, new (truncated-copy) docs probed against
+    its frozen prefix postings — every pair with token-set jaccard >=
+    0.5, proven against the brute-force new-vs-old join. The exact
+    companion of docs_dedup_index_probe (MinHash, probabilistic recall);
+    doc_id < 400 keeps the quadratic ORACLE tractable
+    (pipeline/ppjoin_index.ExactDupIndex)."""
+    import tempfile
+
+    from nexusbase_spark.pipeline.ppjoin_index import ExactDupIndex
+
+    aug = _docs_aug(spark, sf_dir).filter(
+        (F.col("doc_id") < 400)
+        | ((F.col("doc_id") >= 1000000) & (F.col("doc_id") < 1000400)))
+    old = aug.filter(F.col("doc_id") < 1000000)
+    new = aug.filter(F.col("doc_id") >= 1000000)
+    if sf_dir not in _EXACT_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="nexusbase_exact_ix_")
+        _EXACT_INDEX_CACHE[sf_dir] = ExactDupIndex.build(
+            spark, path, old, min_threshold=0.5)
+    ix = _EXACT_INDEX_CACHE[sf_dir]
+    return ix.probe(new, threshold=0.5)
+
+
 @register("docs_dedup_index_probe", f"""
     WITH {_minhash_prefix()}
     hset AS (SELECT DISTINCT doc_id, hv FROM shh),

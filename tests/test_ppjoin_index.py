@@ -1,0 +1,122 @@
+"""ExactDupIndex: the materialized LOSSLESS near-dup path (probe frozen
+prefix postings instead of re-running the corpus-wide exact join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexusbase_spark.pipeline.dedup import prefix_filter_pairs
+from nexusbase_spark.pipeline.ppjoin_index import ExactDupIndex
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "sphinx of black quartz judge my vow"),
+    (4, "how vexingly quick daft zebras jump"),
+]
+
+
+def test_probe_is_lossless_vs_batch_kernel(spark, tmp_path):
+    """Probe finds exactly the cross pairs the corpus-wide
+    prefix_filter_pairs finds on the union (restricted new-vs-old), with
+    identical inter/uni/jaccard — including a near-dup whose shared
+    tokens are all FREQUENT at build time (the frozen-order stress) and
+    a doc made of tokens the index has never seen."""
+    new = [
+        (11, "the quick brown fox jumps over the lazy cat"),  # ~doc 1
+        (12, "totally novel vocabulary nowhere in the index"),
+        (13, "unseen tokens qq ww ee rr tt yy"),
+    ]
+    ix = ExactDupIndex.build(spark, str(tmp_path / "ix"),
+                             _corpus(spark, BASE), min_threshold=0.5)
+    got = {(r["new_id"], r["old_id"]): (r["inter"], r["uni"], r["jaccard"])
+           for r in ix.probe(_corpus(spark, new), threshold=0.5).collect()}
+
+    batch = prefix_filter_pairs(_corpus(spark, BASE + new), threshold=0.5)
+    want = {}
+    for r in batch.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a > 10) != (b > 10):
+            new_id, old_id = (a, b) if a > 10 else (b, a)
+            want[(new_id, old_id)] = (r["inter"], r["uni"], r["jaccard"])
+    assert got == want and (11, 1) in got
+    assert ix.doc_count() == 4  # read-only
+
+    # below-min threshold refuses (stored prefixes would be lossy)
+    with pytest.raises(ValueError, match="below index min"):
+        ix.probe(_corpus(spark, new), threshold=0.3)
+
+
+def test_append_no_self_match_and_later_probe_sees_batch(spark, tmp_path):
+    ix = ExactDupIndex.build(spark, str(tmp_path / "ix"),
+                             _corpus(spark, BASE), min_threshold=0.5)
+    new = [(21, "the quick brown fox jumps over the lazy dog")]
+    m = ix.append(_corpus(spark, new)).collect()
+    assert {(r["new_id"], r["old_id"]) for r in m} == {(21, 1)}
+    assert all(r["new_id"] != r["old_id"] for r in m)
+    assert ix.doc_count() == 5
+    # the appended doc is now probe-able history
+    probe = _corpus(spark, [(31, "the quick brown fox jumps over the lazy dog")])
+    olds = {r["old_id"] for r in ix.probe(probe).collect()}
+    assert olds == {1, 21}
+
+
+def test_verify_and_resync_lifecycle(spark, tmp_path):
+    """Retention + rewrite: dropped base docs flag stale, new docs flag
+    missing, an in-place text rewrite flags mismatched; resync heals all
+    three without re-tokenizing surviving history; probe answers then
+    match a fresh build."""
+    ix = ExactDupIndex.build(spark, str(tmp_path / "ix"),
+                             _corpus(spark, BASE), min_threshold=0.5)
+    assert ix.verify(_corpus(spark, BASE))["ok"]
+
+    survivors = [r for r in BASE if r[0] != 1] + [
+        (9, "a brand new document about spark and parquet")]
+    rewritten = [(3, "sphinx of black quartz judge my vow today"),
+                 *[r for r in survivors if r[0] != 3]]
+    rep = ix.verify(_corpus(spark, rewritten))
+    assert not rep["ok"]
+    assert rep["stale"] == 1 and rep["missing"] == 1 and rep["mismatched"] == 1
+
+    out = ix.resync(_corpus(spark, rewritten))
+    assert out == {"dropped": 2, "indexed_missing": 2}  # stale+bad, new+bad
+    assert ix.verify(_corpus(spark, rewritten))["ok"]
+
+    fresh = ExactDupIndex.build(spark, str(tmp_path / "fresh"),
+                                _corpus(spark, rewritten), min_threshold=0.5)
+    probe = _corpus(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    got = {(r["old_id"], r["jaccard"]) for r in ix.probe(probe).collect()}
+    want = {(r["old_id"], r["jaccard"]) for r in fresh.probe(probe).collect()}
+    assert got == want  # doc 1 gone from both
+
+
+def test_streaming_ingest_dedup_sink(spark, tmp_path):
+    """foreachBatch sink: each micro-batch's exact matches against the
+    pre-batch corpus land in the matches table; the store grows."""
+    from nexusbase_spark.streaming.subscribe import stream_ingest
+
+    ix = ExactDupIndex.build(spark, str(tmp_path / "ix"),
+                             _corpus(spark, BASE), min_threshold=0.5)
+    src = tmp_path / "src"
+    src.mkdir()
+    rep = str(tmp_path / "matches")
+    q = (stream_ingest(spark, str(src), "doc_id long, text string")
+         .writeStream.queryName("t_exact_dedup")
+         .foreachBatch(ix.for_each_batch(matches_path=rep))
+         .outputMode("append").start())
+    try:
+        (_corpus(spark, [(41, "the quick brown fox jumps over the lazy dog"),
+                         (42, "something else entirely here")])
+         .coalesce(1).write.mode("append").parquet(str(src)))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(rep).collect()
+    assert {(r["new_id"], r["old_id"]) for r in rows} == {(41, 1)}
+    assert ix.doc_count() == 6
