@@ -2333,6 +2333,73 @@ def q_events_rfm_segments(spark, sf_dir):
         .cast("long"))
 
 
+@register("events_mannwhitney_u", """
+    WITH g AS (SELECT value,
+                      CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+               FROM events WHERE value IS NOT NULL),
+    n AS (SELECT sum(a) AS na, count(*) - sum(a) AS nb,
+                 count(*) AS nn FROM g),
+    v AS (SELECT value, sum(a) AS ca, count(*) AS c
+          FROM g GROUP BY value),
+    w AS (SELECT value, ca, c,
+                 coalesce(sum(c) OVER (ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS before
+          FROM v),
+    s AS (SELECT sum(ca * (2 * before + c + 1)) AS r2a,
+                 sum(c * c * c - c) AS tie3
+          FROM w)
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           (s.r2a - n.na * (n.na + 1)) / 2.0 AS u_a,
+           floor(((s.r2a - n.na * (n.na + 1)) / 2.0
+                  - n.na * n.nb / 2.0)
+                 / sqrt(n.na * n.nb / 12.0
+                        * ((n.nn + 1)
+                           - s.tie3 / (CAST(n.nn AS DOUBLE)
+                                       * (n.nn - 1))))
+                 * 1e4 + 0.5) / 1e4 AS z
+    FROM s, n
+""")
+def q_events_mannwhitney_u(spark, sf_dir):
+    """EXACT Mann-Whitney U between the A/B arms — the rank-based
+    companion of Welch/CUPED for non-normal metrics, with the standard
+    tie-corrected normal approximation z. Integer lattice throughout
+    the ranks: a tie group occupying ranks lo..hi contributes average
+    rank (lo+hi)/2, so DOUBLED rank sums are exact int64s
+    (2R_A = sum ca*(2*before + c + 1)) and U is exact halves; only z
+    pays one sqrt, floor-quantized. Same scale shape as the KS pass:
+    map-side value-count collapse, then a value-cardinality-bounded
+    cumulative window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.filter(F.col("value").isNotNull())
+         .select("value",
+                 F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+                 .alias("a")))
+    tot = g.agg(F.sum("a").alias("na"),
+                (F.count(F.lit(1)) - F.sum("a")).alias("nb"),
+                F.count(F.lit(1)).alias("nn")).collect()[0]
+    na, nb, nn = int(tot["na"]), int(tot["nb"]), int(tot["nn"])
+    v = g.groupBy("value").agg(F.sum("a").alias("ca"),
+                               F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("c").over(w), F.lit(0))
+    s = (v.withColumn("__b", before)
+         .agg(F.sum(F.col("ca") * (2 * F.col("__b") + F.col("c") + 1))
+              .alias("r2a"),
+              F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+              .alias("tie3")))
+    u_a = (F.col("r2a") - F.lit(na * (na + 1))) / 2.0
+    var = (F.lit(na * nb / 12.0)
+           * (F.lit(nn + 1)
+              - F.col("tie3") / F.lit(float(nn) * (nn - 1))))
+    z = F.floor((u_a - F.lit(na * nb / 2.0)) / F.sqrt(var) * 1e4
+                + F.lit(0.5)) / 1e4
+    return s.select(F.lit(na).alias("n_a"), F.lit(nb).alias("n_b"),
+                    u_a.alias("u_a"), z.alias("z"))
+
+
 @register("events_ks_by_type", """
     WITH g AS (SELECT event_type, value,
                       CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a

@@ -1577,3 +1577,26 @@ def test_repair_export_rewrites_only_bad_shards(spark, tmp_path):
     after = {f: os.path.getmtime(os.path.join(surv_dir, f))
              for f in os.listdir(surv_dir)}
     assert after == before  # survivor shard untouched
+
+
+def test_mannwhitney_exact_small_sample(spark):
+    """Hand-computed U on a 3v3 sample with one tie: A = {1,2,2},
+    B = {2,3,4}. Ranks: 1->1; the three 2s occupy ranks 2,3,4 (avg 3);
+    3->5; 4->6. R_A = 1+3+3 = 7, U_A = 7 - 3*4/2 = 1."""
+    from nexusbase_spark.queries import all_queries  # noqa: F401 (registry)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    g = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (2.0, 1), (2.0, 0), (3.0, 0), (4.0, 0)],
+        "value double, a int")
+    v = g.groupBy("value").agg(F.sum("a").alias("ca"),
+                               F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    s = (v.withColumn("__b", F.coalesce(F.sum("c").over(w), F.lit(0)))
+         .agg(F.sum(F.col("ca") * (2 * F.col("__b") + F.col("c") + 1))
+              .alias("r2a")).collect()[0])
+    na = 3
+    u_a = (int(s["r2a"]) - na * (na + 1)) / 2.0
+    assert int(s["r2a"]) == 14  # 2*R_A
+    assert u_a == 1.0
