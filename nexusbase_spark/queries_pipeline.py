@@ -2451,8 +2451,11 @@ def q_docs_curation_pipeline(spark, sf_dir):
                  F.sum("n_chars").alias("sum_chars")))
 
 
-@register("docs_curation_v2", """
-    WITH qf AS ({qf}),
+# Quality-filter -> PPJoin -> connected-components -> canonical-rank CTE
+# chain, shared verbatim by docs_curation_v2 and docs_curation_v3_dsir
+# so the two composed oracles can never drift apart. Ends with `r`
+# (doc_id, source, n_chars, rn) where rn = 1 marks the canonical keeper.
+_CURATION_KEEP_CTES = ("WITH RECURSIVE qf AS ({qf})," + """
     kept AS (
         SELECT d.doc_id, d.text, d.source,
                CAST(d.n_chars AS BIGINT) AS n_chars
@@ -2491,14 +2494,17 @@ def q_docs_curation_pipeline(spark, sf_dir):
                row_number() OVER (PARTITION BY cluster_id
                                   ORDER BY n_chars DESC, doc_id) AS rn
         FROM lab)
+""").replace(
+    "{qf}", "SELECT * FROM ("
+            + _QF_RULES_SQL.format(
+                stops=", ".join(repr(w) for w in _STOP_ALL)) + ")")
+
+
+@register("docs_curation_v2", _CURATION_KEEP_CTES + """
     SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT)
                AS sum_chars
     FROM r WHERE rn = 1 GROUP BY source
-""".replace("{qf}", "SELECT * FROM ("
-            + _QF_RULES_SQL.format(
-                stops=", ".join(repr(w) for w in _STOP_ALL)) + ")")
-            .replace("WITH RECURSIVE", "WITH")
-            .replace("WITH qf", "WITH RECURSIVE qf"))
+""")
 def q_docs_curation_v2(spark, sf_dir):
     """Curation pipeline v2 — the round-5 upgrade of
     docs_curation_pipeline: quality filter -> EXACT near-dup dedup
@@ -2527,6 +2533,72 @@ def q_docs_curation_v2(spark, sf_dir):
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("sum_chars")))
+
+
+@register("docs_curation_v3_dsir", _CURATION_KEEP_CTES + """,
+    keepers AS (
+        SELECT k.doc_id, k.text, k.source
+        FROM kept k JOIN r ON r.doc_id = k.doc_id AND r.rn = 1),
+    g AS (
+        SELECT doc_id, source IN ('src1', 'src2') AS tgt,
+               unnest(list_transform(t, x ->
+                   CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)
+                   % 2147483647 % 1024)
+                   || list_transform(range(1, greatest(len(t), 1)), i ->
+                   CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 15))
+                        AS BIGINT) % 2147483647 % 1024)) AS b
+        FROM (SELECT doc_id, source,
+                     string_split(trim(lower(text)), ' ') AS t
+              FROM keepers)),
+    raw AS (SELECT b, count(*) AS cnt_r FROM g GROUP BY b),
+    tgtb AS (SELECT b, count(*) AS cnt_t FROM g WHERE tgt GROUP BY b),
+    tot AS (SELECT count(*) AS n_r,
+                   sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t FROM g),
+    pd AS (
+        SELECT g.doc_id,
+               sum(ln(coalesce(tgtb.cnt_t, 0) + 1.0) - ln(raw.cnt_r + 1.0))
+                   AS lr_sum,
+               count(*) AS n_grams
+        FROM g JOIN raw USING (b) LEFT JOIN tgtb USING (b)
+        GROUP BY g.doc_id),
+    sc AS (
+        SELECT doc_id, n_grams,
+               lr_sum + n_grams * (ln(n_r + 1024.0) - ln(n_t + 1024.0))
+                   AS lam,
+               floor((lr_sum + n_grams * (ln(n_r + 1024.0) - ln(n_t + 1024.0))
+                      - ln(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT) % 2147483647 + 1.0)
+                               / 2147483648.0))) * 1e6 + 0.5) / 1e6 AS skey
+        FROM pd CROSS JOIN tot)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           floor(lam * 1e4 + 0.5) / 1e4 AS lam,
+           floor(skey * 1e4 + 0.5) / 1e4 AS sel_key
+    FROM sc ORDER BY skey DESC, doc_id LIMIT 25
+""")
+def q_docs_curation_v3_dsir(spark, sf_dir):
+    """Curation v3: the v2 canonical corpus (quality filter -> lossless
+    near-dup -> canonical keep) feeds DSIR data selection — fit the
+    hashed-ngram importance model on the DEDUPED corpus (dup clusters no
+    longer over-weight their n-grams) and Gumbel-top-25 toward the
+    src1/src2 target. Three composed stages, one oracle built from the
+    SHARED v2 CTE constant + the DSIR CTEs, so neither composition can
+    drift from its stage oracles."""
+    from nexusbase_spark.pipeline.dedup import (
+        canonical_keep, dedup_clusters, prefix_filter_pairs)
+    from nexusbase_spark.pipeline.importance import dsir_select
+    from nexusbase_spark.pipeline.text import quality_filter_exprs
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400))
+    fx = quality_filter_exprs(F.col("text"))
+    kept = docs.filter(fx["keep"]).localCheckpoint(eager=True)
+    pairs = prefix_filter_pairs(kept, threshold=0.8)
+    verdicts = canonical_keep(kept, dedup_clusters(pairs))
+    keepers = (verdicts.filter(F.col("keep"))
+               .join(kept.select("doc_id", "text", "source"), "doc_id")
+               .localCheckpoint(eager=True))
+    return dsir_select(keepers, F.col("source").isin("src1", "src2"),
+                       k=25)
 
 
 _VECINDEX_CACHE: dict = {}
