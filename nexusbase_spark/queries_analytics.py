@@ -2333,6 +2333,83 @@ def q_events_rfm_segments(spark, sf_dir):
         .cast("long"))
 
 
+@register("events_wilcoxon_signed_rank", """
+    WITH b AS (SELECT CAST((min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
+                           AS BIGINT) AS mid FROM events),
+    u AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_ns(ts) < (SELECT mid FROM b)
+                        THEN value ELSE 0 END) AS x,
+               sum(CASE WHEN epoch_ns(ts) >= (SELECT mid FROM b)
+                        THEN value ELSE 0 END) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id),
+    d AS (SELECT CAST(floor((y - x) * 1e4 + 0.5) AS BIGINT) AS dq FROM u),
+    nz AS (SELECT dq, abs(dq) AS ad FROM d WHERE dq <> 0),
+    n AS (SELECT count(*) AS nn FROM nz),
+    v AS (SELECT ad, count(*) AS c,
+                 sum(CASE WHEN dq > 0 THEN 1 ELSE 0 END) AS cp
+          FROM nz GROUP BY ad),
+    w AS (SELECT ad, c, cp,
+                 coalesce(sum(c) OVER (ORDER BY ad
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS before
+          FROM v),
+    s AS (SELECT sum(cp * (2 * before + c + 1)) AS w2p,
+                 sum(c * c * c - c) AS tie3
+          FROM w)
+    SELECT CAST(n.nn AS BIGINT) AS n,
+           s.w2p / 2.0 AS w_plus,
+           floor((s.w2p / 2.0 - n.nn * (n.nn + 1) / 4.0)
+                 / sqrt(n.nn * (n.nn + 1.0) * (2 * n.nn + 1) / 24.0
+                        - s.tie3 / 48.0)
+                 * 1e4 + 0.5) / 1e4 AS z
+    FROM s, n
+""")
+def q_events_wilcoxon_signed_rank(spark, sf_dir):
+    """EXACT Wilcoxon signed-rank on paired per-user (pre, post) sums —
+    the paired nonparametric companion of CUPED (did each user's level
+    SHIFT, regardless of the metric's distribution). Differences are
+    quantized to the 1e-4 int64 lattice FIRST, so rank order is integer
+    arithmetic and engine-identical; zero differences drop (standard
+    Wilcoxon); doubled rank sums over |d| with average-rank ties
+    (2W+ = sum cp*(2*before + c + 1)) keep everything exact until the
+    single tie-corrected sqrt for z. Same value-cardinality-bounded
+    cumulative-window shape as KS/Mann-Whitney."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = source_ts_ns(ev)
+    lohi = ev.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi")).collect()[0]
+    mid = (int(lohi["lo"]) + int(lohi["hi"])) // 2
+    u = (ev.filter(F.col("value").isNotNull())
+         .groupBy("user_id")
+         .agg(F.sum(F.when(ts < mid, F.col("value")).otherwise(0.0))
+              .alias("x"),
+              F.sum(F.when(ts >= mid, F.col("value")).otherwise(0.0))
+              .alias("y")))
+    d = u.select(F.floor((F.col("y") - F.col("x")) * 1e4 + F.lit(0.5))
+                 .cast("long").alias("dq")).filter(F.col("dq") != 0)
+    d = d.localCheckpoint(eager=True)  # count + rank rollup share it
+    nn = d.count()
+    v = (d.select(F.abs(F.col("dq")).alias("ad"),
+                  F.when(F.col("dq") > 0, 1).otherwise(0).alias("p"))
+         .groupBy("ad").agg(F.count(F.lit(1)).alias("c"),
+                            F.sum("p").alias("cp")))
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    s = (v.withColumn("__b", F.coalesce(F.sum("c").over(w), F.lit(0)))
+         .agg(F.sum(F.col("cp") * (2 * F.col("__b") + F.col("c") + 1))
+              .alias("w2p"),
+              F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+              .alias("tie3")))
+    w_plus = F.col("w2p") / 2.0
+    var = (F.lit(nn * (nn + 1.0) * (2 * nn + 1) / 24.0)
+           - F.col("tie3") / F.lit(48.0))
+    z = F.floor((w_plus - F.lit(nn * (nn + 1) / 4.0)) / F.sqrt(var) * 1e4
+                + F.lit(0.5)) / 1e4
+    return s.select(F.lit(nn).alias("n"), w_plus.alias("w_plus"),
+                    z.alias("z"))
+
+
 @register("events_mannwhitney_u", """
     WITH g AS (SELECT value,
                       CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a

@@ -612,6 +612,38 @@ def q_text_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
 
 
+@register("docs_langid_confusion", f"""
+    WITH pred AS ({_lang_case_sql()})
+    SELECT d.lang AS label, p.lang_pred AS pred,
+           count(*) AS n,
+           floor(count(*) * 1e4
+                 / CAST(sum(count(*)) OVER (PARTITION BY d.lang) AS DOUBLE)
+                 + 0.5) / 1e4 AS frac_of_label
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY d.lang, p.lang_pred
+""")
+def q_docs_langid_confusion(spark, sf_dir):
+    """Classifier EVAL as a first-class operator: the confusion matrix
+    of the heuristic language ID against the corpus's labeled ``lang``
+    column, with each cell's share of its true-label row — the honest
+    per-class accuracy report behind any 'lang-id then filter' pipeline
+    decision (a class the heuristic can't separate shows up as off-
+    diagonal mass here BEFORE it silently skews the corpus mix). One
+    scan + one (label, pred) rollup; the row-share window runs over the
+    label-cardinality-bounded matrix, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = (docs.select(F.col("lang").alias("label"),
+                     lang_id_expr(F.col("text")).alias("pred"))
+         .groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("label")
+    return m.select(
+        "label", "pred", "n",
+        (F.floor(F.col("n") * 1e4 / F.sum("n").over(w).cast("double")
+                 + F.lit(0.5)) / 1e4).alias("frac_of_label"))
+
+
 _STOP_ALL = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
 
 
