@@ -2333,6 +2333,98 @@ def q_events_rfm_segments(spark, sf_dir):
         .cast("long"))
 
 
+@register("events_kaplan_meier", """
+    WITH b AS (SELECT max(epoch_ns(ts)) AS hi FROM events),
+    f AS (SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events
+          GROUP BY user_id),
+    p AS (SELECT user_id, min(epoch_ns(ts)) AS tp FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    d AS (
+        SELECT CAST(floor((coalesce(p.tp, (SELECT hi FROM b)) - f.t0)
+                          / 86400000000000.0) AS BIGINT) AS t,
+               CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM f LEFT JOIN p ON p.user_id = f.user_id),
+    n AS (SELECT count(*) AS total FROM d),
+    g AS (SELECT t, count(*) AS c, sum(e) AS d_i FROM d GROUP BY t),
+    r AS (SELECT t, c, d_i,
+                 (SELECT total FROM n)
+                 - coalesce(sum(c) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n_i
+          FROM g),
+    ev AS (SELECT t, n_i, d_i,
+                  1 - d_i / CAST(n_i AS DOUBLE) AS fac
+           FROM r WHERE d_i > 0),
+    arr AS (SELECT list(t ORDER BY t) AS ts, list(n_i ORDER BY t) AS ns,
+                   list(d_i ORDER BY t) AS ds, list(fac ORDER BY t) AS fs
+            FROM ev),
+    idx AS (SELECT ts, ns, ds, fs,
+                   unnest(range(1, len(ts) + 1)) AS i
+            FROM arr)
+    SELECT ts[CAST(i AS INTEGER)] AS t_days,
+           CAST(ns[CAST(i AS INTEGER)] AS BIGINT) AS at_risk,
+           CAST(ds[CAST(i AS INTEGER)] AS BIGINT) AS events,
+           floor(list_reduce(list_slice(fs, 1, CAST(i AS INTEGER)),
+                             (a, x) -> a * x) * 1e4 + 0.5) / 1e4 AS surv
+    FROM idx
+""")
+def q_events_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival to first purchase (day grain): per user,
+    duration = first-purchase minus first-event time, right-censored at
+    the data horizon; S(t) = prod over event days of (1 − d_i/n_i) —
+    the time-to-conversion curve product analytics reads next to the
+    funnel. Exactness: each factor is one int/int division (engine-
+    identical) and the cumulative product is a STRICTLY ORDERED
+    left-to-right fold — Spark folds an array accumulator over the
+    day-grain factor list, DuckDB list_reduce's the same ordered
+    prefix — so both engines multiply the identical sequence and the
+    quantized curve cannot drift. All rollups are map-side combined;
+    the fold row holds <= the day span (~30 structs), never users."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = source_ts_ns(ev)
+    hi = int(ev.agg(F.max(ts).alias("hi")).collect()[0]["hi"])
+    f = ev.groupBy("user_id").agg(F.min(ts).alias("t0"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .groupBy("user_id").agg(F.min(ts).alias("tp")))
+    day = 86_400_000_000_000.0
+    d = (f.join(p, "user_id", "left")
+         .select(F.floor((F.coalesce(F.col("tp"), F.lit(hi))
+                          - F.col("t0")) / F.lit(day))
+                 .cast("long").alias("t"),
+                 F.when(F.col("tp").isNotNull(), 1).otherwise(0)
+                 .alias("e")))
+    d = d.localCheckpoint(eager=True)  # total + day rollup share it
+    total = d.count()
+    from pyspark.sql import Window
+    g = d.groupBy("t").agg(F.count(F.lit(1)).alias("c"),
+                           F.sum("e").alias("d_i"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("n_i", F.lit(total)
+                     - F.coalesce(F.sum("c").over(w), F.lit(0)))
+    evd = (r.filter(F.col("d_i") > 0)
+           .select("t", "n_i", "d_i",
+                   (1 - F.col("d_i") / F.col("n_i").cast("double"))
+                   .alias("fac")))
+    facs = F.sort_array(F.collect_list(
+        F.struct(F.col("t"), F.col("n_i"), F.col("d_i"), F.col("fac"))))
+    one = evd.agg(facs.alias("__f"))
+    # strictly ordered cumulative product via an array-accumulator fold
+    cum = F.aggregate(
+        F.col("__f"),
+        F.array().cast("array<struct<t:long,n:long,d:long,s:double>>"),
+        lambda acc, x: F.concat(acc, F.array(F.struct(
+            x["t"].alias("t"), x["n_i"].alias("n"), x["d_i"].alias("d"),
+            (F.coalesce(F.try_element_at(acc, F.lit(-1))["s"], F.lit(1.0))
+             * x["fac"]).alias("s")))))
+    out = (one.select(F.explode(cum).alias("r"))
+           .select(F.col("r.t").alias("t_days"),
+                   F.col("r.n").alias("at_risk"),
+                   F.col("r.d").alias("events"),
+                   (F.floor(F.col("r.s") * 1e4 + F.lit(0.5)) / 1e4)
+                   .alias("surv")))
+    return out
+
+
 @register("events_wilcoxon_signed_rank", """
     WITH b AS (SELECT CAST((min(epoch_ns(ts)) + max(epoch_ns(ts))) // 2
                            AS BIGINT) AS mid FROM events),
