@@ -231,3 +231,41 @@ def test_fill_linear_properties(spark, data):
             expected = lo[1] + (hi[1] - lo[1]) * (ts - lo[0]) / (hi[0] - lo[0])
             assert got[ts] == pytest.approx(expected, abs=1e-9)
             assert min(lo[1], hi[1]) - 1e-9 <= got[ts] <= max(lo[1], hi[1]) + 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefghij"), min_size=1, max_size=10),
+        min_size=2, max_size=12),
+    tnum=st.sampled_from([5000, 6000, 8000]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_pairs_lossless_property(spark, docs, tnum):
+    """PROPERTY: on arbitrary small corpora and thresholds, the prefix-
+    filtered join returns EXACTLY the brute-force Jaccard pairs at the
+    same rational threshold — the losslessness theorem, fuzzed (token
+    universe of 10 so ties, duplicates, subsets and disjoint sets all
+    occur)."""
+    import itertools
+    import math
+
+    from nexusbase_spark.pipeline.dedup import prefix_filter_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+           for r in prefix_filter_pairs(df, threshold=tnum / 10000)
+           .collect()}
+
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        i = len(sets[x] & sets[y])
+        u = len(sets[x] | sets[y])
+        if i * 10000 >= u * tnum:
+            want[(x, y)] = (i, u)
+    assert got == want
+    for (x, y), (i, u) in got.items():
+        q = math.floor(i / u * 1e4 + 0.5) / 1e4
+        assert q <= 1.0
