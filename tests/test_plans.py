@@ -205,3 +205,25 @@ def test_priority_prefix_well_formed():
     }
     assert len(never_witnessed_r4) == 32
     assert never_witnessed_r4 <= set(PRIORITY_PREFIX)
+
+
+def test_round5_topk_queries_use_take_ordered(spark, qs):
+    """The round-5 top-k reports (session paths, basket lift) compile to
+    TakeOrderedAndProject — distributed top-k, never a global sort of
+    the aggregate."""
+    for name in ("events_session_paths", "lineitem_basket_lift"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_ks_windows_are_value_bounded(spark, qs):
+    """The KS/Mann-Whitney ECDF windows run AFTER the per-value rollup:
+    the plan aggregates (partial+final over the value key) before any
+    Window node, so window input is value-cardinality-bounded, never
+    the raw stream."""
+    for name in ("events_ks_drift", "events_mannwhitney_u"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "Window" in plan, name
+        # the window's child subtree must contain the value aggregation
+        win_at = plan.index("Window")
+        assert "HashAggregate" in plan[win_at:], name

@@ -1056,3 +1056,23 @@ def test_live_session_paths_matches_batch(spark, tmp_path):
            session_paths(batch, ["user"], gap_ns=gap, type_col="metric",
                          max_len=3).collect()}
     assert got == {("view>click", 1), ("a>b>c", 1)}
+
+
+def test_drift_monitor_restart_safety(spark, tmp_path):
+    """A DriftMonitor re-opened on the same path (process restart) sees
+    the full ingested state: estimates continue from the store, not
+    from scratch."""
+    from nexusbase_spark.streaming.drift import DriftMonitor
+
+    ref = spark.createDataFrame([(float(x % 10),) for x in range(100)],
+                                "value double")
+    path = str(tmp_path / "dm")
+    mon = DriftMonitor.build(spark, path, ref, value_col="value", bins=10)
+    mon.update(spark.createDataFrame([(25.0,)] * 40, "value double"))
+    before = mon.psi()
+
+    reopened = DriftMonitor(spark, path)   # fresh object, same store
+    assert reopened.psi() == before
+    reopened.update(spark.createDataFrame([(25.0,)] * 40, "value double"))
+    assert reopened.psi() > before
+    assert sum(reopened.current_counts()) == 80
