@@ -2917,3 +2917,246 @@ def q_events_winsorized_stats(spark, sf_dir):
                  F.round(F.stddev_samp("wv") + F.lit(0.0), 4).alias("win_std"),
                  F.round(F.min("wv"), 4).alias("lo_clamp"),
                  F.round(F.max("wv"), 4).alias("hi_clamp")))
+
+
+@register("events_chi_square", """
+    WITH g AS (SELECT event_type, CAST(user_id % 3 AS BIGINT) AS seg
+               FROM events
+               WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+    o AS (SELECT event_type, seg, count(*) AS obs FROM g
+          GROUP BY event_type, seg),
+    cells AS (SELECT t.event_type, s.seg,
+                     coalesce(o.obs, 0) AS obs
+              FROM (SELECT DISTINCT event_type FROM g) t
+              CROSS JOIN (SELECT DISTINCT seg FROM g) s
+              LEFT JOIN o ON o.event_type = t.event_type
+                         AND o.seg = s.seg),
+    rt AS (SELECT event_type, sum(obs) AS r FROM cells GROUP BY event_type),
+    ct AS (SELECT seg, sum(obs) AS c FROM cells GROUP BY seg),
+    n AS (SELECT sum(obs) AS nn,
+                 count(DISTINCT event_type) AS nr,
+                 count(DISTINCT seg) AS nc
+          FROM cells),
+    q AS (SELECT CAST(floor(
+                     pow(cells.obs - rt.r * ct.c / CAST(n.nn AS DOUBLE), 2)
+                     / (rt.r * ct.c / CAST(n.nn AS DOUBLE))
+                     * 1e6 + 0.5) AS BIGINT) AS contrib_q,
+                 n.nn, n.nr, n.nc
+          FROM cells
+          JOIN rt ON rt.event_type = cells.event_type
+          JOIN ct ON ct.seg = cells.seg
+          CROSS JOIN n)
+    SELECT CAST(max(nn) AS BIGINT) AS n,
+           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+           floor(sum(contrib_q) / 1e6 * 1e4 + 0.5) / 1e4 AS chi2,
+           floor(sqrt((sum(contrib_q) / 1e6)
+                      / (max(nn) * least(max(nr) - 1, max(nc) - 1)))
+                 * 1e4 + 0.5) / 1e4 AS cramers_v
+    FROM q
+""")
+def q_events_chi_square(spark, sf_dir):
+    """Pearson chi-square test of independence (event_type x user
+    segment) with Cramer's V effect size -- the categorical-drift /
+    segment-balance check an experimentation readout runs before
+    trusting per-segment metrics. The contingency table is a map-side
+    combined groupBy (one shuffle over |types|*|segs| cells, never raw
+    rows); missing cells are restored by a cross join of the two
+    observed-margin frames (k-row each) so zero-count cells still
+    contribute their expectation. Each cell's (o-e)^2/e is
+    floor-quantized to an int64 BEFORE the final sum, so the fold is
+    order-exact across engines (the embed_label_centroids trick);
+    chi2 and V pay one division/sqrt each, 4dp-quantized."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.filter(F.col("event_type").isNotNull()
+                   & F.col("user_id").isNotNull())
+         .select("event_type", (F.col("user_id") % 3).cast("long")
+                 .alias("seg")))
+    o = g.groupBy("event_type", "seg").agg(F.count(F.lit(1)).alias("obs"))
+    types = g.select("event_type").distinct()
+    segs = g.select("seg").distinct()
+    # lint: k-row (|event types| x 3 segments, both SF-constant enums)
+    cells = (types.crossJoin(segs)
+             .join(o, ["event_type", "seg"], "left")
+             .select("event_type", "seg",
+                     F.coalesce(F.col("obs"), F.lit(0)).alias("obs")))
+    rt = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = cells.groupBy("seg").agg(F.sum("obs").alias("c"))
+    n = cells.agg(F.sum("obs").alias("nn"),
+                  F.countDistinct("event_type").alias("nr"),
+                  F.countDistinct("seg").alias("nc"))
+    e = F.col("r") * F.col("c") / F.col("nn").cast("double")
+    contrib_q = F.floor(F.pow(F.col("obs") - e, 2) / e * 1e6 + F.lit(0.5)) \
+        .cast("long")
+    q = (cells.join(rt, "event_type").join(ct, "seg").crossJoin(n)
+         .select(contrib_q.alias("contrib_q"), "nn", "nr", "nc"))
+    chi2 = F.sum("contrib_q") / 1e6
+    dof_min = F.least(F.max("nr") - 1, F.max("nc") - 1)
+    return q.agg(
+        F.max("nn").cast("long").alias("n"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("long").alias("dof"),
+        (F.floor(chi2 * 1e4 + F.lit(0.5)) / 1e4).alias("chi2"),
+        (F.floor(F.sqrt(chi2 / (F.max("nn") * dof_min)) * 1e4 + F.lit(0.5))
+         / 1e4).alias("cramers_v"))
+
+
+@register("events_ks_fdr", """
+    WITH g AS (SELECT event_type, value,
+                      CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+               FROM events WHERE value IS NOT NULL),
+    n AS (SELECT event_type, sum(a) AS na, count(*) - sum(a) AS nb
+          FROM g GROUP BY event_type),
+    v AS (SELECT event_type, value, sum(a) AS ca, count(*) - sum(a) AS cb
+          FROM g GROUP BY event_type, value),
+    c AS (SELECT event_type, value,
+                 sum(ca) OVER (PARTITION BY event_type ORDER BY value)
+                     AS cca,
+                 sum(cb) OVER (PARTITION BY event_type ORDER BY value)
+                     AS ccb
+          FROM v),
+    d AS (SELECT c.event_type, n.na, n.nb,
+                 floor(max(abs(cca / CAST(n.na AS DOUBLE)
+                               - ccb / CAST(n.nb AS DOUBLE))) * 1e4 + 0.5)
+                     / 1e4 AS ks_d
+          FROM c JOIN n ON n.event_type = c.event_type
+          GROUP BY c.event_type, n.na, n.nb),
+    p AS (SELECT event_type, ks_d,
+                 floor(least(1.0,
+                       2 * exp(-2.0 * ks_d * ks_d * na * nb / (na + nb)))
+                       * 1e4 + 0.5) / 1e4 AS p_raw
+          FROM d),
+    r AS (SELECT event_type, ks_d, p_raw,
+                 CAST(row_number() OVER (ORDER BY p_raw, event_type)
+                      AS BIGINT) AS rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM p),
+    bh AS (SELECT event_type, ks_d, p_raw, rank, m,
+                  least(1.0, min(p_raw * m / rank)
+                      OVER (ORDER BY rank DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)) AS adj
+           FROM r)
+    SELECT event_type, ks_d, p_raw, rank,
+           floor(adj * 1e4 + 0.5) / 1e4 AS p_bh,
+           floor(adj * 1e4 + 0.5) / 1e4 <= 0.05 AS reject
+    FROM bh
+""")
+def q_events_ks_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction over the grouped KS drift
+    statistics -- the multiple-testing step that makes a
+    one-KS-per-metric readout honest (step-up adjusted p, reject at
+    q=0.05). p comes from the asymptotic two-sample bound
+    2*exp(-2*D^2*na*nb/(na+nb)) computed from the ALREADY-QUANTIZED
+    ks_d, so both engines feed exp identical doubles; p is quantized
+    again before ranking so BH ordering can never straddle an ulp.
+    The step-up running min is a window over |event types| rows -- at
+    scale this epilogue is metrics-count-sized (thousands), never
+    data-sized; the heavy part stays the per-type ECDF pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.filter(F.col("value").isNotNull())
+         .select("event_type", "value",
+                 F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+                 .alias("a")))
+    n = g.groupBy("event_type").agg(
+        F.sum("a").alias("na"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("nb"))
+    v = g.groupBy("event_type", "value").agg(
+        F.sum("a").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("cb"))
+    w = (Window.partitionBy("event_type").orderBy("value")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = v.select("event_type",
+                 F.sum("ca").over(w).alias("cca"),
+                 F.sum("cb").over(w).alias("ccb"))
+    d = (c.join(n, "event_type")
+         .withColumn("__d", F.abs(F.col("cca") / F.col("na").cast("double")
+                                  - F.col("ccb") / F.col("nb").cast("double")))
+         .groupBy("event_type")
+         .agg(F.first("na").alias("na"), F.first("nb").alias("nb"),
+              (F.floor(F.max("__d") * 1e4 + F.lit(0.5)) / 1e4)
+              .alias("ks_d")))
+    p_raw = (F.floor(
+        F.least(F.lit(1.0),
+                2 * F.exp(-2.0 * F.col("ks_d") * F.col("ks_d")
+                          * F.col("na") * F.col("nb")
+                          / (F.col("na") + F.col("nb"))))
+        * 1e4 + F.lit(0.5)) / 1e4)
+    p = d.select("event_type", "ks_d", p_raw.alias("p_raw"))
+    wr = Window.orderBy("p_raw", "event_type")
+    r = p.select("event_type", "ks_d", "p_raw",
+                 F.row_number().over(wr).cast("long").alias("rank"),
+                 F.count(F.lit(1)).over(
+                     Window.partitionBy()).cast("long").alias("m"))
+    wmin = (Window.orderBy(F.col("rank").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    adj = F.least(F.lit(1.0),
+                  F.min(F.col("p_raw") * F.col("m") / F.col("rank"))
+                  .over(wmin))
+    p_bh = F.floor(adj * 1e4 + F.lit(0.5)) / 1e4
+    return r.select("event_type", "ks_d", "p_raw", "rank",
+                    p_bh.alias("p_bh"), (p_bh <= 0.05).alias("reject"))
+
+
+@register("events_theil_sen", """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+               sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS sv,
+               count(*) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, day),
+    pairs AS (
+        SELECT a.event_type,
+               (b.sv / (b.c * 1e6) - a.sv / (a.c * 1e6))
+                   / (b.day - a.day) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.day > a.day)
+    SELECT p.event_type,
+           CAST(d.n_days AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(quantile_cont(p.slope, 0.5) * 1e4 + 0.5) / 1e4
+               AS ts_slope
+    FROM pairs p
+    JOIN (SELECT event_type, count(*) AS n_days FROM daily
+          GROUP BY event_type) d
+      ON d.event_type = p.event_type
+    GROUP BY p.event_type, d.n_days
+""")
+def q_events_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event type: median of all pairwise
+    slopes over the DAILY rollup -- the outlier-immune alternative to
+    the OLS trend (events_linreg_trend) for telemetry with spikes.
+    Scale shape: the O(n^2) pair space is over the PRE-AGGREGATED
+    daily series (~tens of rows per type), never raw events -- the
+    rollup is one map-side-combined shuffle, the self-join is
+    days^2-per-type (bounded by the retention window, ~3.6k pairs at
+    60 days), and the exact median is per-type. Daily means use
+    integer-lattice sums (order-exact across engines); slopes are then
+    identical IEEE doubles on both sides, median 4dp-quantized.
+    For multi-year windows, bucket days to weeks first -- same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)) \
+        .cast("long")
+    daily = (ev.filter(F.col("value").isNotNull())
+             .select("event_type", day.alias("day"),
+                     F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                     .cast("long").alias("vq"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("vq").alias("sv"), F.count(F.lit(1)).alias("c")))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    mean = lambda s: F.col(f"{s}.sv") / (F.col(f"{s}.c") * 1e6)  # noqa: E731
+    pairs = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("b.day") > F.col("a.day")))
+             .select(F.col("a.event_type").alias("event_type"),
+                     ((mean("b") - mean("a"))
+                      / (F.col("b.day") - F.col("a.day"))).alias("slope")))
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (pairs.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 (F.floor(F.expr("percentile(slope, 0.5)") * 1e4
+                          + F.lit(0.5)) / 1e4).alias("ts_slope"))
+            .join(nd, "event_type")
+            .select("event_type", "n_days", "n_pairs", "ts_slope"))

@@ -4332,3 +4332,340 @@ def q_embed_ivfpq_residual_topk(spark, sf_dir):
     out = idx.search_pq(_probe_vec(spark, sf_dir), k=10, nprobe=2,
                         rerank=100, exclude_id=0)
     return out.withColumn("cosine", F.round(F.col("cosine"), 4))
+
+
+# shared SQL fragments for the agreement/calibration pair: the gopher keep
+# verdict (docs_gopher_rules) and the classifier margin z
+# (docs_quality_classifier), re-derived per doc
+_GOPHER_KEEP_SQL = """
+    SELECT doc_id,
+           (n_words >= 50 AND n_words <= 100000)
+               AND (wc >= 3 * n_words AND wc <= 10 * n_words)
+               AND n_symbols * 10 <= n_words
+               AND n_alpha * 5 >= n_words * 4
+               AND n_req >= 2 AS keep_gold
+    FROM (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> length(x))) AS wc,
+               len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   AS n_alpha,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) // 3
+                    AS BIGINT) AS n_symbols,
+               len(list_intersect(list_distinct(toks),
+                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                   AS n_req
+        FROM (SELECT doc_id, text,
+                     string_split(trim(lower(text)), ' ') AS toks
+              FROM documents))
+"""
+
+
+def _cls_z_sql() -> str:
+    return f"""
+    SELECT doc_id,
+           -1.0 + 5.0 * stopword_ratio + -6.0 * digit_ratio
+                + -2.0 * punct_ratio + -8.0 * rep
+                + 0.6 * ln(n_tokens + 1.0) AS z
+    FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> list_contains(
+                   [{", ".join(repr(w) for w in _STOP_ALL)}], x)))
+                   / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) AS digit_ratio,
+               (length(text)
+                - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) AS punct_ratio,
+               CASE WHEN len(grams) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                         / len(grams) END AS rep
+        FROM (
+            SELECT doc_id, text, toks,
+                   list_transform(range(1, greatest(len(toks), 1)),
+                                  i -> toks[i] || ' ' || toks[i+1]) AS grams
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+                  FROM documents)))
+"""
+
+
+@register("docs_quality_kappa", f"""
+    WITH gold AS ({_GOPHER_KEEP_SQL}),
+    pred AS (SELECT doc_id, z > 0 AS keep_pred FROM ({_cls_z_sql()})),
+    conf AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN keep_gold AND keep_pred THEN 1 ELSE 0 END)
+                   AS n11,
+               sum(CASE WHEN keep_gold AND NOT keep_pred THEN 1 ELSE 0 END)
+                   AS n10,
+               sum(CASE WHEN NOT keep_gold AND keep_pred THEN 1 ELSE 0 END)
+                   AS n01,
+               sum(CASE WHEN NOT keep_gold AND NOT keep_pred THEN 1 ELSE 0
+                   END) AS n00
+        FROM gold JOIN pred USING (doc_id))
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           floor((n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+                                     + (n01 + n00) * (n10 + n00)))
+                 / CAST(n * n - ((n11 + n10) * (n11 + n01)
+                                 + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                 * 1e4 + 0.5) / 1e4 AS kappa
+    FROM conf
+""")
+def q_docs_quality_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between the two quality filters the repo
+    ships (rule-based Gopher verdict vs model-based classifier verdict)
+    -- the rater-agreement check a curation pipeline runs before
+    trusting either filter alone, and the standard way to compare a
+    cheap heuristic against a learned scorer. The whole statistic is
+    one map-side-combined aggregation over scan-speed expressions (both
+    verdicts are integer-compare flags -- gopher_rules_exprs /
+    classifier_margin); kappa is computed as ONE exact int64 rational
+    (N*(n11+n00) - (g1*c1 + g0*c0)) / (N^2 - ...) with a single final
+    division, so no float path exists before the 4dp quantize. N^2
+    must fit int64 -- fine to ~3e9 docs; beyond that, compute in
+    per-shard confusion counts and combine (same formula)."""
+    from nexusbase_spark.pipeline.text import (classifier_margin,
+                                               gopher_rules_exprs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    gold = gopher_rules_exprs(F.col("text"))["keep"]
+    pred = classifier_margin(F.col("text")) > 0
+    b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    conf = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(b(gold & pred)).alias("n11"),
+        F.sum(b(gold & ~pred)).alias("n10"),
+        F.sum(b(~gold & pred)).alias("n01"),
+        F.sum(b(~gold & ~pred)).alias("n00"))
+    agree = F.col("n11") + F.col("n00")
+    chance = ((F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+              + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00")))
+    kappa = (F.floor((F.col("n") * agree - chance)
+                     / (F.col("n") * F.col("n") - chance).cast("double")
+                     * 1e4 + F.lit(0.5)) / 1e4)
+    return conf.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        kappa.alias("kappa"))
+
+
+# sigmoid bin edges as logit literals: bin k <=> p in [k/10,(k+1)/10)
+# <=> z in [ln(k/(10-k)), ln((k+1)/(9-k))) -- comparing the bit-identical
+# margin z against shared double literals needs NO exp() for binning
+_LOGIT_EDGES = ['-2.1972245773362196', '-1.3862943611198906',
+                '-0.8472978603872037', '-0.40546510810816444', '0.0',
+                '0.4054651081081644', '0.8472978603872037',
+                '1.3862943611198906', '2.1972245773362196']
+
+
+@register("docs_calibration_bins", f"""
+    WITH z AS ({_cls_z_sql()}),
+    gold AS ({_GOPHER_KEEP_SQL}),
+    b AS (SELECT z.doc_id,
+                 CAST({" + ".join(f"(CASE WHEN z.z >= {e} THEN 1 ELSE 0 END)"
+                                  for e in _LOGIT_EDGES)} AS BIGINT) AS bin,
+                 CAST(floor(1.0 / (1.0 + exp(-z.z)) * 1e6 + 0.5) AS BIGINT)
+                     AS pq,
+                 CASE WHEN gold.keep_gold THEN 1 ELSE 0 END AS y
+          FROM z JOIN gold ON gold.doc_id = z.doc_id)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(pq) / (count(*) * 1e6) * 1e4 + 0.5) / 1e4 AS mean_p,
+           floor(sum(y) / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS pos_rate
+    FROM b GROUP BY bin
+""")
+def q_docs_calibration_bins(spark, sf_dir):
+    """Reliability (calibration) curve for the quality classifier
+    against the Gopher rules as gold labels: 10 probability bins, each
+    with predicted-probability mean vs empirical positive rate -- the
+    standard check before using a scorer's probabilities for
+    temperature sampling or DSIR weighting rather than just its
+    ranking. Binning compares the bit-identical margin z against
+    shared logit LITERALS (no exp() on the binning path, so a bin can
+    never flip on a libm ulp); only the reported mean_p pays sigmoid,
+    integer-lattice summed then 4dp-quantized. One scan, one
+    map-side-combined groupBy over <=10 cells."""
+    from nexusbase_spark.pipeline.text import (classifier_margin,
+                                               gopher_rules_exprs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    z = classifier_margin(F.col("text"))
+    gold = gopher_rules_exprs(F.col("text"))["keep"]
+    bin_ = sum((F.when(z >= float(e), 1).otherwise(0)
+                for e in _LOGIT_EDGES), F.lit(0)).cast("long")
+    pq = F.floor(1.0 / (1.0 + F.exp(-z)) * 1e6 + F.lit(0.5)).cast("long")
+    y = F.when(gold, 1).otherwise(0)
+    b = docs.select(bin_.alias("bin"), pq.alias("pq"), y.alias("y"))
+    return (b.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 (F.floor(F.sum("pq") / (F.count(F.lit(1)) * 1e6) * 1e4
+                          + F.lit(0.5)) / 1e4).alias("mean_p"),
+                 (F.floor(F.sum("y") / F.count(F.lit(1)).cast("double")
+                          * 1e4 + F.lit(0.5)) / 1e4).alias("pos_rate")))
+
+
+@register("docs_heaps_law", """
+    WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    d AS (SELECT doc_id,
+                 CAST(doc_id * 10 // (SELECT m FROM mx) AS BIGINT) AS tile,
+                 string_split(trim(lower(text)), ' ') AS toks
+          FROM documents),
+    per_tile AS (SELECT tile, sum(len(toks)) AS toks_in_tile
+                 FROM d GROUP BY tile),
+    firsts AS (SELECT min(tile) AS first_tile
+               FROM (SELECT unnest(toks) AS token, tile FROM d)
+               GROUP BY token),
+    news AS (SELECT first_tile AS tile, count(*) AS new_in_tile
+             FROM firsts GROUP BY first_tile),
+    cum AS (SELECT p.tile,
+                   sum(p.toks_in_tile) OVER (ORDER BY p.tile) AS cum_tokens,
+                   sum(coalesce(nw.new_in_tile, 0)) OVER (ORDER BY p.tile)
+                       AS cum_vocab
+            FROM per_tile p LEFT JOIN news nw ON nw.tile = p.tile),
+    lat AS (SELECT tile, cum_tokens, cum_vocab,
+                   CAST(floor(ln(cum_tokens) * 1e6 + 0.5) AS BIGINT) AS lx,
+                   CAST(floor(ln(cum_vocab) * 1e6 + 0.5) AS BIGINT) AS ly
+            FROM cum),
+    ols AS (SELECT count(*) AS k, sum(lx) AS sx, sum(ly) AS sy,
+                   sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+            FROM lat)
+    SELECT lat.tile, CAST(lat.cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(lat.cum_vocab AS BIGINT) AS cum_vocab,
+           floor((ols.k * ols.sxy - ols.sx * ols.sy)
+                 / CAST(ols.k * ols.sxx - ols.sx * ols.sx AS DOUBLE)
+                 * 1e4 + 0.5) / 1e4 AS heaps_beta
+    FROM lat, ols
+""")
+def q_docs_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth: cumulative distinct tokens vs
+    cumulative token count at 10 corpus checkpoints, plus the fitted
+    Heaps exponent (log-log OLS slope) -- the curve a tokenizer-budget
+    or vocab-size decision reads before training. Scale shape: docs
+    are bucketed into 10 STATIC doc_id ranges (no global row ordering
+    anywhere); per-bucket token sums and per-token first-bucket are
+    two wordcount-shaped rollups; the cumulative window and the OLS
+    run over exactly 10 rows. 'Cumulative distinct' never materializes
+    running sets -- a token's first occurrence is min(bucket), so the
+    vocab delta per bucket is a count. OLS is integer-lattice
+    (quantized lns summed as int64 -- order-exact), one division at
+    the end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg((F.max("doc_id") + 1).alias("m")).collect()[0]["m"]
+    d = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") * 10 / F.lit(int(m))).cast("long")
+        .alias("tile"),
+        F.split(F.trim(F.lower(F.col("text"))), " ").alias("toks"))
+    per_tile = d.groupBy("tile").agg(
+        F.sum(F.size("toks")).alias("toks_in_tile"))
+    firsts = (d.select("tile", F.explode("toks").alias("token"))
+              .groupBy("token").agg(F.min("tile").alias("first_tile")))
+    news = firsts.groupBy(F.col("first_tile").alias("tile")).agg(
+        F.count(F.lit(1)).alias("new_in_tile"))
+    w = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (per_tile.join(news, "tile", "left")
+           .select("tile",
+                   F.sum("toks_in_tile").over(w).alias("cum_tokens"),
+                   F.sum(F.coalesce(F.col("new_in_tile"), F.lit(0)))
+                   .over(w).alias("cum_vocab")))
+    lat = cum.select(
+        "tile", F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        F.floor(F.log(F.col("cum_tokens")) * 1e6 + F.lit(0.5)).cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("cum_vocab")) * 1e6 + F.lit(0.5)).cast("long")
+        .alias("ly"))
+    ols = lat.agg(F.count(F.lit(1)).alias("k"), F.sum("lx").alias("sx"),
+                  F.sum("ly").alias("sy"),
+                  F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+                  F.sum(F.col("lx") * F.col("lx")).alias("sxx"))
+    beta = (F.floor((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (F.col("k") * F.col("sxx")
+                       - F.col("sx") * F.col("sx")).cast("double")
+                    * 1e4 + F.lit(0.5)) / 1e4)
+    # lint: k-row (10 checkpoint rows x 1 OLS row)
+    return (lat.crossJoin(ols.select(beta.alias("heaps_beta")))
+            .select("tile", "cum_tokens", "cum_vocab", "heaps_beta"))
+
+
+@register("embed_centroid_drift", """
+    WITH mx AS (SELECT max(vec_id) + 1 AS m FROM embeddings),
+    q AS (SELECT CAST(vec_id * 8 // (SELECT m FROM mx) AS BIGINT) AS batch,
+                 unnest(range(len(embedding))) AS pos,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e4 + 0.5)
+                      AS BIGINT) AS eq
+          FROM embeddings),
+    s AS (SELECT batch, pos, sum(eq) AS s FROM q GROUP BY batch, pos),
+    n AS (SELECT batch, count(*) AS n
+          FROM (SELECT DISTINCT CAST(vec_id * 8 // (SELECT m FROM mx)
+                                     AS BIGINT) AS batch, vec_id
+                FROM embeddings)
+          GROUP BY batch),
+    pairs AS (SELECT a.batch AS batch_from, b.batch AS batch_to,
+                     sum(a.s * b.s) AS sxy,
+                     sum(a.s * a.s) AS sxx,
+                     sum(b.s * b.s) AS syy
+              FROM s a JOIN s b ON b.batch = a.batch + 1 AND b.pos = a.pos
+              GROUP BY a.batch, b.batch)
+    SELECT p.batch_from, p.batch_to,
+           CAST(na.n AS BIGINT) AS n_from, CAST(nb.n AS BIGINT) AS n_to,
+           floor(p.sxy / (sqrt(CAST(p.sxx AS DOUBLE)) * sqrt(p.syy))
+                 * 1e4 + 0.5) / 1e4 AS cosine
+    FROM pairs p
+    JOIN n na ON na.batch = p.batch_from
+    JOIN n nb ON nb.batch = p.batch_to
+""")
+def q_embed_centroid_drift(spark, sf_dir):
+    """Embedding centroid drift: cosine similarity between the mean
+    vectors of consecutive ingestion batches (vec_id bucketed into 8
+    static ranges) -- the embedding-space analogue of the PSI drift
+    monitor, catching encoder-version skew or upstream distribution
+    shift before it poisons ANN recall. Scale shape: posexplode +
+    groupBy(batch, pos) is the same map-side-combined distributed mean
+    as embed_label_centroids (the shuffle carries one row per
+    batch*dim, never vectors); the consecutive-batch join is over
+    8*dim rows. Cosine is computed on INT64 lattice sums (elements
+    floor-quantized at 1e-4; the per-batch count cancels in the
+    ratio), so both engines feed sqrt identical integers -- order-exact
+    with two sqrts and one division, 4dp-quantized. Int64 headroom:
+    sum(S^2) <= dims*(n_batch*1e4)^2 -- fine to ~1M vectors/batch at 64
+    dims; beyond that drop the lattice to 1e3 or fold in doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.agg((F.max("vec_id") + 1).alias("m")).collect()[0]["m"]
+    batch = F.floor(F.col("vec_id") * 8 / F.lit(int(m))).cast("long")
+    q = emb.select(batch.alias("batch"),
+                   F.posexplode("embedding").alias("pos", "e"))
+    s = (q.select("batch", "pos",
+                  F.floor(F.col("e").cast("double") * 1e4 + F.lit(0.5))
+                  .cast("long").alias("eq"))
+         .groupBy("batch", "pos").agg(F.sum("eq").alias("s")))
+    n = emb.select(batch.alias("batch")).groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (a.join(b, (F.col("b.batch") == F.col("a.batch") + 1)
+                    & (F.col("b.pos") == F.col("a.pos")))
+             .groupBy(F.col("a.batch").alias("batch_from"),
+                      F.col("b.batch").alias("batch_to"))
+             .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("sxy"),
+                  F.sum(F.col("a.s") * F.col("a.s")).alias("sxx"),
+                  F.sum(F.col("b.s") * F.col("b.s")).alias("syy")))
+    cos = (F.floor(F.col("sxy") / (F.sqrt(F.col("sxx").cast("double"))
+                                   * F.sqrt(F.col("syy").cast("double")))
+                   * 1e4 + F.lit(0.5)) / 1e4)
+    na = n.select(F.col("batch").alias("batch_from"),
+                  F.col("n").cast("long").alias("n_from"))
+    nb = n.select(F.col("batch").alias("batch_to"),
+                  F.col("n").cast("long").alias("n_to"))
+    # lint: k-row (8 batches -> 7 consecutive pairs)
+    return (pairs.join(na, "batch_from").join(nb, "batch_to")
+            .select("batch_from", "batch_to", "n_from", "n_to",
+                    cos.alias("cosine")))

@@ -1,0 +1,256 @@
+"""Known-answer tests for the round-5 statistics/eval family:
+chi-square + Cramer's V, BH-FDR over grouped KS, Theil-Sen trend,
+Cohen's kappa, calibration bins, Heaps'-law fit, centroid drift.
+
+Each test drives the REGISTERED query function against a tiny crafted
+parquet fixture (written under tmp_path, same table names the driver
+uses), so the exact gate-checked code path is what's asserted — not a
+re-derivation."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from nexusbase_spark.queries import QUERIES, all_queries
+
+all_queries()  # trigger registration of sibling registries
+
+
+def _fn(name):
+    return QUERIES[name][0]
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, day, user_id, event_type, value)."""
+    data = [(int(i), datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(days=int(d)), int(u), t, float(v), "{}")
+            for i, d, u, t, v in rows]
+    (spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# chi-square / Cramer's V
+
+
+def test_chi_square_independent_table_is_zero(spark, tmp_path):
+    """Counts exactly proportional across segments => chi2 = 0, V = 0.
+    Type A: 10/20/30 per seg, type B: 20/40/60 — same 1:2:3 profile."""
+    rows, eid = [], 0
+    for t, mult in (("A", 1), ("B", 2)):
+        for seg, base in ((0, 10), (1, 20), (2, 30)):
+            for _ in range(base * mult):
+                rows.append((eid, 0, seg, t, 1.0))
+                eid += 1
+    _write_events(spark, str(tmp_path), rows)
+    out = _fn("events_chi_square")(spark, str(tmp_path)).collect()[0]
+    assert out["n"] == 180 and out["dof"] == 2
+    assert out["chi2"] == 0.0 and out["cramers_v"] == 0.0
+
+
+def test_chi_square_perfect_association(spark, tmp_path):
+    """2x2 diagonal table [[10,0],[0,10]] => chi2 = N = 20, V = 1."""
+    rows = [(i, 0, 0, "A", 1.0) for i in range(10)]
+    rows += [(100 + i, 0, 1, "B", 1.0) for i in range(10)]
+    _write_events(spark, str(tmp_path), rows)
+    out = _fn("events_chi_square")(spark, str(tmp_path)).collect()[0]
+    assert out["n"] == 20 and out["dof"] == 1
+    assert out["chi2"] == 20.0 and out["cramers_v"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# BH-FDR over grouped KS
+
+
+def test_ks_fdr_rejects_disjoint_keeps_identical(spark, tmp_path):
+    """Type 'same': arms draw identical values => D=0, p=1, never
+    rejected. Type 'shifted': disjoint supports => D=1, p tiny =>
+    rejected after BH. Adjusted p must be monotone in rank."""
+    rows, eid = [], 0
+    # same: users 0 (odd arm... user_id%2==0 => arm a) and 1 share values
+    for v in range(50):
+        rows.append((eid, 0, 0, "same", float(v))); eid += 1  # noqa: E702
+        rows.append((eid, 0, 1, "same", float(v))); eid += 1  # noqa: E702
+    # shifted: arm a values < 0, arm b values > 100
+    for v in range(50):
+        rows.append((eid, 0, 0, "shifted", -1.0 - v)); eid += 1  # noqa: E702
+        rows.append((eid, 0, 1, "shifted", 101.0 + v)); eid += 1  # noqa: E702
+    _write_events(spark, str(tmp_path), rows)
+    out = {r["event_type"]: r for r in
+           _fn("events_ks_fdr")(spark, str(tmp_path)).collect()}
+    assert out["same"]["ks_d"] == 0.0 and out["same"]["p_raw"] == 1.0
+    assert not out["same"]["reject"]
+    assert out["shifted"]["ks_d"] == 1.0 and out["shifted"]["reject"]
+    assert out["shifted"]["p_bh"] <= 0.05 < out["same"]["p_bh"]
+    ranked = sorted(out.values(), key=lambda r: r["rank"])
+    for a, b in zip(ranked, ranked[1:]):
+        assert a["p_bh"] <= b["p_bh"]
+
+
+def test_ks_fdr_bh_adjustment_caps_at_one(spark, tmp_path):
+    """All-identical arms across several types: every p_raw = 1 and the
+    step-up min(p*m/i) must stay capped at 1, no rejections."""
+    rows, eid = [], 0
+    for t in ("t1", "t2", "t3"):
+        for v in range(20):
+            rows.append((eid, 0, 0, t, float(v))); eid += 1  # noqa: E702
+            rows.append((eid, 0, 1, t, float(v))); eid += 1  # noqa: E702
+    _write_events(spark, str(tmp_path), rows)
+    out = _fn("events_ks_fdr")(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    assert all(r["p_bh"] == 1.0 and not r["reject"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen
+
+
+def test_theil_sen_robust_to_outlier_day(spark, tmp_path):
+    """Daily means follow v = 2*day exactly except one wild outlier day;
+    the median pairwise slope must still be exactly 2. (An OLS fit
+    through day 3 = 100 would be far off — that's the point.)"""
+    rows = [(d, d, 0, "m", 2.0 * d if d != 3 else 100.0)
+            for d in range(7)]
+    _write_events(spark, str(tmp_path), rows)
+    out = _fn("events_theil_sen")(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 7 and r["n_pairs"] == 21
+    assert r["ts_slope"] == 2.0
+
+
+def test_theil_sen_uses_daily_means_not_raw_points(spark, tmp_path):
+    """Two points per day averaging to 3*day: slope must be 3 — the
+    pair space is the daily rollup, not raw events."""
+    rows = []
+    for d in range(5):
+        rows.append((2 * d, d, 0, "m", 3.0 * d - 1.0))
+        rows.append((2 * d + 1, d, 1, "m", 3.0 * d + 1.0))
+    _write_events(spark, str(tmp_path), rows)
+    r = _fn("events_theil_sen")(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 5 and r["n_pairs"] == 10
+    assert r["ts_slope"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa / calibration
+
+
+def _write_docs(spark, path, texts):
+    data = [(int(i), t, "en", "src_00", len(t)) for i, t in enumerate(texts)]
+    (spark.createDataFrame(
+        data, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/documents.parquet"))
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then they have "
+        "a long conversation about the weather that covers many pleasant "
+        "topics with plenty of common words to be sure the rules pass "
+        "and the classifier margin stays comfortably positive overall "
+        "because stopwords abound and repetition stays low here today")
+BAD = "### ### ### ### ### ### ### ### ### ### ### ###"
+
+
+def test_kappa_perfect_agreement_is_one(spark, tmp_path):
+    """A corpus where both filters agree on every doc (clean prose both
+    keep; symbol spam both drop) => kappa = 1 with both diagonal cells
+    populated."""
+    _write_docs(spark, str(tmp_path), [GOOD] * 6 + [BAD] * 4)
+    r = _fn("docs_quality_kappa")(spark, str(tmp_path)).collect()[0]
+    assert r["n"] == 10
+    assert r["n11"] == 6 and r["n00"] == 4
+    assert r["n10"] == 0 and r["n01"] == 0
+    assert r["kappa"] == 1.0
+
+
+def test_calibration_bins_invariants(spark, sf_dir):
+    """On the real corpus: bins in 0..9, counts sum to the corpus, the
+    per-bin mean predicted probability sits inside its bin bounds, and
+    pos_rate is a valid rate."""
+    from nexusbase_spark.datamodel import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    out = _fn("docs_calibration_bins")(spark, sf_dir).collect()
+    assert sum(r["n"] for r in out) == n_docs
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert r["bin"] / 10 - 1e-4 <= r["mean_p"] <= (r["bin"] + 1) / 10
+        assert 0.0 <= r["pos_rate"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law
+
+
+def test_heaps_law_linear_vocab_growth(spark, tmp_path):
+    """Every doc contributes exactly one never-seen token among ten:
+    V ~ N/10 + 1, so the log-log slope is ~1 (0.96 with the +1 offset
+    over this range). Checkpoints must be monotone with vocab <=
+    tokens."""
+    texts = [f"w{i:03d} " + " ".join(["the"] * 9) for i in range(100)]
+    _write_docs(spark, str(tmp_path), texts)
+    out = sorted(_fn("docs_heaps_law")(spark, str(tmp_path)).collect(),
+                 key=lambda r: r["tile"])
+    assert len(out) == 10
+    assert out[-1]["cum_tokens"] == 1000 and out[-1]["cum_vocab"] == 101
+    for a, b in zip(out, out[1:]):
+        assert a["cum_tokens"] < b["cum_tokens"]
+        assert a["cum_vocab"] <= b["cum_vocab"]
+        assert b["cum_vocab"] <= b["cum_tokens"]
+    beta = out[0]["heaps_beta"]
+    assert all(r["heaps_beta"] == beta for r in out)
+    assert 0.90 <= beta <= 1.0
+
+
+def test_heaps_law_constant_vocab_is_flat(spark, tmp_path):
+    """A corpus that never adds vocabulary after the first bucket:
+    beta ~ 0 (vocab curve flat in log-log)."""
+    texts = ["alpha beta gamma delta epsilon"] * 100
+    _write_docs(spark, str(tmp_path), texts)
+    out = _fn("docs_heaps_law")(spark, str(tmp_path)).collect()
+    assert all(r["cum_vocab"] == 5 for r in out)
+    assert all(abs(r["heaps_beta"]) < 1e-9 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# centroid drift
+
+
+def test_centroid_drift_identical_batches(spark, tmp_path):
+    """All vectors identical => every consecutive-batch centroid pair
+    has cosine exactly 1.0 and batches of 10."""
+    vec = [0.5, -0.25, 0.125, 1.0]
+    data = [(int(i), vec, 0) for i in range(80)]
+    (spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{tmp_path}/embeddings.parquet"))
+    out = _fn("embed_centroid_drift")(spark, str(tmp_path)).collect()
+    assert len(out) == 7
+    assert all(r["cosine"] == 1.0 for r in out)
+    assert all(r["n_from"] == 10 and r["n_to"] == 10 for r in out)
+
+
+def test_centroid_drift_orthogonal_batches(spark, tmp_path):
+    """First half on axis 0, second half on axis 1: the pair crossing
+    the midpoint has cosine 0; within-half pairs stay 1."""
+    data = [(int(i), [1.0, 0.0], 0) for i in range(40)]
+    data += [(int(40 + i), [0.0, 1.0], 0) for i in range(40)]
+    (spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{tmp_path}/embeddings.parquet"))
+    out = {(r["batch_from"], r["batch_to"]): r["cosine"]
+           for r in _fn("embed_centroid_drift")(spark,
+                                                str(tmp_path)).collect()}
+    assert out[(3, 4)] == 0.0
+    for pair, cos in out.items():
+        if pair != (3, 4):
+            assert cos == 1.0
