@@ -187,3 +187,83 @@ class CMSStore:
             if batch.head(1):
                 self.update(batch)
         return run
+
+
+def cms_estimate_df(sketch: DataFrame, probe: DataFrame, col: str,
+                    depth: int = 4, width: int = 256) -> DataFrame:
+    """Distributed point-query estimates: like ``cms_estimate`` but the
+    probe set is a DataFrame column, never a driver-side list — the form
+    a streaming gate needs when a micro-batch's distinct-token set is
+    itself too large to collect. Output: (item, estimate). The join is
+    probe x d rows against the d*w-bounded sketch (broadcast-sized by
+    construction), so cost tracks the probe, not the corpus."""
+    cells = (probe.select(F.col(col).alias("item")).distinct()
+             .select("item", F.explode(F.array(*[
+                 F.struct(F.lit(j).alias("j"),
+                          _cms_cell(F.col("item"), j, width).alias("cell"))
+                 for j in range(depth)])).alias("e"))
+             .select("item", "e.j", "e.cell"))
+    joined = (cells.join(sketch, ["j", "cell"], "left")
+              .select("item", F.coalesce("cnt", F.lit(0)).alias("c")))
+    return (joined.groupBy("item")
+            .agg(F.min("c").cast("long").alias("estimate")))
+
+
+def _gate_candidates_path(store: "CMSStore") -> str:
+    import os
+    return os.path.join(store.path, "candidates")
+
+
+def cms_candidate_gate(store: "CMSStore", threshold: int):
+    """CMS-backed streaming heavy-hitter pre-filter (foreachBatch): fold
+    each micro-batch into the persistent sketch, then estimate the
+    RUNNING count of just this batch's distinct tokens against the
+    updated sketch and append the ones at/above ``threshold`` to a
+    candidates table.
+
+    LOSSLESS for recall by the CMS one-sided error: an estimate is
+    always >= the true running count, and every token's final
+    occurrence is in SOME batch — at that batch its running count is
+    its stream total, so any token with true total >= threshold is
+    guaranteed to be emitted (possibly alongside collision false
+    positives). Exact verification over the candidate set only
+    (``verify_gate_candidates``) removes the false positives; state is
+    O(d*w) regardless of vocabulary, which is the whole point — an
+    exact running count per token would hold the unbounded key space.
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        m = store._meta()
+        store.update(batch)
+        est = cms_estimate_df(store._cells(), batch, m["col"],
+                              m["depth"], m["width"])
+        (est.filter(F.col("estimate") >= threshold)
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .coalesce(1).write.mode("append")
+         .parquet(_gate_candidates_path(store)))
+    return run
+
+
+def gate_candidates(store: "CMSStore") -> DataFrame:
+    """Distinct candidate tokens the gate has emitted so far."""
+    return (store.spark.read.parquet(_gate_candidates_path(store))
+            .select(F.col("item")).distinct())
+
+
+def verify_gate_candidates(corpus: DataFrame, store: "CMSStore",
+                           col: str, threshold: int) -> DataFrame:
+    """Exact verification pass over the gate's candidate set only:
+    count ``col`` occurrences restricted to candidates (broadcast semi
+    join — the candidate table is heavy-hitter-sized by construction)
+    and keep true counts >= threshold. candidates ∩ exact = the true
+    heavy set; CMS collisions die here. Output: (item, cnt)."""
+    cand = gate_candidates(store)
+    # lint: k-row (gate candidates are threshold-crossers, not the vocab)
+    return (corpus.join(F.broadcast(cand),
+                        corpus[col] == cand["item"], "left_semi")
+            .groupBy(F.col(col).alias("item"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= threshold))

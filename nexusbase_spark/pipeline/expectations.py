@@ -230,3 +230,65 @@ def check_expectations_by_group(df: DataFrame, group_col: str,
             F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("violations"),
             (F.coalesce(F.col(f"__v{i}"), F.lit(0)) == 0).alias("passed")))
     return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+def expectations_by_group_sink(checks: list[dict], group_col: str,
+                               report_path: str):
+    """Per-SOURCE ingest gate (the grouped twin of ``expectations_sink``):
+    every micro-batch appends its ``check_expectations_by_group`` report
+    tagged with the batch_id — one row per (group, check) per batch, so
+    the history table carries each source's contract-violation trajectory,
+    not just the table-wide one. Same single-aggregation-per-batch cost;
+    the report is |groups| x |checks| rows, delta-sized forever."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def run(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        rep = check_expectations_by_group(batch, group_col, checks)
+        (rep.withColumn("batch_id", F.lit(int(batch_id)))
+         .coalesce(1).write.mode("append").parquet(report_path))
+    return run
+
+
+def expectations_trend(spark, report_path: str, group_col: str,
+                       *, min_batches: int = 2) -> DataFrame:
+    """Violation-rate TREND per (group, check) over the ingest-gate
+    history: OLS slope of violations/n_rows against the batch ordinal,
+    plus the latest rate — the alert feed that catches a source whose
+    quality is *deteriorating* before any single batch trips an absolute
+    threshold. Reads only the report table (|groups| x |checks| x
+    |batches| rows — gate-sized, never corpus-sized); the slope is a
+    closed-form per-group aggregation, one pass. Groups with fewer than
+    ``min_batches`` report rows emit slope NULL (no trend yet).
+
+    Output: (group_col, check, n_batches, latest_rate, slope) where
+    slope is d(rate)/d(batch ordinal)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811
+
+    hist = spark.read.parquet(report_path)
+    rate = (F.col("violations") / F.col("n_rows").cast("double"))
+    # batch ordinal per (group, check), robust to gaps in batch_id
+    w = (Window.partitionBy(group_col, "check").orderBy("batch_id"))
+    g = hist.select(group_col, "check", "batch_id", rate.alias("rate")) \
+        .withColumn("i", F.row_number().over(w).cast("double"))
+    wl = (Window.partitionBy(group_col, "check")
+          .orderBy(F.col("batch_id").desc()))
+    latest = (g.withColumn("__rn", F.row_number().over(wl))
+              .filter(F.col("__rn") == 1)
+              .select(group_col, "check", F.col("rate").alias("latest_rate")))
+    ols = (g.groupBy(group_col, "check")
+           .agg(F.count(F.lit(1)).alias("n_batches"),
+                F.sum("i").alias("sx"), F.sum("rate").alias("sy"),
+                F.sum(F.col("i") * F.col("rate")).alias("sxy"),
+                F.sum(F.col("i") * F.col("i")).alias("sxx")))
+    den = (F.col("n_batches") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope = F.when(
+        (F.col("n_batches") >= min_batches) & (den != 0),
+        (F.col("n_batches") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / den)
+    return (ols.join(latest, [group_col, "check"])
+            .select(group_col, "check",
+                    F.col("n_batches").cast("long").alias("n_batches"),
+                    "latest_rate", slope.alias("slope")))

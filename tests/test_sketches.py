@@ -143,3 +143,55 @@ def test_cms_store_streaming_matches_batch(spark, tmp_path):
         q.stop()
     st.compact()
     assert st.estimate(items) == got
+
+
+def test_cms_candidate_gate_lossless_prefilter(spark, tmp_path):
+    """The CMS pre-filter in front of exact heavy-hitter verification
+    (NOTES r5 backlog): tokens stream through a foreachBatch gate that
+    folds them into the persistent sketch and emits running-estimate
+    threshold crossers. One-sided CMS error makes the gate LOSSLESS for
+    recall — every token with true total >= threshold must appear in
+    the candidates — and the exact verification pass over candidates
+    only must equal the true heavy set exactly (collisions die there)."""
+    from nexusbase_spark.operators.sketches import (
+        CMSStore,
+        cms_candidate_gate,
+        gate_candidates,
+        verify_gate_candidates,
+    )
+
+    src = tmp_path / "cms_gate_src"
+    src.mkdir()
+
+    def feed(tokens):
+        spark.createDataFrame([(t,) for t in tokens], "tok string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    # hot: 30 total, warm: 12 total, cold: 40 distinct singletons
+    feed(["hot"] * 10 + ["warm"] * 4 + [f"cold{i:02d}" for i in range(20)])
+    store = CMSStore.build(spark, str(tmp_path / "cms_store"),
+                           col="tok", depth=4, width=512)
+    stream = spark.readStream.schema("tok string").parquet(str(src))
+    q = (stream.writeStream.queryName("t_cms_gate")
+         .foreachBatch(cms_candidate_gate(store, threshold=10))
+         .option("checkpointLocation", str(tmp_path / "cms_gate_ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        feed(["hot"] * 12 + ["warm"] * 4
+             + [f"cold{i:02d}" for i in range(20, 40)])
+        q.processAllAvailable()
+        feed(["hot"] * 8 + ["warm"] * 4)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = spark.read.parquet(str(src))
+    cand = {r["item"] for r in gate_candidates(store).collect()}
+    # lossless recall: both true heavies present
+    assert {"hot", "warm"} <= cand
+    # it is a PRE-filter: far fewer candidates than the 42-token vocab
+    assert len(cand) < 42
+    exact = {r["item"]: r["cnt"] for r in
+             verify_gate_candidates(corpus, store, "tok", 10).collect()}
+    assert exact == {"hot": 30, "warm": 12}

@@ -1076,3 +1076,71 @@ def test_drift_monitor_restart_safety(spark, tmp_path):
     reopened.update(spark.createDataFrame([(25.0,)] * 40, "value double"))
     assert reopened.psi() > before
     assert sum(reopened.current_counts()) == 80
+
+
+def test_expectations_by_group_trend_detects_deteriorating_source(
+        spark, tmp_path):
+    """Per-source ingest-gate trending (NOTES r5 backlog): the grouped
+    expectations sink appends one (source, check) row per batch; the
+    trend reader's OLS slope flags the source whose violation rate is
+    RISING across batches (0 -> 0.5 -> 1.0) while the healthy source
+    stays at slope 0. Each appended report row must equal the batch
+    recompute (sink parity)."""
+    from nexusbase_spark.pipeline.expectations import (
+        check_expectations_by_group,
+        expectations_by_group_sink,
+        expectations_trend,
+    )
+
+    src = tmp_path / "grp_exp_src"
+    src.mkdir()
+    rep = str(tmp_path / "grp_exp_report")
+    schema = "id long, source string, x double"
+    checks = [{"name": "x_pos", "kind": "in_range", "column": "x",
+               "arg": (0.0, 100.0)}]
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    # batch 1: bad 0/4 violations, good 0/4
+    feed([(i, "bad", 1.0) for i in range(4)]
+         + [(10 + i, "good", 1.0) for i in range(4)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (stream.writeStream.queryName("t_grp_exp")
+         .foreachBatch(expectations_by_group_sink(checks, "source", rep))
+         .option("checkpointLocation", str(tmp_path / "grp_exp_ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: bad 2/4, good 0/4
+        feed([(20 + i, "bad", -1.0 if i < 2 else 1.0) for i in range(4)]
+             + [(30 + i, "good", 1.0) for i in range(4)])
+        q.processAllAvailable()
+        # batch 3: bad 4/4, good 0/4
+        feed([(40 + i, "bad", -1.0) for i in range(4)]
+             + [(50 + i, "good", 1.0) for i in range(4)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hist = spark.read.parquet(rep)
+    assert hist.count() == 6  # 2 sources x 1 check x 3 batches
+    # sink parity: per-batch rows equal the batch recompute
+    batches = sorted(r["batch_id"] for r in
+                     hist.select("batch_id").distinct().collect())
+    last = spark.read.parquet(str(src)).filter(
+        (F.col("id") >= 40))
+    want = {(r["source"], r["violations"]) for r in
+            check_expectations_by_group(last, "source", checks).collect()}
+    got = {(r["source"], r["violations"]) for r in
+           hist.filter(F.col("batch_id") == batches[-1]).collect()}
+    assert got == want == {("bad", 4), ("good", 0)}
+
+    trend = {r["source"]: r for r in
+             expectations_trend(spark, rep, "source").collect()}
+    assert trend["bad"]["n_batches"] == 3
+    assert trend["bad"]["latest_rate"] == 1.0
+    assert abs(trend["bad"]["slope"] - 0.5) < 1e-9
+    assert trend["good"]["latest_rate"] == 0.0
+    assert abs(trend["good"]["slope"]) < 1e-9
