@@ -3160,3 +3160,217 @@ def q_events_theil_sen(spark, sf_dir):
                           + F.lit(0.5)) / 1e4).alias("ts_slope"))
             .join(nd, "event_type")
             .select("event_type", "n_days", "n_pairs", "ts_slope"))
+
+
+@register("events_anova", """
+    WITH g AS (SELECT event_type,
+                      CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS vq
+               FROM events WHERE value IS NOT NULL),
+    s AS (SELECT event_type, count(*) AS n,
+                 sum(CAST(vq AS HUGEINT)) AS sv,
+                 sum(CAST(vq AS HUGEINT) * vq) AS qv
+          FROM g GROUP BY event_type),
+    t AS (SELECT count(*) AS k, sum(n) AS nn, sum(sv) AS st,
+                 sum(qv) AS qt,
+                 sum(CAST(sv AS DOUBLE) * sv / n) AS sb
+          FROM s)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(k - 1 AS BIGINT) AS dof_between,
+           CAST(nn - k AS BIGINT) AS dof_within,
+           floor((sb - CAST(st AS DOUBLE) * st / nn) / (k - 1)
+                 / ((CAST(qt AS DOUBLE) - sb) / (nn - k))
+                 * 1e4 + 0.5) / 1e4 AS f_stat,
+           floor((sb - CAST(st AS DOUBLE) * st / nn)
+                 / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nn)
+                 * 1e4 + 0.5) / 1e4 AS eta_sq
+    FROM t
+""")
+def q_events_anova(spark, sf_dir):
+    """One-way ANOVA of value across event types (F statistic +
+    eta-squared effect size) -- the k-group generalization of the Welch
+    A/B readout, answering "does the metric differ across types AT ALL"
+    before pairwise tests (which then go through the BH-FDR pass).
+    Sums are exact: per-row 1e-3-lattice quantization, then int64
+    values summed in DECIMAL(38) (Spark) / HUGEINT (DuckDB), so group
+    moments are bit-identical integers at any row count -- no
+    order-dependent float folds anywhere. The lattice factor cancels in
+    F and eta^2 (both are ratios of sums of squares), so no unscaling;
+    one map-side-combined groupBy over |types| groups plus a k-row
+    epilogue. Per-group sums-of-squares never leave the integer domain
+    until the final two divisions, 4dp-quantized."""
+    ev = load_table(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 1e3 + F.lit(0.5)).cast("long")
+    g = (ev.filter(F.col("value").isNotNull())
+         .select("event_type", vq.alias("vq")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("vq"))).alias("sv"),
+        F.sum(dec(F.col("vq")) * F.col("vq")).alias("qv"))
+    t = s.agg(F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
+              F.sum("sv").alias("st"), F.sum("qv").alias("qt"),
+              F.sum(F.col("sv").cast("double") * F.col("sv").cast("double")
+                    / F.col("n")).alias("sb"))
+    ssb = F.col("sb") - F.col("st").cast("double") \
+        * F.col("st").cast("double") / F.col("nn")
+    ssw = F.col("qt").cast("double") - F.col("sb")
+    sst = F.col("qt").cast("double") - F.col("st").cast("double") \
+        * F.col("st").cast("double") / F.col("nn")
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return t.select(
+        F.col("k").cast("long").alias("k"),
+        (F.col("k") - 1).cast("long").alias("dof_between"),
+        (F.col("nn") - F.col("k")).cast("long").alias("dof_within"),
+        q4(ssb / (F.col("k") - 1) / (ssw / (F.col("nn") - F.col("k"))))
+        .alias("f_stat"),
+        q4(ssb / sst).alias("eta_sq"))
+
+
+# Benford expected first-digit shares log10(1 + 1/d) as shared literals
+# (libm log ulps can differ across engines; literals cannot)
+_BENFORD_P = ['0.3010299956639812', '0.17609125905568124',
+              '0.12493873660829992', '0.09691001300805642',
+              '0.07918124604762482', '0.06694678963061322',
+              '0.05799194697768673', '0.05115252244738129',
+              '0.04575749056067514']
+
+
+def _benford_sql() -> str:
+    cases = " ".join(f"WHEN {d} THEN {p}"
+                     for d, p in enumerate(_BENFORD_P, start=1))
+    return f"""
+    WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+               FROM orders WHERE o_totalprice >= 1),
+    o AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    f AS (SELECT dd.digit,
+                 coalesce(o.n, 0) AS n,
+                 (SELECT sum(n) FROM o) AS nn,
+                 CASE dd.digit {cases} END AS p
+          FROM (SELECT unnest(range(1, 10)) AS digit) dd
+          LEFT JOIN o ON o.digit = dd.digit),
+    c AS (SELECT digit, n, nn, p,
+                 CAST(floor(pow(n - nn * p, 2) / (nn * p) * 1e6 + 0.5)
+                      AS BIGINT) AS contrib_q
+          FROM f)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           floor(n / CAST(nn AS DOUBLE) * 1e4 + 0.5) / 1e4 AS obs_freq,
+           floor(p * 1e4 + 0.5) / 1e4 AS exp_freq,
+           (SELECT floor(sum(contrib_q) / 1e6 * 1e4 + 0.5) / 1e4
+            FROM c) AS chi2
+    FROM c ORDER BY digit
+"""
+
+
+@register("orders_benford", _benford_sql())
+def q_orders_benford(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals -- the classic
+    fabricated-data / fat-finger detector a data-quality pass runs on
+    any money column: observed first-significant-digit shares vs the
+    log10(1+1/d) law, with a chi-square goodness-of-fit total. The
+    first digit comes from the INTEGER part via string slicing (exact
+    in both engines -- no float log10 whose ulp could flip a digit at a
+    power-of-10 boundary); expected shares are shared literals; each
+    digit's (o-e)^2/e is int64-lattice-quantized before the total so
+    the GOF sum is order-exact. One scan, one 9-cell groupBy; absent
+    digits are restored with zero counts (they still contribute
+    expectation to chi2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = (F.substring(F.floor(F.col("o_totalprice")).cast("long")
+                         .cast("string"), 1, 1).cast("long"))
+    o = (orders.filter(F.col("o_totalprice") >= 1)
+         .select(digit.alias("digit"))
+         .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    spark_digits = orders.sparkSession.range(1, 10) \
+        .select(F.col("id").alias("digit"))
+    p = F.element_at(F.array(*[F.lit(float(x)) for x in _BENFORD_P]),
+                     F.col("digit").cast("int"))
+    f = (spark_digits.join(o, "digit", "left")
+         .select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+                 p.alias("p")))
+    tot = f.agg(F.sum("n").alias("nn"))
+    c = (f.crossJoin(tot)  # lint: k-row (9 digit rows x 1 total row)
+         .withColumn("contrib_q",
+                     F.floor(F.pow(F.col("n") - F.col("nn") * F.col("p"), 2)
+                             / (F.col("nn") * F.col("p")) * 1e6
+                             + F.lit(0.5)).cast("long")))
+    chi2 = c.agg((F.floor(F.sum("contrib_q") / 1e6 * 1e4 + F.lit(0.5))
+                  / 1e4).alias("chi2"))
+    return (c.crossJoin(chi2)  # lint: k-row (9 rows x 1 chi2 row)
+            .select("digit", F.col("n").cast("long").alias("n"),
+                    (F.floor(F.col("n") / F.col("nn").cast("double") * 1e4
+                             + F.lit(0.5)) / 1e4).alias("obs_freq"),
+                    (F.floor(F.col("p") * 1e4 + F.lit(0.5)) / 1e4)
+                    .alias("exp_freq"),
+                    "chi2"))
+
+
+@register("lineitem_gini_revenue", """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT)) AS rev_q
+        FROM lineitem GROUP BY l_partkey),
+    r AS (SELECT l_partkey, rev_q,
+                 CAST(row_number() OVER (ORDER BY rev_q, l_partkey)
+                      AS BIGINT) AS rnk,
+                 CAST(ntile(10) OVER (ORDER BY rev_q, l_partkey)
+                      AS BIGINT) AS decile
+          FROM rev),
+    t AS (SELECT count(*) AS n, sum(rev_q) AS tot,
+                 sum(rnk * rev_q) AS wsum
+          FROM r),
+    lor AS (SELECT decile, count(*) AS n_parts, sum(rev_q) AS dec_rev
+            FROM r GROUP BY decile)
+    SELECT lor.decile, lor.n_parts,
+           floor(sum(lor.dec_rev) OVER (ORDER BY lor.decile)
+                 / CAST(t.tot AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS cum_rev_share,
+           floor((2.0 * t.wsum - (t.n + 1.0) * t.tot)
+                 / (CAST(t.n AS DOUBLE) * t.tot) * 1e4 + 0.5) / 1e4
+               AS gini
+    FROM lor, t
+""")
+def q_lineitem_gini_revenue(spark, sf_dir):
+    """Revenue concentration: the Lorenz curve by part decile plus the
+    Gini coefficient over per-part revenue -- the 'how head-heavy is
+    demand' readout behind assortment and caching decisions (and the
+    skew diagnostic for join-key salting). Per-part revenue is summed
+    on the CENTS lattice (per-row quantize, then int64 sum -- order-
+    exact), ranking is total-ordered by (rev, partkey) so no tie
+    ambiguity; Gini uses the closed rank formula (2*sum(i*x) -
+    (n+1)*sum(x)) / (n*sum(x)) -- all-integer until two final
+    divisions. Scale shape: the heavy part is the per-part rollup (one
+    map-side-combined shuffle); the ranking window is |parts|-sized --
+    a real sort, but Gini needs a full ranking by definition; at
+    billions of parts switch to the binned Lorenz approximation (the
+    decile output here IS that bin structure, computable from any
+    quantile sketch). Int64 headroom: sum(rank*rev) <= n^2 * avg_rev
+    -- fine to ~1e7 parts at 1e8 cents each; beyond, lift wsum to
+    decimal(38)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    rev = (li.select("l_partkey", cents.alias("c"))
+           .groupBy("l_partkey").agg(F.sum("c").alias("rev_q")))
+    w = Window.orderBy("rev_q", "l_partkey")
+    r = rev.select("rev_q",
+                   F.row_number().over(w).cast("long").alias("rnk"),
+                   F.ntile(10).over(w).cast("long").alias("decile"))
+    t = r.agg(F.count(F.lit(1)).alias("n"), F.sum("rev_q").alias("tot"),
+              F.sum(F.col("rnk") * F.col("rev_q")).alias("wsum"))
+    lor = r.groupBy("decile").agg(F.count(F.lit(1)).alias("n_parts"),
+                                  F.sum("rev_q").alias("dec_rev"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    gini = (F.floor((2.0 * F.col("wsum") - (F.col("n") + 1.0) * F.col("tot"))
+                    / (F.col("n").cast("double") * F.col("tot")) * 1e4
+                    + F.lit(0.5)) / 1e4)
+    return (lor.crossJoin(t)  # lint: k-row (10 decile rows x 1 totals row)
+            .select("decile", "n_parts",
+                    (F.floor(F.sum("dec_rev").over(wc)
+                             / F.col("tot").cast("double") * 1e4
+                             + F.lit(0.5)) / 1e4).alias("cum_rev_share"),
+                    gini.alias("gini")))

@@ -254,3 +254,102 @@ def test_centroid_drift_orthogonal_batches(spark, tmp_path):
     for pair, cos in out.items():
         if pair != (3, 4):
             assert cos == 1.0
+
+
+# ---------------------------------------------------------------------------
+# ANOVA / Benford / Gini
+
+
+def test_anova_equal_means_f_zero(spark, tmp_path):
+    """Identical group distributions => SSB = 0 => F = 0, eta^2 = 0."""
+    rows = [(i, 0, 0, t, float(v)) for i, (t, v) in enumerate(
+        [("A", 1), ("A", 2), ("A", 3), ("B", 1), ("B", 2), ("B", 3)])]
+    _write_events(spark, str(tmp_path), rows)
+    r = _fn("events_anova")(spark, str(tmp_path)).collect()[0]
+    assert r["k"] == 2 and r["dof_between"] == 1 and r["dof_within"] == 4
+    assert r["f_stat"] == 0.0 and r["eta_sq"] == 0.0
+
+
+def test_anova_hand_computed_f(spark, tmp_path):
+    """A = {1,2}, B = {3,4}: SSB = 4, SSW = 1, dof (1, 2) => F = 8,
+    eta^2 = 0.8."""
+    rows = [(0, 0, 0, "A", 1.0), (1, 0, 0, "A", 2.0),
+            (2, 0, 0, "B", 3.0), (3, 0, 0, "B", 4.0)]
+    _write_events(spark, str(tmp_path), rows)
+    r = _fn("events_anova")(spark, str(tmp_path)).collect()[0]
+    assert r["f_stat"] == 8.0 and r["eta_sq"] == 0.8
+
+
+def _write_orders(spark, path, prices):
+    data = [(int(i), int(i), "O", float(p),
+             datetime.datetime(2024, 1, 1), "1-URGENT")
+            for i, p in enumerate(prices)]
+    (spark.createDataFrame(
+        data, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/orders.parquet"))
+
+
+def test_benford_all_digit_one(spark, tmp_path):
+    """Every total starts with 1: obs_freq(1) = 1, the other eight
+    digits emit zero-count rows that still contribute expectation to
+    the GOF chi2 = N*((1-p1)^2/p1 + (1-p1))."""
+    import math
+    _write_orders(spark, str(tmp_path), [1000.0 + i for i in range(100)])
+    out = {r["digit"]: r for r in
+           _fn("orders_benford")(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["n"] == 100 and out[1]["obs_freq"] == 1.0
+    assert all(out[d]["n"] == 0 for d in range(2, 10))
+    p1 = math.log10(2)
+    want = 100 * ((1 - p1) ** 2 / p1 + (1 - p1))
+    want_q = math.floor(want * 1e4 + 0.5) / 1e4
+    # per-digit contributions are 1e-6-quantized before the sum, so the
+    # recomputation can differ by <= 9e-6 before the 4dp quantize
+    assert abs(out[1]["chi2"] - want_q) <= 2e-4
+    assert out[1]["exp_freq"] == math.floor(p1 * 1e4 + 0.5) / 1e4
+
+
+def _write_lineitem(spark, path, rows):
+    """rows: (orderkey, partkey, extendedprice, discount)."""
+    data = [(int(o), int(p), 1, 1, 1.0, float(e), float(d), 0.0,
+             "N", "O", datetime.datetime(2024, 1, 1))
+            for o, p, e, d in rows]
+    (spark.createDataFrame(
+        data, "l_orderkey long, l_partkey long, l_suppkey long, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string, "
+              "l_shipdate timestamp")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/lineitem.parquet"))
+
+
+def test_gini_uniform_revenue_is_zero(spark, tmp_path):
+    """Ten parts with identical revenue: Gini = 0 and the Lorenz curve
+    is the diagonal (cum share = decile/10)."""
+    _write_lineitem(spark, str(tmp_path),
+                    [(i, i, 100.0, 0.0) for i in range(10)])
+    out = sorted(_fn("lineitem_gini_revenue")(spark,
+                                              str(tmp_path)).collect(),
+                 key=lambda r: r["decile"])
+    assert all(r["gini"] == 0.0 for r in out)
+    for r in out:
+        assert r["cum_rev_share"] == r["decile"] / 10
+    assert out[-1]["cum_rev_share"] == 1.0
+
+
+def test_gini_single_part_concentration(spark, tmp_path):
+    """One part holds all revenue among n=10: Gini = (n-1)/n = 0.9;
+    Lorenz stays 0 until the top decile."""
+    rows = [(i, i, 0.01, 0.0) for i in range(9)]  # ~1 cent each
+    rows.append((9, 9, 1e9, 0.0))
+    _write_lineitem(spark, str(tmp_path), rows)
+    out = sorted(_fn("lineitem_gini_revenue")(spark,
+                                              str(tmp_path)).collect(),
+                 key=lambda r: r["decile"])
+    # 1-cent parts are ~1e-11 of total: shares round to 0 below the top
+    assert all(r["cum_rev_share"] == 0.0 for r in out[:-1])
+    assert out[-1]["cum_rev_share"] == 1.0
+    assert all(abs(r["gini"] - 0.9) < 1e-3 for r in out)
