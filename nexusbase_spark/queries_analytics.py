@@ -2971,9 +2971,14 @@ def q_events_chi_square(spark, sf_dir):
                    & F.col("user_id").isNotNull())
          .select("event_type", (F.col("user_id") % 3).cast("long")
                  .alias("seg")))
-    o = g.groupBy("event_type", "seg").agg(F.count(F.lit(1)).alias("obs"))
-    types = g.select("event_type").distinct()
-    segs = g.select("seg").distinct()
+    # ONE scan: the contingency rollup is eagerly checkpointed (k-row),
+    # and every downstream frame (margins, totals, zero-cell grid)
+    # derives from it — without this the 4 epilogue references each
+    # recompute the whole subtree from the parquet scan (12 scans).
+    o = (g.groupBy("event_type", "seg").agg(F.count(F.lit(1)).alias("obs"))
+         .localCheckpoint(eager=True))
+    types = o.select("event_type").distinct()
+    segs = o.select("seg").distinct()
     # lint: k-row (|event types| x 3 segments, both SF-constant enums)
     cells = (types.crossJoin(segs)
              .join(o, ["event_type", "seg"], "left")
@@ -3138,12 +3143,16 @@ def q_events_theil_sen(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)) \
         .cast("long")
+    # the daily rollup is referenced three times (both self-join sides
+    # + the day counts); eager checkpoint (types x days rows — bounded
+    # by the retention window) keeps the events scan single
     daily = (ev.filter(F.col("value").isNotNull())
              .select("event_type", day.alias("day"),
                      F.floor(F.col("value") * 1e6 + F.lit(0.5))
                      .cast("long").alias("vq"))
              .groupBy("event_type", "day")
-             .agg(F.sum("vq").alias("sv"), F.count(F.lit(1)).alias("c")))
+             .agg(F.sum("vq").alias("sv"), F.count(F.lit(1)).alias("c"))
+             .localCheckpoint(eager=True))
     a = daily.alias("a")
     b = daily.alias("b")
     mean = lambda s: F.col(f"{s}.sv") / (F.col(f"{s}.c") * 1e6)  # noqa: E731
@@ -3279,9 +3288,13 @@ def q_orders_benford(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     digit = (F.substring(F.floor(F.col("o_totalprice")).cast("long")
                          .cast("string"), 1, 1).cast("long"))
+    # <=9-row rollup, eagerly checkpointed: the totals and chi2
+    # epilogue reference it three more times and would otherwise
+    # re-scan orders per reference
     o = (orders.filter(F.col("o_totalprice") >= 1)
          .select(digit.alias("digit"))
-         .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+         .groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+         .localCheckpoint(eager=True))
     spark_digits = orders.sparkSession.range(1, 10) \
         .select(F.col("id").alias("digit"))
     p = F.element_at(F.array(*[F.lit(float(x)) for x in _BENFORD_P]),
@@ -3354,8 +3367,12 @@ def q_lineitem_gini_revenue(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                     * 100 + F.lit(0.5)).cast("long")
+    # per-part rollup checkpointed: Gini's totals and the Lorenz decile
+    # rollup both reference the ranked frame — one lineitem scan, not
+    # two (|parts| rows is the epilogue the ranking sorts anyway)
     rev = (li.select("l_partkey", cents.alias("c"))
-           .groupBy("l_partkey").agg(F.sum("c").alias("rev_q")))
+           .groupBy("l_partkey").agg(F.sum("c").alias("rev_q"))
+           .localCheckpoint(eager=True))
     w = Window.orderBy("rev_q", "l_partkey")
     r = rev.select("rev_q",
                    F.row_number().over(w).cast("long").alias("rnk"),

@@ -4577,13 +4577,16 @@ def q_docs_heaps_law(spark, sf_dir):
                    F.sum("toks_in_tile").over(w).alias("cum_tokens"),
                    F.sum(F.coalesce(F.col("new_in_tile"), F.lit(0)))
                    .over(w).alias("cum_vocab")))
+    # 10-row checkpoint: the OLS aggregate and the checkpoint-row output
+    # both reference lat — without it each reference re-runs both
+    # corpus-wide rollups
     lat = cum.select(
         "tile", F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("cum_vocab").cast("long").alias("cum_vocab"),
         F.floor(F.log(F.col("cum_tokens")) * 1e6 + F.lit(0.5)).cast("long")
         .alias("lx"),
         F.floor(F.log(F.col("cum_vocab")) * 1e6 + F.lit(0.5)).cast("long")
-        .alias("ly"))
+        .alias("ly")).localCheckpoint(eager=True)
     ols = lat.agg(F.count(F.lit(1)).alias("k"), F.sum("lx").alias("sx"),
                   F.sum("ly").alias("sy"),
                   F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
@@ -4644,12 +4647,17 @@ def q_embed_centroid_drift(spark, sf_dir):
     batch = F.floor(F.col("vec_id") * 8 / F.lit(int(m))).cast("long")
     q = emb.select(batch.alias("batch"),
                    F.posexplode("embedding").alias("pos", "e"))
+    # batch x dim rollup, eagerly checkpointed: both join sides and the
+    # per-batch counts derive from it — ONE embeddings scan. Every
+    # vector contributes one element per pos, so count per (batch, pos)
+    # IS the batch's vector count (no separate counting scan).
     s = (q.select("batch", "pos",
                   F.floor(F.col("e").cast("double") * 1e4 + F.lit(0.5))
                   .cast("long").alias("eq"))
-         .groupBy("batch", "pos").agg(F.sum("eq").alias("s")))
-    n = emb.select(batch.alias("batch")).groupBy("batch").agg(
-        F.count(F.lit(1)).alias("n"))
+         .groupBy("batch", "pos").agg(F.sum("eq").alias("s"),
+                                      F.count(F.lit(1)).alias("cnt"))
+         .localCheckpoint(eager=True))
+    n = s.groupBy("batch").agg(F.first("cnt").alias("n"))
     a, b = s.alias("a"), s.alias("b")
     pairs = (a.join(b, (F.col("b.batch") == F.col("a.batch") + 1)
                     & (F.col("b.pos") == F.col("a.pos")))

@@ -227,3 +227,36 @@ def test_ks_windows_are_value_bounded(spark, qs):
         # the window's child subtree must contain the value aggregation
         win_at = plan.index("Window")
         assert "HashAggregate" in plan[win_at:], name
+
+
+def test_round5_stats_queries_scan_once(spark, qs):
+    """The round-5 statistics family's multi-reference epilogues must
+    NOT re-scan the base table per reference: the k-row rollup is
+    eagerly checkpointed, so the FINAL plan contains zero parquet scans
+    (the one real scan ran inside the checkpoint) — chi-square compiled
+    to 12 events scans before this guard's fix."""
+    for name in ("events_chi_square", "events_theil_sen",
+                 "orders_benford", "lineitem_gini_revenue",
+                 "docs_heaps_law", "embed_centroid_drift"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert plan.count("FileScan parquet") == 0, name
+
+
+def test_round5_stats_queries_prune_columns(spark, qs):
+    """Single-scan stats queries read ONLY the columns they use — a
+    scan that drags the full documents/events row width for a
+    two-column statistic is wrong at any scale."""
+    import re
+
+    cases = {
+        "events_anova": {"event_type", "value"},
+        "docs_quality_kappa": {"text"},
+        "docs_calibration_bins": {"text"},
+    }
+    for name, want in cases.items():
+        plan = _plan(qs[name](spark, SF_DIR))
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+        assert scans, name
+        for cols in scans:
+            got = {c.split("#")[0] for c in cols.split(",") if c}
+            assert got <= want, (name, got)
