@@ -4677,3 +4677,65 @@ def q_embed_centroid_drift(spark, sf_dir):
     return (pairs.join(na, "batch_from").join(nb, "batch_to")
             .select("batch_from", "batch_to", "n_from", "n_to",
                     cos.alias("cosine")))
+
+
+@register("embed_ivf_recall", """
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+    pr AS MATERIALIZED (SELECT r.i AS pos, CAST(p[r.i] AS DOUBLE) AS pv
+          FROM probe, range(1, 65) r(i)),
+    pn AS (SELECT sqrt(sum(pv * pv)) AS n FROM pr),
+    brute AS (
+        SELECT v.vec_id,
+               sum(CAST(v.embedding[pr.pos] AS DOUBLE) * pr.pv)
+                   / (sqrt(sum(CAST(v.embedding[pr.pos] AS DOUBLE) ** 2))
+                      * any_value(pn.n)) AS c
+        FROM embeddings v, pr, pn
+        WHERE v.vec_id <> 0
+        GROUP BY v.vec_id),
+    btop AS (SELECT vec_id FROM brute ORDER BY c DESC, vec_id LIMIT 10),
+    dim AS (SELECT label, r.i AS pos,
+                   avg(CAST(embedding[r.i] AS DOUBLE)) AS m
+            FROM embeddings, range(1, 65) r(i) GROUP BY label, r.i),
+    cs AS (SELECT d.label,
+                  sum(d.m * pr.pv)
+                      / (sqrt(sum(d.m * d.m)) * any_value(pn.n)) AS c
+           FROM dim d JOIN pr ON pr.pos = d.pos, pn GROUP BY d.label),
+    best AS (SELECT label FROM cs ORDER BY c DESC, label LIMIT 2),
+    iv AS (
+        SELECT v.vec_id,
+               sum(CAST(v.embedding[pr.pos] AS DOUBLE) * pr.pv)
+                   / (sqrt(sum(CAST(v.embedding[pr.pos] AS DOUBLE) ** 2))
+                      * any_value(pn.n)) AS c
+        FROM embeddings v, pr, pn
+        WHERE v.vec_id <> 0 AND v.label IN (SELECT label FROM best)
+        GROUP BY v.vec_id),
+    itop AS (SELECT vec_id FROM iv ORDER BY c DESC, vec_id LIMIT 10)
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           floor(count(*) / 10.0 * 1e4 + 0.5) / 1e4 AS recall
+    FROM btop JOIN itop USING (vec_id)
+""")
+def q_embed_ivf_recall(spark, sf_dir):
+    """ANN recall measured IN-ENGINE: the IVF-pruned top-10 joined
+    against the exact brute-force top-10 for the same probe, reported
+    as recall@10 — the eval a serving deployment runs continuously to
+    catch recall regressions from partition drift (the offline
+    recall-vs-regime table lives in SCALE.md; this makes the metric a
+    gate-checked query). Both shortlists reuse the exact constructions
+    already gated as embed_cosine_topk / embed_ivf_topk (identical tie
+    order: cosine DESC, vec_id), so the intersection is deterministic;
+    the join is 10x10 rows. Cost = one brute pass + one pruned pass —
+    this is an EVAL query run on samples, not a serving path."""
+    from nexusbase_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = _probe_vec(spark, sf_dir)
+    btop = cosine_topk(emb, p, k=10, exclude_id=0).select("vec_id")
+    itop = ivf_topk(emb, p, k=10, nprobe=2, exclude_id=0).select("vec_id")
+    hits = btop.join(itop, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.floor(F.col("n_hits") / 10.0 * 1e4 + F.lit(0.5)) / 1e4)
+        .alias("recall"))

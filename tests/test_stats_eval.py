@@ -353,3 +353,48 @@ def test_gini_single_part_concentration(spark, tmp_path):
     assert all(r["cum_rev_share"] == 0.0 for r in out[:-1])
     assert out[-1]["cum_rev_share"] == 1.0
     assert all(abs(r["gini"] - 0.9) < 1e-3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# in-engine ANN recall
+
+
+def _write_embeddings(spark, path, rows):
+    """rows: (vec_id, embedding list, label)."""
+    data = [(int(i), [float(x) for x in v], int(lb)) for i, v, lb in rows]
+    (spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{path}/embeddings.parquet"))
+
+
+def test_ivf_recall_detects_missed_partition(spark, tmp_path):
+    """A 'stealth' vector sits closest to the probe but inside a
+    partition whose CENTROID points away — IVF(nprobe=2) never scans
+    it, so in-engine recall@10 must be < 1 and equal exactly the
+    shortlist intersection (here 4/10: only the label-0/1 vectors are
+    reachable)."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 0),          # probe
+            (1, [0.9, 0.1, 0.0, 0.0], 0),
+            (2, [0.8, 0.2, 0.0, 0.0], 1),
+            (3, [0.82, 0.18, 0.0, 0.0], 1),
+            (4, [0.78, 0.22, 0.0, 0.0], 1),
+            (5, [0.99, 0.01, 0.0, 0.0], 2)]        # stealth, best match
+    # drown label 2's centroid with orthogonal mass
+    rows += [(6 + i, [0.0, 1.0, 0.0, 0.0], 2) for i in range(9)]
+    _write_embeddings(spark, str(tmp_path), rows)
+    r = _fn("embed_ivf_recall")(spark, str(tmp_path)).collect()[0]
+    assert r["k"] == 10
+    assert r["n_hits"] == 4
+    assert r["recall"] == 0.4
+
+
+def test_ivf_recall_perfect_when_partitions_cover(spark, tmp_path):
+    """All corpus vectors live in the two probed partitions => IVF
+    returns the brute list exactly => recall = 1."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0], 0)]
+    rows += [(1 + i, [0.9 - 0.01 * i, 0.1, 0.0, 0.0], i % 2)
+             for i in range(12)]
+    _write_embeddings(spark, str(tmp_path), rows)
+    r = _fn("embed_ivf_recall")(spark, str(tmp_path)).collect()[0]
+    assert r["n_hits"] == 10 and r["recall"] == 1.0
