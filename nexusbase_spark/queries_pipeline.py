@@ -4739,3 +4739,133 @@ def q_embed_ivf_recall(spark, sf_dir):
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.floor(F.col("n_hits") / 10.0 * 1e4 + F.lit(0.5)) / 1e4)
         .alias("recall"))
+
+
+_QF_KEEP_SQL = _QF_RULES_SQL.format(
+    stops=", ".join(repr(w) for w in _STOP_ALL))
+
+
+@register("docs_quality_auc", f"""
+    WITH z AS ({_cls_z_sql()}),
+    gold AS (SELECT doc_id, keep AS keep_gold FROM ({_QF_KEEP_SQL})),
+    g AS (SELECT z.z AS score,
+                 CASE WHEN gold.keep_gold THEN 1 ELSE 0 END AS y
+          FROM z JOIN gold ON gold.doc_id = z.doc_id),
+    n AS (SELECT sum(y) AS n1, count(*) - sum(y) AS n0 FROM g),
+    v AS (SELECT score, sum(y) AS c1, count(*) AS c
+          FROM g GROUP BY score),
+    w AS (SELECT score, c1, c,
+                 coalesce(sum(c) OVER (ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS before
+          FROM v),
+    s AS (SELECT sum(c1 * (2 * before + c + 1)) AS r2 FROM w)
+    SELECT CAST(n.n1 AS BIGINT) AS n_pos,
+           CAST(n.n0 AS BIGINT) AS n_neg,
+           CASE WHEN n.n1 = 0 OR n.n0 = 0 THEN NULL
+                ELSE floor((s.r2 - n.n1 * (n.n1 + 1))
+                     / (2.0 * n.n1 * n.n0) * 1e4 + 0.5) / 1e4 END AS auc
+    FROM s, n
+""")
+def q_docs_quality_auc(spark, sf_dir):
+    """Exact ROC AUC of the quality classifier's margin against the
+    corpus-tuned rule chain (quality_filter_exprs) as gold labels — the
+    ranking-quality member of the eval triad (kappa = agreement,
+    calibration = probabilities, AUC = ordering), deciding whether the
+    cheap scorer can REPLACE the rule filter at a chosen threshold.
+    (The published Gopher rules keep zero docs on this short-doc corpus
+    — min 50 words — so they'd make a degenerate gold; the tuned chain
+    keeps both classes populated.) AUC via the rank-sum identity (the
+    Mann-Whitney construction on documents): per-score value counts
+    collapse map-side, the cumulative window is score-cardinality-
+    bounded, DOUBLED rank sums stay exact int64 (tie groups contribute
+    average rank), one final division; NULL when a class is empty. The
+    margin is a fixed-expression-order double — bit-identical in both
+    engines — so tie groups match exactly."""
+    from pyspark.sql import Window
+
+    from nexusbase_spark.pipeline.text import (classifier_margin,
+                                               quality_filter_exprs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(classifier_margin(F.col("text")).alias("score"),
+                    F.when(quality_filter_exprs(F.col("text"))["keep"], 1)
+                    .otherwise(0).alias("y"))
+    tot = g.agg(F.sum("y").alias("n1"),
+                (F.count(F.lit(1)) - F.sum("y")).alias("n0")) \
+        .collect()[0]
+    n1, n0 = int(tot["n1"]), int(tot["n0"])
+    v = g.groupBy("score").agg(F.sum("y").alias("c1"),
+                               F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    s = (v.withColumn("__b", F.coalesce(F.sum("c").over(w), F.lit(0)))
+         .agg(F.sum(F.col("c1") * (2 * F.col("__b") + F.col("c") + 1))
+              .alias("r2")))
+    if n1 == 0 or n0 == 0:
+        auc = F.lit(None).cast("double")
+    else:
+        auc = (F.floor((F.col("r2") - F.lit(n1 * (n1 + 1)))
+                       / F.lit(2.0 * n1 * n0) * 1e4 + F.lit(0.5)) / 1e4)
+    return s.select(F.lit(n1).cast("long").alias("n_pos"),
+                    F.lit(n0).cast("long").alias("n_neg"),
+                    auc.alias("auc"))
+
+
+@register("docs_ngram_novelty", """
+    WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS gram
+          FROM t WHERE len(toks) >= 3),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+    per AS (SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                       AS novel
+            FROM g JOIN firsts f ON f.gram = g.gram
+            GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(novel AS BIGINT) AS novel,
+           floor(novel / CAST(n_grams AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS novelty
+    FROM per
+""")
+def q_docs_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY score: the fraction of a doc's
+    distinct word-3-grams never seen in any earlier doc (doc_id order
+    as ingestion time) — the curriculum/dedup signal that separates
+    fresh content from recombinations, and the per-doc complement of
+    the corpus-level Heaps curve. Wordcount-shaped end to end: distinct
+    grams per doc (one explode + distinct), gram -> min(doc_id) (one
+    rollup), and a join back keyed on the gram — 'seen before'
+    never materializes running sets. At 100 TB the gram join is the
+    same shape as docs_duplicate_spans' mark join: hash-partitioned on
+    the gram, candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    t = docs.select("doc_id", toks.alias("toks")) \
+        .filter(F.size("toks") >= 3)
+    gram = F.concat_ws(
+        " ",
+        F.expr("toks[pos]"), F.expr("toks[pos+1]"), F.expr("toks[pos+2]"))
+    g = (t.select("doc_id",
+                  F.posexplode(F.slice("toks", 1,
+                                       F.greatest(F.size("toks") - 2,
+                                                  F.lit(1))))
+                  .alias("pos0", "tok"), "toks")
+         .select("doc_id", F.col("pos0").alias("pos"), "toks")
+         .select("doc_id", gram.alias("gram"))
+         .distinct())
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (g.join(firsts, "gram")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                      .otherwise(0)).alias("novel")))
+    return per.select(
+        "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("novel").cast("long").alias("novel"),
+        (F.floor(F.col("novel") / F.col("n_grams").cast("double") * 1e4
+                 + F.lit(0.5)) / 1e4).alias("novelty"))

@@ -398,3 +398,57 @@ def test_ivf_recall_perfect_when_partitions_cover(spark, tmp_path):
     _write_embeddings(spark, str(tmp_path), rows)
     r = _fn("embed_ivf_recall")(spark, str(tmp_path)).collect()[0]
     assert r["n_hits"] == 10 and r["recall"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# AUC / n-gram novelty
+
+
+def test_quality_auc_separable_corpus_is_one(spark, tmp_path):
+    """Kept docs all score above dropped docs => AUC = 1 (perfect
+    ranking): clean mid-length prose vs digit-spam that fails
+    high_digit AND scores a deeply negative margin."""
+    good = ("the cat and the dog walked to the park and that was a fine "
+            "day for all of them to be out with friends in the sun")
+    bad = "11111 22222 33333 44444 55555 66666 77777 88888 99999 " \
+          "11111 22222 33333 44444 55555 66666"
+    _write_docs(spark, str(tmp_path), [good + f" x{i}" for i in range(5)]
+                + [bad + f" y{i}" for i in range(5)])
+    r = _fn("docs_quality_auc")(spark, str(tmp_path)).collect()[0]
+    assert r["n_pos"] == 5 and r["n_neg"] == 5
+    assert r["auc"] == 1.0
+
+
+def test_quality_auc_degenerate_class_is_null(spark, tmp_path):
+    """All docs in one class (everything too short): AUC undefined =>
+    NULL, not a crash."""
+    _write_docs(spark, str(tmp_path), ["tiny doc"] * 5)
+    r = _fn("docs_quality_auc")(spark, str(tmp_path)).collect()[0]
+    assert r["n_pos"] == 0 and r["n_neg"] == 5
+    assert r["auc"] is None
+
+
+def test_ngram_novelty_exact_copy_scores_zero(spark, tmp_path):
+    """Doc 1 repeats doc 0 verbatim: every 3-gram was first seen in doc
+    0, so doc 1's novelty is 0 and doc 0's is 1. A half-overlapping doc
+    scores strictly between."""
+    base = "alpha beta gamma delta epsilon zeta"
+    half = "alpha beta gamma delta nova comet quasar pulsar"
+    _write_docs(spark, str(tmp_path), [base, base, half])
+    out = {r["doc_id"]: r for r in
+           _fn("docs_ngram_novelty")(spark, str(tmp_path)).collect()}
+    assert out[0]["novelty"] == 1.0 and out[0]["n_grams"] == 4
+    assert out[1]["novelty"] == 0.0
+    # half: grams = 6; 'alpha beta gamma', 'beta gamma delta' seen;
+    # 'gamma delta nova' + 3 more novel => 4/6
+    assert out[2]["n_grams"] == 6 and out[2]["novel"] == 4
+    assert abs(out[2]["novelty"] - 0.6667) < 1e-9
+
+
+def test_ngram_novelty_short_docs_excluded(spark, tmp_path):
+    """Docs under 3 tokens have no 3-grams and emit no row (never a
+    divide-by-zero)."""
+    _write_docs(spark, str(tmp_path), ["one two", "a b c d"])
+    out = {r["doc_id"] for r in
+           _fn("docs_ngram_novelty")(spark, str(tmp_path)).collect()}
+    assert out == {1}
