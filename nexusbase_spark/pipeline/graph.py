@@ -104,3 +104,55 @@ def pagerank(edges: DataFrame, nodes: DataFrame, iters: int = 3,
               .localCheckpoint(eager=True))
     scale = float(n) * float((damp_den * lcm) ** iters)
     return pr.select(id_col, (F.col("__p") / F.lit(scale)).alias("pr"))
+
+
+def label_propagation(edges: DataFrame, seeds: DataFrame, nodes: DataFrame,
+                      iters: int = 2, src_col: str = "src",
+                      dst_col: str = "dst", id_col: str = "id",
+                      label_col: str = "label") -> DataFrame:
+    """Semi-supervised label propagation: seeds keep their labels;
+    every other node takes, each synchronous round, the most frequent
+    label among its CURRENTLY-labeled in-neighbors (ties broken by the
+    smallest label) — the cheap transductive labeler that stretches a
+    small labeled set over a kNN graph (Zhu & Ghahramani 2002's hard-
+    label variant).
+
+    Determinism needs no lattice here: state is (id, label int) and the
+    per-round decision is (count DESC, label ASC) over integer counts —
+    no float ever enters, so both engines agree exactly. Scale shape
+    matches pagerank: one round = one edge-state join + one
+    (node, label)-keyed count + one per-node arg-max window (partitioned
+    by node — never global); lineage cut per round with an eager
+    localCheckpoint. A node with no labeled neighbors stays unlabeled
+    that round (label NULL), and an already-adopted label may flip in a
+    later round as neighborhoods fill in — synchronous update, not
+    sticky.
+
+    Output: (id_col, label_col nullable) for every node.
+    """
+    from pyspark.sql import Window
+
+    sd = seeds.select(F.col(id_col), F.col(label_col).alias("__seed"))
+    state = (nodes.select(id_col).join(sd, id_col, "left")
+             .select(F.col(id_col), F.col("__seed").alias("__lbl"))
+             .localCheckpoint(eager=True))
+    e = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+    w = (Window.partitionBy("__to")
+         .orderBy(F.col("__c").desc(), F.col("__lbl").asc()))
+    for _ in range(iters):
+        votes = (e.join(state, e[src_col] == state[id_col])
+                 .filter(F.col("__lbl").isNotNull())
+                 .select(F.col(dst_col).alias("__to"), "__lbl")
+                 .groupBy("__to", "__lbl")
+                 .agg(F.count(F.lit(1)).alias("__c")))
+        pick = (votes.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("__to"), F.col("__lbl").alias("__new")))
+        state = (nodes.select(id_col)
+                 .join(sd, id_col, "left")
+                 .join(pick, F.col(id_col) == F.col("__to"), "left")
+                 .select(F.col(id_col),
+                         F.coalesce(F.col("__seed"), F.col("__new"))
+                         .alias("__lbl"))
+                 .localCheckpoint(eager=True))
+    return state.select(F.col(id_col), F.col("__lbl").alias(label_col))

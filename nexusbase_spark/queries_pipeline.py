@@ -4869,3 +4869,85 @@ def q_docs_ngram_novelty(spark, sf_dir):
         F.col("novel").cast("long").alias("novel"),
         (F.floor(F.col("novel") / F.col("n_grams").cast("double") * 1e4
                  + F.lit(0.5)) / 1e4).alias("novelty"))
+
+
+_LP_KNN_SQL = """
+    e AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+        SELECT a.vec_id AS id, b.vec_id AS nbr,
+               floor(sum(a.v[r.i] * b.v[r.i])
+                     / (sqrt(sum(a.v[r.i] * a.v[r.i]))
+                        * sqrt(sum(b.v[r.i] * b.v[r.i]))) * 1e4 + 0.5) / 1e4
+                   AS c
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id, range(1, 65) r(i)
+        GROUP BY a.vec_id, b.vec_id),
+    knn AS MATERIALIZED (
+        SELECT id, nbr FROM (
+            SELECT id, nbr, row_number() OVER (PARTITION BY id
+                            ORDER BY c DESC, nbr) AS rn
+            FROM pairs) WHERE rn <= 3),
+    seeds AS MATERIALIZED (SELECT vec_id AS id, label FROM e
+                           WHERE vec_id % 3 = 0),
+    nodes AS MATERIALIZED (SELECT vec_id AS id FROM e)
+"""
+
+
+def _lp_round_sql(prev: str, t: int) -> str:
+    return f"""
+    v{t} AS (SELECT k.id AS to_id, {prev}.lbl, count(*) AS c
+             FROM knn k JOIN {prev} ON {prev}.id = k.nbr
+             WHERE {prev}.lbl IS NOT NULL
+             GROUP BY k.id, {prev}.lbl),
+    p{t} AS (SELECT to_id, lbl FROM (
+                 SELECT to_id, lbl,
+                        row_number() OVER (PARTITION BY to_id
+                                 ORDER BY c DESC, lbl ASC) AS rn
+                 FROM v{t}) WHERE rn = 1),
+    s{t} AS MATERIALIZED (
+        SELECT n.id, coalesce(s.label, p{t}.lbl) AS lbl
+        FROM nodes n
+        LEFT JOIN seeds s ON s.id = n.id
+        LEFT JOIN p{t} ON p{t}.to_id = n.id)
+"""
+
+
+@register("embed_label_propagation", f"""
+    WITH {_LP_KNN_SQL},
+    s0 AS MATERIALIZED (
+        SELECT n.id, s.label AS lbl
+        FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+    {_lp_round_sql('s0', 1)},
+    {_lp_round_sql('s1', 2)}
+    SELECT id AS vec_id, CAST(lbl AS INTEGER) AS label FROM s2
+""")
+def q_embed_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation over the sample's kNN graph:
+    every third vector keeps its true label as a SEED, the rest start
+    unlabeled, and two synchronous rounds of neighbor majority vote
+    (ties -> smallest label) spread labels across the graph — the cheap
+    transductive labeler that stretches a small labeled set over an
+    embedding corpus (pipeline/graph.label_propagation; hard-label Zhu
+    & Ghahramani). All-integer state and votes, so no lattice is
+    needed; the kNN edges reuse the gated knn_graph construction with a
+    constant partition (bounded 200-vector sample -> pair space 200^2
+    by construction, broadcast-planned). At corpus scale the edges come
+    from the IVF/LSH-bucketed kNN builder instead — the propagation
+    rounds themselves shuffle only (id, label, count) rows."""
+    from nexusbase_spark.pipeline.graph import label_propagation
+    from nexusbase_spark.pipeline.similarity import knn_graph
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200))
+    sample = emb.withColumn("__all", F.lit(1))
+    knn = knn_graph(sample, k=3, part_col="__all")
+    edges = knn.select(F.col("nbr").alias("src"), F.col("id").alias("dst"))
+    seeds = (emb.filter(F.col("vec_id") % 3 == 0)
+             .select(F.col("vec_id").alias("id"), "label"))
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    out = label_propagation(edges, seeds, nodes, iters=2)
+    return out.select(F.col("id").alias("vec_id"),
+                      F.col("label").cast("int").alias("label"))

@@ -452,3 +452,44 @@ def test_ngram_novelty_short_docs_excluded(spark, tmp_path):
     out = {r["doc_id"] for r in
            _fn("docs_ngram_novelty")(spark, str(tmp_path)).collect()}
     assert out == {1}
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+
+
+def test_label_propagation_hand_graph(spark):
+    """Two seeds (1->10, 6->20) on a six-node graph: direct neighbors
+    adopt in round 1, two-hop in round 2, an equal-vote tie takes the
+    SMALLEST label, and seeds never flip."""
+    from nexusbase_spark.pipeline.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (6, 4), (1, 5), (6, 5), (6, 1)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(1, 10), (6, 20)], "id long, label int")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+
+    one = {r["id"]: r["label"] for r in
+           label_propagation(edges, seeds, nodes, iters=1).collect()}
+    assert one == {1: 10, 2: 10, 3: None, 4: 20, 5: 10, 6: 20}
+
+    two = {r["id"]: r["label"] for r in
+           label_propagation(edges, seeds, nodes, iters=2).collect()}
+    assert two == {1: 10, 2: 10, 3: 10, 4: 20, 5: 10, 6: 20}
+
+
+def test_label_propagation_majority_beats_tiebreak(spark):
+    """Vote counts decide before the tie-break: two label-20 neighbors
+    outvote one label-10 neighbor even though 10 < 20."""
+    from nexusbase_spark.pipeline.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(1, 20), (2, 20), (3, 10)], "id long, label int")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 9)], "id long")
+    out = {r["id"]: r["label"] for r in
+           label_propagation(edges, seeds, nodes, iters=1).collect()}
+    assert out[9] == 20
