@@ -522,3 +522,63 @@ def seasonal_decompose(df: DataFrame, keys: list[str], ts_col: str = "ts",
         q4(F.col("__s") / F.col("__c")).alias("trend"),
         q4(seas).alias("seasonal"),
         q4(resid).alias("residual"))
+
+
+def holt_backtest(df: DataFrame, keys: list[str], alpha: float, beta: float,
+                  value_col: str = "value",
+                  order_cols: tuple[str, str] = ("ts", "seq")) -> DataFrame:
+    """One-step-ahead BACKTEST of Holt smoothing: walk the series with
+    the same recurrence as ``holt_linear`` and, before consuming each
+    point x_i (i >= 3), score the standing forecast l+b against it —
+    the honest out-of-sample accuracy readout (MAE + RMSE per series)
+    that decides whether the capacity forecast can be trusted at all.
+    x_2's error is excluded: the seed b_1 = x_2 - x_1 peeks at x_2, so
+    its "forecast" is exact by construction and would bias MAE down.
+
+    Same sequential-fold shape and memory bound as holt_linear (struct
+    accumulator grows by two error sums and a counter; see SCALE.md
+    round-5 for the one-series-per-row bound). Sequential folds have no
+    summation-order freedom, so both engines produce bit-identical
+    error sums; series with fewer than 3 points are dropped (no scored
+    step exists).
+
+    Output: keys..., n, mae, rmse (raw doubles; caller quantizes)."""
+    o1, o2 = order_cols
+    df = df.filter(F.col(value_col).isNotNull())
+    ordered = F.sort_array(F.collect_list(
+        F.struct(F.col(o1), F.col(o2), F.col(value_col).alias("v"))))
+    g = (df.groupBy(*keys)
+         .agg(ordered.alias("__pts"), F.count(F.col(value_col)).alias("n"))
+         .filter(F.col("n") >= 3))
+    xs = F.transform(F.col("__pts"), lambda p: p["v"].cast("double"))
+    g = g.withColumn("__x", xs)
+    x1 = F.element_at(F.col("__x"), 1)
+    x2 = F.element_at(F.col("__x"), 2)
+    rest = F.slice(F.col("__x"), 2, F.size(F.col("__x")) - 1)
+    a, ia = F.lit(alpha), F.lit(1.0 - alpha)
+    bt, ib = F.lit(beta), F.lit(1.0 - beta)
+
+    def step(acc, xv):
+        f = acc["l"] + acc["b"]
+        e = xv - f
+        scored = acc["m"] >= 1
+        lnew = a * xv + ia * (acc["l"] + acc["b"])
+        return F.struct(
+            lnew.alias("l"),
+            (bt * (lnew - acc["l"]) + ib * acc["b"]).alias("b"),
+            (acc["m"] + 1).alias("m"),
+            (acc["sae"] + F.when(scored, F.abs(e)).otherwise(0.0))
+            .alias("sae"),
+            (acc["sse"] + F.when(scored, e * e).otherwise(0.0))
+            .alias("sse"))
+
+    st = F.aggregate(
+        rest,
+        F.struct(x1.alias("l"), (x2 - x1).alias("b"),
+                 F.lit(0).alias("m"), F.lit(0.0).alias("sae"),
+                 F.lit(0.0).alias("sse")),
+        step)
+    n_eval = (F.col("n") - 2).cast("double")
+    return g.select(*keys, "n",
+                    (st["sae"] / n_eval).alias("mae"),
+                    F.sqrt(st["sse"] / n_eval).alias("rmse"))

@@ -3391,3 +3391,62 @@ def q_lineitem_gini_revenue(spark, sf_dir):
                              / F.col("tot").cast("double") * 1e4
                              + F.lit(0.5)) / 1e4).alias("cum_rev_share"),
                     gini.alias("gini")))
+
+
+@register("events_holt_backtest", f"""
+    WITH RECURSIVE p AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, epoch_ns(ts) AS ts,
+               event_id AS seq, value
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_ns(ts) BETWEEN {1_704_412_800 * 10**9}
+                                AND {1_705_708_800 * 10**9}),
+    l AS (SELECT user, CAST(count(value) AS BIGINT) AS n,
+                 list(CAST(value AS DOUBLE) ORDER BY ts, seq) AS vs
+          FROM p GROUP BY user),
+    base AS (SELECT user, n, vs FROM l WHERE n >= 3),
+    st AS (
+        SELECT user, n, vs, 2 AS i, vs[1] AS lv, vs[2] - vs[1] AS bv,
+               CAST(0.0 AS DOUBLE) AS sae, CAST(0.0 AS DOUBLE) AS sse
+        FROM base
+        UNION ALL
+        SELECT user, n, vs, i + 1,
+               0.4 * vs[i] + {1 - 0.4!r} * (lv + bv),
+               0.3 * ((0.4 * vs[i] + {1 - 0.4!r} * (lv + bv)) - lv)
+                   + {1 - 0.3!r} * bv,
+               sae + CASE WHEN i >= 3 THEN abs(vs[i] - (lv + bv))
+                          ELSE 0.0 END,
+               sse + CASE WHEN i >= 3 THEN
+                         (vs[i] - (lv + bv)) * (vs[i] - (lv + bv))
+                     ELSE 0.0 END
+        FROM st WHERE i <= n)
+    SELECT user, n,
+           floor(sae / (n - 2) * 1e4 + 0.5) / 1e4 AS mae,
+           floor(sqrt(sse / (n - 2)) * 1e4 + 0.5) / 1e4 AS rmse
+    FROM st WHERE i = n + 1
+""")
+def q_events_holt_backtest(spark, sf_dir):
+    """One-step-ahead Holt BACKTEST per user over the purchase probe
+    range: walk the same (alpha .4, beta .3) recurrence as
+    events_holt_forecast, scoring the standing forecast l+b against
+    each next point from x_3 on (x_2 is excluded — the seed peeks at
+    it), reporting out-of-sample MAE and RMSE — the eval that decides
+    whether the forecast is trustworthy, completing the
+    forecast-family triad (fit: holt_forecast; drift: PSI/KS; accuracy:
+    this). Sequential struct fold JVM-side; the oracle steps the
+    identical recurrence + error accumulators in a recursive CTE, so
+    doubles match bit-for-bit before the 1e-4 quantize
+    (operators/timeseries.holt_backtest)."""
+    from nexusbase_spark.operators.timeseries import holt_backtest
+
+    T1, T2 = 1_704_412_800 * 10**9, 1_705_708_800 * 10**9
+    pts = load_table(spark, sf_dir, "events")
+    sel = (pts.filter(F.col("event_type") == "purchase")
+           .select(F.col("user_id").cast("string").alias("user"),
+                   source_ts_ns(pts).alias("ts"),
+                   F.col("event_id").alias("seq"), "value"))
+    sel = sel.filter((F.col("ts") >= T1) & (F.col("ts") <= T2))
+    out = holt_backtest(sel, ["user"], 0.4, 0.3)
+    q = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return out.select("user", "n", q(F.col("mae")).alias("mae"),
+                      q(F.col("rmse")).alias("rmse"))

@@ -493,3 +493,47 @@ def test_label_propagation_majority_beats_tiebreak(spark):
     out = {r["id"]: r["label"] for r in
            label_propagation(edges, seeds, nodes, iters=1).collect()}
     assert out[9] == 20
+
+
+# ---------------------------------------------------------------------------
+# Holt backtest
+
+
+def test_holt_backtest_perfect_linear_series_zero_error(spark):
+    """A perfectly linear series: Holt's seed (l=x1, b=x2-x1) locks the
+    exact trend, every one-step forecast is exact => MAE = RMSE = 0."""
+    from nexusbase_spark.operators.timeseries import holt_backtest
+
+    rows = [("u", i, i, 10.0 + 2.0 * i) for i in range(8)]
+    df = spark.createDataFrame(rows, "user string, ts long, seq long, "
+                                     "value double")
+    r = holt_backtest(df, ["user"], 0.4, 0.3).collect()[0]
+    assert r["n"] == 8
+    assert r["mae"] == 0.0 and r["rmse"] == 0.0
+
+
+def test_holt_backtest_hand_computed_three_points(spark):
+    """Three points: the only scored step is x_3. Seed l=1, b=1 (peeks
+    x_2); after consuming x_2=2: l2 = .4*2+.6*2 = 2, b2 = .3*(2-1)+.7*1
+    = 1; forecast for x_3 = 3 is l2+b2 = 3 — but x_3 = 10, so MAE =
+    RMSE = 7."""
+    from nexusbase_spark.operators.timeseries import holt_backtest
+
+    rows = [("u", 0, 0, 1.0), ("u", 1, 1, 2.0), ("u", 2, 2, 10.0)]
+    df = spark.createDataFrame(rows, "user string, ts long, seq long, "
+                                     "value double")
+    r = holt_backtest(df, ["user"], 0.4, 0.3).collect()[0]
+    assert r["n"] == 3
+    assert abs(r["mae"] - 7.0) < 1e-12
+    assert abs(r["rmse"] - 7.0) < 1e-12
+
+
+def test_holt_backtest_drops_short_series(spark):
+    """Series with fewer than 3 points have no scored step and emit no
+    row."""
+    from nexusbase_spark.operators.timeseries import holt_backtest
+
+    rows = [("a", 0, 0, 1.0), ("a", 1, 1, 2.0), ("b", 0, 0, 5.0)]
+    df = spark.createDataFrame(rows, "user string, ts long, seq long, "
+                                     "value double")
+    assert holt_backtest(df, ["user"], 0.4, 0.3).count() == 0
