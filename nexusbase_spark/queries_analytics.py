@@ -3450,3 +3450,64 @@ def q_events_holt_backtest(spark, sf_dir):
     q = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
     return out.select("user", "n", q(F.col("mae")).alias("mae"),
                       q(F.col("rmse")).alias("rmse"))
+
+
+@register("events_proportion_ztest", """
+    WITH u AS (SELECT user_id % 2 = 0 AS arm_a,
+                      max(CASE WHEN event_type = 'purchase'
+                               AND value > 150 THEN 1 ELSE 0 END) AS conv
+               FROM events GROUP BY user_id),
+    s AS (SELECT sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN arm_a THEN conv ELSE 0 END) AS ka,
+                 sum(CASE WHEN arm_a THEN 0 ELSE 1 END) AS nb,
+                 sum(CASE WHEN arm_a THEN 0 ELSE conv END) AS kb
+          FROM u)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ka AS BIGINT) AS k_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(kb AS BIGINT) AS k_b,
+           floor(ka / CAST(na AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rate_a,
+           floor(kb / CAST(nb AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rate_b,
+           floor((ka / CAST(na AS DOUBLE) - kb / CAST(nb AS DOUBLE))
+                 / sqrt((ka + kb) / CAST(na + nb AS DOUBLE)
+                        * (1 - (ka + kb) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / na + 1.0 / nb))
+                 * 1e4 + 0.5) / 1e4 AS z
+    FROM s
+""")
+def q_events_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test on per-user CONVERSION (any high-value
+    purchase, value > 150 — EVERY user has some purchase in this
+    testdata, so the bare definition is degenerate p=1)
+    between the A/B arms — the experimentation staple the family still
+    lacked (Welch/CUPED/Mann-Whitney read continuous metrics; this
+    reads the binary one every launch review starts with). Pooled-
+    variance z from four integer counts: one per-user rollup (map-side
+    combined — the dedup to user grain is the only shuffle), then a
+    single-row epilogue; the only float path is the final z expression
+    over exact int64 counts, identical IEEE in both engines,
+    4dp-quantized."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.max(F.when((F.col("event_type") == "purchase")
+                           & (F.col("value") > 150), 1)
+                    .otherwise(0)).alias("conv"))
+         .select((F.col("user_id") % 2 == 0).alias("arm_a"), "conv"))
+    s = u.agg(
+        F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm_a"), F.col("conv")).otherwise(0))
+        .alias("ka"),
+        F.sum(F.when(F.col("arm_a"), 0).otherwise(1)).alias("nb"),
+        F.sum(F.when(F.col("arm_a"), 0).otherwise(F.col("conv")))
+        .alias("kb"))
+    na, ka, nb, kb = (F.col("na").cast("double"), F.col("ka"),
+                      F.col("nb").cast("double"), F.col("kb"))
+    pp = (ka + kb) / (F.col("na") + F.col("nb")).cast("double")
+    z = ((ka / na - kb / nb)
+         / F.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)))
+    q = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ka").cast("long").alias("k_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("kb").cast("long").alias("k_b"),
+        q(ka / na).alias("rate_a"), q(kb / nb).alias("rate_b"),
+        q(z).alias("z"))

@@ -537,3 +537,27 @@ def test_holt_backtest_drops_short_series(spark):
     df = spark.createDataFrame(rows, "user string, ts long, seq long, "
                                      "value double")
     assert holt_backtest(df, ["user"], 0.4, 0.3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test
+
+
+def test_proportion_ztest_hand_computed(spark, tmp_path):
+    """Arm A converts 3/4 users, arm B 1/4 (conversion = a purchase
+    with value > 150): z = (0.75-0.25)/sqrt(.5*.5*(1/4+1/4)) ~ 1.4142.
+    Per-user dedup must count a multi-purchase user once."""
+    rows = []
+    # arm A (even user ids 0,2,4,6): users 0,2,4 convert (user 0 twice)
+    for i, u in enumerate((0, 0, 2, 4)):
+        rows.append((i, 0, u, "purchase", 200.0))
+    rows.append((10, 0, 6, "purchase", 10.0))        # A non-converter
+    # arm B (odd 1,3,5,7): only user 1 converts
+    rows.append((11, 0, 1, "purchase", 200.0))
+    for i, u in enumerate((3, 5, 7)):
+        rows.append((20 + i, 0, u, "view", 500.0))   # wrong type
+    _write_events(spark, str(tmp_path), rows)
+    r = _fn("events_proportion_ztest")(spark, str(tmp_path)).collect()[0]
+    assert (r["n_a"], r["k_a"], r["n_b"], r["k_b"]) == (4, 3, 4, 1)
+    assert r["rate_a"] == 0.75 and r["rate_b"] == 0.25
+    assert abs(r["z"] - 1.4142) < 1e-9
