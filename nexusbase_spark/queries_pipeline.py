@@ -4951,3 +4951,102 @@ def q_embed_label_propagation(spark, sf_dir):
     out = label_propagation(edges, seeds, nodes, iters=2)
     return out.select(F.col("id").alias("vec_id"),
                       F.col("label").cast("int").alias("label"))
+
+
+def _purity_sql() -> str:
+    return """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label,
+               list_transform(range(1, 65),
+                              i -> CAST(embedding[i] AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 200),
+    pairs AS (
+        SELECT a.vec_id AS id, b.vec_id AS nbr,
+               floor(sum(a.v[r.i] * b.v[r.i])
+                     / (sqrt(sum(a.v[r.i] * a.v[r.i]))
+                        * sqrt(sum(b.v[r.i] * b.v[r.i]))) * 1e4 + 0.5) / 1e4
+                   AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id, range(1, 65) r(i)
+        GROUP BY a.vec_id, b.vec_id),
+    ranked AS (
+        SELECT id, nbr, cosine,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cosine DESC, nbr) AS rank
+        FROM pairs),
+    knn AS (SELECT id, nbr, cosine FROM ranked WHERE rank <= 3),
+    mutual AS (
+        SELECT a.id AS src, a.nbr AS dst FROM knn a
+        JOIN knn b ON b.id = a.nbr AND b.nbr = a.id
+        WHERE a.cosine >= 0.2),
+    edges AS (SELECT src, dst FROM mutual
+              UNION SELECT dst AS src, src AS dst FROM mutual),
+    reach(node, lbl) AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges
+        UNION
+        SELECT edges.src, reach.lbl FROM edges
+        JOIN reach ON reach.node = edges.dst),
+    assigned AS MATERIALIZED (
+        SELECT node AS vec_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node),
+    lab AS MATERIALIZED (
+        SELECT a.cluster_id, e.label, count(*) AS c
+        FROM assigned a JOIN e ON e.vec_id = a.vec_id
+        GROUP BY a.cluster_id, e.label),
+    m AS (SELECT cluster_id, max(c) AS best FROM lab GROUP BY cluster_id),
+    t AS (SELECT sum(c) AS n_nodes FROM lab)
+    SELECT CAST(t.n_nodes AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           floor(sum(m.best) / CAST(t.n_nodes AS DOUBLE) * 1e4 + 0.5)
+               / 1e4 AS purity
+    FROM m, t GROUP BY t.n_nodes
+"""
+
+
+@register("embed_cluster_purity", _purity_sql())
+def q_embed_cluster_purity(spark, sf_dir):
+    """Cluster-quality eval: PURITY of a mutual-kNN clustering against
+    the label column — sum over clusters of the majority-label count,
+    over all clustered nodes. The standard external clustering metric,
+    turning 'the clusterer ran' into 'the clusterer agrees with ground
+    truth X%'. Unlike embed_mutual_knn_clusters (whose kNN is
+    label-partition-local, making purity vacuously 1), the clustering
+    here runs over a CONSTANT partition on the bounded 200-vector
+    sample, so edges can cross labels and purity actually measures
+    agreement; at corpus scale the edges come from the IVF/LSH-bucketed
+    kNN builder. One label join + two k-row rollups on a checkpointed
+    cluster frame; counts are integers, purity pays one division,
+    4dp-quantized."""
+    from nexusbase_spark.pipeline.dedup import dedup_clusters
+    from nexusbase_spark.pipeline.similarity import knn_graph
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < 200))
+    sample = emb.withColumn("__all", F.lit(1))
+    knn = knn_graph(sample, k=3, part_col="__all")
+    rev = knn.select(F.col("nbr").alias("id"), F.col("id").alias("nbr"))
+    mutual = (knn.join(rev, ["id", "nbr"], "left_semi")
+              .filter(F.col("cosine") >= 0.2)
+              .select(F.col("id").alias("id_a"), F.col("nbr").alias("id_b")))
+    # max_iters=200: unlike dup-chain graphs (tiny diameter), a
+    # cross-label mutual-kNN graph can carry a long path — at sf0.01 its
+    # diameter exceeds dedup_clusters' default 20 rounds, which silently
+    # returns unconverged labels (one split component, observed). The
+    # loop breaks at fixpoint, so the bound only pays actual-diameter
+    # rounds, and the 200-vector sample keeps each round sub-second at
+    # ANY corpus SF.
+    clusters = (dedup_clusters(mutual, max_iters=200)
+                .select(F.col("doc_id").alias("vec_id"),
+                        F.col("canonical_id").alias("cluster_id"))
+                .localCheckpoint(eager=True))
+    lab = (clusters.join(emb.select("vec_id", "label"), "vec_id")
+           .groupBy("cluster_id", "label")
+           .agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))
+    m = lab.groupBy("cluster_id").agg(F.max("c").alias("best"))
+    t = lab.agg(F.sum("c").alias("n_nodes"))
+    # lint: k-row (per-cluster maxima x 1 totals row)
+    return (m.crossJoin(t)
+            .agg(F.first("n_nodes").cast("long").alias("n_nodes"),
+                 F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 (F.floor(F.sum("best") / F.first("n_nodes").cast("double")
+                          * 1e4 + F.lit(0.5)) / 1e4).alias("purity")))

@@ -561,3 +561,22 @@ def test_proportion_ztest_hand_computed(spark, tmp_path):
     assert (r["n_a"], r["k_a"], r["n_b"], r["k_b"]) == (4, 3, 4, 1)
     assert r["rate_a"] == 0.75 and r["rate_b"] == 0.25
     assert abs(r["z"] - 1.4142) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# cluster purity
+
+
+def test_cluster_purity_mixed_and_pure_groups(spark, tmp_path):
+    """Two well-separated geometric groups of four: group one carries
+    labels [0,0,1,1] (majority 2 of 4), group two is pure label 2 =>
+    purity = (2+4)/8 = 0.75 over exactly two clusters. In-group top-3
+    neighbors are complete (4 nodes, k=3), cross-group cosine ~0 falls
+    under the 0.2 mutual threshold."""
+    rows = [(i, [1.0, 0.01 * i, 0.0, 0.0], i // 2) for i in range(4)]
+    rows += [(4 + i, [0.01 * i, 1.0, 0.0, 0.0], 2) for i in range(4)]
+    _write_embeddings(spark, str(tmp_path), rows)
+    r = _fn("embed_cluster_purity")(spark, str(tmp_path)).collect()[0]
+    assert r["n_nodes"] == 8
+    assert r["n_clusters"] == 2
+    assert r["purity"] == 0.75
