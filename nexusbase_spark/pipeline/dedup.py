@@ -313,7 +313,16 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
     standard large-graph CC formulation for data-parallel engines (no
     driver-side union-find). Near-dup graphs have tiny diameters
     (dup chains), so this converges in a handful of rounds.
+
+    If the bound is hit BEFORE fixpoint the labels are not yet true
+    components (one component can still appear split) — that is an
+    answer-correctness hazard, not a perf detail, so it warns loudly;
+    raise ``max_iters`` (the loop exits at fixpoint, so a generous
+    bound only ever pays actual-diameter rounds). Observed in practice:
+    a cross-label mutual-kNN graph needed >20 rounds
+    (embed_cluster_purity passes 200).
     """
+    import warnings
     edges = (
         pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
         .union(pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst")))
@@ -354,6 +363,13 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"dedup_clusters hit max_iters={max_iters} before fixpoint "
+            f"({changed} labels still changing): components may be "
+            f"SPLIT. Raise max_iters (fixpoint exit means a generous "
+            f"bound only pays actual-diameter rounds).",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 

@@ -580,3 +580,25 @@ def test_cluster_purity_mixed_and_pure_groups(spark, tmp_path):
     assert r["n_nodes"] == 8
     assert r["n_clusters"] == 2
     assert r["purity"] == 0.75
+
+
+def test_dedup_clusters_warns_when_unconverged(spark):
+    """Hitting max_iters before fixpoint is an answer-correctness
+    hazard (split components), so it must warn: a 6-node path needs ~5
+    min-label rounds; max_iters=1 leaves labels changing."""
+    import warnings
+
+    from nexusbase_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup_clusters(pairs, max_iters=1).collect()
+    assert any("max_iters" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup_clusters(pairs, max_iters=50).collect()
+    assert not any("max_iters" in str(x.message) for x in w)
+    assert {r["canonical_id"] for r in out} == {0}
