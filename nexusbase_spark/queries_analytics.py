@@ -3511,3 +3511,121 @@ def q_events_proportion_ztest(spark, sf_dir):
         F.col("kb").cast("long").alias("k_b"),
         q(ka / na).alias("rate_a"), q(kb / nb).alias("rate_b"),
         q(z).alias("z"))
+
+
+@register("events_seasonal_naive_backtest", """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+               sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS sv,
+               count(*) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, day),
+    m AS (SELECT event_type, day, sv / (c * 1e6) AS v FROM daily),
+    e AS (SELECT a.event_type,
+                 abs(a.v - b.v) AS ae,
+                 (a.v - b.v) * (a.v - b.v) AS se
+          FROM m a JOIN m b
+            ON b.event_type = a.event_type AND b.day = a.day - 7)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           floor(sum(CAST(floor(ae * 1e6 + 0.5) AS BIGINT)) / 1e6
+                 / count(*) * 1e4 + 0.5) / 1e4 AS mae,
+           floor(sqrt(sum(CAST(floor(se * 1e6 + 0.5) AS BIGINT)) / 1e6
+                      / count(*)) * 1e4 + 0.5) / 1e4 AS rmse
+    FROM e GROUP BY event_type
+""")
+def q_events_seasonal_naive_backtest(spark, sf_dir):
+    """Seasonal-naive backtest at series grain: predict each day's mean
+    with the value 7 days earlier and report MAE/RMSE per event type —
+    the BASELINE every fancier forecaster (Holt, seasonal decompose)
+    must beat before it earns production; read next to
+    events_holt_backtest to decide which wins. One daily rollup
+    (integer-lattice means, order-exact), one self-join on (type,
+    day-7) — no window, no state; per-error terms are floor-quantized
+    to int64 before the sums so the fold is order-exact across
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)) \
+        .cast("long")
+    daily = (ev.filter(F.col("value").isNotNull())
+             .select("event_type", day.alias("day"),
+                     F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                     .cast("long").alias("vq"))
+             .groupBy("event_type", "day")
+             .agg((F.sum("vq") / (F.count(F.lit(1)) * 1e6)).alias("v"))
+             .localCheckpoint(eager=True))
+    a, b = daily.alias("a"), daily.alias("b")
+    e = (a.join(b, (F.col("b.event_type") == F.col("a.event_type"))
+                & (F.col("b.day") == F.col("a.day") - 7))
+         .select(F.col("a.event_type").alias("event_type"),
+                 F.floor(F.abs(F.col("a.v") - F.col("b.v")) * 1e6
+                         + F.lit(0.5)).cast("long").alias("aeq"),
+                 F.floor((F.col("a.v") - F.col("b.v"))
+                         * (F.col("a.v") - F.col("b.v")) * 1e6
+                         + F.lit(0.5)).cast("long").alias("seq")))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_eval"),
+                 q4(F.sum("aeq") / 1e6 / F.count(F.lit(1))).alias("mae"),
+                 q4(F.sqrt(F.sum("seq") / 1e6 / F.count(F.lit(1))))
+                 .alias("rmse")))
+
+
+@register("events_interarrival_burstiness", """
+    WITH g AS (
+        SELECT event_type, epoch_ns(ts) AS tns, event_id AS seq
+        FROM events),
+    d AS (
+        SELECT event_type,
+               tns - lag(tns) OVER (PARTITION BY event_type
+                                    ORDER BY tns, seq) AS gap
+        FROM g),
+    s AS (SELECT event_type,
+                 count(gap) AS n_gaps,
+                 sum(CAST(gap AS HUGEINT)) AS sg,
+                 sum(CAST(gap AS HUGEINT) * gap) AS qg
+          FROM d WHERE gap IS NOT NULL GROUP BY event_type)
+    SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+           floor(sg / CAST(n_gaps AS DOUBLE) / 1e9 * 1e4 + 0.5) / 1e4
+               AS mean_gap_sec,
+           floor(sqrt(greatest(CAST(qg AS DOUBLE) / n_gaps
+                      - (CAST(sg AS DOUBLE) / n_gaps)
+                        * (CAST(sg AS DOUBLE) / n_gaps), 0))
+                 / (CAST(sg AS DOUBLE) / n_gaps) * 1e4 + 0.5) / 1e4 AS cv
+    FROM s
+""")
+def q_events_interarrival_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per event type: the coefficient of
+    variation of consecutive-event gaps — CV ~ 1 means Poisson-like
+    arrivals, CV >> 1 means bursts (retry storms, batch replays), CV <<
+    1 means a metronome (cron/scraper traffic). The capacity-planning /
+    anomaly-triage diagnostic next to the rate and seasonality
+    queries. Gaps come from one per-type lag window over (ts, seq);
+    moment sums run in HUGEINT/DECIMAL(38) (ns-scale gaps squared
+    overflow int64 fast), so the only float path is the final
+    mean/variance arithmetic over exact integers, 4dp-quantized; the
+    variance is clamped at 0 before sqrt for the single-gap case."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select("event_type", source_ts_ns(ev).alias("tns"),
+                  F.col("event_id").alias("seq"))
+    w = Window.partitionBy("event_type").orderBy("tns", "seq")
+    d = g.select("event_type",
+                 (F.col("tns") - F.lag("tns").over(w)).alias("gap"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (d.filter(F.col("gap").isNotNull())
+         .groupBy("event_type")
+         .agg(F.count("gap").alias("n_gaps"),
+              F.sum(dec(F.col("gap"))).alias("sg"),
+              F.sum(dec(F.col("gap")) * F.col("gap")).alias("qg")))
+    mean = F.col("sg").cast("double") / F.col("n_gaps")
+    var = F.greatest(
+        F.col("qg").cast("double") / F.col("n_gaps") - mean * mean,
+        F.lit(0.0))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return s.select("event_type",
+                    F.col("n_gaps").cast("long").alias("n_gaps"),
+                    q4(mean / 1e9).alias("mean_gap_sec"),
+                    q4(F.sqrt(var) / mean).alias("cv"))

@@ -602,3 +602,55 @@ def test_dedup_clusters_warns_when_unconverged(spark):
         out = dedup_clusters(pairs, max_iters=50).collect()
     assert not any("max_iters" in str(x.message) for x in w)
     assert {r["canonical_id"] for r in out} == {0}
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive backtest / burstiness
+
+
+def test_seasonal_naive_exact_weekly_pattern_zero_error(spark, tmp_path):
+    """A perfectly weekly series (v = day mod 7): every lag-7 forecast
+    is exact => MAE = RMSE = 0 over n_days - 7 scored days."""
+    rows = [(d, d, 0, "m", float(d % 7)) for d in range(21)]
+    _write_events(spark, str(tmp_path), rows)
+    r = _fn("events_seasonal_naive_backtest")(spark,
+                                              str(tmp_path)).collect()[0]
+    assert r["n_eval"] == 14
+    assert r["mae"] == 0.0 and r["rmse"] == 0.0
+
+
+def test_seasonal_naive_constant_shift_exact_error(spark, tmp_path):
+    """Week 2 runs exactly 3 above week 1: MAE = RMSE = 3."""
+    rows = [(d, d, 0, "m", 10.0 + (3.0 if d >= 7 else 0.0))
+            for d in range(14)]
+    _write_events(spark, str(tmp_path), rows)
+    r = _fn("events_seasonal_naive_backtest")(spark,
+                                              str(tmp_path)).collect()[0]
+    assert r["n_eval"] == 7
+    assert r["mae"] == 3.0 and r["rmse"] == 3.0
+
+
+def test_burstiness_metronome_cv_zero(spark, tmp_path):
+    """Perfectly regular arrivals (one event per day): every gap equal
+    => CV = 0, mean gap = 86400 s."""
+    rows = [(d, d, 0, "m", 1.0) for d in range(10)]
+    _write_events(spark, str(tmp_path), rows)
+    r = _fn("events_interarrival_burstiness")(spark,
+                                              str(tmp_path)).collect()[0]
+    assert r["n_gaps"] == 9
+    assert r["mean_gap_sec"] == 86400.0
+    assert r["cv"] == 0.0
+
+
+def test_burstiness_bursty_series_cv_above_one(spark, tmp_path):
+    """Nine same-day events then one a week later: gaps are eight zeros
+    plus one huge — CV far above 1 (bursty), and the mean gap is the
+    week divided by nine."""
+    rows = [(i, 0, 0, "m", 1.0) for i in range(9)]
+    rows.append((9, 7, 0, "m", 1.0))
+    _write_events(spark, str(tmp_path), rows)
+    r = _fn("events_interarrival_burstiness")(spark,
+                                              str(tmp_path)).collect()[0]
+    assert r["n_gaps"] == 9
+    assert r["cv"] > 1.0
+    assert abs(r["mean_gap_sec"] - 7 * 86400 / 9) < 0.01
