@@ -3629,3 +3629,46 @@ def q_events_interarrival_burstiness(spark, sf_dir):
                     F.col("n_gaps").cast("long").alias("n_gaps"),
                     q4(mean / 1e9).alias("mean_gap_sec"),
                     q4(F.sqrt(var) / mean).alias("cv"))
+
+
+@register("orders_hill_tail_index", """
+    WITH top AS (
+        SELECT o_totalprice AS x,
+               row_number() OVER (ORDER BY o_totalprice DESC) AS rn
+        FROM orders),
+    k AS (SELECT x AS xref FROM top WHERE rn = 101),
+    s AS (SELECT sum(CAST(floor((ln(t.x) - ln(k.xref)) * 1e6 + 0.5)
+                          AS BIGINT)) AS slq
+          FROM top t, k WHERE t.rn <= 100)
+    SELECT CAST(100 AS BIGINT) AS k,
+           floor(k.xref * 1e4 + 0.5) / 1e4 AS x_ref,
+           floor(100.0 / (s.slq / 1e6) * 1e4 + 0.5) / 1e4 AS hill_alpha
+    FROM s, k
+""")
+def q_orders_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the heavy-tail index over order totals:
+    alpha = k / sum_{i<=k} ln(x_i / x_(k+1)) on the top-100 order
+    statistics — the tail-heaviness diagnostic behind skew decisions
+    (alpha < 2 means unbounded variance: salting and AQE skew handling
+    stop being optional) and the quantitative cousin of the Gini/Lorenz
+    readout. Scale shape: the ONLY data-sized step is the distributed
+    top-101 (TakeOrderedAndProject — never a global sort); each log
+    term is floor-quantized to int64 before the 100-term sum so the
+    fold is order-exact; two final divisions, 4dp-quantized."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = (orders.select(F.col("o_totalprice").alias("x"))
+           .orderBy(F.col("x").desc()).limit(101)
+           .localCheckpoint(eager=True))  # 101 rows; reused twice
+    from pyspark.sql import Window
+    rn = F.row_number().over(Window.orderBy(F.col("x").desc()))
+    t = top.select("x", rn.alias("rn"))
+    kref = t.filter(F.col("rn") == 101).select(F.col("x").alias("xref"))
+    s = (t.filter(F.col("rn") <= 100).crossJoin(kref)
+         # lint: k-row (100 top rows x 1 reference row)
+         .agg(F.sum(F.floor((F.log(F.col("x")) - F.log(F.col("xref")))
+                            * 1e6 + F.lit(0.5)).cast("long")).alias("slq"),
+              F.first("xref").alias("xref")))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return s.select(F.lit(100).cast("long").alias("k"),
+                    q4(F.col("xref")).alias("x_ref"),
+                    q4(100.0 / (F.col("slq") / 1e6)).alias("hill_alpha"))

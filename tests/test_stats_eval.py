@@ -654,3 +654,22 @@ def test_burstiness_bursty_series_cv_above_one(spark, tmp_path):
     assert r["n_gaps"] == 9
     assert r["cv"] > 1.0
     assert abs(r["mean_gap_sec"] - 7 * 86400 / 9) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Hill tail index
+
+
+def test_hill_tail_index_constructed_tail(spark, tmp_path):
+    """Order totals built with exact log-spacing ln(x_i) - ln(x_101)
+    = 0.01*(101-i): the Hill sum is 0.01*5050 = 50.5, so alpha =
+    100/50.5 = 1.9802 (4dp)."""
+    import math
+    prices = [100.0 * math.exp(0.01 * (101 - i)) for i in range(1, 102)]
+    prices += [50.0] * 30   # below the tail window, must not matter
+    _write_orders(spark, str(tmp_path), prices)
+    r = _fn("orders_hill_tail_index")(spark, str(tmp_path)).collect()[0]
+    assert r["k"] == 100
+    assert abs(r["x_ref"] - 100.0) < 1e-6
+    assert abs(r["hill_alpha"] - math.floor(100.0 / 50.5 * 1e4 + 0.5) / 1e4) \
+        < 1e-9
