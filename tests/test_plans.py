@@ -237,7 +237,9 @@ def test_round5_stats_queries_scan_once(spark, qs):
     to 12 events scans before this guard's fix."""
     for name in ("events_chi_square", "events_theil_sen",
                  "orders_benford", "lineitem_gini_revenue",
-                 "docs_heaps_law", "embed_centroid_drift"):
+                 "docs_heaps_law", "embed_centroid_drift",
+                 "orders_hill_tail_index",
+                 "events_seasonal_naive_backtest"):
         plan = _plan(qs[name](spark, SF_DIR))
         assert plan.count("FileScan parquet") == 0, name
 
@@ -252,6 +254,8 @@ def test_round5_stats_queries_prune_columns(spark, qs):
         "events_anova": {"event_type", "value"},
         "docs_quality_kappa": {"text"},
         "docs_calibration_bins": {"text"},
+        "events_proportion_ztest": {"event_type", "user_id", "value"},
+        "events_interarrival_burstiness": {"event_type", "ts", "event_id"},
     }
     for name, want in cases.items():
         plan = _plan(qs[name](spark, SF_DIR))
