@@ -5050,3 +5050,83 @@ def q_embed_cluster_purity(spark, sf_dir):
                  F.count(F.lit(1)).cast("long").alias("n_clusters"),
                  (F.floor(F.sum("best") / F.first("n_nodes").cast("double")
                           * 1e4 + F.lit(0.5)) / 1e4).alias("purity")))
+
+
+_RECALL_KEEP = ("({c} < 400 OR ({c} >= 1000000 AND {c} < 1000400))")
+
+
+@register("doc_minhash_recall", f"""
+    WITH {MINHASH_CTES},
+    lshr AS (SELECT id_a, id_b FROM jpairs
+             WHERE {_RECALL_KEEP.format(c="id_a")}
+               AND {_RECALL_KEEP.format(c="id_b")}),
+    rsh AS (SELECT doc_id, shingle FROM sh
+            WHERE {_RECALL_KEEP.format(c="doc_id")}),
+    rsz AS (SELECT doc_id, count(*) AS s FROM rsh GROUP BY doc_id),
+    ri AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM rsh a JOIN rsh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    truth AS (SELECT ri.id_a, ri.id_b
+              FROM ri JOIN rsz za ON za.doc_id = ri.id_a
+                      JOIN rsz zb ON zb.doc_id = ri.id_b
+              WHERE ri.i * 10 >= (za.s + zb.s - ri.i) * 3),
+    hits AS (SELECT count(*) AS h
+             FROM truth JOIN lshr USING (id_a, id_b)),
+    t AS (SELECT count(*) AS n_true FROM truth),
+    l AS (SELECT count(*) AS n_lsh FROM lshr)
+    SELECT CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(l.n_lsh AS BIGINT) AS n_lsh,
+           CASE WHEN t.n_true = 0 THEN NULL
+                ELSE floor(hits.h / CAST(t.n_true AS DOUBLE) * 1e4 + 0.5)
+                     / 1e4 END AS recall
+    FROM hits, t, l
+""")
+def q_doc_minhash_recall(spark, sf_dir):
+    """MinHash-LSH recall measured IN-ENGINE: the LSH-found verified
+    pairs against the brute-force ground truth (ALL pairs with shingle
+    Jaccard >= 0.3), as recall — the dedup-family twin of
+    embed_ivf_recall, quantifying what the banding probability
+    (1-(1-s^r)^b) actually delivers on this corpus. The LSH side is the
+    exact gated doc_dedup_minhash_lsh construction run corpus-wide;
+    recall is scored on the doc_id < 400 slice (+ their synthetic
+    copies) where the quadratic TRUTH join stays tractable — the
+    docs_exact_dedup_index_probe precedent. Truth verdicts are integer
+    cross-multiplied (inter*10 >= uni*3); recall pays one division,
+    NULL if the truth set is empty."""
+    from nexusbase_spark.pipeline.dedup import near_dup_pairs, shingle_sets
+
+    aug = _docs_aug(spark, sf_dir)
+    keep = lambda c: ((F.col(c) < 400)  # noqa: E731
+                      | ((F.col(c) >= 1000000) & (F.col(c) < 1000400)))
+    lsh = (near_dup_pairs(aug, num_hashes=8, bands=4, threshold=0.3)
+           .filter(keep("id_a") & keep("id_b"))
+           .select("id_a", "id_b")
+           .localCheckpoint(eager=True))
+    rsh = shingle_sets(aug.filter(keep("doc_id")))
+    rsz = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    a, b = rsh.alias("a"), rsh.alias("b")
+    ri = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+          .groupBy(F.col("a.doc_id").alias("id_a"),
+                   F.col("b.doc_id").alias("id_b"))
+          .agg(F.count(F.lit(1)).alias("i")))
+    za = rsz.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    zb = rsz.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    truth = (ri.join(za, "id_a").join(zb, "id_b")
+             .filter(F.col("i") * 10
+                     >= (F.col("sa") + F.col("sb") - F.col("i")) * 3)
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=True))
+    hits = truth.join(lsh, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("h"))
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    ln = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    recall = F.when(F.col("n_true") == 0, F.lit(None).cast("double")) \
+        .otherwise(F.floor(F.col("h") / F.col("n_true").cast("double")
+                           * 1e4 + F.lit(0.5)) / 1e4)
+    # lint: k-row (three single-row count frames)
+    return (hits.crossJoin(t).crossJoin(ln)
+            .select(F.col("n_true").cast("long").alias("n_true"),
+                    F.col("n_lsh").cast("long").alias("n_lsh"),
+                    recall.alias("recall")))

@@ -673,3 +673,22 @@ def test_hill_tail_index_constructed_tail(spark, tmp_path):
     assert abs(r["x_ref"] - 100.0) < 1e-6
     assert abs(r["hill_alpha"] - math.floor(100.0 / 50.5 * 1e4 + 0.5) / 1e4) \
         < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH recall
+
+
+def test_minhash_recall_invariants(spark, sf_dir):
+    """On the real corpus with synthetic duplicates: truth is non-empty,
+    LSH-verified pairs are a SUBSET of truth (verification guarantees
+    precision = 1, so n_lsh <= n_true and recall = n_lsh/n_true), and
+    recall lands in (0, 1]."""
+    r = _fn("doc_minhash_recall")(spark, sf_dir).collect()[0]
+    assert r["n_true"] > 0
+    assert 0 < r["n_lsh"] <= r["n_true"]
+    assert r["recall"] is not None and 0 < r["recall"] <= 1.0
+    import math
+    assert abs(r["recall"]
+               - math.floor(r["n_lsh"] / r["n_true"] * 1e4 + 0.5) / 1e4) \
+        < 1e-9
