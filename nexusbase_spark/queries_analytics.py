@@ -3672,3 +3672,146 @@ def q_orders_hill_tail_index(spark, sf_dir):
     return s.select(F.lit(100).cast("long").alias("k"),
                     q4(F.col("xref")).alias("x_ref"),
                     q4(100.0 / (F.col("slq") / 1e6)).alias("hill_alpha"))
+
+
+@register("lineitem_abc_classification", """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                              + 0.5) AS BIGINT)) AS rev_q
+        FROM lineitem GROUP BY l_partkey),
+    r AS (SELECT l_partkey, rev_q,
+                 sum(rev_q) OVER (ORDER BY rev_q DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(rev_q) OVER () AS tot
+          FROM rev),
+    c AS (SELECT CASE WHEN (cum - rev_q) * 100 < tot * 80 THEN 'A'
+                      WHEN (cum - rev_q) * 100 < tot * 95 THEN 'B'
+                      ELSE 'C' END AS abc_class,
+                 rev_q
+          FROM r)
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           floor(sum(rev_q) / CAST((SELECT max(tot) FROM r) AS DOUBLE)
+                 * 1e4 + 0.5) / 1e4 AS rev_share
+    FROM c GROUP BY abc_class
+""")
+def q_lineitem_abc_classification(spark, sf_dir):
+    """ABC inventory classification: parts ranked by revenue, class A =
+    the head up to 80% cumulative share, B to 95%, C the tail — the
+    operational readout on top of the Lorenz curve (how many SKUs carry
+    the business). A part's class comes from the cumulative share
+    BEFORE it (integer cross-multiplied: (cum - rev)*100 < tot*80, so a
+    boundary part classifies identically in both engines — no float
+    threshold). Same cents-lattice rollup + |parts|-sized ranking
+    epilogue as the Gini query; at billions of parts the class
+    boundaries come from a quantile sketch over the rollup instead."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100 + F.lit(0.5)).cast("long")
+    rev = (li.select("l_partkey", cents.alias("c"))
+           .groupBy("l_partkey").agg(F.sum("c").alias("rev_q"))
+           .localCheckpoint(eager=True))
+    w = (Window.orderBy(F.col("rev_q").desc(), F.col("l_partkey"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy()
+    r = rev.select("rev_q",
+                   F.sum("rev_q").over(w).alias("cum"),
+                   F.sum("rev_q").over(wt).alias("tot"))
+    before = (F.col("cum") - F.col("rev_q")) * 100
+    cls = (F.when(before < F.col("tot") * 80, "A")
+           .when(before < F.col("tot") * 95, "B").otherwise("C"))
+    c = r.select(cls.alias("abc_class"), "rev_q", "tot")
+    return (c.groupBy("abc_class")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                 (F.floor(F.sum("rev_q") / F.first("tot").cast("double")
+                          * 1e4 + F.lit(0.5)) / 1e4).alias("rev_share")))
+
+
+@register("events_dominant_period", """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+               sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS sv,
+               count(*) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, day),
+    m AS (SELECT event_type, day, sv / (c * 1e6) AS v FROM daily),
+    mu AS (SELECT event_type, count(*) AS n,
+                  sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT))
+                      / (count(*) * 1e6) AS mean
+           FROM m GROUP BY event_type),
+    cx AS (SELECT m.event_type, m.day, m.v - mu.mean AS x
+           FROM m JOIN mu USING (event_type)),
+    den AS (SELECT event_type,
+                   sum(CAST(floor(x * x * 1e6 + 0.5) AS BIGINT)) AS d
+            FROM cx GROUP BY event_type),
+    acfs AS (
+        SELECT a.event_type, lg.lag,
+               sum(CAST(floor(a.x * b.x * 1e6 + 0.5) AS BIGINT)) AS num
+        FROM cx a
+        JOIN (SELECT unnest(range(2, 15)) AS lag) lg ON TRUE
+        JOIN cx b ON b.event_type = a.event_type
+                 AND b.day = a.day + lg.lag
+        GROUP BY a.event_type, lg.lag),
+    best AS (
+        SELECT event_type, lag, num, d,
+               row_number() OVER (PARTITION BY event_type
+                        ORDER BY num DESC, lag) AS rn
+        FROM acfs JOIN den USING (event_type))
+    SELECT event_type, CAST(lag AS BIGINT) AS period_days,
+           floor(num / CAST(d AS DOUBLE) * 1e4 + 0.5) / 1e4 AS acf
+    FROM best WHERE rn = 1
+""")
+def q_events_dominant_period(spark, sf_dir):
+    """Dominant-period detection per metric: the lag (2-14 days)
+    maximizing the autocorrelation of the daily series — the automated
+    'is it weekly or something else' answer that seasonal decomposition
+    takes as an INPUT (events_seasonal_decompose assumes period 7; this
+    measures it). ACF numerators for all 13 lags come from ONE
+    lag-joined rollup (days x 13 rows per type, never raw events);
+    products are int64-lattice-quantized before the sums so the argmax
+    is order-exact, tie to the shorter lag; only the reported acf pays
+    a division. Bound: the centered frame is days-per-type sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)) \
+        .cast("long")
+    m = (ev.filter(F.col("value").isNotNull())
+         .select("event_type", day.alias("day"),
+                 F.floor(F.col("value") * 1e6 + F.lit(0.5))
+                 .cast("long").alias("vq"))
+         .groupBy("event_type", "day")
+         .agg((F.sum("vq") / (F.count(F.lit(1)) * 1e6)).alias("v"))
+         .localCheckpoint(eager=True))
+    mu = (m.groupBy("event_type")
+          .agg((F.sum(F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("long"))
+                / (F.count(F.lit(1)) * 1e6)).alias("mean")))
+    cx = (m.join(mu, "event_type")
+          .select("event_type", "day", (F.col("v") - F.col("mean"))
+                  .alias("x"))
+          .localCheckpoint(eager=True))
+    den = cx.groupBy("event_type").agg(
+        F.sum(F.floor(F.col("x") * F.col("x") * 1e6 + F.lit(0.5))
+              .cast("long")).alias("d"))
+    lags = cx.sparkSession.range(2, 15).select(F.col("id").alias("lag"))
+    a = cx.alias("a")
+    b = cx.alias("b")
+    # lint: k-row (13 lag literals broadcast onto the days-sized frame)
+    acfs = (a.crossJoin(F.broadcast(lags))
+            .join(b, (F.col("b.event_type") == F.col("a.event_type"))
+                  & (F.col("b.day") == F.col("a.day") + F.col("lag")))
+            .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+            .agg(F.sum(F.floor(F.col("a.x") * F.col("b.x") * 1e6
+                               + F.lit(0.5)).cast("long")).alias("num")))
+    w = Window.partitionBy("event_type").orderBy(F.col("num").desc(),
+                                                 F.col("lag"))
+    best = (acfs.join(den, "event_type")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return best.select(
+        "event_type", F.col("lag").cast("long").alias("period_days"),
+        (F.floor(F.col("num") / F.col("d").cast("double") * 1e4
+                 + F.lit(0.5)) / 1e4).alias("acf"))

@@ -5130,3 +5130,54 @@ def q_doc_minhash_recall(spark, sf_dir):
             .select(F.col("n_true").cast("long").alias("n_true"),
                     F.col("n_lsh").cast("long").alias("n_lsh"),
                     recall.alias("recall")))
+
+
+@register("embed_norm_profile", """
+    WITH q AS (SELECT vec_id, label,
+                      unnest(range(len(embedding))) AS pos,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e4
+                                 + 0.5) AS BIGINT) AS eq
+               FROM embeddings),
+    n AS (SELECT vec_id, label, sum(eq * eq) AS nq
+          FROM q GROUP BY vec_id, label),
+    v AS (SELECT label, sqrt(nq / 1e8) AS nrm,
+                 CASE WHEN nq = 0 THEN 1 ELSE 0 END AS z
+          FROM n)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(min(nrm) * 1e4 + 0.5) / 1e4 AS min_norm,
+           floor(sum(CAST(floor(nrm * 1e6 + 0.5) AS BIGINT))
+                 / (count(*) * 1e6) * 1e4 + 0.5) / 1e4 AS mean_norm,
+           floor(max(nrm) * 1e4 + 0.5) / 1e4 AS max_norm,
+           CAST(sum(z) AS BIGINT) AS n_zero
+    FROM v GROUP BY label
+""")
+def q_embed_norm_profile(spark, sf_dir):
+    """Embedding-norm QC per label: min/mean/max L2 norm and the count
+    of zero vectors — the sanity gate an ANN index build runs first
+    (a zero/near-zero norm makes cosine undefined and silently poisons
+    IVF centroids; a norm-scale mismatch across labels betrays a mixed
+    encoder version — the static companion of embed_centroid_drift).
+    Per-vector squared norms are exact int64 lattice sums (elements
+    quantized at 1e-4; one posexplode + map-side-combined rollup, the
+    shuffle carries one int per vector); the zero flag compares the
+    INTEGER norm so it can never flip on a sqrt ulp; the mean is an
+    integer-lattice mean over per-vector quantized norms."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label",
+                   F.posexplode("embedding").alias("pos", "e"))
+    eq = F.floor(F.col("e").cast("double") * 1e4 + F.lit(0.5)) \
+        .cast("long")
+    n = (q.select("vec_id", "label", eq.alias("eq"))
+         .groupBy("vec_id", "label")
+         .agg(F.sum(F.col("eq") * F.col("eq")).alias("nq")))
+    v = n.select("label", F.sqrt(F.col("nq") / 1e8).alias("nrm"),
+                 F.when(F.col("nq") == 0, 1).otherwise(0).alias("z"))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (v.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 q4(F.min("nrm")).alias("min_norm"),
+                 q4(F.sum(F.floor(F.col("nrm") * 1e6 + F.lit(0.5))
+                          .cast("long")) / (F.count(F.lit(1)) * 1e6))
+                 .alias("mean_norm"),
+                 q4(F.max("nrm")).alias("max_norm"),
+                 F.sum("z").cast("long").alias("n_zero")))

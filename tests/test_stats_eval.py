@@ -692,3 +692,48 @@ def test_minhash_recall_invariants(spark, sf_dir):
     assert abs(r["recall"]
                - math.floor(r["n_lsh"] / r["n_true"] * 1e4 + 0.5) / 1e4) \
         < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ABC / dominant period / norm QC
+
+
+def test_abc_classification_hand_built(spark, tmp_path):
+    """Classification uses the cumulative share BEFORE each part
+    (integer cross-multiplied), so the part that CROSSES a boundary
+    belongs to the class it starts in: part0 (79%) and part1 (before =
+    79 < 80) are A; part2 (before = 94 < 95) is B; part3 is C."""
+    rows = [(0, 0, 79.0, 0.0), (1, 1, 15.0, 0.0),
+            (2, 2, 5.0, 0.0), (3, 3, 1.0, 0.0)]
+    _write_lineitem(spark, str(tmp_path), rows)
+    out = {r["abc_class"]: r for r in
+           _fn("lineitem_abc_classification")(spark,
+                                              str(tmp_path)).collect()}
+    assert out["A"]["n_parts"] == 2 and out["A"]["rev_share"] == 0.94
+    assert out["B"]["n_parts"] == 1 and out["B"]["rev_share"] == 0.05
+    assert out["C"]["n_parts"] == 1 and out["C"]["rev_share"] == 0.01
+
+
+def test_dominant_period_finds_planted_cycle(spark, tmp_path):
+    """A clean 5-day cycle over 40 days: the argmax ACF lag must be 5
+    (and 10 would tie in pattern but 5 wins on more overlapping pairs
+    and the shorter-lag tie-break)."""
+    rows = [(d, d, 0, "m", float((d % 5) * 10)) for d in range(40)]
+    _write_events(spark, str(tmp_path), rows)
+    out = _fn("events_dominant_period")(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["period_days"] == 5
+    assert r["acf"] > 0.8
+
+
+def test_norm_profile_detects_zero_vectors(spark, tmp_path):
+    """Two unit vectors and one all-zero vector under one label: n_zero
+    = 1, min_norm = 0, max_norm = 1."""
+    rows = [(0, [1.0, 0.0], 7), (1, [0.0, 1.0], 7), (2, [0.0, 0.0], 7)]
+    _write_embeddings(spark, str(tmp_path), rows)
+    r = _fn("embed_norm_profile")(spark, str(tmp_path)).collect()[0]
+    assert r["label"] == 7 and r["n_vecs"] == 3
+    assert r["n_zero"] == 1
+    assert r["min_norm"] == 0.0 and r["max_norm"] == 1.0
+    assert abs(r["mean_norm"] - 0.6667) < 1e-9
