@@ -5181,3 +5181,57 @@ def q_embed_norm_profile(spark, sf_dir):
                  .alias("mean_norm"),
                  q4(F.max("nrm")).alias("max_norm"),
                  F.sum("z").cast("long").alias("n_zero")))
+
+
+@register("embed_pq_distortion", f"""
+    WITH {_pq_ctes(m_sub=4, k=4, iters=2, sub_len=16)},
+    err AS (
+        {" UNION ALL ".join(f'''
+        SELECT {s} AS sub, e.vec_id,
+               CAST(floor(sum((e.x - c.val) * (e.x - c.val)) * 1e6 + 0.5)
+                    AS BIGINT) AS eq
+        FROM e{s} e
+        JOIN s{s}a3 a ON a.vec_id = e.vec_id
+        JOIN s{s}c2 c ON c.cid = a.cid AND c.pos = e.pos
+        GROUP BY e.vec_id''' for s in range(4))})
+    SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(sum(eq) / (count(*) * 1e6) * 1e4 + 0.5) / 1e4 AS mse,
+           floor(max(eq) / 1e6 * 1e4 + 0.5) / 1e4 AS max_se
+    FROM err GROUP BY sub
+""")
+def q_embed_pq_distortion(spark, sf_dir):
+    """PQ reconstruction distortion per subspace: mean and max squared
+    L2 error between each subvector and its assigned codebook centroid
+    — the compression-quality eval of the PQ family (ADC distances are
+    only as good as this quantization error; a subspace with outsized
+    MSE is where to spend more codebook bits, the diagnostic behind
+    OPQ's bit allocation). Shares the memoized codebook fit with the
+    PQ gate queries (an index build, not a query cost); reconstruction
+    centroids enter the plan as LITERALS (k*sub_len doubles per
+    subspace), so the scan does zip_with arithmetic against constants —
+    no join. Per-vector errors are floor-quantized to int64 before the
+    order-free rollup sums."""
+    enc, books = _pq_trained(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        enc.select("vec_id", *[f"code_{s}" for s in range(4)]), "vec_id")
+    parts = []
+    for s in range(4):
+        sub = F.transform(F.slice("embedding", s * 16 + 1, 16),
+                          lambda x: x.cast("double"))
+        cents = F.array(*[
+            F.array(*[F.lit(float(v)) for v in books[(s, c)]])
+            for c in range(4)])
+        cent = F.element_at(cents, F.col(f"code_{s}") + 1)
+        err = F.aggregate(
+            F.zip_with(sub, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        parts.append(emb.select(
+            F.lit(s).alias("sub"),
+            F.floor(err * 1e6 + F.lit(0.5)).cast("long").alias("eq")))
+    from functools import reduce
+    err_df = reduce(lambda a, b: a.unionByName(b), parts)
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (err_df.groupBy("sub")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 q4(F.sum("eq") / (F.count(F.lit(1)) * 1e6)).alias("mse"),
+                 q4(F.max("eq") / 1e6).alias("max_se")))

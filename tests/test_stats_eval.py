@@ -737,3 +737,23 @@ def test_norm_profile_detects_zero_vectors(spark, tmp_path):
     assert r["n_zero"] == 1
     assert r["min_norm"] == 0.0 and r["max_norm"] == 1.0
     assert abs(r["mean_norm"] - 0.6667) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# PQ distortion
+
+
+def test_pq_distortion_zero_on_codebook_points(spark, tmp_path):
+    """A corpus of exactly four distinct 64-dim vectors (each repeated):
+    Lloyd seeds on the first four rows, every assignment is exact, every
+    centroid lands ON its points => reconstruction MSE = 0 in all four
+    subspaces."""
+    pats = [0.5, -0.5, 0.25, -0.25]
+    rows = [(i, [pats[i % 4]] * 64, 0) for i in range(20)]
+    _write_embeddings(spark, str(tmp_path), rows)
+    # fresh cache key per tmp_path: _pq_trained memoizes on sf_dir
+    out = _fn("embed_pq_distortion")(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_vecs"] == 20
+        assert r["mse"] == 0.0 and r["max_se"] == 0.0
