@@ -5235,3 +5235,88 @@ def q_embed_pq_distortion(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
                  q4(F.sum("eq") / (F.count(F.lit(1)) * 1e6)).alias("mse"),
                  q4(F.max("eq") / 1e6).alias("max_se")))
+
+
+@register("docs_dedup_rate_curve", """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(t[1:greatest(CAST(floor(len(t) * 0.6)
+                                                 AS INT), 3)], ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id % 5 = 0 AND doc_id < 400)),
+    tk AS (SELECT DISTINCT doc_id,
+                  unnest(string_split(trim(lower(text)), ' ')) AS tok
+           FROM aug),
+    sz AS (SELECT doc_id, count(*) AS s FROM tk GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS MATERIALIZED (
+        SELECT i.id_a, i.id_b, i.inter,
+               sa.s + sb.s - i.inter AS uni
+        FROM i JOIN sz sa ON sa.doc_id = i.id_a
+               JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.inter * 10 >= (sa.s + sb.s - i.inter) * 5),
+    th AS (SELECT unnest([5, 6, 7, 8, 9]) AS t10),
+    at_t AS (SELECT th.t10, p.id_a, p.id_b FROM th
+             JOIN pairs p ON p.inter * 10 >= p.uni * th.t10),
+    d AS (SELECT t10, doc_id FROM (
+              SELECT t10, id_a AS doc_id FROM at_t
+              UNION SELECT t10, id_b FROM at_t))
+    SELECT th.t10 / 10.0 AS threshold,
+           CAST(coalesce(np.n, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(nd.n, 0) AS BIGINT) AS n_dup_docs
+    FROM th
+    LEFT JOIN (SELECT t10, count(*) AS n FROM at_t GROUP BY t10) np
+           ON np.t10 = th.t10
+    LEFT JOIN (SELECT t10, count(*) AS n FROM d GROUP BY t10) nd
+           ON nd.t10 = th.t10
+""")
+def q_docs_dedup_rate_curve(spark, sf_dir):
+    """Dedup threshold-tuning curve: exact near-dup pair counts and the
+    number of docs touched, at Jaccard thresholds 0.5-0.9 — the readout
+    that decides WHERE to set the dedup threshold before committing to
+    a full run (too low eats distinct content, too high leaves
+    near-dups in). ONE exact pair computation at the loosest threshold
+    (PPJoin prefix filtering at 0.5 — lossless, so every stricter
+    threshold is a subset) feeds all five points via integer
+    cross-multiplied verdicts (inter*10 >= uni*t10 — no float can flip
+    a curve point); zero-pair thresholds still emit rows. Scored on the
+    doc_id < 400 slice + synthetic copies (the recall-query precedent);
+    the operator itself (prefix_filter_pairs) runs corpus-wide."""
+    from nexusbase_spark.pipeline.dedup import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # mirror of _docs_aug restricted to the slice (copies of %5 docs)
+    tks = F.split(F.col("text"), " ")
+    ncut = F.greatest(F.floor(F.size(tks) * 0.6).cast("int"), F.lit(3))
+    copies = (base.filter(F.col("doc_id") % 5 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      F.array_join(F.slice(tks, 1, ncut), " ")
+                      .alias("text")))
+    aug = base.unionByName(copies)
+    pairs = (prefix_filter_pairs(aug, threshold=0.5)
+             .select("id_a", "id_b", "inter", "uni")
+             .localCheckpoint(eager=True))
+    th = spark.createDataFrame([(t,) for t in (5, 6, 7, 8, 9)],
+                               "t10 long")
+    # lint: k-row (5 threshold literals)
+    at_t = (pairs.crossJoin(F.broadcast(th))
+            .filter(F.col("inter") * 10 >= F.col("uni") * F.col("t10"))
+            .select("t10", "id_a", "id_b")
+            .localCheckpoint(eager=True))
+    np_ = at_t.groupBy("t10").agg(F.count(F.lit(1)).alias("n_pairs"))
+    d = (at_t.select("t10", F.col("id_a").alias("doc_id"))
+         .union(at_t.select("t10", F.col("id_b").alias("doc_id")))
+         .distinct()
+         .groupBy("t10").agg(F.count(F.lit(1)).alias("n_dup_docs")))
+    return (th.join(np_, "t10", "left").join(d, "t10", "left")
+            .select((F.col("t10") / 10.0).alias("threshold"),
+                    F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("long")
+                    .alias("n_dup_docs")))

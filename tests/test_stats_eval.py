@@ -757,3 +757,22 @@ def test_pq_distortion_zero_on_codebook_points(spark, tmp_path):
     for r in out:
         assert r["n_vecs"] == 20
         assert r["mse"] == 0.0 and r["max_se"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# dedup rate curve
+
+
+def test_dedup_rate_curve_monotone_and_zero_rows(spark, sf_dir):
+    """On the real corpus: five threshold rows always present, both
+    curves monotone NON-INCREASING in the threshold, and
+    n_dup_docs <= 2 * n_pairs."""
+    out = sorted(_fn("docs_dedup_rate_curve")(spark, sf_dir).collect(),
+                 key=lambda r: r["threshold"])
+    assert [r["threshold"] for r in out] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(out, out[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_dup_docs"] >= b["n_dup_docs"]
+    for r in out:
+        assert r["n_dup_docs"] <= 2 * r["n_pairs"]
+    assert out[0]["n_pairs"] > 0  # synthetic copies guarantee pairs
