@@ -3815,3 +3815,77 @@ def q_events_dominant_period(spark, sf_dir):
         "event_type", F.col("lag").cast("long").alias("period_days"),
         (F.floor(F.col("num") / F.col("d").cast("double") * 1e4
                  + F.lit(0.5)) / 1e4).alias("acf"))
+
+
+def _seasonal_strength_sql() -> str:
+    from nexusbase_spark.queries import QUERIES
+    dec_sql = QUERIES["events_seasonal_decompose"][1]
+    return f"""
+    WITH dec AS MATERIALIZED (SELECT * FROM ({dec_sql})),
+    q AS (SELECT metric,
+                 CAST(floor(residual * 1e4 + 0.5) AS BIGINT) AS r,
+                 CAST(floor((trend + residual) * 1e4 + 0.5) AS BIGINT)
+                     AS tr,
+                 CAST(floor((seasonal + residual) * 1e4 + 0.5) AS BIGINT)
+                     AS sr
+          FROM dec),
+    m AS (SELECT metric, count(*) AS n,
+                 sum(r) AS s_r, sum(r * r) AS q_r,
+                 sum(tr) AS s_tr, sum(tr * tr) AS q_tr,
+                 sum(sr) AS s_sr, sum(sr * sr) AS q_sr
+          FROM q GROUP BY metric)
+    SELECT metric, CAST(n AS BIGINT) AS n_slots,
+           CASE WHEN q_tr - CAST(s_tr AS DOUBLE) * s_tr / n = 0 THEN 0.0
+                ELSE floor(greatest(0.0,
+                    1 - (q_r - CAST(s_r AS DOUBLE) * s_r / n)
+                        / (q_tr - CAST(s_tr AS DOUBLE) * s_tr / n))
+                    * 1e4 + 0.5) / 1e4 END AS trend_strength,
+           CASE WHEN q_sr - CAST(s_sr AS DOUBLE) * s_sr / n = 0 THEN 0.0
+                ELSE floor(greatest(0.0,
+                    1 - (q_r - CAST(s_r AS DOUBLE) * s_r / n)
+                        / (q_sr - CAST(s_sr AS DOUBLE) * s_sr / n))
+                    * 1e4 + 0.5) / 1e4 END AS seasonal_strength
+    FROM m
+"""
+
+
+@register("events_seasonal_strength", _seasonal_strength_sql())
+def q_events_seasonal_strength(spark, sf_dir):
+    """Trend and seasonal STRENGTH per metric (Hyndman's F_T = max(0,
+    1 - Var(R)/Var(T+R)) and F_S = max(0, 1 - Var(R)/Var(S+R))) over
+    the gated additive decomposition — the one-number-per-metric
+    summary that ranks which series are seasonality-dominated
+    (route to seasonal-naive forecasting) vs trend-dominated (route to
+    Holt), closing the loop with the two backtests. Composes the
+    REGISTERED decomposition (identical 4dp-quantized components both
+    engines), then builds variances from int64 lattice moments — sums
+    and squared sums of quantized components are exact; the only float
+    path is S*S/n and two ratios, identical IEEE on identical ints."""
+    from nexusbase_spark.queries import QUERIES
+
+    dec = (QUERIES["events_seasonal_decompose"][0](spark, sf_dir)
+           .localCheckpoint(eager=True))
+    lat = lambda c: F.floor(c * 1e4 + F.lit(0.5)).cast("long")  # noqa: E731
+    q = dec.select(
+        "metric", lat(F.col("residual")).alias("r"),
+        lat(F.col("trend") + F.col("residual")).alias("tr"),
+        lat(F.col("seasonal") + F.col("residual")).alias("sr"))
+    m = q.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s_r"), F.sum(F.col("r") * F.col("r")).alias("q_r"),
+        F.sum("tr").alias("s_tr"),
+        F.sum(F.col("tr") * F.col("tr")).alias("q_tr"),
+        F.sum("sr").alias("s_sr"),
+        F.sum(F.col("sr") * F.col("sr")).alias("q_sr"))
+    var = lambda s, qq: (F.col(qq) - F.col(s).cast("double") * F.col(s)  # noqa: E731,E501
+                         / F.col("n"))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    # a perfectly constant component (flat series) makes the denominator
+    # variance 0: strength is 0 by convention (nothing to explain)
+    strength = lambda s_, q_: F.when(  # noqa: E731
+        var(s_, q_) == 0, F.lit(0.0)).otherwise(
+        q4(F.greatest(F.lit(0.0), 1 - var("s_r", "q_r") / var(s_, q_))))
+    return m.select(
+        "metric", F.col("n").cast("long").alias("n_slots"),
+        strength("s_tr", "q_tr").alias("trend_strength"),
+        strength("s_sr", "q_sr").alias("seasonal_strength"))

@@ -5320,3 +5320,59 @@ def q_docs_dedup_rate_curve(spark, sf_dir):
                     .alias("n_pairs"),
                     F.coalesce(F.col("n_dup_docs"), F.lit(0)).cast("long")
                     .alias("n_dup_docs")))
+
+
+@register("docs_token_budget_curve", f"""
+    WITH z AS ({_cls_z_sql()}),
+    t AS (SELECT doc_id, len(string_split(trim(lower(text)), ' ')) AS n_tok
+          FROM documents),
+    b AS (SELECT CAST({" + ".join(
+              f"(CASE WHEN z.z >= {e} THEN 1 ELSE 0 END)"
+              for e in _LOGIT_EDGES)} AS BIGINT) AS bin,
+                 t.n_tok
+          FROM z JOIN t ON t.doc_id = z.doc_id),
+    g AS (SELECT bin, count(*) AS n_docs, sum(n_tok) AS toks
+          FROM b GROUP BY bin),
+    tot AS (SELECT sum(toks) AS all_toks FROM g)
+    SELECT g.bin,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(sum(g.toks) OVER (ORDER BY g.bin DESC) AS BIGINT)
+               AS cum_tokens,
+           floor(sum(g.toks) OVER (ORDER BY g.bin DESC)
+                 / CAST(tot.all_toks AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS cum_share
+    FROM g, tot
+""")
+def q_docs_token_budget_curve(spark, sf_dir):
+    """Token-budget curve: how many TOKENS survive if the corpus is cut
+    at each quality-score decile, reading from the best bin down — the
+    data-mixing dashboard behind 'can we hit the token budget at
+    quality >= X' decisions (docs_budget_select picks one operating
+    point; this shows the whole menu). Bins reuse the calibration
+    query's logit LITERALS (bit-identical margin vs constants — no
+    float threshold can flip a bin); token counts are exact integers;
+    the cumulative window runs over <=10 bin rows. One scan + one
+    10-cell rollup."""
+    from nexusbase_spark.pipeline.text import classifier_margin
+
+    docs = load_table(spark, sf_dir, "documents")
+    z = classifier_margin(F.col("text"))
+    bin_ = sum((F.when(z >= float(e), 1).otherwise(0)
+                for e in _LOGIT_EDGES), F.lit(0)).cast("long")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), " "))
+    g = (docs.select(bin_.alias("bin"), n_tok.alias("n_tok"))
+         .groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tok").alias("toks"))
+         .localCheckpoint(eager=True))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("bin").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = g.agg(F.sum("toks").alias("all_toks"))
+    # lint: k-row (<=10 bin rows x 1 totals row)
+    return (g.crossJoin(tot)
+            .select("bin", F.col("n_docs").cast("long").alias("n_docs"),
+                    F.sum("toks").over(w).cast("long").alias("cum_tokens"),
+                    (F.floor(F.sum("toks").over(w)
+                             / F.col("all_toks").cast("double") * 1e4
+                             + F.lit(0.5)) / 1e4).alias("cum_share")))
