@@ -5212,8 +5212,12 @@ def q_embed_pq_distortion(spark, sf_dir):
     no join. Per-vector errors are floor-quantized to int64 before the
     order-free rollup sums."""
     enc, books = _pq_trained(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings").join(
+    # one checkpoint: the four per-subspace branches below union over
+    # this frame — without it each branch re-runs the encode join from
+    # the scan (8 FileScans observed)
+    emb = (load_table(spark, sf_dir, "embeddings").join(
         enc.select("vec_id", *[f"code_{s}" for s in range(4)]), "vec_id")
+        .localCheckpoint(eager=True))
     parts = []
     for s in range(4):
         sub = F.transform(F.slice("embedding", s * 16 + 1, 16),

@@ -239,7 +239,11 @@ def test_round5_stats_queries_scan_once(spark, qs):
                  "orders_benford", "lineitem_gini_revenue",
                  "docs_heaps_law", "embed_centroid_drift",
                  "orders_hill_tail_index",
-                 "events_seasonal_naive_backtest"):
+                 "events_seasonal_naive_backtest",
+                 "docs_token_budget_curve", "events_seasonal_strength",
+                 "docs_dedup_rate_curve", "doc_minhash_recall",
+                 "embed_pq_distortion", "lineitem_abc_classification",
+                 "events_dominant_period"):
         plan = _plan(qs[name](spark, SF_DIR))
         assert plan.count("FileScan parquet") == 0, name
 
