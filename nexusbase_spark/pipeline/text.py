@@ -425,3 +425,58 @@ def char_entropy(docs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "n_chars",
                     ((F.log("n_chars") - F.col("__s") / F.col("n_chars"))
                      / F.lit(ln2)).alias("entropy")))
+
+
+# Sigmoid bin edges as logit literals: bin k <=> p in [k/10, (k+1)/10)
+# <=> margin z in [ln(k/(10-k)), ln((k+1)/(9-k))). SHARED literals (not
+# libm calls) so a bin can never flip on an exp/log ulp — the canonical
+# copy; the calibration/token-budget oracles embed the same strings.
+LOGIT_EDGE_LITERALS = (
+    '-2.1972245773362196', '-1.3862943611198906', '-0.8472978603872037',
+    '-0.40546510810816444', '0.0', '0.4054651081081644',
+    '0.8472978603872037', '1.3862943611198906', '2.1972245773362196')
+
+
+def quality_bin_expr(text: Column) -> Column:
+    """Decile bin (0-9) of the classifier's keep-probability, computed
+    by comparing the bit-identical margin against the logit literals —
+    no exp() on the binning path."""
+    z = classifier_margin(text)
+    bin_ = F.lit(0)
+    for e in LOGIT_EDGE_LITERALS:
+        bin_ = bin_ + F.when(z >= float(e), 1).otherwise(0)
+    return bin_.cast("long")
+
+
+def quality_mix_sink(report_path: str, text_col: str = "text"):
+    """Streaming quality-mix monitor (foreachBatch): append each
+    micro-batch's per-quality-bin document and token counts to a
+    parquet history table. Counts are ADDITIVE integers, so the store
+    is exactly mergeable: total mix = sum over batches, no rebuild,
+    restart-safe by construction (the parquet store IS the state) —
+    the ingest-gate twin of docs_token_budget_curve, catching a
+    quality-mix shift (a crawl gone bad, an upstream filter change)
+    batch by batch instead of at the next corpus-wide audit."""
+    def run(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        n_tok = F.size(tokens_col(F.col(text_col)))
+        (batch.select(quality_bin_expr(F.col(text_col)).alias("bin"),
+                      n_tok.alias("n_tok"))
+         .groupBy("bin")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_tok").alias("n_tokens"))
+         .withColumn("batch_id", F.lit(int(batch_id)))
+         .coalesce(1).write.mode("append").parquet(report_path))
+    return run
+
+
+def quality_mix_totals(spark, report_path: str) -> DataFrame:
+    """Corpus-to-date quality mix served from the monitor's history:
+    per-bin docs/tokens summed over all batches (bin-count-sized read,
+    never the corpus). Equals the batch recompute over everything
+    ingested — additive-integer merge, parity-tested."""
+    return (spark.read.parquet(report_path)
+            .groupBy("bin")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))

@@ -4456,13 +4456,13 @@ def q_docs_quality_kappa(spark, sf_dir):
         kappa.alias("kappa"))
 
 
-# sigmoid bin edges as logit literals: bin k <=> p in [k/10,(k+1)/10)
-# <=> z in [ln(k/(10-k)), ln((k+1)/(9-k))) -- comparing the bit-identical
-# margin z against shared double literals needs NO exp() for binning
-_LOGIT_EDGES = ['-2.1972245773362196', '-1.3862943611198906',
-                '-0.8472978603872037', '-0.40546510810816444', '0.0',
-                '0.4054651081081644', '0.8472978603872037',
-                '1.3862943611198906', '2.1972245773362196']
+# sigmoid bin edges as logit literals — canonical copy lives in
+# pipeline/text.LOGIT_EDGE_LITERALS (shared with the streaming
+# quality-mix monitor); comparing the bit-identical margin z against
+# shared double literals needs NO exp() for binning
+from nexusbase_spark.pipeline.text import LOGIT_EDGE_LITERALS
+
+_LOGIT_EDGES = list(LOGIT_EDGE_LITERALS)
 
 
 @register("docs_calibration_bins", f"""

@@ -1144,3 +1144,62 @@ def test_expectations_by_group_trend_detects_deteriorating_source(
     assert abs(trend["bad"]["slope"] - 0.5) < 1e-9
     assert trend["good"]["latest_rate"] == 0.0
     assert abs(trend["good"]["slope"]) < 1e-9
+
+
+def test_quality_mix_monitor_matches_batch(spark, tmp_path):
+    """The streaming quality-mix monitor: two doc micro-batches append
+    per-bin doc/token counts; the store-served totals equal the batch
+    recompute over everything ingested (additive-integer merge), and
+    per-batch rows carry the shift (batch 2 is all low-quality)."""
+    from nexusbase_spark.pipeline.text import (
+        quality_bin_expr,
+        quality_mix_sink,
+        quality_mix_totals,
+        tokens_col,
+    )
+
+    src = tmp_path / "qm_src"
+    src.mkdir()
+    rep = str(tmp_path / "qm_report")
+    schema = "doc_id long, text string"
+    good = ("the quick brown fox jumps over the lazy dog and then they "
+            "have a long talk about the weather with many common words "
+            "to be sure of the mix staying clean and pleasant today")
+    bad = "#### #### #### #### #### #### #### #### #### ####"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    feed([(i, good + f" x{i}") for i in range(4)] + [(9, bad)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (stream.writeStream.queryName("t_quality_mix")
+         .foreachBatch(quality_mix_sink(rep))
+         .option("checkpointLocation", str(tmp_path / "qm_ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        feed([(20 + i, bad + f" y{i}") for i in range(3)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = spark.read.parquet(str(src))
+    want = {(r["bin"], r["n_docs"], r["n_tokens"]) for r in
+            corpus.select(quality_bin_expr(F.col("text")).alias("bin"),
+                          F.size(tokens_col(F.col("text")))
+                          .alias("n_tok"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"))
+            .collect()}
+    got = {(r["bin"], r["n_docs"], r["n_tokens"]) for r in
+           quality_mix_totals(spark, rep).collect()}
+    assert got == want
+    # the shift is visible per batch: batch 2 contributed only low bins
+    hist = spark.read.parquet(rep)
+    batches = sorted(r["batch_id"] for r in
+                     hist.select("batch_id").distinct().collect())
+    b2 = hist.filter(F.col("batch_id") == batches[-1]).collect()
+    assert sum(r["n_docs"] for r in b2) == 3
+    assert all(r["bin"] <= 4 for r in b2)
