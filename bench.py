@@ -80,9 +80,39 @@ HEADLINE = [
 ]
 
 
+def _settle_host(max_wait_s: float, idle_load: float) -> dict:
+    """Make the official artifact robust to a non-idle driver host
+    (VERDICT r5 #4: BENCH_r05 ran right after a 38-minute pytest sweep
+    and read 15-30% below same-tree idle runs). Sample loadavg; if the
+    1-minute load is above `idle_load`, sleep in short steps until it
+    decays or `max_wait_s` is spent. Returns the samples + an explicit
+    idle/non-idle flag so a depressed artifact explains itself."""
+    load_at_start = os.getloadavg()
+    waited = 0.0
+    load = load_at_start
+    while load[0] > idle_load and waited < max_wait_s:
+        time.sleep(10.0)
+        waited += 10.0
+        load = os.getloadavg()
+    return {
+        "host_load_at_start": [round(x, 2) for x in load_at_start],
+        "host_load_at_bench": [round(x, 2) for x in load],
+        "host_settle_wait_s": round(waited, 1),
+        "host_idle": load[0] <= idle_load,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # settle BEFORE the JVM spins up: loadavg decays with ~1min half-life,
+    # so a post-pytest invocation (the driver's shape) gets minutes of
+    # cooldown, while an already-idle host pays one 0s check. idle_load=4
+    # on 32 cores ~= 12% busy; the builder's idle-protocol runs all
+    # measured below that.
+    host = _settle_host(
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_SETTLE_MAX_S", "300")),
+        idle_load=float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "4.0")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -213,6 +243,7 @@ def main() -> None:
         "scan_p50_s": pct(0.50),
         "scan_p90_s": pct(0.90),
         "scan_p99_s": pct(0.99),
+        **host,
     }))
     spark.stop()
 

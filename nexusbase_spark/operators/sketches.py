@@ -181,6 +181,18 @@ class CMSStore:
         folded = self._cells().localCheckpoint(eager=True)
         (folded.coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(self.path, "cells")))
+        # The candidate-gate table (one small appended file per batch that
+        # crossed the threshold) folds too: distinct items, one file. Its
+        # batch_id provenance is compaction-scoped by design — the gate's
+        # contract is the distinct candidate SET, which dedup preserves.
+        cand_path = _gate_candidates_path(self)
+        if os.path.isdir(cand_path):
+            cand = (self.spark.read.parquet(cand_path)
+                    .groupBy("item")
+                    .agg(F.max("estimate").alias("estimate"),
+                         F.max("batch_id").alias("batch_id"))
+                    .localCheckpoint(eager=True))
+            (cand.coalesce(1).write.mode("overwrite").parquet(cand_path))
 
     def for_each_batch(self):
         def run(batch: DataFrame, batch_id: int) -> None:
@@ -248,9 +260,15 @@ def cms_candidate_gate(store: "CMSStore", threshold: int):
 
 
 def gate_candidates(store: "CMSStore") -> DataFrame:
-    """Distinct candidate tokens the gate has emitted so far."""
-    return (store.spark.read.parquet(_gate_candidates_path(store))
-            .select(F.col("item")).distinct())
+    """Distinct candidate tokens the gate has emitted so far. Before any
+    batch crosses the threshold the candidates path does not exist —
+    that is the legitimate "no heavy hitters yet" state, so it reads as
+    an empty (item) frame, not a missing-path error."""
+    import os
+    path = _gate_candidates_path(store)
+    if not os.path.isdir(path):
+        return store.spark.createDataFrame([], "item string")
+    return store.spark.read.parquet(path).select(F.col("item")).distinct()
 
 
 def verify_gate_candidates(corpus: DataFrame, store: "CMSStore",

@@ -30,6 +30,41 @@ _AGGS = {
     "count": F.count,
 }
 
+# Measured one-series-per-row bound for the sequential-fold operators
+# (SCALE.md round-5, 16g heap): ~4M points/series comfortable, ~10x
+# slower at 16M (a ~400MB row), OOM between 16M and 64M. The guard
+# default sits at the comfortable edge; callers with bigger executors
+# raise it explicitly, callers who have pre-bounded their series pass
+# None to skip the check entirely.
+SERIES_FOLD_MAX_POINTS = 4_000_000
+
+
+def _guard_series_fold(df: DataFrame, keys: list[str], op_name: str,
+                       max_points: int | None) -> None:
+    """Refuse to build a per-series fold whose longest series exceeds
+    the measured memory bound, instead of letting collect_list (or a
+    whole-series window buffer) OOM an executor mid-job at scale
+    (VERDICT r5 #6). Costs one wordcount-shaped count job over the
+    series keys — cheap next to the fold itself, and skippable with
+    ``max_points_per_series=None``. ``df`` must already be the
+    null-filtered frame so the bound counts exactly the folded points."""
+    if max_points is None:
+        return
+    longest = (df.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .agg(F.max("__n").alias("__mx"))
+               .collect()[0]["__mx"])
+    if longest is not None and longest > max_points:
+        raise ValueError(
+            f"{op_name}: longest series has {longest:,} points, above the "
+            f"max_points_per_series bound of {max_points:,} (measured OOM "
+            f"risk for one-row-per-series folds — SCALE.md round-5). "
+            f"Downsample the series first (operators/downsample at e.g. "
+            f"minute grain preserves the level/trend semantics), raise "
+            f"max_points_per_series if your executors have the heap for "
+            f"~100 bytes/point rows, or pass max_points_per_series=None "
+            f"to skip this check.")
+
 
 def rolling_agg(df: DataFrame, keys: list[str], width_ns: int,
                 funcs: dict[str, str], ts_col: str = "ts") -> DataFrame:
@@ -174,7 +209,9 @@ def fill_forward(df: DataFrame, keys: list[str], cols: list[str],
 
 def ewma_level(df: DataFrame, keys: list[str], alpha: float,
                value_col: str = "value",
-               order_cols: tuple[str, str] = ("ts", "seq")) -> DataFrame:
+               order_cols: tuple[str, str] = ("ts", "seq"),
+               max_points_per_series: int | None = SERIES_FOLD_MAX_POINTS,
+               ) -> DataFrame:
     """Per-series exponentially weighted level: fold
     ``ewma = alpha*x + (1-alpha)*ewma`` over the series in
     (ts, seq) order, seeded with the first value — the smoothed "current
@@ -204,6 +241,7 @@ def ewma_level(df: DataFrame, keys: list[str], alpha: float,
     # whole EWMA while n counted only non-null points (ADVICE r3). With
     # the filter, n matches exactly the points folded.
     df = df.filter(F.col(value_col).isNotNull())
+    _guard_series_fold(df, keys, "ewma_level", max_points_per_series)
     ordered = F.sort_array(F.collect_list(
         F.struct(F.col(o1), F.col(o2), F.col(value_col).alias("v"))))
     g = df.groupBy(*keys).agg(ordered.alias("__pts"),
@@ -311,7 +349,9 @@ def cusum_changepoints(df: DataFrame, keys: list[str],
 
 def acf_lags(df: DataFrame, keys: list[str], max_lag: int = 3,
              value_col: str = "value", ts_col: str = "ts",
-             seq_col: str = "seq") -> DataFrame:
+             seq_col: str = "seq",
+             max_points_per_series: int | None = SERIES_FOLD_MAX_POINTS,
+             ) -> DataFrame:
     """Per-series autocorrelation function at lags 1..max_lag — the
     seasonality/persistence fingerprint (an AR(1) process shows
     geometrically decaying r_k; a periodic series spikes at its period).
@@ -339,6 +379,9 @@ def acf_lags(df: DataFrame, keys: list[str], max_lag: int = 3,
     # still occupy a lag position, silently turning r_k into "r_k over
     # observation slots" instead of over the observed series
     df = df.filter(F.col(value_col).isNotNull())
+    # the whole-partition mean window buffers one series per task like
+    # the collect_list folds do — same bound, same guard
+    _guard_series_fold(df, keys, "acf_lags", max_points_per_series)
     v = F.col(value_col).cast("double")
     df = (df.withColumn("__mu", F.avg(v).over(wp))
           .withColumn("__c", v - F.col("__mu")))
@@ -399,7 +442,9 @@ def series_linreg(df: DataFrame, keys: list[str],
 def holt_linear(df: DataFrame, keys: list[str], alpha: float, beta: float,
                 value_col: str = "value",
                 order_cols: tuple[str, str] = ("ts", "seq"),
-                horizon: int = 3) -> DataFrame:
+                horizon: int = 3,
+                max_points_per_series: int | None = SERIES_FOLD_MAX_POINTS,
+                ) -> DataFrame:
     """Per-series Holt double exponential smoothing (level + trend):
 
         l_t = alpha*x_t + (1-alpha)(l_{t-1} + b_{t-1})
@@ -423,6 +468,7 @@ def holt_linear(df: DataFrame, keys: list[str], alpha: float, beta: float,
     """
     o1, o2 = order_cols
     df = df.filter(F.col(value_col).isNotNull())
+    _guard_series_fold(df, keys, "holt_linear", max_points_per_series)
     ordered = F.sort_array(F.collect_list(
         F.struct(F.col(o1), F.col(o2), F.col(value_col).alias("v"))))
     g = (df.groupBy(*keys)
@@ -526,7 +572,9 @@ def seasonal_decompose(df: DataFrame, keys: list[str], ts_col: str = "ts",
 
 def holt_backtest(df: DataFrame, keys: list[str], alpha: float, beta: float,
                   value_col: str = "value",
-                  order_cols: tuple[str, str] = ("ts", "seq")) -> DataFrame:
+                  order_cols: tuple[str, str] = ("ts", "seq"),
+                  max_points_per_series: int | None = SERIES_FOLD_MAX_POINTS,
+                  ) -> DataFrame:
     """One-step-ahead BACKTEST of Holt smoothing: walk the series with
     the same recurrence as ``holt_linear`` and, before consuming each
     point x_i (i >= 3), score the standing forecast l+b against it —
@@ -545,6 +593,7 @@ def holt_backtest(df: DataFrame, keys: list[str], alpha: float, beta: float,
     Output: keys..., n, mae, rmse (raw doubles; caller quantizes)."""
     o1, o2 = order_cols
     df = df.filter(F.col(value_col).isNotNull())
+    _guard_series_fold(df, keys, "holt_backtest", max_points_per_series)
     ordered = F.sort_array(F.collect_list(
         F.struct(F.col(o1), F.col(o2), F.col(value_col).alias("v"))))
     g = (df.groupBy(*keys)

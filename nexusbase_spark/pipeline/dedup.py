@@ -345,6 +345,9 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
         # rerun.
         .localCheckpoint(eager=True)
     )
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    changed = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])

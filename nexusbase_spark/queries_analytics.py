@@ -3181,16 +3181,18 @@ def q_events_theil_sen(spark, sf_dir):
           FROM g GROUP BY event_type),
     t AS (SELECT count(*) AS k, sum(n) AS nn, sum(sv) AS st,
                  sum(qv) AS qt,
-                 sum(CAST(sv AS DOUBLE) * sv / n) AS sb
+                 sum(sv * sv // n) AS sbq
           FROM s)
     SELECT CAST(k AS BIGINT) AS k,
            CAST(k - 1 AS BIGINT) AS dof_between,
            CAST(nn - k AS BIGINT) AS dof_within,
-           floor((sb - CAST(st AS DOUBLE) * st / nn) / (k - 1)
-                 / ((CAST(qt AS DOUBLE) - sb) / (nn - k))
+           floor((CAST(sbq AS DOUBLE) - CAST(st AS DOUBLE) * st / nn)
+                 / (k - 1)
+                 / ((CAST(qt AS DOUBLE) - CAST(sbq AS DOUBLE)) / (nn - k))
                  * 1e4 + 0.5) / 1e4 AS f_stat,
-           floor((sb - CAST(st AS DOUBLE) * st / nn)
-                 / (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / nn)
+           floor((CAST(sbq AS DOUBLE) - CAST(st AS DOUBLE) * st / nn)
+                 / (CAST(qt AS DOUBLE)
+                    - CAST(st AS DOUBLE) * st / nn)
                  * 1e4 + 0.5) / 1e4 AS eta_sq
     FROM t
 """)
@@ -3202,11 +3204,19 @@ def q_events_anova(spark, sf_dir):
     Sums are exact: per-row 1e-3-lattice quantization, then int64
     values summed in DECIMAL(38) (Spark) / HUGEINT (DuckDB), so group
     moments are bit-identical integers at any row count -- no
-    order-dependent float folds anywhere. The lattice factor cancels in
-    F and eta^2 (both are ratios of sums of squares), so no unscaling;
-    one map-side-combined groupBy over |types| groups plus a k-row
-    epilogue. Per-group sums-of-squares never leave the integer domain
-    until the final two divisions, 4dp-quantized."""
+    order-dependent float folds anywhere, INCLUDING the between-group
+    sum of squares: each group's sv^2/n is floor-divided on the integer
+    lattice (`(sv^2 - sv^2 % n) / n` here == HUGEINT `//` in the
+    oracle) and summed in DECIMAL(38), so a partial-sum reorder cannot
+    flip the 4dp quantize (ADVICE r5 closed the one double fold that
+    remained). Headroom: sv^2 must fit DECIMAL(38) — per-group
+    |sum of 1e-3-quantized values| < 1e19, far above any real corpus.
+    The per-group floor discards < 1 lattice unit per group (identical
+    on both engines), invisible next to qt ~ 1e13. The lattice factor
+    cancels in F and eta^2 (both are ratios of sums of squares), so no
+    unscaling; one map-side-combined groupBy over |types| groups plus a
+    k-row epilogue. Nothing leaves the integer domain until the final
+    two divisions, 4dp-quantized."""
     ev = load_table(spark, sf_dir, "events")
     vq = F.floor(F.col("value") * 1e3 + F.lit(0.5)).cast("long")
     g = (ev.filter(F.col("value").isNotNull())
@@ -3216,13 +3226,15 @@ def q_events_anova(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("vq"))).alias("sv"),
         F.sum(dec(F.col("vq")) * F.col("vq")).alias("qv"))
+    num = F.col("sv") * F.col("sv")  # decimal(38,0), exact
+    floordiv = ((num - num % F.col("n")) / F.col("n"))  # exact: divisible
     t = s.agg(F.count(F.lit(1)).alias("k"), F.sum("n").alias("nn"),
               F.sum("sv").alias("st"), F.sum("qv").alias("qt"),
-              F.sum(F.col("sv").cast("double") * F.col("sv").cast("double")
-                    / F.col("n")).alias("sb"))
-    ssb = F.col("sb") - F.col("st").cast("double") \
+              F.sum(floordiv.cast("decimal(38,0)")).alias("sbq"))
+    sb = F.col("sbq").cast("double")
+    ssb = sb - F.col("st").cast("double") \
         * F.col("st").cast("double") / F.col("nn")
-    ssw = F.col("qt").cast("double") - F.col("sb")
+    ssw = F.col("qt").cast("double") - sb
     sst = F.col("qt").cast("double") - F.col("st").cast("double") \
         * F.col("st").cast("double") / F.col("nn")
     q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
@@ -3665,9 +3677,13 @@ def q_orders_hill_tail_index(spark, sf_dir):
     kref = t.filter(F.col("rn") == 101).select(F.col("x").alias("xref"))
     s = (t.filter(F.col("rn") <= 100).crossJoin(kref)
          # lint: k-row (100 top rows x 1 reference row)
+         # groupBy xref, not a global agg: on a <=101-row table kref is
+         # empty, the cross join is empty, and a grouped agg emits ZERO
+         # rows — matching the oracle's `FROM s, k` against an empty k
+         # (a global agg would emit one all-NULL row; ADVICE r5).
+         .groupBy("xref")
          .agg(F.sum(F.floor((F.log(F.col("x")) - F.log(F.col("xref")))
-                            * 1e6 + F.lit(0.5)).cast("long")).alias("slq"),
-              F.first("xref").alias("xref")))
+                            * 1e6 + F.lit(0.5)).cast("long")).alias("slq")))
     q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
     return s.select(F.lit(100).cast("long").alias("k"),
                     q4(F.col("xref")).alias("x_ref"),

