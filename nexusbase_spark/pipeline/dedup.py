@@ -17,6 +17,8 @@ Scale design (the whole point of these shapes at 100TB):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -322,7 +324,6 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
     a cross-label mutual-kNN graph needed >20 rounds
     (embed_cluster_purity passes 200).
     """
-    import warnings
     edges = (
         pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
         .union(pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst")))
@@ -629,9 +630,46 @@ def scrub_frequent_chunks(docs: DataFrame, min_docs: int = 5,
                  .cast("long").alias("n_scrubbed")))
 
 
+def drop_hot_prefix_buckets(pref: DataFrame, max_bucket: int,
+                            op_name: str = "prefix_filter_pairs",
+                            tok_col: str = "tok") -> DataFrame:
+    """Skew guard for prefix-token postings (VERDICT r5 #7): prefix
+    buckets are the smallest (rarest-token) buckets by construction, but
+    a template-heavy corpus can still mint one hot prefix token whose
+    self-join output is quadratic and stalls the whole job. Drop every
+    bucket holding more than ``max_bucket`` postings and WARN with the
+    dropped token ids, so the caller knows exactly which pairs may have
+    been lost: a pair is lost ONLY if hot tokens were its sole shared
+    prefix tokens — losslessness off the hot buckets is untouched (the
+    theorem applies per shared prefix token). The bucket-size rollup is
+    wordcount-shaped; the hot set is tiny by definition, so the
+    anti-join broadcasts."""
+    sizes = pref.groupBy(tok_col).agg(F.count(F.lit(1)).alias("__bsz"))
+    hot = (sizes.filter(F.col("__bsz") > max_bucket)
+           .orderBy(F.col("__bsz").desc(), tok_col)
+           .collect())  # lint: k-row (tokens past the cap — few by def.)
+    if not hot:
+        return pref
+    shown = ", ".join(f"{r[tok_col]!r}({r['__bsz']})" for r in hot[:50])
+    more = f" … +{len(hot) - 50} more" if len(hot) > 50 else ""
+    warnings.warn(
+        f"{op_name}: dropped {len(hot)} prefix bucket(s) over "
+        f"max_bucket={max_bucket}: {shown}{more}. Pairs whose ONLY "
+        f"shared prefix tokens are these are not emitted — the result "
+        f"is no longer exhaustively lossless. Scrub boilerplate or "
+        f"raise the threshold to restore exactness.",
+        RuntimeWarning, stacklevel=3)
+    spark = pref.sparkSession
+    hot_df = spark.createDataFrame(
+        [(r[tok_col],) for r in hot], f"{tok_col} string")
+    # lint: k-row (hot-token set, bounded by the warning above)
+    return pref.join(F.broadcast(hot_df), tok_col, "left_anti")
+
+
 def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        max_bucket: int | None = None) -> DataFrame:
     """EXACT token-set Jaccard similarity self-join via prefix filtering
     (the AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     WWW'08): the lossless companion to MinHash LSH. LSH trades recall
@@ -663,7 +701,11 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
     templated corpus qualifying pairs grow near-quadratically and an
     exact join must emit them all (~29us/pair); on natural corpora the
     pass is wordcount-shaped. If the corpus is template-heavy, raise
-    the threshold or run boilerplate scrubbing first.
+    the threshold, run boilerplate scrubbing first, or set
+    ``max_bucket`` to drop-and-WARN hot prefix buckets (the
+    LSH-style skew cap — trades exhaustive losslessness for a bound on
+    one token's fan-out; see drop_hot_prefix_buckets). Default None
+    keeps the operator exactly lossless.
     """
     from pyspark.sql import Window
 
@@ -692,6 +734,9 @@ def prefix_filter_pairs(docs: DataFrame, threshold: float = 0.6,
                     - F.floor((F.lit(num) * F.col("__sz") + F.lit(den - 1))
                               / F.lit(den)) + 1)
             .select("id", "tok"))
+    if max_bucket is not None:
+        pref = drop_hot_prefix_buckets(pref, max_bucket,
+                                       "prefix_filter_pairs")
     cand = (pref.alias("a")
             .join(pref.alias("b"),
                   (F.col("a.tok") == F.col("b.tok"))

@@ -133,11 +133,18 @@ class ExactDupIndex:
     # ---------------------------------------------------------------- probe
 
     def probe(self, new_docs: DataFrame,
-              threshold: float | None = None) -> DataFrame:
+              threshold: float | None = None,
+              max_bucket: int | None = None) -> DataFrame:
         """EVERY stored doc with jaccard >= threshold against each new
         doc -> (new_id, old_id, inter, uni, jaccard). Lossless (prefix-
         filter theorem under the frozen order); read-only. ``threshold``
-        defaults to the index's min and must be >= it."""
+        defaults to the index's min and must be >= it. ``max_bucket``
+        inherits the prefix_filter_pairs skew guard (VERDICT r5 #7):
+        STORE postings buckets past the bound are dropped with a
+        RuntimeWarning naming the tokens — one hot template token in
+        history then can't make every future probe quadratic; pairs
+        whose only shared prefix tokens are the dropped ones are lost
+        (default None = exhaustively lossless)."""
         meta = self._meta()
         den = meta["den"]
         num = (meta["min_num"] if threshold is None
@@ -149,9 +156,10 @@ class ExactDupIndex:
                 f"to be lossless — rebuild with a lower min_threshold")
         t = _tok_arrays(new_docs, meta["id_col"], meta["text_col"])
         t = t.localCheckpoint(eager=True)
-        return self._probe_from(t, num)
+        return self._probe_from(t, num, max_bucket=max_bucket)
 
-    def _probe_from(self, t: DataFrame, num: int) -> DataFrame:
+    def _probe_from(self, t: DataFrame, num: int,
+                    max_bucket: int | None = None) -> DataFrame:
         den = self._meta()["den"]
         new_pref = (self._prefix_of(t, num)
                     .withColumnRenamed("doc_id", "new_id")
@@ -165,6 +173,11 @@ class ExactDupIndex:
         store_pref = (self._prefix()
                       .filter(F.col("bucket").isin(buckets))
                       .withColumnRenamed("doc_id", "old_id"))
+        if max_bucket is not None:
+            from nexusbase_spark.pipeline.dedup import \
+                drop_hot_prefix_buckets
+            store_pref = drop_hot_prefix_buckets(
+                store_pref, max_bucket, "ExactDupIndex.probe")
         cand = (new_pref.join(store_pref, "tok")
                 .select("new_id", "old_id").distinct())
         ta = t.select(F.col("doc_id").alias("new_id"),

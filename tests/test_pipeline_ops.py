@@ -1352,6 +1352,45 @@ def test_prefix_filter_pairs_lossless_vs_brute_force(spark):
     assert (1, 3) in got and not any(4 in p or 5 in p for p in got)
 
 
+def test_prefix_filter_max_bucket_caps_hot_template_token(spark):
+    """The PPJoin skew guard (VERDICT r5 #7): 40 docs sharing a 10-token
+    template (plus one unique token each) put 4 template tokens in
+    every prefix — 40-posting hot buckets whose self-join output is the
+    full 780-pair template clique. With max_bucket=10 the hot buckets
+    are dropped WITH a warning naming them, the job completes, and
+    losslessness off the hot buckets holds: a near-dup pair built from
+    rare tokens is still found with exact inter/uni/jaccard. Without
+    max_bucket the operator stays exhaustively lossless (all 780+1
+    pairs, no warning)."""
+    import warnings as _w
+
+    from nexusbase_spark.pipeline.dedup import prefix_filter_pairs
+
+    template = " ".join(f"tmpl{j:02d}" for j in range(10))
+    rows = [(i, f"{template} unique{i:02d}") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon"),
+             (101, "alpha beta gamma delta zeta")]   # j = 4/6 = 0.6667
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        capped = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"],
+                                           r["jaccard"])
+                  for r in prefix_filter_pairs(
+                      docs, threshold=0.6, max_bucket=10).collect()}
+    msgs = [str(x.message) for x in w
+            if "prefix bucket" in str(x.message)]
+    assert msgs and "tmpl" in msgs[0] and "max_bucket=10" in msgs[0]
+    # the rare-token pair survives, exact; the template clique is gone
+    assert capped == {(100, 101): (4, 6, 0.6667)}
+
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        full = prefix_filter_pairs(docs, threshold=0.6).count()
+    assert not any("prefix bucket" in str(x.message) for x in w)
+    assert full == 40 * 39 // 2 + 1
+
+
 def test_canonical_keep_longest_wins_and_singletons_kept(spark):
     """One keeper per cluster (longest member, ties to smallest id),
     singletons always kept, and exactly one keep=True per cluster."""

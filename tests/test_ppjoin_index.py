@@ -53,6 +53,39 @@ def test_probe_is_lossless_vs_batch_kernel(spark, tmp_path):
         ix.probe(_corpus(spark, new), threshold=0.3)
 
 
+def test_probe_max_bucket_inherits_skew_guard(spark, tmp_path):
+    """One hot template token in index HISTORY can't make every future
+    probe quadratic (VERDICT r5 #7): with max_bucket the store's hot
+    prefix buckets are dropped with a warning, the probe completes, and
+    a rare-token near-dup is still found exactly; without max_bucket
+    the probe stays exhaustively lossless."""
+    import warnings as _w
+
+    template = " ".join(f"tmpl{j:02d}" for j in range(10))
+    hist = [(i, f"{template} unique{i:02d}") for i in range(40)]
+    hist += [(100, "alpha beta gamma delta epsilon")]
+    ix = ExactDupIndex.build(spark, str(tmp_path / "ixhot"),
+                             _corpus(spark, hist), min_threshold=0.6)
+    new = [(201, f"{template} unique201"),
+           (202, "alpha beta gamma delta zeta")]  # j(202,100) = 4/6
+
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        capped = {(r["new_id"], r["old_id"]): r["jaccard"]
+                  for r in ix.probe(_corpus(spark, new),
+                                    max_bucket=10).collect()}
+    msgs = [str(x.message) for x in w if "prefix bucket" in str(x.message)]
+    assert msgs and "ExactDupIndex.probe" in msgs[0]
+    assert capped == {(202, 100): 0.6667}
+
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        full = ix.probe(_corpus(spark, new)).collect()
+    assert not any("prefix bucket" in str(x.message) for x in w)
+    # lossless: 201 matches all 40 template docs; 202 matches doc 100
+    assert len(full) == 41
+
+
 def test_append_no_self_match_and_later_probe_sees_batch(spark, tmp_path):
     ix = ExactDupIndex.build(spark, str(tmp_path / "ix"),
                              _corpus(spark, BASE), min_threshold=0.5)
