@@ -1203,3 +1203,150 @@ def test_quality_mix_monitor_matches_batch(spark, tmp_path):
     b2 = hist.filter(F.col("batch_id") == batches[-1]).collect()
     assert sum(r["n_docs"] for r in b2) == 3
     assert all(r["bin"] <= 4 for r in b2)
+
+
+def test_streaming_soak_all_stores_one_stream(spark, tmp_path):
+    """Cross-store soak (VERDICT r5 #5): ONE continuous document stream
+    drives the TSDB rollup and every pipeline store — DedupIndex,
+    ExactDupIndex, VectorIndex, InvertedIndex, CorpusStats, CMSStore,
+    quality-mix monitor — through a SINGLE foreachBatch fan-out sharing
+    one checkpoint, with interleaved verify() calls and a mid-stream
+    restart. The stores are individually parity-tested; what this
+    proves is the absence of cross-store interference and checkpoint
+    collisions when they all hang off one query."""
+    from nexusbase_spark.engine import NexusEngine
+    from nexusbase_spark.nbql.ast import AggregationSpec
+    from nexusbase_spark.operators.sketches import CMSStore, cms_build
+    from nexusbase_spark.pipeline.dedup_index import DedupIndex
+    from nexusbase_spark.pipeline.invindex import InvertedIndex
+    from nexusbase_spark.pipeline.ppjoin_index import ExactDupIndex
+    from nexusbase_spark.pipeline.search import CorpusStats
+    from nexusbase_spark.pipeline.text import (quality_mix_sink,
+                                               quality_mix_totals,
+                                               tokens_col)
+    from nexusbase_spark.pipeline.vecindex import VectorIndex
+
+    DAY = 86_400 * 1_000_000_000
+    D0 = 1_700_006_400 * 1_000_000_000
+    schema = "doc_id long, text string, embedding array<double>"
+
+    def mk(i):
+        # unique vocabulary per doc (so the ingest-dedup store drops
+        # nothing) plus a shared tail (so df/BM25 stats are non-trivial)
+        words = " ".join(f"w{i:03d}x{j}" for j in range(6))
+        emb = [1.0 if i % 3 == 0 else 0.1,
+               1.0 if i % 3 == 1 else 0.2,
+               1.0 if i % 3 == 2 else 0.3]
+        return (i, f"{words} shared common tokens", emb)
+
+    seed = [mk(i) for i in range(8)]
+    phase1 = [mk(i) for i in range(10, 16)]
+    phase2 = [mk(i) for i in range(20, 26)]
+    seed_df = spark.createDataFrame(seed, schema)
+
+    stats = CorpusStats.build(spark, str(tmp_path / "stats"), seed_df)
+    vx = VectorIndex.build(spark, str(tmp_path / "vx"), seed_df,
+                           nlist=2, iters=2, id_col="doc_id")
+    inv = InvertedIndex.build(spark, str(tmp_path / "inv"), seed_df,
+                              n_buckets=8)
+    ddx = DedupIndex.build(spark, str(tmp_path / "ddx"), seed_df)
+    xdx = ExactDupIndex.build(spark, str(tmp_path / "xdx"), seed_df,
+                              min_threshold=0.5)
+    cms = CMSStore.build(spark, str(tmp_path / "cms"), col="tok",
+                         depth=4, width=512)
+    qmix = str(tmp_path / "qmix")
+
+    eng = NexusEngine(spark, str(tmp_path / "wh"))
+    eng.put_batch([("doc.len", {"src": "soak"}, {"v": 1.0}, D0)])
+    eng.create_rollup("r", "doc.len", DAY,
+                      [AggregationSpec("count", "*"),
+                       AggregationSpec("sum", "v")])
+
+    from pyspark.sql import functions as F
+    sinks = [stats.for_each_batch(), vx.for_each_batch(),
+             inv.for_each_batch(), ddx.for_each_batch(threshold=0.3),
+             xdx.for_each_batch(), quality_mix_sink(qmix)]
+
+    def fan_out(batch, bid):
+        if not batch.head(1):
+            return
+        batch = batch.localCheckpoint(eager=True)  # 8 consumers, 1 scan
+        for s in sinks:
+            s(batch, bid)
+        cms.update(batch.select(
+            F.explode(F.array_distinct(tokens_col(F.col("text"))))
+            .alias("tok")))
+        pts = batch.select(
+            F.lit("doc.len").alias("metric"),
+            F.create_map(F.lit("src"), F.lit("soak")).alias("tags"),
+            (F.lit(D0) + F.col("doc_id") * F.lit(DAY // 4)).alias("ts"),
+            F.lit("v").alias("field"), F.lit("float").alias("vtype"),
+            F.length("text").cast("double").alias("f_double"),
+            F.lit(None).cast("long").alias("f_long"),
+            F.lit(None).cast("string").alias("f_string"),
+            F.lit(None).cast("boolean").alias("f_bool"))
+        eng.ingest_frame(pts)
+        eng.refresh_rollup("r")
+
+    src = tmp_path / "soak_src"
+    src.mkdir()
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    def start():
+        return (spark.readStream.schema(schema).parquet(str(src))
+                .writeStream.queryName("t_soak").foreachBatch(fan_out)
+                .option("checkpointLocation", str(tmp_path / "soak_ckpt"))
+                .outputMode("append").start())
+
+    def corpus_df(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def verify_all(rows):
+        corpus = corpus_df(rows)
+        assert stats.verify(corpus)["ok"]
+        assert vx.verify(corpus)["ok"]
+        assert inv.verify(corpus)["ok"]
+        assert ddx.verify(corpus)["ok"]
+        assert xdx.verify(corpus)["ok"]
+        assert eng.verify_rollup("r")["ok"]
+
+    q = start()
+    try:
+        feed(phase1)
+        q.processAllAvailable()
+        verify_all(seed + phase1)           # interleaved mid-stream audit
+    finally:
+        q.stop()
+
+    q = start()                              # restart on the same ckpt
+    try:
+        feed(phase2)
+        q.processAllAvailable()
+        verify_all(seed + phase1 + phase2)   # clean after restart
+    finally:
+        q.stop()
+
+    # CMS: incremental per-batch folds must equal the batch-built sketch
+    # of everything STREAMED (exact-merge property, cross-store edition)
+    streamed = corpus_df(phase1 + phase2)
+    tok = streamed.select(
+        F.explode(F.array_distinct(tokens_col(F.col("text")))).alias("tok"))
+    want_cms = {r["item"]: int(r["estimate"]) for r in __import__(
+        "nexusbase_spark.operators.sketches", fromlist=["cms_estimate"]
+    ).cms_estimate(cms_build(tok, "tok", 4, 512),
+                   ["shared", "common", "w010x0"], 4, 512).collect()}
+    assert cms.estimate(["shared", "common", "w010x0"]) == want_cms
+    assert want_cms["shared"] >= 12      # every streamed doc has it
+
+    # quality-mix totals cover exactly the streamed docs
+    totals = quality_mix_totals(spark, qmix).collect()
+    assert sum(r["n_docs"] for r in totals) == 12
+
+    # the TSDB side saw one point per doc (+1 engine seed); points()
+    # is long-format (one row per field plus a presence marker), so
+    # count distinct point keys
+    assert (eng.points("doc.len").select("ts", "seq").distinct().count()
+            == 13)
