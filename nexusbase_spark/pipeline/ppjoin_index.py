@@ -200,11 +200,14 @@ class ExactDupIndex:
     # --------------------------------------------------------------- append
 
     def append(self, new_docs: DataFrame,
-               threshold: float | None = None) -> DataFrame:
+               threshold: float | None = None,
+               max_bucket: int | None = None) -> DataFrame:
         """Probe against the PRE-append store (returned eagerly — a lazy
         plan would re-read the appended rows and self-match), then land
         the batch: docs rows + prefix postings at the index min. The
-        frozen dfreq layer is untouched (see module docstring)."""
+        frozen dfreq layer is untouched (see module docstring).
+        ``max_bucket`` guards the probe only — the landed postings are
+        always complete, so a later exhaustive probe stays possible."""
         meta = self._meta()
         t = _tok_arrays(new_docs, meta["id_col"], meta["text_col"])
         t = t.localCheckpoint(eager=True)
@@ -213,7 +216,8 @@ class ExactDupIndex:
                else int(round(threshold * den)))
         if num < meta["min_num"]:
             raise ValueError("threshold below index min")
-        matches = self._probe_from(t, num).localCheckpoint(eager=True)
+        matches = self._probe_from(t, num, max_bucket=max_bucket) \
+            .localCheckpoint(eager=True)
         (t.select("doc_id", "toks", F.size("toks").alias("sz"))
          .write.mode("append").parquet(os.path.join(self.path, "docs")))
         (self._prefix_of(t, meta["min_num"])
@@ -295,15 +299,17 @@ class ExactDupIndex:
     # ------------------------------------------------------------ streaming
 
     def for_each_batch(self, matches_path: str | None = None,
-                       threshold: float | None = None):
+                       threshold: float | None = None,
+                       max_bucket: int | None = None):
         """Streaming ingest-dedup sink: append each micro-batch, writing
         its exact matches against the pre-batch corpus to
         ``matches_path`` (when given) — the lossless twin of
-        DedupIndex's ingest-dedup sink."""
+        DedupIndex's ingest-dedup sink. ``max_bucket`` inherits the
+        probe-time skew guard (postings still land complete)."""
         def run(batch: DataFrame, batch_id: int) -> None:
             if not batch.head(1):
                 return
-            m = self.append(batch, threshold)
+            m = self.append(batch, threshold, max_bucket=max_bucket)
             if matches_path is not None:
                 (m.withColumn("batch_id", F.lit(int(batch_id)))
                  .coalesce(1).write.mode("append").parquet(matches_path))
