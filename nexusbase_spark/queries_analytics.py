@@ -1823,6 +1823,8 @@ def q_events_hll_daily_users(spark, sf_dir):
     driver check BY DESIGN: the estimate is approximate (~0.8% std err at
     lg_k=14) and DuckDB cannot reproduce DataSketches registers — the
     exact companion (events_series_cardinality) stays in the hash gate,
+    the ESTIMATOR MATH is hash-gated via the md5-register twin
+    (events_hll_md5_daily_users, integer registers both engines),
     and tests/test_sketches.py pins the error bound, merge-equals-rescan,
     partitioning invariance, and parquet persistence. At 100 TB this is
     the dashboard path: any time-range distinct count is a union of
@@ -1834,6 +1836,96 @@ def q_events_hll_daily_users(spark, sf_dir):
     day = (source_ts_ns(ev) / F.lit(86_400_000_000_000)).cast("bigint")
     sk = daily_user_sketches(ev, day, lg_k=14)
     return estimate_daily(sk).orderBy("metric", "day")
+
+
+# HLL-md5 shared constants: p=8 -> m=256 registers from a 60-bit md5-hex
+# hash (the base_hash31 idiom widened). alpha*m^2*2^53 is ONE Python float
+# literal injected into BOTH engines so the only per-engine float work is
+# a division (and ln() on the small-range branch — the same libm-parity
+# precedent as hill/heaps/zipf, all gate-green).
+_HLL_M = 256
+_HLL_ALPHA_NUM = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256
+                      * float(2 ** 53))
+_HLL_2P53 = 2 ** 53
+
+
+@register("events_hll_md5_daily_users", f"""
+    WITH h AS (SELECT event_type,
+                      CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                      CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT) AS hv
+               FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, day,
+                 hv & 255 AS idx,
+                 CASE WHEN (hv >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(hv >> 8)) END AS rho
+          FROM h),
+    regs AS (SELECT event_type, day, idx, max(rho) AS m
+             FROM r GROUP BY event_type, day, idx),
+    g AS (SELECT event_type, day,
+                 sum(CAST(1 AS BIGINT) << (53 - m)) AS s_present,
+                 count(*) AS n_regs
+          FROM regs GROUP BY event_type, day),
+    e AS (SELECT event_type, day,
+                 256 - n_regs AS zero_regs,
+                 {_HLL_ALPHA_NUM}
+                 / (s_present + (256 - n_regs) * CAST({_HLL_2P53} AS BIGINT))
+                     AS e_raw
+          FROM g)
+    SELECT event_type, day, CAST(zero_regs AS BIGINT) AS zero_regs,
+           floor(CASE WHEN e_raw <= 640.0 AND zero_regs > 0
+                      THEN 256.0 * ln(256.0 / zero_regs)
+                      ELSE e_raw END * 1e4 + 0.5) / 1e4 AS hll_users
+    FROM e
+""")
+def q_events_hll_md5_daily_users(spark, sf_dir):
+    """HyperLogLog daily distinct-user estimate, md5-register edition —
+    the HASH-GATED companion of events_hll_daily_users (whose
+    DataSketches registers DuckDB cannot reproduce, leaving it the
+    registry's one rows-only entry). Same estimator math (Flajolet et
+    al.: m=256 registers, max leading-zero rank, harmonic mean, linear
+    counting below 2.5m), but every register is a pure integer function
+    of md5: 60-bit hash from 15 hex chars (the minhash base-hash
+    idiom), idx = low 8 bits, rho = 53 - bitlen(high 52 bits) via
+    length(bin(w)) — bit-identical in both engines, no float anywhere
+    in the registers. The harmonic sum is DYADIC-EXACT: each register
+    contributes 2^(53-rho) as an int64 (max 256*2^53 = 2^61, no
+    overflow), so the fold is order-exact; alpha*m^2*2^53 is a shared
+    Python literal and the estimate pays ONE division (+ ln on the
+    linear-counting branch), 4dp-quantized. Scale shape: one wordcount
+    rollup to (type, day, idx) registers — map-side combined, 256 rows
+    per group max — then a k-row epilogue; any time range is a MAX-merge
+    of daily registers, never a rescan. The sf ladder exercises BOTH
+    branches (sf0.001 daily groups land in linear counting; bigger
+    corpora cross into the raw harmonic estimate)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)) \
+        .cast("bigint")
+    h = (ev.filter(F.col("user_id").isNotNull())
+         .select("event_type", day.alias("day"),
+                 F.conv(F.substring(
+                     F.md5(F.col("user_id").cast("string")), 1, 15),
+                     16, 10).cast("long").alias("hv")))
+    w = F.shiftright(F.col("hv"), 8)
+    rho = F.when(w == 0, F.lit(53)) \
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+    r = h.select("event_type", "day",
+                 F.col("hv").bitwiseAND(F.lit(255)).alias("idx"),
+                 rho.alias("rho"))
+    regs = r.groupBy("event_type", "day", "idx").agg(F.max("rho").alias("m"))
+    g = regs.groupBy("event_type", "day").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(53 - m AS INT))")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"))
+    zero = (F.lit(256) - F.col("n_regs"))
+    e_raw = (F.lit(float(_HLL_ALPHA_NUM))
+             / (F.col("s_present") + zero * F.lit(_HLL_2P53)))
+    est = F.when((e_raw <= 640.0) & (zero > 0),
+                 F.lit(256.0) * F.log(F.lit(256.0) / zero)) \
+        .otherwise(e_raw)
+    return g.select(
+        "event_type", "day", zero.cast("long").alias("zero_regs"),
+        (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("hll_users"))
 
 
 @register("events_ewma_level", f"""

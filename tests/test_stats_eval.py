@@ -873,3 +873,37 @@ def test_seasonal_strength_planted_cycles(spark, tmp_path):
     assert out["cyc"]["seasonal_strength"] > 0.8
     assert out["flat"]["seasonal_strength"] < 0.2
     assert out["flat"]["trend_strength"] < 0.2
+
+
+# ---------------------------------------------------------------------------
+# HLL (md5-register, hash-gated)
+
+
+def test_hll_md5_single_user_linear_counting(spark, tmp_path):
+    """One distinct user on one day: 255 empty registers, estimate =
+    256*ln(256/255) (linear counting), 4dp-floor-quantized — the exact
+    closed form, no tolerance."""
+    import math
+
+    _write_events(spark, str(tmp_path),
+                  [(i, 0, 7, "m", 1.0) for i in range(5)])  # 5 rows, 1 user
+    r = _fn("events_hll_md5_daily_users")(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    assert r[0]["zero_regs"] == 255
+    want = math.floor(256.0 * math.log(256.0 / 255.0) * 1e4 + 0.5) / 1e4
+    assert r[0]["hll_users"] == want
+
+
+def test_hll_md5_estimate_tracks_exact_cardinality(spark, tmp_path):
+    """1000 distinct users on one day (m=256 registers, std err ~6.5%):
+    the estimate lands within 20% of the truth, and a second day with
+    10 users stays in the accurate linear-counting regime (within 5%)."""
+    rows = [(i, 0, i, "m", 1.0) for i in range(1000)]
+    rows += [(10_000 + i, 1, i, "m", 1.0) for i in range(10)]
+    _write_events(spark, str(tmp_path), rows)
+    got = {r["day"]: r["hll_users"] for r in
+           _fn("events_hll_md5_daily_users")(spark, str(tmp_path)).collect()}
+    d0 = sorted(got)[0]
+    d1 = sorted(got)[1]
+    assert abs(got[d0] - 1000) / 1000 < 0.20
+    assert abs(got[d1] - 10) / 10 < 0.05
