@@ -285,3 +285,75 @@ def verify_gate_candidates(corpus: DataFrame, store: "CMSStore",
             .groupBy(F.col(col).alias("item"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= threshold))
+
+
+# --------------------------------------------------------------------- bloom
+# Deterministic Bloom filter on the shared md5+affine hash family — the
+# broadcastable membership pre-filter in front of exact joins (the 100TB
+# decontamination shape: the eval set's raw shingles may be GBs, the
+# filter is m/63 int64 words). 63 bits per word, NOT 64: DuckDB's checked
+# BIGINT shift refuses 1<<63, and capping the shift at 62 keeps every
+# mask positive and bit-identical in both engines.
+
+BLOOM_BITS_PER_WORD = 63
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions of one element: the minhash affine family over
+    the 31-bit md5 base hash — same coefficients as the DuckDB mirror,
+    pure integer arithmetic (products < 2^51, overflow-free)."""
+    from nexusbase_spark.pipeline.dedup import (MINHASH_P, base_hash31,
+                                                minhash_params)
+    h = base_hash31(col)
+    return [((h * F.lit(a) + F.lit(b)) % MINHASH_P % F.lit(m_bits))
+            for a, b in minhash_params(k)]
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int = 4096,
+                k: int = 4) -> DataFrame:
+    """Fold a column into a Bloom filter: (word_idx, bits) int64 words.
+    One explode (k rows per element) + one map-side-combined bit_or
+    groupBy over at most ceil(m_bits/63) groups; filters of the SAME
+    (m_bits, k) merge losslessly by unioning and re-bit_or-ing (bitwise
+    OR is the Bloom merge), so shards build independently.
+    """
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k)))
+    w = BLOOM_BITS_PER_WORD
+    e = df.select(pos.alias("pos"))
+    # F.shiftleft takes a literal bit count; a column shift needs expr()
+    return (e.select(
+                F.expr(f"CAST((pos - pos % {w}) / {w} AS BIGINT)")
+                .alias("word_idx"),
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                       f"CAST(pos % {w} AS INT))").alias("__m"))
+            .groupBy("word_idx").agg(F.bit_or("__m").alias("bits")))
+
+
+def bloom_might_contain(bloom: DataFrame, probe: DataFrame, col: str,
+                        m_bits: int = 4096, k: int = 4) -> DataFrame:
+    """Membership verdict per probe row: ``might`` is true iff ALL k
+    bit positions are set — one-sided (a true member can never read
+    false; a false positive reads true at the filter's fp rate). The
+    filter broadcasts (<= ceil(m_bits/63) rows by construction); the
+    probe pays k broadcast-hash lookups and an all-of-k rollup, never a
+    shuffle of the indexed set. Output: probe columns + ``might``."""
+    w = BLOOM_BITS_PER_WORD
+    probe = probe.withColumn(
+        "__pos", F.explode(F.array(*_bloom_positions(F.col(col),
+                                                     m_bits, k))))
+    probe = (probe
+             .withColumn("__widx",
+                         F.expr(f"CAST((__pos - __pos % {w}) / {w} "
+                                f"AS BIGINT)"))
+             .withColumn("__m",
+                         F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                                f"CAST(__pos % {w} AS INT))")))
+    # lint: k-row (the bloom word table is <= ceil(m_bits/63) rows)
+    j = probe.join(F.broadcast(bloom),
+                   probe["__widx"] == bloom["word_idx"], "left")
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(F.col("__m")) != 0)).cast("int")
+    keys = [c for c in probe.columns
+            if c not in ("__pos", "__widx", "__m")]
+    return (j.groupBy(*keys)
+            .agg((F.sum(hit) == F.lit(k)).alias("might")))

@@ -1544,6 +1544,121 @@ def q_docs_decontaminate(spark, sf_dir):
     return contamination_hits(docs, ev, n=4)
 
 
+# Bloom decontamination constants: m = 2^21 bits (<= 33,289 int64 words at
+# 63 bits/word — broadcastable), k = 4 affine probes of the shared
+# md5+affine family. The affine coefficients are injected into the oracle
+# from the same minhash_params the Spark operator uses.
+_BLOOM_M = 2_097_152
+_BLOOM_K = 4
+
+
+def _bloom_pos_sql(k: int, m: int) -> str:
+    from nexusbase_spark.pipeline.dedup import minhash_params
+    return ", ".join(
+        f"(h31 * {a} + {b}) % 2147483647 % {m}"
+        for a, b in minhash_params(k))
+
+
+@register("docs_bloom_contamination", f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                           || t[i+3])) AS s
+        FROM t),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h60,
+                 CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+                     % 2147483647 AS h31
+          FROM sh),
+    ev AS (SELECT * FROM h WHERE doc_id % 50 = 0),
+    pr AS (SELECT * FROM h WHERE doc_id % 50 <> 0),
+    words AS MATERIALIZED (
+        SELECT pos // 63 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+        FROM (SELECT unnest([{_bloom_pos_sql(_BLOOM_K, _BLOOM_M)}]) AS pos
+              FROM ev)
+        GROUP BY 1),
+    pp AS (SELECT doc_id, h60,
+                  unnest([{_bloom_pos_sql(_BLOOM_K, _BLOOM_M)}]) AS pos
+           FROM pr),
+    ph AS (SELECT pp.doc_id, pp.h60,
+                  CASE WHEN w.bits IS NOT NULL
+                            AND (w.bits & (CAST(1 AS BIGINT)
+                                           << CAST(pp.pos % 63 AS INT))) <> 0
+                       THEN 1 ELSE 0 END AS hit
+           FROM pp LEFT JOIN words w ON w.word_idx = pp.pos // 63),
+    m AS (SELECT doc_id, h60,
+                 CASE WHEN sum(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS might
+          FROM ph GROUP BY doc_id, h60),
+    cand AS (SELECT count(DISTINCT doc_id) AS c FROM m WHERE might = 1),
+    exact AS (SELECT count(DISTINCT pr.doc_id) AS e
+              FROM pr JOIN (SELECT DISTINCT h60 FROM ev) e2
+                ON e2.h60 = pr.h60),
+    np AS (SELECT count(DISTINCT doc_id) AS n FROM pr)
+    SELECT CAST(np.n AS BIGINT) AS n_probe,
+           CAST(cand.c AS BIGINT) AS n_candidates,
+           CAST(exact.e AS BIGINT) AS n_exact,
+           CASE WHEN np.n - exact.e > 0
+                THEN floor((cand.c - exact.e)
+                           / CAST(np.n - exact.e AS DOUBLE) * 1e4 + 0.5)
+                     / 1e4
+                ELSE NULL END AS fp_rate
+    FROM np, cand, exact
+""")
+def q_docs_bloom_contamination(spark, sf_dir):
+    """Bloom-prefiltered benchmark decontamination — the 100TB shape of
+    docs_decontaminate: instead of broadcasting the eval set's hashed
+    shingles (benchmark-sized here, GBs for a real eval battery), fold
+    them into a 2^21-bit Bloom filter (<= 33,289 int64 words) and give
+    every corpus shingle a 4-probe membership verdict against the
+    broadcast words. One-sided by construction: every truly-shared
+    shingle hits all 4 bits, so candidates ⊇ exact contaminated docs —
+    verified IN-ENGINE by computing both counts and the realized
+    false-positive rate (the eval the pre-filter's m/k sizing is tuned
+    by; exact verification then runs on candidates only). Registers are
+    pure integers (md5 base hash + the shared minhash affine family, 63
+    bits/word so no engine's checked shift overflows), the bit_or fold
+    is order-free, and the only float is the final fp_rate division,
+    4dp-quantized. Scale shape: filter build is a wordcount-shaped
+    rollup over eval shingles; the corpus pays k broadcast lookups per
+    shingle and one per-doc any-hit rollup — no shuffle of the eval set,
+    no corpus self-join."""
+    from nexusbase_spark.operators.sketches import (bloom_build,
+                                                    bloom_might_contain)
+    from nexusbase_spark.pipeline.dedup import shingle_sets
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (shingle_sets(docs, "doc_id", "text", n=4)
+          .select("doc_id", "shingle", h60(F.col("shingle")).alias("h60"))
+          .localCheckpoint(eager=True))  # eval+probe+exact reuse
+    ev = sh.filter(F.col("doc_id") % 50 == 0)
+    pr = sh.filter(F.col("doc_id") % 50 != 0)
+    bloom = bloom_build(ev, "shingle", m_bits=_BLOOM_M, k=_BLOOM_K)
+    might = bloom_might_contain(bloom, pr.select("doc_id", "shingle"),
+                                "shingle", m_bits=_BLOOM_M, k=_BLOOM_K)
+    cand = (might.filter(F.col("might"))
+            .agg(F.countDistinct("doc_id").alias("c")))
+    # lint: k-row (eval-set distinct shingle hashes — benchmark-sized)
+    exact = (pr.join(F.broadcast(ev.select("h60").distinct()), "h60")
+             .agg(F.countDistinct("doc_id").alias("e")))
+    np_ = pr.agg(F.countDistinct("doc_id").alias("n"))
+    one = (np_.crossJoin(cand).crossJoin(exact)
+           .localCheckpoint(eager=True))  # k-row epilogue, scan-once
+    fp = F.when(F.col("n") - F.col("e") > 0,
+                F.floor((F.col("c") - F.col("e"))
+                        / (F.col("n") - F.col("e")).cast("double")
+                        * 1e4 + F.lit(0.5)) / 1e4)
+    return one.select(F.col("n").cast("long").alias("n_probe"),
+                      F.col("c").cast("long").alias("n_candidates"),
+                      F.col("e").cast("long").alias("n_exact"),
+                      fp.alias("fp_rate"))
+
+
 @register("docs_boilerplate_ngrams", """
     WITH t AS (SELECT doc_id, source,
                       string_split(trim(lower(text)), ' ') AS t

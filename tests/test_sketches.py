@@ -221,3 +221,54 @@ def test_cms_gate_candidates_empty_before_first_crossing(spark, tmp_path):
     assert gate_candidates(store).count() == 0
     corpus = spark.createDataFrame([("a",), ("a",)], "tok string")
     assert verify_gate_candidates(corpus, store, "tok", 2).count() == 0
+
+
+def test_bloom_members_always_hit_and_merge_is_bit_or(spark):
+    """One-sided guarantee: every inserted element reads might=True
+    under ANY (m, k); and the Bloom merge is bitwise OR — the filter of
+    a union equals bit_or over shard filters (exact table equality,
+    same as the CMS exact-merge property)."""
+    from pyspark.sql import functions as F
+
+    from nexusbase_spark.operators.sketches import (bloom_build,
+                                                    bloom_might_contain)
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(40)], "s string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(40)], "s string")
+    m, k = 4096, 4
+    bl_union = bloom_build(a.union(b), "s", m_bits=m, k=k)
+    merged = (bloom_build(a, "s", m_bits=m, k=k)
+              .union(bloom_build(b, "s", m_bits=m, k=k))
+              .groupBy("word_idx").agg(F.bit_or("bits").alias("bits")))
+    assert ({tuple(r) for r in bl_union.collect()}
+            == {tuple(r) for r in merged.collect()})
+
+    got = {r["s"]: r["might"] for r in
+           bloom_might_contain(bl_union, a.union(b), "s",
+                               m_bits=m, k=k).collect()}
+    assert all(got.values()) and len(got) == 80
+
+
+def test_bloom_nonmembers_miss_at_generous_m_and_fp_under_tiny_m(spark):
+    """At a generous m the 100 probes that were never inserted all read
+    False (fp ~ (fill)^k, astronomically small); squeezing the same
+    set into m=64 bits saturates the filter and the SAME probes now
+    read True — the documented one-sided error, deterministic in both
+    directions."""
+    from nexusbase_spark.operators.sketches import (bloom_build,
+                                                    bloom_might_contain)
+
+    ins = spark.createDataFrame([(f"in{i}",) for i in range(50)],
+                                "s string")
+    out = spark.createDataFrame([(f"out{i}",) for i in range(100)],
+                                "s string")
+    big = bloom_build(ins, "s", m_bits=2_097_152, k=4)
+    got = {r["s"]: r["might"] for r in
+           bloom_might_contain(big, out, "s",
+                               m_bits=2_097_152, k=4).collect()}
+    assert not any(got.values())
+
+    tiny = bloom_build(ins, "s", m_bits=64, k=4)
+    got_t = [r["might"] for r in
+             bloom_might_contain(tiny, out, "s", m_bits=64, k=4).collect()]
+    assert sum(got_t) > 50  # saturated: most non-members false-positive
