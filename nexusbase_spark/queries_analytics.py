@@ -1838,6 +1838,76 @@ def q_events_hll_daily_users(spark, sf_dir):
     return estimate_daily(sk).orderBy("metric", "day")
 
 
+def _cms_cell_sql(j: int, width: int) -> str:
+    """One CMS cell position in DuckDB SQL — the exact mirror of
+    operators/sketches._cms_cell (md5 base hash + minhash affine pair)."""
+    a, b = 104_729 * j + 12_823, 98_653 * j + 54_059
+    return (f"(CAST(('0x' || substring(md5(event_type), 1, 15)) AS BIGINT)"
+            f" % 2147483647 * {a} + {b}) % 2147483647 % {width}")
+
+
+_CMS_W = 1024
+_CMS_D = 4
+
+
+@register("events_cms_type_counts", f"""
+    WITH g AS (SELECT event_type FROM events WHERE event_type IS NOT NULL),
+    cells AS MATERIALIZED (
+        SELECT e.j AS j, e.cell AS cell, count(*) AS cnt
+        FROM (SELECT unnest([{", ".join(
+            f"struct_pack(j := {j}, cell := {_cms_cell_sql(j, _CMS_W)})"
+            for j in range(_CMS_D))}]) AS e
+              FROM g)
+        GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT event_type FROM g),
+    pc AS (SELECT event_type, e.j AS j, e.cell AS cell
+           FROM (SELECT event_type,
+                        unnest([{", ".join(
+            f"struct_pack(j := {j}, cell := {_cms_cell_sql(j, _CMS_W)})"
+            for j in range(_CMS_D))}]) AS e
+                 FROM probe)),
+    est AS (SELECT pc.event_type,
+                   min(coalesce(c.cnt, 0)) AS estimate
+            FROM pc LEFT JOIN cells c ON c.j = pc.j AND c.cell = pc.cell
+            GROUP BY pc.event_type),
+    ex AS (SELECT event_type, count(*) AS exact FROM g GROUP BY event_type)
+    SELECT est.event_type AS item,
+           CAST(est.estimate AS BIGINT) AS estimate,
+           CAST(ex.exact AS BIGINT) AS exact,
+           CAST(est.estimate - ex.exact AS BIGINT) AS overcount
+    FROM est JOIN ex ON ex.event_type = est.event_type
+""")
+def q_events_cms_type_counts(spark, sf_dir):
+    """Count-min sketch point queries HASH-GATED (the CMS analog of the
+    HLL md5 twin): build the d=4 x w=1024 sketch over event types, then
+    estimate each distinct type's count from the sketch beside its exact
+    count. The md5+affine cell arithmetic is pure integer and identical
+    in the oracle, the cell table is a deterministic rollup, and the
+    estimate is a MIN over 4 integer cells — so the whole result is
+    bit-exact cross-engine, and the one-sided CMS guarantee
+    (estimate >= exact, overcount >= 0) is visible as a gated COLUMN.
+    Scale shape: the sketch is one map-side-combined rollup into <= d*w
+    cells regardless of corpus size; the probe joins |types| x d rows
+    against it. struct_pack/unnest on the DuckDB side keep the d cell
+    expressions one list (the _minhash_ctes idiom)."""
+    from nexusbase_spark.operators.sketches import cms_build, cms_estimate_df
+
+    ev = load_table(spark, sf_dir, "events")
+    g = (ev.filter(F.col("event_type").isNotNull())
+         .select(F.col("event_type").alias("tok"))
+         .localCheckpoint(eager=True))  # sketch + probe + exact, one scan
+    sk = cms_build(g, "tok", depth=_CMS_D, width=_CMS_W)
+    est = cms_estimate_df(sk, g, "tok", depth=_CMS_D, width=_CMS_W)
+    exact = (g.groupBy(F.col("tok").alias("item"))
+             .agg(F.count(F.lit(1)).alias("exact")))
+    return (est.join(exact, "item")
+            .select("item",
+                    F.col("estimate").cast("long").alias("estimate"),
+                    F.col("exact").cast("long").alias("exact"),
+                    (F.col("estimate") - F.col("exact")).cast("long")
+                    .alias("overcount")))
+
+
 # HLL-md5 shared constants: p=8 -> m=256 registers from a 60-bit md5-hex
 # hash (the base_hash31 idiom widened). alpha*m^2*2^53 is ONE Python float
 # literal injected into BOTH engines so the only per-engine float work is
