@@ -5482,3 +5482,99 @@ def q_docs_token_budget_curve(spark, sf_dir):
                     (F.floor(F.sum("toks").over(w)
                              / F.col("all_toks").cast("double") * 1e4
                              + F.lit(0.5)) / 1e4).alias("cum_share")))
+
+
+@register("docs_ppjoin_capped_pairs", """
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok
+        FROM documents WHERE doc_id < 400),
+    df AS (SELECT tok, count(*) AS dfc FROM t GROUP BY tok),
+    sz AS (SELECT doc_id, count(*) AS s FROM t GROUP BY doc_id),
+    pos AS (SELECT t.doc_id, t.tok,
+                   row_number() OVER (PARTITION BY t.doc_id
+                                      ORDER BY df.dfc, t.tok) AS pos
+            FROM t JOIN df USING (tok)),
+    pref AS (SELECT pos.doc_id, pos.tok
+             FROM pos JOIN sz USING (doc_id)
+             WHERE pos.pos <= sz.s - ((8000 * sz.s + 9999) // 10000) + 1),
+    keep AS (SELECT tok FROM pref GROUP BY tok HAVING count(*) <= 100),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM pref a JOIN keep USING (tok)
+             JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b, CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.s + sb.s - i.inter AS BIGINT) AS uni,
+           floor(i.inter / (sa.s + sb.s - i.inter) * 1e4 + 0.5) / 1e4 AS jaccard
+    FROM cand c
+    JOIN i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sz sa ON sa.doc_id = c.id_a
+    JOIN sz sb ON sb.doc_id = c.id_b
+    WHERE i.inter * 10000 >= (sa.s + sb.s - i.inter) * 8000
+""")
+def q_docs_ppjoin_capped_pairs(spark, sf_dir):
+    """The PPJoin skew guard's CAPPED path under the oracle (NOTES r6
+    backlog #5): prefix_filter_pairs with max_bucket=100 on the gated
+    corpus, chosen so the gate is non-degenerate BOTH ways at every SF
+    (measured sf0.001/0.01/0.1: 181-313 pairs survive the cap vs ~20k
+    lossless — hot buckets genuinely drop, survivors genuinely verify;
+    a cap of 10 passed trivially with ZERO surviving pairs). The capped
+    semantics are fully deterministic — hot buckets are a pure function
+    of document frequency — so the oracle reproduces the whole pipeline
+    in SQL: the same global (df, tok) token order, the same all-integer
+    prefix length sz - ceil(0.8*sz) + 1, the same bucket-size cutoff,
+    then candidates from SURVIVING prefix tokens only, verified against
+    brute-force intersection counts. A pair is emitted iff it shares at
+    least one sub-cap prefix token AND jaccard >= 0.8 — exactly
+    drop_hot_prefix_buckets' contract (pipeline/dedup.py:633).
+    Same doc_id < 400 oracle-tractability cap as docs_ppjoin_pairs."""
+    import warnings as _w
+
+    from nexusbase_spark.pipeline.dedup import prefix_filter_pairs
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)  # the cap WARNs by design
+        return prefix_filter_pairs(docs, threshold=0.8, max_bucket=100)
+
+
+@register("docs_token_fertility_by_lang", """
+    WITH m AS (
+        SELECT lang,
+               len(string_split(trim(lower(text)), ' ')) AS n_words,
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe
+        FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           floor(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+                 * 1e4 + 0.5) / 1e4 AS fertility
+    FROM m GROUP BY lang
+""")
+def q_docs_token_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility per language (NOTES r6 backlog #5): BPE-ish
+    tokens emitted per whitespace word, the standard 'how expensive is
+    this language under this tokenizer' diagnostic that drives per-lang
+    token budgets and sampling temperatures in multilingual mixes (a
+    high-fertility language consumes its token budget in fewer docs).
+    Both token counts are exact integers summed per lang (map-side
+    combinable wordcount shape, one scan, one k-row rollup — k = number
+    of languages); fertility is ONE exactly-rounded double division of
+    two int64 sums, the established lattice idiom, identical in Spark
+    and DuckDB. The BPE regex is the shared Java/RE2 subset
+    (pipeline/text.py BPE_PATTERN)."""
+    n_words = F.size(F.split(F.trim(F.lower(F.col("text"))), " "))
+    n_bpe = token_count_bpe(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("lang", n_words.alias("__w"), n_bpe.alias("__b"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__w").cast("long").alias("n_words"),
+                 F.sum("__b").cast("long").alias("n_bpe_tokens"),
+                 (F.floor(F.sum("__b").cast("double")
+                          / F.sum("__w").cast("double") * 1e4 + F.lit(0.5))
+                  / 1e4).alias("fertility")))
