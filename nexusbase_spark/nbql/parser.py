@@ -383,7 +383,10 @@ def _parse_query(t: _Tokens) -> QueryStatement:
                 else:
                     raise NBQLError("FILL expects PREVIOUS, LINEAR, or a number")
         elif t.accept("SORT"):
-            q.sort_desc = t.next().upper() == "DESC"
+            d = t.next().upper()
+            if d not in ("ASC", "DESC"):
+                raise NBQLError(f"SORT expects ASC or DESC, got {d!r}")
+            q.sort_desc = d == "DESC"
         elif t.accept("ASC"):
             q.sort_desc = False
         elif t.accept("DESC"):
@@ -396,9 +399,18 @@ def _parse_query(t: _Tokens) -> QueryStatement:
             raise NBQLError(f"unexpected token {t.peek()!r} in QUERY")
     if q.emit_empty_windows and q.downsample_interval is None:
         raise NBQLError("EMIT EMPTY WINDOWS requires AGGREGATE BY")
+    # durations like '0s' are lexically valid and parse to 0 — reject them
+    # here so a zero window/slide is an NBQLError, not a downstream
+    # ZeroDivisionError (the modulo below) or a degenerate window spec
+    if q.downsample_interval is not None and q.downsample_interval <= 0:
+        raise NBQLError("AGGREGATE BY requires a positive interval")
     if q.downsample_slide is not None:
+        if q.downsample_slide <= 0:
+            raise NBQLError("SLIDE requires a positive duration")
         if q.downsample_interval % q.downsample_slide:
             raise NBQLError("SLIDE must divide the window size")
+    if q.limit is not None and q.limit < 0:
+        raise NBQLError("LIMIT must be non-negative")
     fills = sum([q.fill_previous, q.fill_linear, q.fill_value is not None])
     if fills and not q.emit_empty_windows:
         raise NBQLError("FILL requires EMIT EMPTY WINDOWS")

@@ -269,3 +269,229 @@ def test_prefix_filter_pairs_lossless_property(spark, docs, tnum):
     for (x, y), (i, u) in got.items():
         q = math.floor(i / u * 1e4 + 0.5) / 1e4
         assert q <= 1.0
+
+
+# ------------------------------------------------- grammar-directed fuzz
+# The raw-text fuzzer above can't reach deep grammar states (hypothesis
+# never types "AGGREGATE BY 1m SLIDE 0s (count(*))" by luck) — it missed
+# a real ZeroDivisionError on a zero SLIDE duration. These strategies
+# compose statements FROM the grammar, so every clause combination and
+# every near-miss mutation gets exercised.
+
+_DUR_UNITS = [("ms", 1_000_000), ("s", 1_000_000_000),
+              ("m", 60_000_000_000), ("h", 3_600_000_000_000)]
+
+
+@st.composite
+def _duration(draw):
+    n = draw(st.integers(1, 999))
+    unit, ns = draw(st.sampled_from(_DUR_UNITS))
+    return f"{n}{unit}", n * ns
+
+
+@st.composite
+def _query_stmt(draw):
+    """A full QUERY from the grammar with every optional clause drawn
+    independently, returning (text, expected-field dict)."""
+    metric = draw(IDENT)
+    parts = [f"QUERY {metric}"]
+    exp: dict = {"metric": metric}
+    rng = draw(st.sampled_from(["abs", "rel", "none"]))
+    if rng == "abs":
+        a = draw(st.integers(0, 2**61))
+        b = a + draw(st.integers(0, 2**40))
+        parts.append(f"FROM {a} TO {b}")
+        exp.update(start=a, end=b)
+    elif rng == "rel":
+        text, ns = draw(_duration())
+        parts.append(f"FROM RELATIVE({text})")
+        exp["relative"] = ns
+    tags = draw(st.dictionaries(TAGK, TAGV, max_size=2))
+    matchers = draw(st.lists(
+        st.tuples(TAGK, st.sampled_from(["!=", "=~", "!~"]), TAGV),
+        max_size=2))
+    if tags or matchers:
+        kv = [f'{k}="{v}"' for k, v in tags.items()]
+        kv += [f'{k}{op}"{v}"' for k, op, v in matchers]
+        parts.append(f"TAGGED ({', '.join(kv)})")
+        exp["tags"] = tags
+        exp["tag_matchers"] = matchers
+    agg = draw(st.booleans())
+    interval_ns = None
+    if agg:
+        funcs = draw(st.lists(
+            st.sampled_from(["count", "sum", "avg", "min", "max", "first",
+                             "last", "frac", "stddev", "p50", "p99.9"]),
+            min_size=1, max_size=3))
+        by = draw(st.booleans())
+        spec = ", ".join(f"{f}(lat)" for f in funcs)
+        clause = "AGGREGATE "
+        if by:
+            # SLIDE must divide the window: build size = slide * k
+            a = draw(st.integers(1, 60))
+            k = draw(st.integers(1, 4))
+            unit, ns = draw(st.sampled_from(_DUR_UNITS))
+            interval_ns = a * k * ns
+            clause += f"BY {a * k}{unit} "
+            if draw(st.booleans()) and k >= 1:
+                clause += f"SLIDE {a}{unit} "
+                exp["downsample_slide"] = a * ns
+            exp["downsample_interval"] = interval_ns
+        parts.append(clause + f"({spec})")
+        exp["agg_funcs"] = funcs
+        if by and draw(st.booleans()):
+            parts.append("EMIT EMPTY WINDOWS")
+            exp["emit_empty_windows"] = True
+            fill = draw(st.sampled_from(
+                [None, "PREVIOUS", "LINEAR", "0.5", "7"]))
+            if fill is not None:
+                parts.append(f"FILL {fill}")
+                if fill == "PREVIOUS":
+                    exp["fill_previous"] = True
+                elif fill == "LINEAR":
+                    exp["fill_linear"] = True
+                else:
+                    exp["fill_value"] = float(fill)
+    sort = draw(st.sampled_from([None, "ASC", "DESC", "SORT ASC", "SORT DESC"]))
+    if sort:
+        parts.append(sort)
+        exp["sort_desc"] = sort.endswith("DESC")
+    if draw(st.booleans()):
+        lim = draw(st.integers(0, 10**9))
+        parts.append(f"LIMIT {lim}")
+        exp["limit"] = lim
+    if draw(st.booleans()):
+        cur = draw(st.text(string.ascii_letters + string.digits + "+/=",
+                           max_size=12))
+        parts.append(f'AFTER "{cur}"')
+        exp["after_cursor"] = cur
+    return " ".join(parts) + draw(st.sampled_from(["", ";"])), exp
+
+
+@given(stmt=_query_stmt())
+@settings(max_examples=300, deadline=None)
+def test_query_grammar_directed_roundtrip(stmt):
+    text, exp = stmt
+    q = parse(text)
+    assert isinstance(q, A.QueryStatement)
+    assert q.metric == exp["metric"]
+    assert q.start == exp.get("start") and q.end == exp.get("end")
+    assert q.relative == exp.get("relative")
+    assert q.tags == exp.get("tags", {})
+    assert q.tag_matchers == exp.get("tag_matchers", [])
+    assert [a.func for a in q.aggregations] == exp.get("agg_funcs", [])
+    assert q.downsample_interval == exp.get("downsample_interval")
+    assert q.downsample_slide == exp.get("downsample_slide")
+    assert q.emit_empty_windows == exp.get("emit_empty_windows", False)
+    assert q.fill_previous == exp.get("fill_previous", False)
+    assert q.fill_linear == exp.get("fill_linear", False)
+    assert q.fill_value == exp.get("fill_value")
+    assert q.sort_desc == exp.get("sort_desc", False)
+    assert q.limit == exp.get("limit")
+    assert q.after_cursor == exp.get("after_cursor")
+
+
+@st.composite
+def _push_stmt(draw):
+    metric = draw(IDENT)
+    batch = draw(st.booleans())
+    tags = draw(st.dictionaries(TAGK, TAGV, max_size=2))
+    n = draw(st.integers(1, 3))
+    fields: dict = {}
+    fparts = []
+    for i in range(n):
+        k = f"f{i}"
+        kind = draw(st.sampled_from(["int", "float", "bool", "str"]))
+        if kind == "int":
+            v = draw(st.integers(-2**40, 2**40))
+            fparts.append(f"{k}={v}")
+        elif kind == "float":
+            whole = draw(st.integers(-999, 999))
+            v = float(f"{whole}.5")  # NOT whole + 0.5: "-1.5" is -(1.5)
+            fparts.append(f"{k}={whole}.5")
+        elif kind == "bool":
+            v = draw(st.booleans())
+            fparts.append(f"{k}={'TRUE' if v else 'FALSE'}")
+        else:
+            v = draw(TAGV)
+            fparts.append(f'{k}="{v}"')
+        fields[k] = v
+    parts = [("PUSHS" if batch else "PUSH") + f" {metric}"]
+    if tags:
+        parts.append("TAGGED (" + ", ".join(
+            f'{k}="{v}"' for k, v in tags.items()) + ")")
+    parts.append("SET (" + ", ".join(fparts) + ")")
+    ts = draw(st.one_of(st.none(), st.integers(0, 2**61)))
+    if ts is not None:
+        parts.append(f"AT {ts}")
+    return " ".join(parts) + ";", metric, tags, fields, ts, batch
+
+
+@given(stmt=_push_stmt())
+@settings(max_examples=200, deadline=None)
+def test_push_grammar_directed_roundtrip(stmt):
+    text, metric, tags, fields, ts, batch = stmt
+    p = parse(text)
+    assert isinstance(p, A.PushStatement)
+    assert (p.metric, p.tags, p.fields, p.timestamp, p.batch) == (
+        metric, tags, fields, ts, batch)
+
+
+@given(stmt=_query_stmt(), data=st.data())
+@settings(max_examples=300, deadline=None)
+def test_mutated_statement_never_crashes(stmt, data):
+    """Deep-grammar robustness: take a VALID statement and drop,
+    duplicate, or swap one token — the parser must still either parse it
+    or raise NBQLError, never anything else. This is the fuzzer that
+    reaches states like 'SLIDE 0s' (raw-text fuzz cannot)."""
+    toks = stmt[0].replace(";", "").split()
+    op = data.draw(st.sampled_from(["drop", "dup", "swap", "zero_dur"]))
+    i = data.draw(st.integers(0, max(0, len(toks) - 1)))
+    if op == "drop":
+        toks = toks[:i] + toks[i + 1:]
+    elif op == "dup":
+        toks = toks[:i] + [toks[i]] + toks[i:]
+    elif op == "swap" and len(toks) >= 2:
+        j = data.draw(st.integers(0, len(toks) - 1))
+        toks[i], toks[j] = toks[j], toks[i]
+    elif op == "zero_dur":
+        toks = [("0s" if t and t[0].isdigit() and t[-1].isalpha() else t)
+                for t in toks]
+    try:
+        parse(" ".join(toks))
+    except NBQLError:
+        pass
+
+
+def test_zero_slide_and_zero_interval_are_nbql_errors():
+    """Regression: '0s' is lexically valid and parses to 0ns; SLIDE 0s
+    used to raise ZeroDivisionError from the divisibility check, and
+    AGGREGATE BY 0s produced a degenerate window spec."""
+    with pytest.raises(NBQLError):
+        parse("QUERY m AGGREGATE BY 1m SLIDE 0s (count(*))")
+    with pytest.raises(NBQLError):
+        parse("QUERY m AGGREGATE BY 0s (count(*))")
+    with pytest.raises(NBQLError):
+        parse("QUERY m AGGREGATE BY 1m SLIDE 0ms (avg(lat))")
+
+
+def test_sort_requires_direction_and_limit_nonnegative():
+    """Regression: SORT <garbage> silently meant ASC; LIMIT -5 flowed
+    through to the planner (Spark rejects negative limits with a
+    non-NBQL error)."""
+    with pytest.raises(NBQLError):
+        parse("QUERY m SORT banana")
+    with pytest.raises(NBQLError):
+        parse("QUERY m LIMIT -5")
+    assert parse("QUERY m SORT ASC").sort_desc is False
+    assert parse("QUERY m SORT DESC").sort_desc is True
+    assert parse("QUERY m LIMIT 0").limit == 0
+
+
+@given(v=st.text(max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_param_string_value_roundtrips_through_quoting(v):
+    """Any string parameter survives substitute_params' escaping and the
+    parser's unquoting byte-for-byte (quotes, backslashes, unicode)."""
+    q = parse(substitute_params("QUERY m TAGGED (k=?)", (v,)))
+    assert q.tags["k"] == v
