@@ -31,9 +31,11 @@ resurrects (engine2/adapter.go:2773-2791).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -83,6 +85,78 @@ def _typed(value) -> tuple[str, float | None, int | None, str | None, bool | Non
     raise TypeError(f"unsupported field value type: {type(value).__name__}")
 
 
+class _ScanLock:
+    """Readers-writer lock guarding DESTRUCTIVE warehouse rewrites against
+    in-flight result materialization. The servers are threaded
+    (socketserver.ThreadingTCPServer / ThreadingHTTPServer), so a QUERY can
+    be draining rows while another connection's FLUSH or RESTORE deletes
+    the very parquet files the scan already planned — Spark fails that
+    read with a missing-file error (or silently skips under
+    ignoreMissingFiles, losing rows whose base copy the stale plan never
+    listed). APPENDS never need this lock: a scan's file listing simply
+    doesn't see files born after planning (snapshot semantics). Only
+    operations that DELETE or MOVE files take the write side:
+    flush_l0 (rmtree of l0/), compact (rmtree+rename of points/),
+    restore (replaces every warehouse dir), refresh_rollup's per-day
+    overwrite. This mirrors the reference's refcounted-SSTable protocol —
+    iterators pin their SSTables for the cursor's lifetime and compaction
+    waits for the refcount (levels manager) — with the read guard playing
+    the refcount. Writer-preference so a steady query stream cannot
+    starve a flush. NOT reentrant: a thread must never nest read() inside
+    write() or vice versa (internal engine materialization runs under the
+    write side and must not take read guards)."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    @contextlib.contextmanager
+    def read(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if self._readers == 0:
+                    self._cond.notify_all()
+
+    @contextlib.contextmanager
+    def write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writers_waiting -= 1
+            self._writer = True
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer = False
+                self._cond.notify_all()
+
+
+def _serialized(fn):
+    """Run an engine write-path method under the engine's writer mutex
+    (RLock — the paths nest: put -> put_batch -> flush_l0). The threaded
+    servers otherwise interleave two PUSHes inside _next_seq (duplicate
+    seqs break MVCC last-write-wins ties), race the L0 batch counter, or
+    run two flushes over the same l0/ directory."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._write_mu:
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
 class NexusEngine:
     def __init__(self, spark: SparkSession, warehouse: str,
                  l0_trigger: int = 4, cache_capacity: int = 0,
@@ -99,6 +173,15 @@ class NexusEngine:
             on_evicted=lambda k, v: self._emit("on_cache_eviction", {"key": k}))
         self.cache_max_rows = 100_000  # don't retain giant results
         self._write_gen = 0
+        # Writer mutex: the servers handle connections on threads, but the
+        # engine's write path mutates shared state (the seq counter, the
+        # L0 batch counter/dir, the catalog, tombstone dirs) with no other
+        # coordination — the reference serializes writes the same way (one
+        # WAL append / memtable mutex, engine2/adapter.go's engine lock).
+        # RLock: put() nests put_batch(), put_batch() nests flush_l0().
+        self._write_mu = threading.RLock()
+        # Destructive-rewrite vs in-flight-scan coordination (see _ScanLock)
+        self._scan_rw = _ScanLock()
         self.hooks = hooks
         # Lazy driver-side series/metric sets for on_series_create /
         # on_string_create (hooks.go:61-63). None = not yet loaded; only
@@ -159,6 +242,7 @@ class NexusEngine:
         if self.hooks is not None:
             self.hooks.publish(event, payload, batch_id)
 
+    @_serialized
     def close(self) -> None:
         """Graceful shutdown (PreCloseEngine/PostCloseEngine): merge the
         L0 tier down so a reopen needs no recovery work. Safe to call on
@@ -264,6 +348,7 @@ class NexusEngine:
         # a parquet append is the SSTable-create analog (hooks.go:48)
         self._emit("post_sstable_create", {"path": path, "mode": mode})
 
+    @_serialized
     def put(self, metric: str, tags: dict[str, str] | None,
             fields: dict[str, object], ts: int | None = None) -> int:
         """Single-point ingest (gRPC Put / NBQL PUSH —
@@ -288,6 +373,7 @@ class NexusEngine:
                    {**payload, "ts": landed_ts, "seq": seq})
         return seq
 
+    @_serialized
     def put_batch(self, points: list[tuple]) -> int:
         """Atomic batch ingest (PutBatch — engine2/adapter.go:635-749).
         One seq per point, one parquet append per batch (the WAL-batch
@@ -332,6 +418,7 @@ class NexusEngine:
         self._emit("post_put_batch", {"points": points, "last_seq": last_seq})
         return last_seq
 
+    @_serialized
     def flush_l0(self) -> None:
         """Merge the L0 tier into the base table (memtable -> L0 flush +
         L0 -> L1 compaction, engine2/adapter.go FlushMemtableToL0 +
@@ -344,14 +431,20 @@ class NexusEngine:
         df = self.spark.read.parquet(self._l0_path)
         if "day" in df.columns:  # re-derived by _write_points
             df = df.drop("day")
-        self._write_points(df, coalesce=1)
-        self._emit("pre_sstable_delete", {"path": self._l0_path})
-        shutil.rmtree(self._l0_path)
-        self._set_l0_batches(0)
+        # exclusive vs in-flight scans: between the append and the rmtree
+        # a reader would either double-see the L0 rows (raw count(*)
+        # overcounts; MVCC paths dedup them but raw scans don't) or plan
+        # l0/ files that vanish mid-read
+        with self._scan_rw.write():
+            self._write_points(df, coalesce=1)
+            self._emit("pre_sstable_delete", {"path": self._l0_path})
+            shutil.rmtree(self._l0_path)
+            self._set_l0_batches(0)
         # the L0 tier rotating into the base table = WAL rotation
         self._emit("post_wal_rotate", {"merged_into": self._points_path})
         self._emit("post_flush_memtable", {"merged_into": self._points_path})
 
+    @_serialized
     def ingest_frame(self, df: DataFrame) -> None:
         """Bulk ingest: append a long-format DataFrame WITHOUT routing rows
         through the driver (put/put_batch are the API-parity single/small
@@ -490,6 +583,7 @@ class NexusEngine:
 
     # ------------------------------------------------------------ deletes
 
+    @_serialized
     def delete_series(self, metric: str, tags: dict[str, str]) -> int:
         """Whole-series tombstone with seq cutoff (engine2/adapter.go:950-1030)."""
         sk = self._series_key(metric, tags)
@@ -499,6 +593,7 @@ class NexusEngine:
         self._emit("post_delete_series", {"series_key": sk, "seq": seq})
         return seq
 
+    @_serialized
     def delete_point(self, metric: str, tags: dict[str, str], ts: int) -> int:
         """Point tombstone ('D' entry — engine2/adapter.go:909-948)."""
         sk = self._series_key(metric, tags)
@@ -510,6 +605,7 @@ class NexusEngine:
                                          "seq": seq})
         return seq
 
+    @_serialized
     def delete_range(self, metric: str, tags: dict[str, str],
                      start: int, end: int) -> int:
         """Range tombstone [start,end] inclusive (engine2/adapter.go:1032-1101)."""
@@ -683,6 +779,7 @@ class NexusEngine:
     def _rollup_dir(self, name: str) -> str:
         return os.path.join(self.warehouse, "rollups", name)
 
+    @_serialized
     def create_rollup(self, name: str, metric: str, interval_ns: int,
                       specs: list) -> None:
         """Materialized downsample (TimescaleDB continuous-aggregate /
@@ -758,6 +855,7 @@ class NexusEngine:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(data).drop("wday")
 
+    @_serialized
     def refresh_rollup(self, name: str) -> int:
         """Fold everything ingested or deleted since the last refresh into
         the rollup; returns the number of day partitions recomputed.
@@ -823,23 +921,29 @@ class NexusEngine:
                                         day_filter=sorted(dirty))
                    .withColumn("wday", wday_of(F.col("window_start")))
                    .persist())
-            # dynamic partition overwrite: only the dirty wday dirs move
+            # dynamic partition overwrite: only the dirty wday dirs move.
+            # ``out`` is persisted and the day-set collect below runs
+            # BEFORE the exclusive section, so readers are only blocked
+            # for the directory swaps, not the recompute
+            still = {r["wday"] for r in out.select("wday").distinct().collect()}
             with_conf = self.spark.conf
             prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
-                (out.write.mode("overwrite").partitionBy("wday")
-                 .parquet(os.path.join(self._rollup_dir(name), "data")))
+                with self._scan_rw.write():
+                    (out.write.mode("overwrite").partitionBy("wday")
+                     .parquet(os.path.join(self._rollup_dir(name), "data")))
+                    # a dirty day whose data was FULLY deleted produces no
+                    # output rows, so dynamic overwrite never touches its
+                    # directory — drop those partitions explicitly or
+                    # stale windows survive
+                    for wd in dirty - still:
+                        shutil.rmtree(
+                            os.path.join(self._rollup_dir(name), "data",
+                                         f"wday={wd}"), ignore_errors=True)
             finally:
                 with_conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            # a dirty day whose data was FULLY deleted produces no output
-            # rows, so dynamic overwrite never touches its directory —
-            # drop those partitions explicitly or stale windows survive
-            still = {r["wday"] for r in out.select("wday").distinct().collect()}
             out.unpersist()
-            for wd in dirty - still:
-                shutil.rmtree(os.path.join(self._rollup_dir(name), "data",
-                                           f"wday={wd}"), ignore_errors=True)
         meta["last_seq"] = new_last
         with open(os.path.join(self._rollup_dir(name), "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -924,12 +1028,14 @@ class NexusEngine:
 
     # ------------------------------------------------------- maintenance
 
+    @_serialized
     def flush(self, target: str = "all") -> None:
         """FLUSH MEMTABLE/DISK/ALL (executor.go:237-258): merge the L0
         tier down regardless of the batch trigger. Durability needs no
         extra work (appends are already on disk)."""
         self.flush_l0()
 
+    @_serialized
     def compact(self, retention_cutoff_ns: int | None = None, *,
                 cluster: bool = False, cluster_files: int = 32) -> None:
         """OPTIMIZE analog of leveled compaction + retention-on-compaction
@@ -1004,13 +1110,19 @@ class NexusEngine:
             self._write_points(resolved, path=tmp, mode="overwrite",
                                day_partitioned=True)
         self._emit("pre_sstable_delete", {"path": self._points_path})
-        shutil.rmtree(self._points_path, ignore_errors=True)  # may be L0-only
-        os.rename(tmp, self._points_path)
-        # L0 was folded into the resolved view (points() reads the union)
-        shutil.rmtree(self._l0_path, ignore_errors=True)
-        self._set_l0_batches(0)
-        for path in self._tomb.values():
-            shutil.rmtree(path, ignore_errors=True)
+        # the rewrite into tmp above ran lock-free (reads are additive);
+        # only the swap excludes readers — the refcounted-SSTable handoff
+        with self._scan_rw.write():
+            shutil.rmtree(self._points_path, ignore_errors=True)  # may be L0-only
+            os.rename(tmp, self._points_path)
+            # L0 was folded into the resolved view (points() reads the union)
+            shutil.rmtree(self._l0_path, ignore_errors=True)
+            self._set_l0_batches(0)
+            # consumed tombstones die in the SAME exclusive window as the
+            # rewrite that applied them: a reader seeing the new points
+            # WITH the old tombstones would re-delete resurrected rows
+            for path in self._tomb.values():
+                shutil.rmtree(path, ignore_errors=True)
         self._write_format()
         self.point_markers = self.day_partitioned = True
         # rebuild the catalog from the surviving view: prunes tombstoned
@@ -1058,6 +1170,7 @@ class NexusEngine:
             out["_format"] = (st.st_size, st.st_mtime_ns)
         return out
 
+    @_serialized
     def snapshot(self, incremental_from: str | None = None) -> str:
         """Snapshot with a file manifest (snapshot/manager.go full +
         incremental with manifest; Delta time-travel would subsume this
@@ -1109,28 +1222,34 @@ class NexusEngine:
         from nexusbase_spark.snapshots import restore_files
         restore_files(path, self.warehouse, overwrite=True)
 
+    @_serialized
     def restore(self, path: str, overwrite: bool = False) -> None:
         have = any(os.path.isdir(os.path.join(self.warehouse, n))
                    for n in self._SNAPSHOT_DIRS)
         if have and not overwrite:
             raise ValueError("restore target not empty; use WITH OVERWRITE")
-        for name in self._SNAPSHOT_DIRS:
-            shutil.rmtree(os.path.join(self.warehouse, name), ignore_errors=True)
-        # the snapshot's format version wins: a v1 snapshot restored over
-        # a v2 warehouse must drop the marker flag (and vice versa) — so
-        # clear the current _format and let the snapshot re-supply it
-        if os.path.isfile(self._format_path):
-            os.unlink(self._format_path)
-        if os.path.isfile(os.path.join(path, "manifest.json")):
-            self._restore_manifest(path)  # includes _format when captured
-        else:  # legacy manifest-less snapshot: plain directory copy
+        # restore replaces EVERY warehouse dir — exclusive vs any
+        # in-flight scan for the whole swap (the reference blocks reads
+        # during RestoreFromSnapshot the same way)
+        with self._scan_rw.write():
             for name in self._SNAPSHOT_DIRS:
-                src = os.path.join(path, name)
-                if os.path.isdir(src):
-                    shutil.copytree(src, os.path.join(self.warehouse, name))
-            src_fmt = os.path.join(path, "_format")
-            if os.path.isfile(src_fmt):
-                shutil.copy(src_fmt, self._format_path)
+                shutil.rmtree(os.path.join(self.warehouse, name),
+                              ignore_errors=True)
+            # the snapshot's format version wins: a v1 snapshot restored
+            # over a v2 warehouse must drop the marker flag (and vice
+            # versa) — clear _format and let the snapshot re-supply it
+            if os.path.isfile(self._format_path):
+                os.unlink(self._format_path)
+            if os.path.isfile(os.path.join(path, "manifest.json")):
+                self._restore_manifest(path)  # includes _format if captured
+            else:  # legacy manifest-less snapshot: plain directory copy
+                for name in self._SNAPSHOT_DIRS:
+                    src = os.path.join(path, name)
+                    if os.path.isdir(src):
+                        shutil.copytree(src, os.path.join(self.warehouse, name))
+                src_fmt = os.path.join(path, "_format")
+                if os.path.isfile(src_fmt):
+                    shutil.copy(src_fmt, self._format_path)
         self._seq = self._load_max_seq() + 1
         self._set_l0_batches(0)  # pending-batch count died with the old L0
         # snapshots from before the catalog existed restore without one;
@@ -1185,6 +1304,16 @@ class NexusEngine:
         return out
 
     # ------------------------------------------------------------- query
+
+    def read_guard(self):
+        """Shared-side guard for MATERIALIZING a query result (collect /
+        toLocalIterator). While held, destructive rewrites (flush_l0's
+        rmtree, compact's swap, restore) wait — the Spark analog of the
+        reference pinning an iterator's SSTables for the cursor lifetime
+        (levels manager refcounts). DataFrame CONSTRUCTION never needs
+        it (lazy); take it exactly around the drain. Not reentrant; do
+        not hold across unrelated engine mutations."""
+        return self._scan_rw.read()
 
     def query(self, q: QueryStatement) -> DataFrame:
         from nexusbase_spark.nbql.planner import plan_query

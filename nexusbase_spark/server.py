@@ -51,13 +51,34 @@ def _json_cell(v):
 
 
 def execute_to_json(engine: NexusEngine, query: str, params=()) -> dict:
-    """Run one NBQL statement, return the HTTP response body dict."""
-    out = engine.execute(query, params)
-    if out is None:
-        return {"results": [], "status": "OK"}
-    if isinstance(out, str):  # SNAPSHOT returns a path
-        return {"results": [{"snapshot_path": out}], "status": "OK"}
-    rows = out.collect()
+    """Run one NBQL statement, return the HTTP response body dict.
+
+    Read-only statements run under ``engine.read_guard()`` spanning BOTH
+    plan construction (spark.read.parquet lists files) and the collect,
+    so a concurrent FLUSH/COMPACT/RESTORE can't delete planned files
+    mid-query (the reference pins an iterator's SSTables the same way).
+    Mutations must NOT take the read guard: a PUSH that trips the L0
+    trigger flushes inside, and the flush's exclusive side would deadlock
+    against its own thread's read side."""
+    from nexusbase_spark.nbql import ast as A
+    from nexusbase_spark.nbql.parser import parse, substitute_params
+    if params:
+        query = substitute_params(query, params)
+    stmt = parse(query)
+    read_only = isinstance(stmt, (A.QueryStatement, A.ShowStatement,
+                                  A.ExplainStatement, A.QueryRollupStatement,
+                                  A.VerifyRollupStatement))
+    if not read_only:
+        out = engine._dispatch(stmt)
+        if out is None:
+            return {"results": [], "status": "OK"}
+        if isinstance(out, str):  # SNAPSHOT returns a path
+            return {"results": [{"snapshot_path": out}], "status": "OK"}
+        rows = out.collect()  # mutation that returned rows (none today)
+    else:
+        with engine.read_guard():  # pin files: construction AND drain
+            out = engine._dispatch(stmt)
+            rows = out.collect()
     results = []
     for r in rows:
         d = r.asDict(recursive=True)

@@ -1,0 +1,188 @@
+"""Engine thread-safety under the threaded servers' access pattern.
+
+The NBQL TCP server is a ThreadingTCPServer and the HTTP server is
+threaded too, so PUSH / QUERY / FLUSH arrive on concurrent threads of one
+engine. The reference serializes its write path behind the WAL/memtable
+mutex and pins SSTables for iterator lifetimes (levels manager refcounts,
+engine2/adapter.go); the Spark engine mirrors both: ``_serialized``
+(writer RLock) on every mutator and ``read_guard`` / ``_ScanLock``
+shared-vs-destructive coordination around flush/compact/restore.
+
+These tests drive REAL races (threads hammering one engine) — before the
+locks, seq duplication and L0 rmtree-vs-append losses reproduced here.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from nexusbase_spark.engine import NexusEngine, _ScanLock
+
+
+@pytest.fixture()
+def engine(spark, tmp_path_factory):
+    return NexusEngine(spark, str(tmp_path_factory.mktemp("conc_wh")),
+                       l0_trigger=3)
+
+
+def _run_threads(n, target):
+    errs: list[BaseException] = []
+
+    def wrap(i):
+        try:
+            target(i)
+        except BaseException as e:  # noqa: BLE001 - surface in the test
+            errs.append(e)
+
+    ts = [threading.Thread(target=wrap, args=(i,)) for i in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return errs
+
+
+def test_concurrent_puts_assign_unique_seqs_and_lose_nothing(engine):
+    """8 writer threads x 6 put_batch each, l0_trigger=3 so L0 flushes
+    fire concurrently with other threads' appends. Every seq must be
+    unique (duplicate seqs break MVCC last-write-wins ties) and every
+    point must survive (the pre-lock race lost L0 batches when one
+    thread's flush rmtree'd the dir an in-flight append was landing in)."""
+    n_threads, per = 8, 6
+    seqs: list[int] = []
+    mu = threading.Lock()
+
+    def work(i):
+        got = []
+        for j in range(per):
+            s = engine.put_batch([
+                ("conc.m", {"t": str(i)}, {"v": float(j)},
+                 1_700_000_000_000_000_000 + (i * per + j) * 1_000_000_000)])
+            got.append(s)
+        with mu:
+            seqs.extend(got)
+
+    errs = _run_threads(n_threads, work)
+    assert not errs, errs
+    assert len(seqs) == len(set(seqs)) == n_threads * per
+    engine.flush_l0()
+    out = engine.execute("QUERY conc.m AGGREGATE (count(v))").collect()
+    assert out[0]["count_v"] == n_threads * per
+
+
+def test_queries_during_flushes_never_see_torn_state(engine):
+    """One thread floods put_batch (forcing repeated L0 flushes), another
+    loops FLUSH ALL, while two reader threads drain count(*) queries via
+    the server surface (execute + read_guard materialization). Before
+    the scan lock, readers hit FileNotFound (flush rmtree'd planned L0
+    files) or double-counted the in-flight merge. Every observed count
+    must be sane: monotonically nondecreasing and never above the total
+    written so far."""
+    from nexusbase_spark.server import execute_to_json
+
+    total = 30
+    stop = threading.Event()
+    written = [0]
+
+    def writer(_i):
+        for j in range(total):
+            engine.put_batch([
+                ("flood.m", {"k": "w"}, {"v": float(j)},
+                 1_700_000_000_000_000_000 + j * 1_000_000_000)])
+            written[0] = j + 1
+        stop.set()
+
+    def flusher(_i):
+        while not stop.is_set():
+            engine.flush_l0()
+
+    seen: list[int] = []
+    fails: list[str] = []
+
+    def reader(_i):
+        last = 0
+        while True:  # always ≥1 query, incl. one after writers stop
+            done = stop.is_set()
+            body = execute_to_json(engine, "QUERY flood.m AGGREGATE (count(*))")
+            rows = body["results"]
+            c = rows[0]["count_*"] if rows else 0
+            c = int(c or 0)
+            hi = written[0]  # read AFTER the query: an upper bound
+            if c < last:
+                fails.append(f"count went backwards: {last} -> {c}")
+            if c > hi:
+                fails.append(f"count overshot writes: {c} > {hi}")
+            last = c
+            seen.append(c)
+            if done:
+                break
+
+    errs = _run_threads(4, lambda i: [writer, flusher, reader, reader][i](i))
+    assert not errs, errs
+    assert not fails, fails
+    engine.flush_l0()
+    final = execute_to_json(engine, "QUERY flood.m AGGREGATE (count(*))")
+    assert int(final["results"][0]["count_*"]) == total
+    assert seen, "readers never completed a query"
+
+
+def test_concurrent_deletes_and_puts_keep_seq_order(engine):
+    """Tombstone writers and point writers interleave; seqs must stay
+    unique across BOTH paths (a tombstone sharing a seq with a later
+    point would tombstone it — the resurrect contract depends on strict
+    ordering)."""
+    seqs: list[int] = []
+    mu = threading.Lock()
+
+    def put_worker(i):
+        got = [engine.put_batch([
+            ("mix.m", {"t": str(i)}, {"v": 1.0},
+             1_700_000_000_000_000_000 + j)]) for j in range(5)]
+        with mu:
+            seqs.extend(got)
+
+    def del_worker(i):
+        got = [engine.delete_point("mix.m", {"t": str(i)},
+                                   1_700_000_000_000_000_000 + j)
+               for j in range(5)]
+        with mu:
+            seqs.extend(got)
+
+    errs = _run_threads(
+        6, lambda i: (put_worker if i % 2 == 0 else del_worker)(i))
+    assert not errs, errs
+    assert len(seqs) == len(set(seqs)) == 30
+
+
+def test_scan_lock_excludes_destructive_while_readers_drain():
+    """Pure-lock semantics: readers overlap each other; a writer waits
+    for all readers and blocks new readers while waiting (writer
+    preference); writers are exclusive."""
+    lock = _ScanLock()
+    events: list[str] = []
+    r1_in = threading.Event()
+    w_started = threading.Event()
+
+    def reader():
+        with lock.read():
+            events.append("r_in")
+            r1_in.set()
+            w_started.wait(timeout=5)
+            # give the writer a beat to actually block on the cond
+            import time
+            time.sleep(0.1)
+            events.append("r_out")
+
+    def writer():
+        r1_in.wait(timeout=5)
+        w_started.set()
+        with lock.write():
+            events.append("w_in")
+
+    t1 = threading.Thread(target=reader)
+    t2 = threading.Thread(target=writer)
+    t1.start(); t2.start()
+    t1.join(timeout=10); t2.join(timeout=10)
+    assert events == ["r_in", "r_out", "w_in"]
