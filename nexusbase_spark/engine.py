@@ -428,7 +428,10 @@ class NexusEngine:
             self._set_l0_batches(0)
             return
         self._emit("pre_flush_memtable", {"l0_batches": self._l0_batches()})
-        df = self.spark.read.parquet(self._l0_path)
+        df = self._read_dir_or_none(self._l0_path)
+        if df is None:  # dir born but nothing committed (crashed append)
+            self._set_l0_batches(0)
+            return
         if "day" in df.columns:  # re-derived by _write_points
             df = df.drop("day")
         # exclusive vs in-flight scans: between the append and the rmtree
@@ -630,11 +633,28 @@ class NexusEngine:
 
     # -------------------------------------------------------------- reads
 
+    def _read_dir_or_none(self, path: str) -> DataFrame | None:
+        """spark.read.parquet on an engine-owned dir, tolerating the
+        append-birth torn state: a concurrent first append has CREATED
+        the directory (os.makedirs / the committer's staging area) but
+        not yet committed a parquet file, so schema inference fails with
+        UNABLE_TO_INFER_SCHEMA. The correct snapshot is 'no rows yet' —
+        an in-flight batch is not durable until its commit — so that
+        case reads as absent. Found by the concurrent-TCP-clients e2e
+        test; deletions (the other torn state) are excluded by _ScanLock
+        instead, because there the rows DO exist and must stay visible."""
+        if not os.path.isdir(path):
+            return None
+        try:
+            return self.spark.read.parquet(path)
+        except Exception as e:  # pyspark AnalysisException
+            if "UNABLE_TO_INFER_SCHEMA" in str(e):
+                return None
+            raise
+
     def _raw(self) -> DataFrame | None:
-        base = self.spark.read.parquet(self._points_path) \
-            if os.path.isdir(self._points_path) else None
-        l0 = self.spark.read.parquet(self._l0_path) \
-            if os.path.isdir(self._l0_path) else None
+        base = self._read_dir_or_none(self._points_path)
+        l0 = self._read_dir_or_none(self._l0_path)
         if base is None:
             return l0
         if l0 is None:
@@ -642,8 +662,9 @@ class NexusEngine:
         return base.unionByName(l0)
 
     def _tomb_df(self, kind: str, schema: str) -> DataFrame:
-        if os.path.isdir(self._tomb[kind]):
-            return self.spark.read.parquet(self._tomb[kind])
+        df = self._read_dir_or_none(self._tomb[kind])
+        if df is not None:
+            return df
         return self.spark.createDataFrame([], schema)
 
     def points(self, metric: str | None = None,

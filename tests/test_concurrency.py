@@ -186,3 +186,44 @@ def test_scan_lock_excludes_destructive_while_readers_drain():
     t1.start(); t2.start()
     t1.join(timeout=10); t2.join(timeout=10)
     assert events == ["r_in", "r_out", "w_in"]
+
+
+def test_concurrent_tcp_clients_end_to_end(spark, tmp_path_factory):
+    """The real deployment shape: N socket clients pushing and querying
+    ONE threaded TCP server concurrently (each connection = one server
+    thread = one engine caller). Every push must land (unique seqs via
+    the writer mutex, no committer crashes), every query must complete
+    (scan lock vs the L0 flushes the pushes trigger), and the final
+    count must equal the total pushed."""
+    from nexusbase_spark.tcp_server import NBQLClient, serve_tcp
+
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("tcpconc_wh")),
+                      l0_trigger=3)
+    srv = serve_tcp(eng, port=0)
+    host, port = "127.0.0.1", srv.server_address[1]
+    n_clients, per = 4, 5
+    try:
+        def client(i):
+            c = NBQLClient(host, port)
+            try:
+                for j in range(per):
+                    ts = 1_700_000_000_000_000_000 + (i * per + j) * 10 ** 9
+                    c.push(f'PUSH tcp.conc TAGGED (cl="{i}") '
+                           f'SET (v={j}.5) AT {ts}')
+                    rows, end = c.query(
+                        "QUERY tcp.conc AGGREGATE (count(*))")
+                    got = int(rows[0]["count_*"]) if rows else 0
+                    assert 0 < got <= n_clients * per
+            finally:
+                c.close()
+
+        errs = _run_threads(n_clients, client)
+        assert not errs, errs
+        c = NBQLClient(host, port)
+        try:
+            rows, _end = c.query("QUERY tcp.conc AGGREGATE (count(*))")
+            assert int(rows[0]["count_*"]) == n_clients * per
+        finally:
+            c.close()
+    finally:
+        srv.shutdown()
