@@ -311,10 +311,16 @@ class NexusEngine:
             f.write(str(n))
 
     def _load_max_seq(self) -> int:
+        """Open-time WAL-recovery analog: max committed seq across every
+        warehouse dir. Uses _read_dir_or_none so a dir left behind by a
+        CRASHED append (created, nothing committed — only staging files)
+        doesn't brick engine open; recovery sees exactly the durable
+        rows, which is the WAL-replay contract."""
         best = -1
         for path in [self._points_path, self._l0_path, *self._tomb.values()]:
-            if os.path.isdir(path):
-                row = self.spark.read.parquet(path).agg(F.max("seq")).collect()[0]
+            df = self._read_dir_or_none(path)
+            if df is not None:
+                row = df.agg(F.max("seq")).collect()[0]
                 if row[0] is not None:
                     best = max(best, row[0])
         return best

@@ -227,3 +227,34 @@ def test_concurrent_tcp_clients_end_to_end(spark, tmp_path_factory):
             c.close()
     finally:
         srv.shutdown()
+
+
+def test_engine_open_and_flush_tolerate_crashed_append_dirs(spark, tmp_path_factory):
+    """Crash consistency: a process killed mid-append leaves a directory
+    that EXISTS but holds no committed parquet (only the committer's
+    staging area). Engine open (_load_max_seq recovery), queries, puts,
+    and flush must all treat that as 'no durable rows' rather than fail
+    schema inference — the WAL-replay contract is durable-rows-only."""
+    import os
+
+    wh = str(tmp_path_factory.mktemp("crash_wh"))
+    # simulate the crash artifacts: born-empty l0/ and tomb_point/ with
+    # only staging junk inside
+    os.makedirs(os.path.join(wh, "l0", "_temporary", "0"))
+    os.makedirs(os.path.join(wh, "tomb_point"))
+    eng = NexusEngine(spark, wh, l0_trigger=2)
+    assert eng._seq == 0  # nothing durable -> recovery found no seqs
+
+    # the engine is fully serviceable after recovery
+    s1 = eng.put_batch([("crash.m", {"h": "a"}, {"v": 1.0},
+                         1_700_000_000_000_000_000)])
+    s2 = eng.put_batch([("crash.m", {"h": "a"}, {"v": 2.0},
+                         1_700_000_001_000_000_000)])  # trips l0_trigger=2
+    assert (s1, s2) == (0, 1)
+    eng.flush_l0()  # idempotent after the triggered flush
+    rows = eng.execute("QUERY crash.m AGGREGATE (count(v), sum(v))").collect()
+    assert rows[0]["count_v"] == 2 and rows[0]["sum_v"] == 3.0
+
+    # reopen over the now-real warehouse: recovery resumes past max seq
+    eng2 = NexusEngine(spark, wh)
+    assert eng2._seq == 2
