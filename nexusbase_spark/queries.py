@@ -633,11 +633,11 @@ def q_cursor_page(spark, sf_dir):
 # lineitem_basket_lift, lineitem_gini_revenue, orders_benford,
 # orders_hill_tail_index) leads round 7's window together with the
 # oldest-evidence re-witness queue (tpch_q7/q8, then round-2 vintage).
-# Witness accounting: 179/234 registered queries have a hard-gate row
-# through round 5; a green round 6 makes it 221/234, round 7 → 234/234
-# (8 deferred round-5 queries + the 5 round-6 additions fit the window
-# beside 29 re-witness slots). Registry growth budget this round: ≤8 new
-# gate queries (VERDICT r5 #2) — 5 were added. Everything still runs when
+# Witness accounting: 179/235 registered queries have a hard-gate row
+# through round 5; a green round 6 makes it 221/235, round 7 → 235/235
+# (8 deferred round-5 queries + the 6 round-6 additions fit the window
+# beside 28 re-witness slots). Registry growth budget this round: ≤8 new
+# gate queries (VERDICT r5 #2) — 6 were added. Everything still runs when
 # the driver has the budget; the prefix only decides what a capped run
 # proves.
 PRIORITY_PREFIX = [

