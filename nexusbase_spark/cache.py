@@ -34,44 +34,56 @@ from nexusbase_spark.nbql.ast import QueryStatement
 
 class LRUCache:
     """Fixed-size LRU (cache/cache.go): capacity <= 0 disables; optional
-    eviction callback; hit/miss counters (the expvar metrics analog)."""
+    eviction callback; hit/miss counters (the expvar metrics analog).
+    Thread-safe: the threaded TCP/HTTP servers run _query_cached on
+    connection threads (cache/cache.go holds a sync.Mutex for the same
+    reason), so get/put/clear serialize on an internal lock — otherwise
+    hit/miss counters race and two concurrent put() evictions can
+    double-fire the eviction callback (ADVICE r6). The eviction callback
+    fires under the lock; it must not call back into the cache."""
 
     def __init__(self, capacity: int,
                  on_evicted: Callable[[str, object], None] | None = None):
+        import threading
         self.capacity = capacity
         self._items: OrderedDict[str, object] = OrderedDict()
         self._on_evicted = on_evicted
+        self._mu = threading.Lock()
         self.hits = 0
         self.misses = 0
 
     def __len__(self) -> int:
-        return len(self._items)
+        with self._mu:
+            return len(self._items)
 
     def get(self, key: str):
         """-> (value, ok). A disabled cache misses silently without
         counting (cache/cache.go Get's disabled-cache branch)."""
         if self.capacity <= 0:
             return None, False
-        if key in self._items:
-            self._items.move_to_end(key)
-            self.hits += 1
-            return self._items[key], True
-        self.misses += 1
-        return None, False
+        with self._mu:
+            if key in self._items:
+                self._items.move_to_end(key)
+                self.hits += 1
+                return self._items[key], True
+            self.misses += 1
+            return None, False
 
     def put(self, key: str, value: object) -> None:
         if self.capacity <= 0:
             return
-        if key in self._items:
-            self._items.move_to_end(key)
-        self._items[key] = value
-        while len(self._items) > self.capacity:
-            old_key, old_val = self._items.popitem(last=False)
-            if self._on_evicted is not None:
-                self._on_evicted(old_key, old_val)
+        with self._mu:
+            if key in self._items:
+                self._items.move_to_end(key)
+            self._items[key] = value
+            while len(self._items) > self.capacity:
+                old_key, old_val = self._items.popitem(last=False)
+                if self._on_evicted is not None:
+                    self._on_evicted(old_key, old_val)
 
     def clear(self) -> None:
-        self._items.clear()
+        with self._mu:
+            self._items.clear()
 
 
 def query_cache_key(q: QueryStatement) -> str:

@@ -130,8 +130,16 @@ class _ScanLock:
     def write(self):
         with self._cond:
             self._writers_waiting += 1
-            while self._writer or self._readers:
-                self._cond.wait()
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            except BaseException:
+                # A wait interrupted mid-block (e.g. KeyboardInterrupt)
+                # must not leak the waiting count, or every future read()
+                # blocks forever behind a phantom writer (ADVICE r6).
+                self._writers_waiting -= 1
+                self._cond.notify_all()
+                raise
             self._writers_waiting -= 1
             self._writer = True
         try:
@@ -1518,7 +1526,16 @@ class NexusEngine:
 
     def execute(self, nbql: str, params: tuple | list = ()):
         """Parse + dispatch one NBQL statement (api/nbql/executor.go:29-50).
-        Returns a DataFrame for QUERY/SHOW, None for manipulations."""
+        Returns a DataFrame for QUERY/SHOW, None for manipulations.
+
+        Thread-safety contract (ADVICE r6): mutations serialize on the
+        engine's writer mutex internally, but the returned DataFrame is
+        LAZY — direct embedders that materialize it (collect/toPandas)
+        from their own threads while another thread can FLUSH / COMPACT /
+        RESTORE must wrap the materialization in ``read_guard()``
+        spanning plan construction AND the collect, exactly as
+        ``server.execute_to_json`` does, or the planned parquet files can
+        be rmtree'd mid-scan. Single-threaded embedders need nothing."""
         from nexusbase_spark.nbql.parser import parse, substitute_params
         if params:
             nbql = substitute_params(nbql, params)

@@ -24,6 +24,48 @@ from pyspark.sql import functions as F
 
 from nexusbase_spark.pipeline.text import tokens_col, word_shingles
 
+# Default skew cap for COMPOSED pipelines and streaming ingest-dedup sinks
+# (VERDICT r6 #5). 1000 is the value the round-6 guard probe measured
+# (SCALE.md "Round-6 PPJoin guard probe"): it bounds any one prefix/LSH
+# bucket's candidate fan-out at ~1000²/2 ≈ 5e5 comparisons — two orders
+# below the 2e8-pair template hazard the probe demonstrated — while every
+# natural bucket observed (2-400 postings across the SF ladder) rides far
+# below it, so at test scales the cap never engages and oracle parity is
+# unchanged. The PRIMITIVES (prefix_filter_pairs, DedupIndex.probe/append,
+# ExactDupIndex.probe/append) keep max_bucket=None so a direct caller gets
+# the exhaustively lossless contract; compositions opt back into lossless
+# with max_bucket=None explicitly.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def curation_keepers(docs: DataFrame, threshold: float = 0.8,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                     ) -> tuple[DataFrame, DataFrame]:
+    """The shared curation-v2/v3 keep chain: quality filter -> EXACT
+    near-dup pairs (prefix-filtered Jaccard >= threshold) -> connected
+    components -> canonical keeper (longest member). Returns
+    ``(kept, verdicts)``: the quality-surviving docs (eagerly
+    checkpointed — the filter feeds three consumers) and the per-doc
+    keep/cluster verdicts.
+
+    ``max_bucket`` defaults to :data:`DEFAULT_MAX_BUCKET` — at 100TB a
+    composed pipeline's default must be a bounded run that WARNs about
+    dropped hot prefix buckets (RuntimeWarning from
+    drop_hot_prefix_buckets, naming the tokens), not a lossless pass one
+    boilerplate template can stall for hours (SCALE.md guard probe:
+    ~97min emission floor uncapped vs 7.9s capped, zero genuine pairs
+    lost). Pass ``max_bucket=None`` for the exhaustively lossless
+    opt-out when the corpus is known template-free."""
+    from nexusbase_spark.pipeline.text import quality_filter_exprs
+    fx = quality_filter_exprs(F.col(text_col))
+    kept = docs.filter(fx["keep"]).localCheckpoint(eager=True)
+    pairs = prefix_filter_pairs(kept, threshold=threshold, id_col=id_col,
+                                text_col=text_col, max_bucket=max_bucket)
+    verdicts = canonical_keep(kept, dedup_clusters(pairs),
+                              id_col=id_col, text_col=text_col)
+    return kept, verdicts
+
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",

@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 
 from nexusbase_spark.pipeline.dedup import _banded_docs
 
+# sentinel: "caller didn't pass max_bucket" — the streaming sink defaults
+# to dedup.DEFAULT_MAX_BUCKET (VERDICT r6 #5); explicit None = unbounded
+_SINK_DEFAULT = object()
+
 
 class DedupIndex:
     def __init__(self, spark: SparkSession, path: str):
@@ -283,13 +287,22 @@ class DedupIndex:
     # ------------------------------------------------------------ streaming
 
     def for_each_batch(self, threshold: float = 0.3,
-                       max_bucket: int | None = None,
+                       max_bucket: int | None = _SINK_DEFAULT,
                        on_matches=None):
         """Structured-Streaming sink: each document micro-batch is deduped
         against the whole indexed HISTORY (not just the watermark horizon
         — the complement of subscribe.live_dedup's exact/windowed state),
         duplicates are dropped, novel docs are folded into the store so
         later batches dedupe against them too.
+
+        ``max_bucket`` defaults to dedup.DEFAULT_MAX_BUCKET (VERDICT r6
+        #5): hot HISTORY buckets past the cap are skipped during the
+        probe, so one boilerplate band key accumulated over months can't
+        make every future batch quadratic. LSH is already
+        recall-trading, so the cap is a silent recall bound here (the
+        EXACT ExactDupIndex twin WARNs and records, because there the
+        cap breaks a losslessness contract). ``max_bucket=None`` opts
+        back into unbounded probing.
 
         Exactly the ingest-time near-dup shape of a crawling pipeline:
         state lives in the parquet store (restart-safe, shared across
@@ -298,11 +311,14 @@ class DedupIndex:
         probe-then-append — the ordering append() itself requires.
         ``on_matches(matches_df, batch_id)`` observes the dropped pairs
         (already materialized — safe to collect a bounded view)."""
+        from nexusbase_spark.pipeline.dedup import DEFAULT_MAX_BUCKET
+        mb = DEFAULT_MAX_BUCKET if max_bucket is _SINK_DEFAULT else max_bucket
+
         def run(batch: DataFrame, batch_id: int) -> None:
             if not batch.head(1):
                 return
             matches = self.append(batch, threshold=threshold,
-                                  max_bucket=max_bucket, admit_dups=False)
+                                  max_bucket=mb, admit_dups=False)
             if on_matches is not None:
                 on_matches(matches, batch_id)
         return run

@@ -37,6 +37,11 @@ from pyspark.sql import functions as F
 
 from nexusbase_spark.pipeline.text import tokens_col
 
+# sentinel: "caller didn't pass max_bucket" — the streaming sinks default
+# to dedup.DEFAULT_MAX_BUCKET (VERDICT r6 #5) while explicit None remains
+# the documented lossless opt-out
+_SINK_DEFAULT = object()
+
 
 _N_BUCKETS = 32
 
@@ -300,17 +305,41 @@ class ExactDupIndex:
 
     def for_each_batch(self, matches_path: str | None = None,
                        threshold: float | None = None,
-                       max_bucket: int | None = None):
+                       max_bucket: int | None = _SINK_DEFAULT):
         """Streaming ingest-dedup sink: append each micro-batch, writing
         its exact matches against the pre-batch corpus to
         ``matches_path`` (when given) — the lossless twin of
         DedupIndex's ingest-dedup sink. ``max_bucket`` inherits the
-        probe-time skew guard (postings still land complete)."""
+        probe-time skew guard (postings still land complete) and
+        DEFAULTS to dedup.DEFAULT_MAX_BUCKET (VERDICT r6 #5): a
+        long-running ingest stream must not let one boilerplate template
+        accumulated in HISTORY make every future batch quadratic. Pass
+        ``max_bucket=None`` for the exhaustively lossless opt-out. When
+        the guard engages, its RuntimeWarning is re-emitted AND appended
+        to ``<index>/guard_warnings.jsonl`` (batch_id + message) — the
+        run report a stream operator reads, since foreachBatch warnings
+        otherwise die on an executor-thread stderr."""
+        import warnings as _warnings
+        from nexusbase_spark.pipeline.dedup import DEFAULT_MAX_BUCKET
+        mb = DEFAULT_MAX_BUCKET if max_bucket is _SINK_DEFAULT else max_bucket
+
         def run(batch: DataFrame, batch_id: int) -> None:
             if not batch.head(1):
                 return
-            m = self.append(batch, threshold, max_bucket=max_bucket)
-            if matches_path is not None:
-                (m.withColumn("batch_id", F.lit(int(batch_id)))
-                 .coalesce(1).write.mode("append").parquet(matches_path))
+            with _warnings.catch_warnings(record=True) as caught:
+                _warnings.simplefilter("always", RuntimeWarning)
+                m = self.append(batch, threshold, max_bucket=mb)
+                if matches_path is not None:
+                    (m.withColumn("batch_id", F.lit(int(batch_id)))
+                     .coalesce(1).write.mode("append").parquet(matches_path))
+            guard = [w for w in caught if issubclass(w.category, RuntimeWarning)]
+            if guard:
+                report = os.path.join(self.path, "guard_warnings.jsonl")
+                with open(report, "a", encoding="utf-8") as f:
+                    for w in guard:
+                        f.write(json.dumps({"batch_id": int(batch_id),
+                                            "warning": str(w.message)}) + "\n")
+                for w in guard:  # still surface to the caller's stderr
+                    _warnings.warn_explicit(w.message, w.category,
+                                            w.filename, w.lineno)
         return run

@@ -622,50 +622,49 @@ def q_cursor_page(spark, sf_dir):
 
 # The driver witnesses queries in registry iteration order and caps the run
 # at 50 rows, so iteration order IS the correctness-gate coverage policy.
-# Round-6 rotation (VERDICT r5 "Next round" #1): 8 canary cores — one per
+# Round-7 rotation (VERDICT r6 "Next round" #1): 8 canary cores — one per
 # §2/pipeline family, re-witnessed every round so a regression in the core
-# surface can never hide — then 42 of the 50 round-5 additions that have
-# never been through the hard gate: the composed curation pipelines and the
-# exact-dedup family first (the judge's named priorities), then the
-# remaining stats/eval/quality/recall families alphabetically. The
-# alphabetical tail of 8 (events_session_paths, events_theil_sen,
-# events_wilcoxon_signed_rank, lineitem_abc_classification,
-# lineitem_basket_lift, lineitem_gini_revenue, orders_benford,
-# orders_hill_tail_index) leads round 7's window together with the
-# oldest-evidence re-witness queue (tpch_q7/q8, then round-2 vintage).
-# Witness accounting: 179/235 registered queries have a hard-gate row
-# through round 5; a green round 6 makes it 221/235, round 7 → 235/235
-# (8 deferred round-5 queries + the 6 round-6 additions fit the window
-# beside 28 re-witness slots). Registry growth budget this round: ≤8 new
-# gate queries (VERDICT r5 #2) — 6 were added. Everything still runs when
-# the driver has the budget; the prefix only decides what a capped run
-# proves.
+# surface can never hide — then ALL 14 never-witnessed queries (the 8
+# round-5 alphabetical-tail deferrals + the 6 round-6 sketch/guard
+# additions), then 28 re-witness slots drained oldest-evidence-first:
+# tpch_q7_nation_trade and tpch_q8_mkt_share (last witnessed round 1),
+# then the alphabetically-first 26 of the 42 round-2-vintage queries.
+# Witness accounting: 221/235 registered queries have a hard-gate row
+# through round 6; a green round 7 makes it 235/235 — every registered
+# query driver-witnessed at least once — and leaves a 16-query
+# round-2-vintage re-witness queue (nbql_tag_matchers …
+# tpch_q12_priority_classes, alphabetical) for round 8. Registry growth
+# budget this round: ≤5 new gate queries (VERDICT r6 #7); new additions
+# join the never-witnessed pool for the round-8 window. Everything still
+# runs when the driver has the budget; the prefix only decides what a
+# capped run proves.
 PRIORITY_PREFIX = [
     # canary cores: scan, final agg, downsample, MVCC, tombstone, cursor,
     # NBQL planner, dedup pipeline — one witness per family, every round
     "raw_scan_range_tag", "final_agg_basic", "downsample_1d",
     "mvcc_dedup_latest", "tombstone_series", "cursor_page",
     "nbql_downsample", "doc_dedup_exact",
-    # judge-named priorities: composed pipelines + exact-dedup family (5)
-    "docs_curation_v2", "docs_curation_v3_dsir", "docs_ppjoin_pairs",
-    "docs_exact_dedup_index_probe", "docs_export_manifest",
-    # docs/text quality + dedup-eval family (15)
-    "docs_calibration_bins", "docs_char_entropy", "docs_cross_source_dups",
-    "docs_dedup_canonical", "docs_dedup_rate_curve", "docs_gopher_rules",
-    "docs_heaps_law", "docs_langid_confusion", "docs_ngram_novelty",
-    "docs_psi_length_by_source", "docs_quality_auc", "docs_quality_kappa",
-    "docs_token_budget_curve", "docs_zipf_slope", "doc_minhash_recall",
-    # embedding diagnostics / serving family (7)
-    "embed_centroid_drift", "embed_cluster_purity", "embed_ivfpq_mmr_topk",
-    "embed_ivf_recall", "embed_label_propagation", "embed_norm_profile",
-    "embed_pq_distortion",
-    # events statistics / drift / backtest family (15)
-    "events_ab_cuped", "events_anova", "events_chi_square",
-    "events_dominant_period", "events_holt_backtest",
-    "events_interarrival_burstiness", "events_kaplan_meier",
-    "events_ks_by_type", "events_ks_drift", "events_ks_fdr",
-    "events_mannwhitney_u", "events_proportion_ztest", "events_psi_drift",
-    "events_seasonal_naive_backtest", "events_seasonal_strength",
+    # round-5 deferrals — never witnessed (8)
+    "events_session_paths", "events_theil_sen",
+    "events_wilcoxon_signed_rank", "lineitem_abc_classification",
+    "lineitem_basket_lift", "lineitem_gini_revenue", "orders_benford",
+    "orders_hill_tail_index",
+    # round-6 additions — never witnessed (6)
+    "events_hll_md5_daily_users", "docs_bloom_contamination",
+    "events_cms_type_counts", "docs_ppjoin_capped_pairs",
+    "docs_token_fertility_by_lang", "docs_simhash_recall_curve",
+    # re-witness queue: round-1 vintage (2)
+    "tpch_q7_nation_trade", "tpch_q8_mkt_share",
+    # re-witness queue: round-2 vintage, alphabetical first 26
+    "doc_dedup_clusters", "doc_dedup_minhash_lsh", "doc_dedup_simhash",
+    "doc_ngram_jaccard_probe", "docs_cdc_chunks", "docs_corpus_mix",
+    "docs_curation_pipeline", "docs_decontaminate",
+    "docs_pack_assignments", "docs_train_split", "downsample_emit_empty",
+    "downsample_firstlast", "downsample_hopping", "downsample_p95_stddev",
+    "embed_cosine_topk", "embed_ivf_topk", "embed_knn_classify",
+    "embed_vecindex_topk", "final_agg_firstlast", "multi_tag_scan",
+    "multimodal_meta", "nbql_fill_linear", "nbql_fill_previous",
+    "nbql_final_agg", "nbql_hopping", "nbql_raw_limit",
 ]
 
 

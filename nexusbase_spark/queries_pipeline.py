@@ -2663,18 +2663,17 @@ def q_docs_curation_v2(spark, sf_dir):
     iteration materializes between stages (its localCheckpoint round
     contract). Restricted to doc_id < 400 so the ORACLE's brute-force
     pair join stays tractable — the Spark side is df-bounded and runs
-    corpus-wide (docs_ppjoin_pairs precedent)."""
-    from nexusbase_spark.pipeline.dedup import (
-        canonical_keep, dedup_clusters, prefix_filter_pairs)
-    from nexusbase_spark.pipeline.text import quality_filter_exprs
+    corpus-wide (docs_ppjoin_pairs precedent). Runs with the composed
+    pipelines' DEFAULT skew cap (curation_keepers max_bucket=1000,
+    VERDICT r6 #5) — inert at every test SF (buckets here are <=400
+    postings by the doc_id restriction alone), load-bearing at 100TB;
+    the oracle models the uncapped chain, which is identical below the
+    cap."""
+    from nexusbase_spark.pipeline.dedup import curation_keepers
 
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 400))
-    fx = quality_filter_exprs(F.col("text"))
-    kept = docs.filter(fx["keep"])
-    kept = kept.localCheckpoint(eager=True)  # filter feeds 3 consumers
-    pairs = prefix_filter_pairs(kept, threshold=0.8)
-    verdicts = canonical_keep(kept, dedup_clusters(pairs))
+    kept, verdicts = curation_keepers(docs, threshold=0.8)
     return (verdicts.filter(F.col("keep"))
             .join(kept.select("doc_id", "source"), "doc_id")
             .groupBy("source")
@@ -2729,18 +2728,15 @@ def q_docs_curation_v3_dsir(spark, sf_dir):
     longer over-weight their n-grams) and Gumbel-top-25 toward the
     src1/src2 target. Three composed stages, one oracle built from the
     SHARED v2 CTE constant + the DSIR CTEs, so neither composition can
-    drift from its stage oracles."""
-    from nexusbase_spark.pipeline.dedup import (
-        canonical_keep, dedup_clusters, prefix_filter_pairs)
+    drift from its stage oracles. Uses the composed pipelines' DEFAULT
+    skew cap (curation_keepers max_bucket=1000, VERDICT r6 #5) — inert
+    at test SFs, see q_docs_curation_v2."""
+    from nexusbase_spark.pipeline.dedup import curation_keepers
     from nexusbase_spark.pipeline.importance import dsir_select
-    from nexusbase_spark.pipeline.text import quality_filter_exprs
 
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 400))
-    fx = quality_filter_exprs(F.col("text"))
-    kept = docs.filter(fx["keep"]).localCheckpoint(eager=True)
-    pairs = prefix_filter_pairs(kept, threshold=0.8)
-    verdicts = canonical_keep(kept, dedup_clusters(pairs))
+    kept, verdicts = curation_keepers(docs, threshold=0.8)
     keepers = (verdicts.filter(F.col("keep"))
                .join(kept.select("doc_id", "text", "source"), "doc_id")
                .localCheckpoint(eager=True))

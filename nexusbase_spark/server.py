@@ -59,7 +59,15 @@ def execute_to_json(engine: NexusEngine, query: str, params=()) -> dict:
     mid-query (the reference pins an iterator's SSTables the same way).
     Mutations must NOT take the read guard: a PUSH that trips the L0
     trigger flushes inside, and the flush's exclusive side would deadlock
-    against its own thread's read side."""
+    against its own thread's read side.
+
+    Known liveness cliff (accepted, ADVICE r6): the guard is held across
+    the FULL collect with writer preference, so one slow QUERY plus a
+    pending FLUSH/COMPACT stalls all new reads until that drain finishes.
+    Never incorrect — just head-of-line blocking under mixed load; the
+    reference has the same property while compaction waits on an
+    iterator's SSTable refcounts. Bound it operationally with LIMIT +
+    cursor pagination (each page is a short guard hold)."""
     from nexusbase_spark.nbql import ast as A
     from nexusbase_spark.nbql.parser import parse, substitute_params
     if params:

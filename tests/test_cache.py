@@ -32,6 +32,39 @@ def test_lru_semantics():
     assert (d.hits, d.misses) == (0, 0)
 
 
+def test_lru_thread_safety_counters_and_single_fire_evictions():
+    """ADVICE r6: the threaded servers run _query_cached on connection
+    threads. Under 8 threads hammering put/get, the invariant
+    evictions + resident == unique keys inserted must hold exactly (a
+    double-fired eviction callback or a lost counter update breaks it),
+    and hits+misses must equal the number of get() calls."""
+    import threading
+
+    evicted = []
+    ev_mu = threading.Lock()
+    c = LRUCache(16, on_evicted=lambda k, v: (
+        ev_mu.__enter__(), evicted.append(k), ev_mu.__exit__(None, None, None)))
+    n_threads, per = 8, 200
+
+    def worker(i):
+        for j in range(per):
+            k = f"{i}:{j}"
+            c.put(k, j)
+            c.get(k)
+            c.get(f"{(i + 1) % n_threads}:{j}")
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    total_keys = n_threads * per
+    assert len(evicted) + len(c) == total_keys
+    assert len(evicted) == len(set(evicted))  # no double-fired callback
+    assert c.hits + c.misses == 2 * total_keys
+
+
 def test_cache_key_canonical():
     """Tag order doesn't matter; limit/cursor excluded; everything else
     differentiates (api/nbql/cache_key.go:17-95)."""

@@ -188,6 +188,36 @@ def test_scan_lock_excludes_destructive_while_readers_drain():
     assert events == ["r_in", "r_out", "w_in"]
 
 
+def test_scan_lock_interrupted_writer_wait_does_not_leak_counter():
+    """ADVICE r6: if a writer's cond.wait raises (KeyboardInterrupt shape),
+    _writers_waiting must be rolled back — a leaked count is a phantom
+    writer that blocks every future read() forever."""
+    lock = _ScanLock()
+
+    class _Boom(BaseException):  # KeyboardInterrupt is a BaseException
+        pass
+
+    orig_wait = lock._cond.wait
+
+    def raising_wait(*a, **k):
+        raise _Boom()
+
+    with lock.read():
+        lock._cond.wait = raising_wait
+        try:
+            with pytest.raises(_Boom):
+                with lock.write():
+                    pass
+        finally:
+            lock._cond.wait = orig_wait
+    assert lock._writers_waiting == 0
+    # no phantom writer: a fresh reader and a fresh writer both proceed
+    with lock.read():
+        pass
+    with lock.write():
+        pass
+
+
 def test_concurrent_tcp_clients_end_to_end(spark, tmp_path_factory):
     """The real deployment shape: N socket clients pushing and querying
     ONE threaded TCP server concurrently (each connection = one server

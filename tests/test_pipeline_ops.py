@@ -1639,3 +1639,40 @@ def test_mannwhitney_exact_small_sample(spark):
     u_a = (int(s["r2a"]) - na * (na + 1)) / 2.0
     assert int(s["r2a"]) == 14  # 2*R_A
     assert u_a == 1.0
+
+
+def test_curation_default_cap_engages_and_warns_on_template_corpus(spark):
+    """VERDICT r6 #5: the COMPOSED curation chain defaults to the skew
+    cap (curation_keepers max_bucket=DEFAULT_MAX_BUCKET=1000), so a
+    boilerplate template minting >1000-posting prefix buckets yields a
+    bounded run with a RuntimeWarning naming the hot tokens — not a
+    quadratic stall. Pairs riding sub-cap buckets are still delivered:
+    the natural near-dup pair survives, clusters, and loses one member
+    to canonical keep. max_bucket=None remains the lossless opt-out."""
+    import inspect
+
+    from nexusbase_spark.pipeline.dedup import (
+        DEFAULT_MAX_BUCKET, curation_keepers)
+
+    assert DEFAULT_MAX_BUCKET == 1000  # SCALE.md round-6 guard probe
+    sig = inspect.signature(curation_keepers)
+    assert sig.parameters["max_bucket"].default == DEFAULT_MAX_BUCKET
+
+    template = ("the quick brown fox jumps over a lazy dog and then it "
+                "runs toward green hills near blue water")  # 19 distinct
+    natural = ("a story of storms and rivers crossing wide valleys under "
+               "pale skies while herons glide to quiet shores")
+    rows = [(i, f"{template} zz{i:04d}") for i in range(1101)]
+    rows += [(2001, f"{natural} alpha"), (2002, f"{natural} omega")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with pytest.warns(RuntimeWarning, match="prefix_filter_pairs"):
+        kept, verdicts = curation_keepers(docs, threshold=0.8)
+    assert kept.count() == 1103  # every synthetic doc passes the filter
+    v = {r["doc_id"]: r["keep"] for r in verdicts.collect()}
+    # the natural pair (jaccard 19/21 >= 0.8) rode a 2-posting bucket:
+    # clustered, one canonical keeper (tie on n_chars -> min doc_id)
+    assert (v[2001], v[2002]) == (True, False)
+    # template docs' pairs were dropped with the hot buckets: each is a
+    # singleton, all kept — bounded output, losslessness off-cap intact
+    assert all(v[i] for i in range(1101))

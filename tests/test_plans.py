@@ -179,13 +179,14 @@ def test_registry_plan_sweep_no_cartesian(spark, qs):
 def test_priority_prefix_well_formed():
     """The driver-gate witness window: no duplicates, all names
     registered (a rename must update the prefix, not silently shrink
-    coverage), and it fits the driver's 50-row cap. Round-6 policy
-    (VERDICT r5 next #1): the window must use the full cap, keep the 8
-    canaries, and contain 42 of the 50 never-witnessed round-5 additions
-    — exactly the 50 minus the alphabetical-tail 8 deferred to round 7.
-    Dropping one would leave it without a hard-gate row for another
-    round; the deferred 8 are asserted OUT so the round-7 rotation can't
-    double-count."""
+    coverage), and it fits the driver's 50-row cap. Round-7 policy
+    (VERDICT r6 next #1): the window must use the full cap, keep the 8
+    canaries, contain ALL 14 never-witnessed queries (8 round-5
+    deferrals + 6 round-6 additions — a green round 7 reaches 235/235
+    cumulative witness coverage), and fill the remaining 28 slots from
+    the oldest-evidence re-witness queue (tpch_q7/q8 last witnessed
+    round 1, then the alphabetically-first 26 round-2-vintage
+    queries)."""
     from nexusbase_spark.queries import PRIORITY_PREFIX, all_queries
     names = set(all_queries())
     assert len(PRIORITY_PREFIX) == len(set(PRIORITY_PREFIX))
@@ -197,42 +198,36 @@ def test_priority_prefix_well_formed():
         "nbql_downsample", "doc_dedup_exact",
     }
     assert canaries <= set(PRIORITY_PREFIX)
-    witnessed_r6 = {
-        # judge-named priorities
-        "docs_curation_v2", "docs_curation_v3_dsir", "docs_ppjoin_pairs",
-        "docs_exact_dedup_index_probe", "docs_export_manifest",
-        # docs/text quality + dedup-eval
-        "docs_calibration_bins", "docs_char_entropy",
-        "docs_cross_source_dups", "docs_dedup_canonical",
-        "docs_dedup_rate_curve", "docs_gopher_rules", "docs_heaps_law",
-        "docs_langid_confusion", "docs_ngram_novelty",
-        "docs_psi_length_by_source", "docs_quality_auc",
-        "docs_quality_kappa", "docs_token_budget_curve", "docs_zipf_slope",
-        "doc_minhash_recall",
-        # embedding diagnostics / serving
-        "embed_centroid_drift", "embed_cluster_purity",
-        "embed_ivfpq_mmr_topk", "embed_ivf_recall",
-        "embed_label_propagation", "embed_norm_profile",
-        "embed_pq_distortion",
-        # events statistics / drift / backtest
-        "events_ab_cuped", "events_anova", "events_chi_square",
-        "events_dominant_period", "events_holt_backtest",
-        "events_interarrival_burstiness", "events_kaplan_meier",
-        "events_ks_by_type", "events_ks_drift", "events_ks_fdr",
-        "events_mannwhitney_u", "events_proportion_ztest",
-        "events_psi_drift", "events_seasonal_naive_backtest",
-        "events_seasonal_strength",
-    }
-    assert len(witnessed_r6) == 42
-    assert witnessed_r6 <= set(PRIORITY_PREFIX)
-    deferred_to_r7 = {
+    never_witnessed = {
+        # round-5 alphabetical-tail deferrals
         "events_session_paths", "events_theil_sen",
         "events_wilcoxon_signed_rank", "lineitem_abc_classification",
         "lineitem_basket_lift", "lineitem_gini_revenue", "orders_benford",
         "orders_hill_tail_index",
+        # round-6 sketch/guard additions
+        "events_hll_md5_daily_users", "docs_bloom_contamination",
+        "events_cms_type_counts", "docs_ppjoin_capped_pairs",
+        "docs_token_fertility_by_lang", "docs_simhash_recall_curve",
     }
-    assert deferred_to_r7.isdisjoint(set(PRIORITY_PREFIX))
-    assert set(PRIORITY_PREFIX) == canaries | witnessed_r6
+    assert len(never_witnessed) == 14
+    assert never_witnessed <= set(PRIORITY_PREFIX)
+    rewitness = {
+        # round-1 vintage
+        "tpch_q7_nation_trade", "tpch_q8_mkt_share",
+        # round-2 vintage, alphabetical first 26
+        "doc_dedup_clusters", "doc_dedup_minhash_lsh", "doc_dedup_simhash",
+        "doc_ngram_jaccard_probe", "docs_cdc_chunks", "docs_corpus_mix",
+        "docs_curation_pipeline", "docs_decontaminate",
+        "docs_pack_assignments", "docs_train_split",
+        "downsample_emit_empty", "downsample_firstlast",
+        "downsample_hopping", "downsample_p95_stddev", "embed_cosine_topk",
+        "embed_ivf_topk", "embed_knn_classify", "embed_vecindex_topk",
+        "final_agg_firstlast", "multi_tag_scan", "multimodal_meta",
+        "nbql_fill_linear", "nbql_fill_previous", "nbql_final_agg",
+        "nbql_hopping", "nbql_raw_limit",
+    }
+    assert len(rewitness) == 28
+    assert set(PRIORITY_PREFIX) == canaries | never_witnessed | rewitness
 
 
 def test_round5_topk_queries_use_take_ordered(spark, qs):

@@ -153,3 +153,50 @@ def test_streaming_ingest_dedup_sink(spark, tmp_path):
     rows = spark.read.parquet(rep).collect()
     assert {(r["new_id"], r["old_id"]) for r in rows} == {(41, 1)}
     assert ix.doc_count() == 6
+
+
+def test_sink_default_cap_and_guard_warning_report(spark, tmp_path):
+    """VERDICT r6 #5: the streaming ingest-dedup sink defaults to the
+    skew cap (dedup.DEFAULT_MAX_BUCKET — one template token in HISTORY
+    can't make every future batch quadratic), None is the documented
+    lossless opt-out, and an engaged guard is recorded to
+    <index>/guard_warnings.jsonl (the run report) AND re-emitted."""
+    import inspect
+    import json
+    import os
+    import warnings
+
+    from nexusbase_spark.pipeline import dedup_index, ppjoin_index
+    from nexusbase_spark.pipeline.dedup import DEFAULT_MAX_BUCKET
+
+    # default wiring: both sinks resolve the sentinel to the module cap
+    for mod, cls in ((ppjoin_index, ExactDupIndex),
+                     (dedup_index, dedup_index.DedupIndex)):
+        d = inspect.signature(cls.for_each_batch).parameters["max_bucket"]
+        assert d.default is mod._SINK_DEFAULT
+
+    # 8-doc template clique: every prefix bucket on the shared tokens
+    # holds 8 postings, so an explicit cap of 3 must engage on probe
+    tmpl = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    hist = _corpus(spark, [(i, f"{tmpl} u{i}") for i in range(8)])
+    ix = ExactDupIndex.build(spark, str(tmp_path / "gix"), hist,
+                             min_threshold=0.8)
+    rep = str(tmp_path / "gm")
+    run = ix.for_each_batch(matches_path=rep, max_bucket=3)
+    batch = _corpus(spark, [(100, f"{tmpl} u100")])
+    with pytest.warns(RuntimeWarning, match="ExactDupIndex.probe"):
+        run(batch, 7)
+    report = os.path.join(str(tmp_path / "gix"), "guard_warnings.jsonl")
+    assert os.path.exists(report)
+    entries = [json.loads(ln) for ln in open(report)]
+    assert entries and all(e["batch_id"] == 7 for e in entries)
+    assert any("ExactDupIndex.probe" in e["warning"] for e in entries)
+
+    # quiet batch at the DEFAULT cap: no warning, no report growth
+    n_before = len(entries)
+    run2 = ix.for_each_batch(matches_path=rep)  # default = module cap
+    assert DEFAULT_MAX_BUCKET == 1000
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        run2(_corpus(spark, [(101, "wholly unrelated words here")]), 8)
+    assert len(open(report).readlines()) == n_before
