@@ -1919,6 +1919,26 @@ _HLL_ALPHA_NUM = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256
 _HLL_2P53 = 2 ** 53
 
 
+def hll_estimate_select(g):
+    """Register-rollup -> estimate epilogue of the md5-HLL query: input
+    is (event_type, day, s_present, n_regs), output the branch-selected
+    4dp estimate. Factored out so the branch-boundary regression test
+    (VERDICT r6 #6) pins THESE expressions at fixed registers — a
+    refactor of the `e_raw <= 640 AND zero_regs > 0` condition that
+    silently flips estimates between the linear-counting and raw
+    harmonic branches fails the pinned literals, not just the SF-ladder
+    oracle (which only sees whichever branch the data lands in)."""
+    zero = (F.lit(256) - F.col("n_regs"))
+    e_raw = (F.lit(float(_HLL_ALPHA_NUM))
+             / (F.col("s_present") + zero * F.lit(_HLL_2P53)))
+    est = F.when((e_raw <= 640.0) & (zero > 0),
+                 F.lit(256.0) * F.log(F.lit(256.0) / zero)) \
+        .otherwise(e_raw)
+    return g.select(
+        "event_type", "day", zero.cast("long").alias("zero_regs"),
+        (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("hll_users"))
+
+
 @register("events_hll_md5_daily_users", f"""
     WITH h AS (SELECT event_type,
                       CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
@@ -1987,15 +2007,7 @@ def q_events_hll_md5_daily_users(spark, sf_dir):
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
                      "CAST(53 - m AS INT))")).alias("s_present"),
         F.count(F.lit(1)).alias("n_regs"))
-    zero = (F.lit(256) - F.col("n_regs"))
-    e_raw = (F.lit(float(_HLL_ALPHA_NUM))
-             / (F.col("s_present") + zero * F.lit(_HLL_2P53)))
-    est = F.when((e_raw <= 640.0) & (zero > 0),
-                 F.lit(256.0) * F.log(F.lit(256.0) / zero)) \
-        .otherwise(e_raw)
-    return g.select(
-        "event_type", "day", zero.cast("long").alias("zero_regs"),
-        (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("hll_users"))
+    return hll_estimate_select(g)
 
 
 @register("events_ewma_level", f"""

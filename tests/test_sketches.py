@@ -272,3 +272,31 @@ def test_bloom_nonmembers_miss_at_generous_m_and_fp_under_tiny_m(spark):
     got_t = [r["might"] for r in
              bloom_might_contain(tiny, out, "s", m_bits=64, k=4).collect()]
     assert sum(got_t) > 50  # saturated: most non-members false-positive
+
+
+def test_hll_branch_boundary_pinned_registers(spark):
+    """VERDICT r6 #6: pin BOTH estimator branches of the md5-HLL at
+    fixed register rollups, straddling the `e_raw <= 640 AND
+    zero_regs > 0` condition — the SF-ladder oracle only witnesses
+    whichever branch the data lands in, so a refactor of the branch
+    condition could silently flip estimates without this test.
+    Expected literals computed with the same IEEE double ops
+    (ALPHA/(s+zero*2^53), 256*ln(256/zero), floor(x*1e4+0.5)/1e4)."""
+    from nexusbase_spark.queries_analytics import hll_estimate_select
+
+    g = spark.createDataFrame(
+        [  # (s_present, n_regs) -> branch
+            ("lin_deep", 0, 10 * 2**52, 10),    # e_raw=187.5 -> linear
+            ("raw_full", 0, 2**60, 256),        # zero=0 -> raw always
+            ("raw_edge", 0, 211129572404652928, 206),  # e_raw=640.97 -> raw
+            ("lin_edge", 0, 213129572404652928, 206),  # e_raw=639.04 -> linear
+        ],
+        "event_type string, day long, s_present long, n_regs long")
+    got = {r["event_type"]: (r["zero_regs"], r["hll_users"])
+           for r in hll_estimate_select(g).collect()}
+    assert got == {
+        "lin_deep": (246, 10.2006),   # 256*ln(256/246)
+        "raw_full": (0, 367.7556),    # ALPHA/2^60
+        "raw_edge": (50, 640.9675),   # raw branch despite zero_regs>0
+        "lin_edge": (50, 418.0875),   # 256*ln(256/50)
+    }
