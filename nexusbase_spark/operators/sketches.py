@@ -329,6 +329,18 @@ def bloom_build(df: DataFrame, col: str, m_bits: int = 4096,
             .groupBy("word_idx").agg(F.bit_or("__m").alias("bits")))
 
 
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Word-wise bitwise OR — the lossless Bloom merge: filters of the
+    SAME (m_bits, k) built on disjoint shards OR together to exactly
+    the filter of the union (a bit is set iff some shard set it), so
+    shards build independently and the merge shuffles <= ceil(m_bits/63)
+    rows per shard, never elements. Gate query:
+    docs_bloom_shard_merge."""
+    from functools import reduce
+    u = reduce(lambda a, b: a.unionAll(b), filters)
+    return u.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
 def bloom_might_contain(bloom: DataFrame, probe: DataFrame, col: str,
                         m_bits: int = 4096, k: int = 4) -> DataFrame:
     """Membership verdict per probe row: ``might`` is true iff ALL k

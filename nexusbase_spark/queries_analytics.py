@@ -1908,6 +1908,85 @@ def q_events_cms_type_counts(spark, sf_dir):
                     .alias("overcount")))
 
 
+@register("events_cms_merged_halves", f"""
+    WITH g AS (SELECT event_type,
+                      CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) % 2
+                          AS par
+               FROM events WHERE event_type IS NOT NULL),
+    cells_by_par AS MATERIALIZED (
+        SELECT par, e.j AS j, e.cell AS cell, count(*) AS cnt
+        FROM (SELECT par, unnest([{", ".join(
+            f"struct_pack(j := {j}, cell := {_cms_cell_sql(j, _CMS_W)})"
+            for j in range(_CMS_D))}]) AS e
+              FROM g)
+        GROUP BY 1, 2, 3),
+    merged AS MATERIALIZED (
+        SELECT j, cell, sum(cnt) AS cnt FROM cells_by_par GROUP BY 1, 2),
+    probe AS (SELECT DISTINCT event_type FROM g),
+    pc AS (SELECT event_type, e.j AS j, e.cell AS cell
+           FROM (SELECT event_type,
+                        unnest([{", ".join(
+            f"struct_pack(j := {j}, cell := {_cms_cell_sql(j, _CMS_W)})"
+            for j in range(_CMS_D))}]) AS e
+                 FROM probe)),
+    est AS (SELECT pc.event_type,
+                   min(coalesce(m.cnt, 0)) AS est_merged
+            FROM pc LEFT JOIN merged m ON m.j = pc.j AND m.cell = pc.cell
+            GROUP BY pc.event_type),
+    shards AS (SELECT par, count(*) AS n_cells FROM cells_by_par GROUP BY 1),
+    ex AS (SELECT event_type, count(*) AS exact FROM g GROUP BY event_type)
+    SELECT est.event_type AS item,
+           CAST(est.est_merged AS BIGINT) AS est_merged,
+           CAST(ex.exact AS BIGINT) AS exact,
+           CAST(est.est_merged - ex.exact AS BIGINT) AS overcount,
+           (SELECT CAST(count(*) AS BIGINT) FROM shards) AS n_shards
+    FROM est JOIN ex ON ex.event_type = est.event_type
+""")
+def q_events_cms_merged_halves(spark, sf_dir):
+    """Count-min MERGE behind the hash gate (cms_merge — the property a
+    shard-parallel 100TB ingest needs: sketches built independently per
+    day-parity shard, cell-wise summed, must estimate exactly like a
+    monolithic build). The query builds the two shard sketches with
+    cms_build, folds them with cms_merge, and point-queries every
+    distinct event type from the MERGED sketch beside its exact count —
+    pure integer cells both engines, so the merged estimates (and the
+    one-sided overcount >= 0) are bit-exact cross-engine. n_shards=2 in
+    the output pins that two independently-built sketches actually fed
+    the merge. Scale shape: each shard's sketch is a map-side-combined
+    rollup into <= d*w cells; the merge shuffles <= 2*d*w cells, never
+    data rows."""
+    from nexusbase_spark.operators.sketches import (cms_build,
+                                                    cms_estimate_df,
+                                                    cms_merge)
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)) \
+        .cast("bigint")
+    g = (ev.filter(F.col("event_type").isNotNull())
+         .select(F.col("event_type").alias("tok"),
+                 (day % 2).alias("par"))
+         .localCheckpoint(eager=True))  # shards + probe + exact, one scan
+    sk_even = cms_build(g.filter(F.col("par") == 0), "tok",
+                        depth=_CMS_D, width=_CMS_W)
+    sk_odd = cms_build(g.filter(F.col("par") == 1), "tok",
+                       depth=_CMS_D, width=_CMS_W)
+    merged = cms_merge(sk_even, sk_odd)
+    est = cms_estimate_df(merged, g, "tok", depth=_CMS_D, width=_CMS_W)
+    exact = (g.groupBy(F.col("tok").alias("item"))
+             .agg(F.count(F.lit(1)).alias("exact")))
+    # data-derived in BOTH engines (not a literal), so the gate would
+    # catch a shard silently missing from the merge
+    nsh = (g.select("par").distinct()
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shards")))
+    return (est.join(exact, "item").crossJoin(F.broadcast(nsh))
+            .select("item",
+                    F.col("estimate").cast("long").alias("est_merged"),
+                    F.col("exact").cast("long").alias("exact"),
+                    (F.col("estimate") - F.col("exact")).cast("long")
+                    .alias("overcount"),
+                    "n_shards"))
+
+
 # HLL-md5 shared constants: p=8 -> m=256 registers from a 60-bit md5-hex
 # hash (the base_hash31 idiom widened). alpha*m^2*2^53 is ONE Python float
 # literal injected into BOTH engines so the only per-engine float work is
@@ -1919,15 +1998,17 @@ _HLL_ALPHA_NUM = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256
 _HLL_2P53 = 2 ** 53
 
 
-def hll_estimate_select(g):
-    """Register-rollup -> estimate epilogue of the md5-HLL query: input
-    is (event_type, day, s_present, n_regs), output the branch-selected
-    4dp estimate. Factored out so the branch-boundary regression test
-    (VERDICT r6 #6) pins THESE expressions at fixed registers — a
-    refactor of the `e_raw <= 640 AND zero_regs > 0` condition that
-    silently flips estimates between the linear-counting and raw
-    harmonic branches fails the pinned literals, not just the SF-ladder
-    oracle (which only sees whichever branch the data lands in)."""
+def hll_estimate_select(g, keys: tuple[str, ...] = ("event_type", "day")):
+    """Register-rollup -> estimate epilogue of the md5-HLL queries:
+    input is (*keys, s_present, n_regs), output the branch-selected 4dp
+    estimate per key group. Factored out so the branch-boundary
+    regression test (VERDICT r6 #6) pins THESE expressions at fixed
+    registers — a refactor of the `e_raw <= 640 AND zero_regs > 0`
+    condition that silently flips estimates between the linear-counting
+    and raw harmonic branches fails the pinned literals, not just the
+    SF-ladder oracle (which only sees whichever branch the data lands
+    in) — and so the weekly MAX-merge query shares the exact same
+    estimator as the daily build."""
     zero = (F.lit(256) - F.col("n_regs"))
     e_raw = (F.lit(float(_HLL_ALPHA_NUM))
              / (F.col("s_present") + zero * F.lit(_HLL_2P53)))
@@ -1935,7 +2016,7 @@ def hll_estimate_select(g):
                  F.lit(256.0) * F.log(F.lit(256.0) / zero)) \
         .otherwise(e_raw)
     return g.select(
-        "event_type", "day", zero.cast("long").alias("zero_regs"),
+        *keys, zero.cast("long").alias("zero_regs"),
         (F.floor(est * 1e4 + F.lit(0.5)) / 1e4).alias("hll_users"))
 
 
@@ -2008,6 +2089,109 @@ def q_events_hll_md5_daily_users(spark, sf_dir):
                      "CAST(53 - m AS INT))")).alias("s_present"),
         F.count(F.lit(1)).alias("n_regs"))
     return hll_estimate_select(g)
+
+
+@register("events_hll_md5_weekly_users", f"""
+    WITH h AS (SELECT event_type,
+                      CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                      CAST(user_id AS VARCHAR) AS u,
+                      CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT) AS hv
+               FROM events WHERE user_id IS NOT NULL),
+    r AS (SELECT event_type, day,
+                 hv & 255 AS idx,
+                 CASE WHEN (hv >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(hv >> 8)) END AS rho
+          FROM h),
+    daily AS (SELECT event_type, day, idx, max(rho) AS m
+              FROM r GROUP BY event_type, day, idx),
+    weekly AS (SELECT event_type, CAST(day // 7 AS BIGINT) AS week, idx,
+                      max(m) AS m
+               FROM daily GROUP BY 1, 2, 3),
+    g AS (SELECT event_type, week,
+                 sum(CAST(1 AS BIGINT) << (53 - m)) AS s_present,
+                 count(*) AS n_regs
+          FROM weekly GROUP BY event_type, week),
+    e AS (SELECT event_type, week,
+                 256 - n_regs AS zero_regs,
+                 {_HLL_ALPHA_NUM}
+                 / (s_present + (256 - n_regs) * CAST({_HLL_2P53} AS BIGINT))
+                     AS e_raw
+          FROM g),
+    nd AS (SELECT event_type, CAST(day // 7 AS BIGINT) AS week,
+                  count(DISTINCT day) AS n_days
+           FROM daily GROUP BY 1, 2),
+    ex AS (SELECT event_type, CAST(day // 7 AS BIGINT) AS week,
+                  count(DISTINCT u) AS exact_users
+           FROM h GROUP BY 1, 2)
+    SELECT e.event_type, e.week, CAST(nd.n_days AS BIGINT) AS n_days,
+           CAST(e.zero_regs AS BIGINT) AS zero_regs,
+           floor(CASE WHEN e_raw <= 640.0 AND zero_regs > 0
+                      THEN 256.0 * ln(256.0 / zero_regs)
+                      ELSE e_raw END * 1e4 + 0.5) / 1e4 AS hll_users,
+           CAST(ex.exact_users AS BIGINT) AS exact_users
+    FROM e JOIN nd ON nd.event_type = e.event_type AND nd.week = e.week
+           JOIN ex ON ex.event_type = e.event_type AND ex.week = e.week
+""")
+def q_events_hll_md5_weekly_users(spark, sf_dir):
+    """HLL register MAX-merge behind the hash gate — the property that
+    makes sketches the 100TB dashboard path: a weekly distinct-user
+    estimate computed by MAX-merging the seven DAILY register tables
+    (never re-scanning raw events), beside the exact weekly distinct
+    count. Round 6 gated the md5-HLL build + estimator
+    (events_hll_md5_daily_users); this gates the MERGE algebra — the
+    two-level max (day registers -> week registers) must feed the exact
+    same dyadic-exact harmonic sum and branch-selected estimate, in
+    integer register arithmetic identical across engines. n_days proves
+    the merge is non-degenerate (>1 daily sketch folded per week at
+    every SF). Scale shape: the merge touches only (type, week, 256)
+    register rows — any range re-aggregation is a register MAX-merge of
+    persisted daily sketches; exact_users is the in-query anchor the
+    estimate is judged against (error ~6.5% at m=256)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)) \
+        .cast("bigint")
+    base = (ev.filter(F.col("user_id").isNotNull())
+            .select("event_type", day.alias("day"),
+                    F.col("user_id").cast("string").alias("u"))
+            .localCheckpoint(eager=True))  # registers + exact, one scan
+    h = base.select(
+        "event_type", "day",
+        F.conv(F.substring(F.md5(F.col("u")), 1, 15), 16, 10)
+        .cast("long").alias("hv"))
+    w = F.shiftright(F.col("hv"), 8)
+    rho = F.when(w == 0, F.lit(53)) \
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+    r = h.select("event_type", "day",
+                 F.col("hv").bitwiseAND(F.lit(255)).alias("idx"),
+                 rho.alias("rho"))
+    daily = (r.groupBy("event_type", "day", "idx")
+             .agg(F.max("rho").alias("m")))
+    # one partitioning serves both the week-merge and n_days: reuse the
+    # daily-register rollup, never the raw scan
+    daily = daily.localCheckpoint(eager=True)
+    wk = F.floor(F.col("day") / F.lit(7)).cast("bigint")
+    weekly = (daily.withColumn("week", wk)
+              .groupBy("event_type", "week", "idx")
+              .agg(F.max("m").alias("m")))
+    g = weekly.groupBy("event_type", "week").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(53 - m AS INT))")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"))
+    est = hll_estimate_select(g, keys=("event_type", "week"))
+    nd = (daily.select("event_type", "day").distinct()
+          .withColumn("week", wk)
+          .groupBy("event_type", "week")
+          .agg(F.count(F.lit(1)).alias("n_days")))
+    ex = (base.withColumn("week", wk)
+          .groupBy("event_type", "week")
+          .agg(F.countDistinct("u").alias("exact_users")))
+    return (est.join(nd, ["event_type", "week"])
+            .join(ex, ["event_type", "week"])
+            .select("event_type", "week",
+                    F.col("n_days").cast("long").alias("n_days"),
+                    "zero_regs", "hll_users",
+                    F.col("exact_users").cast("long").alias("exact_users")))
 
 
 @register("events_ewma_level", f"""

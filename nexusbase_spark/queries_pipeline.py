@@ -1659,6 +1659,115 @@ def q_docs_bloom_contamination(spark, sf_dir):
                       fp.alias("fp_rate"))
 
 
+@register("docs_bloom_shard_merge", f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                           || t[i+3])) AS s
+        FROM t),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h60,
+                 CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+                     % 2147483647 AS h31
+          FROM sh),
+    ev AS (SELECT *, CASE WHEN doc_id % 100 = 0 THEN 0 ELSE 1 END AS shard
+           FROM h WHERE doc_id % 50 = 0),
+    pr AS (SELECT * FROM h WHERE doc_id % 50 <> 0),
+    shard_words AS MATERIALIZED (
+        SELECT shard, pos // 63 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+        FROM (SELECT shard,
+                     unnest([{_bloom_pos_sql(_BLOOM_K, _BLOOM_M)}]) AS pos
+              FROM ev)
+        GROUP BY 1, 2),
+    words AS MATERIALIZED (
+        SELECT word_idx, bit_or(bits) AS bits
+        FROM shard_words GROUP BY 1),
+    pp AS (SELECT doc_id, h60,
+                  unnest([{_bloom_pos_sql(_BLOOM_K, _BLOOM_M)}]) AS pos
+           FROM pr),
+    ph AS (SELECT pp.doc_id, pp.h60,
+                  CASE WHEN w.bits IS NOT NULL
+                            AND (w.bits & (CAST(1 AS BIGINT)
+                                           << CAST(pp.pos % 63 AS INT))) <> 0
+                       THEN 1 ELSE 0 END AS hit
+           FROM pp LEFT JOIN words w ON w.word_idx = pp.pos // 63),
+    m AS (SELECT doc_id, h60,
+                 CASE WHEN sum(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS might
+          FROM ph GROUP BY doc_id, h60),
+    cand AS (SELECT count(DISTINCT doc_id) AS c FROM m WHERE might = 1),
+    exact AS (SELECT count(DISTINCT pr.doc_id) AS e
+              FROM pr JOIN (SELECT DISTINCT h60 FROM ev) e2
+                ON e2.h60 = pr.h60),
+    fingerprint AS (SELECT count(*) AS n_words,
+                           sum(bit_count(bits)) AS bits_set
+                    FROM words),
+    nsh AS (SELECT count(DISTINCT shard) AS n_shards FROM ev)
+    SELECT CAST(nsh.n_shards AS BIGINT) AS n_shards,
+           CAST(fingerprint.n_words AS BIGINT) AS n_words,
+           CAST(fingerprint.bits_set AS BIGINT) AS bits_set,
+           CAST(cand.c AS BIGINT) AS n_candidates,
+           CAST(exact.e AS BIGINT) AS n_exact
+    FROM nsh, fingerprint, cand, exact
+""")
+def q_docs_bloom_shard_merge(spark, sf_dir):
+    """Bloom filter MERGE behind the hash gate — the shard-parallel
+    build the 100TB decontamination path relies on: the eval set is
+    split into two shards (doc_id % 100), each folded into its OWN
+    2^21-bit filter with bloom_build, then bloom_merge (word-wise
+    bit_or) produces the filter the corpus is probed against. The gated
+    output pins the merged filter bit-for-bit (n_words + total
+    bit_count — a wrong merge op like SUM instead of OR changes
+    bits_set immediately) alongside the decontamination verdict counts
+    computed FROM the merged filter, whose one-sided guarantee
+    (candidates >= exact) must survive merging. n_shards is
+    data-derived in both engines. Scale shape: per-shard build is a
+    wordcount rollup; the merge shuffles <= 2*ceil(m/63) int64 words;
+    the probe side is unchanged from docs_bloom_contamination."""
+    from nexusbase_spark.operators.sketches import (bloom_build,
+                                                    bloom_merge,
+                                                    bloom_might_contain)
+    from nexusbase_spark.pipeline.dedup import shingle_sets
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (shingle_sets(docs, "doc_id", "text", n=4)
+          .select("doc_id", "shingle", h60(F.col("shingle")).alias("h60"))
+          .localCheckpoint(eager=True))  # shards + probe + exact reuse
+    ev = sh.filter(F.col("doc_id") % 50 == 0)
+    pr = sh.filter(F.col("doc_id") % 50 != 0)
+    shard_a = ev.filter(F.col("doc_id") % 100 == 0)
+    shard_b = ev.filter(F.col("doc_id") % 100 != 0)
+    bloom = bloom_merge(
+        bloom_build(shard_a, "shingle", m_bits=_BLOOM_M, k=_BLOOM_K),
+        bloom_build(shard_b, "shingle", m_bits=_BLOOM_M, k=_BLOOM_K))
+    bloom = bloom.localCheckpoint(eager=True)  # probe + fingerprint reuse
+    might = bloom_might_contain(bloom, pr.select("doc_id", "shingle"),
+                                "shingle", m_bits=_BLOOM_M, k=_BLOOM_K)
+    cand = (might.filter(F.col("might"))
+            .agg(F.countDistinct("doc_id").alias("n_candidates")))
+    # lint: k-row (eval-set distinct shingle hashes — benchmark-sized)
+    exact = (pr.join(F.broadcast(ev.select("h60").distinct()), "h60")
+             .agg(F.countDistinct("doc_id").alias("n_exact")))
+    fingerprint = bloom.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.bit_count("bits")).alias("bits_set"))
+    nsh = (ev.select((F.col("doc_id") % 100 == 0).alias("s")).distinct()
+           .agg(F.count(F.lit(1)).alias("n_shards")))
+    one = (nsh.crossJoin(fingerprint).crossJoin(cand).crossJoin(exact)
+           .localCheckpoint(eager=True))  # k-row epilogue, scan-once
+    return one.select(F.col("n_shards").cast("long").alias("n_shards"),
+                      F.col("n_words").cast("long").alias("n_words"),
+                      F.col("bits_set").cast("long").alias("bits_set"),
+                      F.col("n_candidates").cast("long")
+                      .alias("n_candidates"),
+                      F.col("n_exact").cast("long").alias("n_exact"))
+
+
 @register("docs_boilerplate_ngrams", """
     WITH t AS (SELECT doc_id, source,
                       string_split(trim(lower(text)), ' ') AS t

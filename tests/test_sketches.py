@@ -300,3 +300,28 @@ def test_hll_branch_boundary_pinned_registers(spark):
         "raw_edge": (50, 640.9675),   # raw branch despite zero_regs>0
         "lin_edge": (50, 418.0875),   # 256*ln(256/50)
     }
+
+
+def test_bloom_merge_equals_monolithic_build(spark):
+    """bloom_merge's lossless contract: filters built on disjoint shards
+    OR together to exactly the monolithic filter (same word table), and
+    membership through the merged filter is identical — including that
+    a wrong merge op (SUM) would corrupt multi-set words."""
+    from nexusbase_spark.operators.sketches import (bloom_build,
+                                                    bloom_merge,
+                                                    bloom_might_contain)
+
+    rows = [(i, f"item-{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w string")
+    a = bloom_build(df.filter("id % 2 = 0"), "w", m_bits=1024, k=4)
+    b = bloom_build(df.filter("id % 2 = 1"), "w", m_bits=1024, k=4)
+    merged = {(r["word_idx"], r["bits"])
+              for r in bloom_merge(a, b).collect()}
+    mono = {(r["word_idx"], r["bits"])
+            for r in bloom_build(df, "w", m_bits=1024, k=4).collect()}
+    assert merged == mono
+    probe = spark.createDataFrame(
+        [(i, f"item-{i}") for i in range(150, 250)], "id long, w string")
+    got = {r["id"]: r["might"] for r in bloom_might_contain(
+        bloom_merge(a, b), probe, "w", m_bits=1024, k=4).collect()}
+    assert all(got[i] for i in range(150, 200))  # one-sided: members hit
