@@ -85,6 +85,14 @@ class LRUCache:
         with self._mu:
             self._items.clear()
 
+    def reclassify_hit_as_miss(self) -> None:
+        """A generation-stale entry counts as a miss in the metrics
+        (engine._query_cached) — adjust both counters under the same
+        lock the get() that counted the hit used."""
+        with self._mu:
+            self.hits -= 1
+            self.misses += 1
+
 
 def query_cache_key(q: QueryStatement) -> str:
     """Canonical key for a QueryStatement (api/nbql/cache_key.go:17-95).

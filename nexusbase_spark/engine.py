@@ -432,12 +432,29 @@ class NexusEngine:
         self._emit("post_put_batch", {"points": points, "last_seq": last_seq})
         return last_seq
 
-    @_serialized
     def flush_l0(self) -> None:
         """Merge the L0 tier into the base table (memtable -> L0 flush +
         L0 -> L1 compaction, engine2/adapter.go FlushMemtableToL0 +
         levels/compaction.go). Rewrites ONLY L0 data — one coalesced
-        append to points/, then the tier is dropped."""
+        append to points/, then the tier is dropped.
+
+        The nothing-staged fast path returns WITHOUT touching the writer
+        mutex: a thread polling FLUSH in a loop (ops cron, the flusher
+        in test_concurrency) otherwise acquires/releases the lock at
+        microsecond cadence, contending with every put_batch for no work
+        — CPython locks are not fair, so a tight re-acquirer degrades a
+        writer that holds the lock for whole Spark jobs. The check is
+        benign: if a put creates l0/ right after we looked, THIS poll
+        no-ops and the next one (or the put's own l0_trigger) merges it —
+        same outcome as losing the scheduling race. The stale-counter
+        repair (dir gone but counter > 0, a crashed-append artifact)
+        still runs under the mutex."""
+        if not os.path.isdir(self._l0_path) and self._l0_batches() == 0:
+            return
+        with self._write_mu:
+            self._flush_l0_locked()
+
+    def _flush_l0_locked(self) -> None:
         if not os.path.isdir(self._l0_path):
             self._set_l0_batches(0)
             return
@@ -701,8 +718,16 @@ class NexusEngine:
         )
         df = self._raw()
         if df is None:
+            # StructType.add MUTATES in place (and returns self) — calling
+            # it on the module-global POINTS_SCHEMA permanently appended a
+            # series_key field per empty-warehouse query, after which every
+            # put_batch's 10-element rows failed FIELD_STRUCT_LENGTH_MISMATCH
+            # against the silently-grown schema. That crash killed writer
+            # threads whose stop-flag readers then spun forever — the
+            # intermittent test_concurrency hang. Build a fresh StructType.
             return self.spark.createDataFrame(
-                [], POINTS_SCHEMA.add(StructField("series_key", StringType())))
+                [], StructType(POINTS_SCHEMA.fields
+                               + [StructField("series_key", StringType())]))
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
         if tags:
@@ -1503,8 +1528,7 @@ class NexusEngine:
         entry, ok = self.result_cache.get(key)
         if ok and entry.generation != self._write_gen:
             ok = False  # stale entry counts as a miss in the metrics
-            self.result_cache.hits -= 1
-            self.result_cache.misses += 1
+            self.result_cache.reclassify_hit_as_miss()
         self._emit("on_cache_hit" if ok else "on_cache_miss", {"key": key})
         if not ok:
             full = plan_query(

@@ -2151,10 +2151,14 @@ def q_events_hll_md5_weekly_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     day = F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000)) \
         .cast("bigint")
+    # registers and the exact anchor each scan the pruned 3-column
+    # projection lazily — at 100TB two column-pruned parquet scans beat
+    # materializing the raw projection (only the TINY daily-register
+    # rollup is checkpointed below; that is the table a real deployment
+    # persists and the merge reads)
     base = (ev.filter(F.col("user_id").isNotNull())
             .select("event_type", day.alias("day"),
-                    F.col("user_id").cast("string").alias("u"))
-            .localCheckpoint(eager=True))  # registers + exact, one scan
+                    F.col("user_id").cast("string").alias("u")))
     h = base.select(
         "event_type", "day",
         F.conv(F.substring(F.md5(F.col("u")), 1, 15), 16, 10)

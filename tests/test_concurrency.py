@@ -87,12 +87,24 @@ def test_queries_during_flushes_never_see_torn_state(engine):
     written = [0]
 
     def writer(_i):
-        for j in range(total):
-            engine.put_batch([
-                ("flood.m", {"k": "w"}, {"v": float(j)},
-                 1_700_000_000_000_000_000 + j * 1_000_000_000)])
-            written[0] = j + 1
-        stop.set()
+        # stop MUST be set even if a put raises: the flusher and readers
+        # poll it, so a crashed writer otherwise leaves them spinning
+        # forever and the test hangs instead of failing (this is how the
+        # POINTS_SCHEMA in-place mutation bug presented — a hung suite,
+        # not a red one)
+        try:
+            for j in range(total):
+                # pre-increment: written counts STARTED puts, so it is a
+                # true upper bound on what any query can see (a
+                # post-increment raced the reader — the point was visible
+                # for the microseconds between put_batch returning and
+                # the counter moving, and the bound check false-failed)
+                written[0] = j + 1
+                engine.put_batch([
+                    ("flood.m", {"k": "w"}, {"v": float(j)},
+                     1_700_000_000_000_000_000 + j * 1_000_000_000)])
+        finally:
+            stop.set()
 
     def flusher(_i):
         while not stop.is_set():
@@ -288,3 +300,31 @@ def test_engine_open_and_flush_tolerate_crashed_append_dirs(spark, tmp_path_fact
     # reopen over the now-real warehouse: recovery resumes past max seq
     eng2 = NexusEngine(spark, wh)
     assert eng2._seq == 2
+
+
+def test_empty_warehouse_query_does_not_mutate_points_schema(
+        spark, tmp_path_factory):
+    """Regression: StructType.add mutates in place, so the empty-
+    warehouse branch of engine.points() used to permanently append a
+    series_key field to the module-global POINTS_SCHEMA — one query
+    against a not-yet-written metric and every later put_batch died
+    with FIELD_STRUCT_LENGTH_MISMATCH (10 row elements vs the silently
+    grown schema). Readers polling a stop flag the crashed writer never
+    set then spun forever: the intermittent test_concurrency hang."""
+    from nexusbase_spark.engine import POINTS_SCHEMA
+    from nexusbase_spark.server import execute_to_json
+
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("schema_wh")),
+                      l0_trigger=100)
+    n_before = len(POINTS_SCHEMA.fields)
+    assert n_before == 10
+    for _ in range(2):  # two queries = two historical .add() mutations
+        body = execute_to_json(eng, "QUERY no.such.metric AGGREGATE (count(*))")
+        assert body["status"] == "OK"
+    assert len(POINTS_SCHEMA.fields) == n_before
+    assert "series_key" not in [f.name for f in POINTS_SCHEMA.fields]
+    # ingest after empty-warehouse queries must still work
+    eng.put_batch([("fresh.m", {"k": "v"}, {"x": 1.0},
+                    1_700_000_000_000_000_000)])
+    body = execute_to_json(eng, "QUERY fresh.m AGGREGATE (count(*))")
+    assert body["results"][0]["count_*"] == 1
