@@ -622,49 +622,51 @@ def q_cursor_page(spark, sf_dir):
 
 # The driver witnesses queries in registry iteration order and caps the run
 # at 50 rows, so iteration order IS the correctness-gate coverage policy.
-# Round-7 rotation (VERDICT r6 "Next round" #1): 8 canary cores — one per
+# Round-8 rotation (VERDICT r7 "Next round" #1): 8 canary cores — one per
 # §2/pipeline family, re-witnessed every round so a regression in the core
-# surface can never hide — then ALL 14 never-witnessed queries (the 8
-# round-5 alphabetical-tail deferrals + the 6 round-6 sketch/guard
-# additions), then 28 re-witness slots drained oldest-evidence-first:
-# tpch_q7_nation_trade and tpch_q8_mkt_share (last witnessed round 1),
-# then the alphabetically-first 26 of the 42 round-2-vintage queries.
-# Witness accounting: 221/235 registered queries have a hard-gate row
-# through round 6; a green round 7 makes it 235/235 — every registered
-# query driver-witnessed at least once — and leaves a 16-query
-# round-2-vintage re-witness queue (nbql_tag_matchers …
-# tpch_q12_priority_classes, alphabetical) for round 8. Registry growth
-# budget this round: ≤5 new gate queries (VERDICT r6 #7); new additions
-# join the never-witnessed pool for the round-8 window. Everything still
-# runs when the driver has the budget; the prefix only decides what a
-# capped run proves.
+# surface can never hide — then the 3 round-7 sketch-MERGE additions (the
+# only never-witnessed queries left), then 39 re-witness slots drained
+# oldest-evidence-first: the 16 remaining round-2-vintage queries, then
+# the alphabetically-first 23 of the 43 round-3-vintage queries. The
+# vintages below are computed from the actual CORRECTNESS_r{1..7} history
+# (last round each key appeared), not from memory — NOTES r7 misfiled
+# nbql_tag_matchers_rollup as round-2 vintage; it is round-3 (it sits in
+# the r8 re-witness tail regardless, alphabetically before the cut).
+# Witness accounting: a green round 7 made every query registered through
+# round 6 driver-witnessed (235/235); a green round 8 reaches 238/238 —
+# the ENTIRE registry — and leaves a 20-query round-3-vintage tail
+# (nbql_* … onward) for round 9. Registry growth budget this round: ≤3
+# new gate queries (VERDICT r7 #7); new additions join the
+# never-witnessed pool for the round-9 window. Everything still runs when
+# the driver has the budget; the prefix only decides what a capped run
+# proves.
 PRIORITY_PREFIX = [
     # canary cores: scan, final agg, downsample, MVCC, tombstone, cursor,
     # NBQL planner, dedup pipeline — one witness per family, every round
     "raw_scan_range_tag", "final_agg_basic", "downsample_1d",
     "mvcc_dedup_latest", "tombstone_series", "cursor_page",
     "nbql_downsample", "doc_dedup_exact",
-    # round-5 deferrals — never witnessed (8)
-    "events_session_paths", "events_theil_sen",
-    "events_wilcoxon_signed_rank", "lineitem_abc_classification",
-    "lineitem_basket_lift", "lineitem_gini_revenue", "orders_benford",
-    "orders_hill_tail_index",
-    # round-6 additions — never witnessed (6)
-    "events_hll_md5_daily_users", "docs_bloom_contamination",
-    "events_cms_type_counts", "docs_ppjoin_capped_pairs",
-    "docs_token_fertility_by_lang", "docs_simhash_recall_curve",
-    # re-witness queue: round-1 vintage (2)
-    "tpch_q7_nation_trade", "tpch_q8_mkt_share",
-    # re-witness queue: round-2 vintage, alphabetical first 26
-    "doc_dedup_clusters", "doc_dedup_minhash_lsh", "doc_dedup_simhash",
-    "doc_ngram_jaccard_probe", "docs_cdc_chunks", "docs_corpus_mix",
-    "docs_curation_pipeline", "docs_decontaminate",
-    "docs_pack_assignments", "docs_train_split", "downsample_emit_empty",
-    "downsample_firstlast", "downsample_hopping", "downsample_p95_stddev",
-    "embed_cosine_topk", "embed_ivf_topk", "embed_knn_classify",
-    "embed_vecindex_topk", "final_agg_firstlast", "multi_tag_scan",
-    "multimodal_meta", "nbql_fill_linear", "nbql_fill_previous",
-    "nbql_final_agg", "nbql_hopping", "nbql_raw_limit",
+    # round-7 sketch-MERGE additions — never witnessed (3)
+    "events_hll_md5_weekly_users", "events_cms_merged_halves",
+    "docs_bloom_shard_merge",
+    # re-witness queue: round-2 vintage, all 16 remaining (alphabetical)
+    "nbql_tag_matchers", "orders_priority_pivot", "point_get",
+    "relative_range_agg", "rollup_incremental_1d", "series_by_tags",
+    "show_metrics", "show_tag_keys", "show_tag_values",
+    "subscribe_filter_prefix", "text_lang_id", "text_quality",
+    "text_token_count", "tombstone_point", "tombstone_range",
+    "tpch_q12_priority_classes",
+    # re-witness queue: round-3 vintage, alphabetical first 23 of 43
+    "doc_containment_pairs", "doc_dedup_bucket_clusters",
+    "doc_dedup_minhash_capped", "doc_dedup_simhash_pairs",
+    "doc_fingerprint", "doc_winnow_fingerprint", "docs_chunk_dedup",
+    "docs_chunk_sliding", "docs_interleave_mix", "docs_length_deciles",
+    "docs_length_histogram", "docs_perplexity_filter",
+    "docs_quality_classifier", "docs_quality_filter_report",
+    "docs_stratified_sample", "docs_temperature_mix",
+    "docs_temperature_sample", "docs_tfidf_top3", "docs_vocab_top50",
+    "downsample_p95_tdigest", "embed_int8_topk", "embed_ivf_kmeans_topk",
+    "embed_label_centroids",
 ]
 
 

@@ -179,14 +179,14 @@ def test_registry_plan_sweep_no_cartesian(spark, qs):
 def test_priority_prefix_well_formed():
     """The driver-gate witness window: no duplicates, all names
     registered (a rename must update the prefix, not silently shrink
-    coverage), and it fits the driver's 50-row cap. Round-7 policy
-    (VERDICT r6 next #1): the window must use the full cap, keep the 8
-    canaries, contain ALL 14 never-witnessed queries (8 round-5
-    deferrals + 6 round-6 additions — a green round 7 reaches 235/235
-    cumulative witness coverage), and fill the remaining 28 slots from
-    the oldest-evidence re-witness queue (tpch_q7/q8 last witnessed
-    round 1, then the alphabetically-first 26 round-2-vintage
-    queries)."""
+    coverage), and it fits the driver's 50-row cap. Round-8 policy
+    (VERDICT r7 next #1): the window must use the full cap, keep the 8
+    canaries, contain the 3 never-witnessed round-7 sketch-MERGE
+    additions (a green round 8 reaches 238/238 cumulative — the whole
+    registry), and fill the remaining 39 slots oldest-evidence-first:
+    all 16 remaining round-2-vintage queries, then the
+    alphabetically-first 23 round-3-vintage queries (vintages computed
+    from the CORRECTNESS_r{1..7} history, not NOTES' recollection)."""
     from nexusbase_spark.queries import PRIORITY_PREFIX, all_queries
     names = set(all_queries())
     assert len(PRIORITY_PREFIX) == len(set(PRIORITY_PREFIX))
@@ -199,34 +199,33 @@ def test_priority_prefix_well_formed():
     }
     assert canaries <= set(PRIORITY_PREFIX)
     never_witnessed = {
-        # round-5 alphabetical-tail deferrals
-        "events_session_paths", "events_theil_sen",
-        "events_wilcoxon_signed_rank", "lineitem_abc_classification",
-        "lineitem_basket_lift", "lineitem_gini_revenue", "orders_benford",
-        "orders_hill_tail_index",
-        # round-6 sketch/guard additions
-        "events_hll_md5_daily_users", "docs_bloom_contamination",
-        "events_cms_type_counts", "docs_ppjoin_capped_pairs",
-        "docs_token_fertility_by_lang", "docs_simhash_recall_curve",
+        # round-7 sketch-MERGE additions
+        "events_hll_md5_weekly_users", "events_cms_merged_halves",
+        "docs_bloom_shard_merge",
     }
-    assert len(never_witnessed) == 14
+    assert len(never_witnessed) == 3
     assert never_witnessed <= set(PRIORITY_PREFIX)
     rewitness = {
-        # round-1 vintage
-        "tpch_q7_nation_trade", "tpch_q8_mkt_share",
-        # round-2 vintage, alphabetical first 26
-        "doc_dedup_clusters", "doc_dedup_minhash_lsh", "doc_dedup_simhash",
-        "doc_ngram_jaccard_probe", "docs_cdc_chunks", "docs_corpus_mix",
-        "docs_curation_pipeline", "docs_decontaminate",
-        "docs_pack_assignments", "docs_train_split",
-        "downsample_emit_empty", "downsample_firstlast",
-        "downsample_hopping", "downsample_p95_stddev", "embed_cosine_topk",
-        "embed_ivf_topk", "embed_knn_classify", "embed_vecindex_topk",
-        "final_agg_firstlast", "multi_tag_scan", "multimodal_meta",
-        "nbql_fill_linear", "nbql_fill_previous", "nbql_final_agg",
-        "nbql_hopping", "nbql_raw_limit",
+        # round-2 vintage, all 16 remaining
+        "nbql_tag_matchers", "orders_priority_pivot", "point_get",
+        "relative_range_agg", "rollup_incremental_1d", "series_by_tags",
+        "show_metrics", "show_tag_keys", "show_tag_values",
+        "subscribe_filter_prefix", "text_lang_id", "text_quality",
+        "text_token_count", "tombstone_point", "tombstone_range",
+        "tpch_q12_priority_classes",
+        # round-3 vintage, alphabetical first 23 of 43
+        "doc_containment_pairs", "doc_dedup_bucket_clusters",
+        "doc_dedup_minhash_capped", "doc_dedup_simhash_pairs",
+        "doc_fingerprint", "doc_winnow_fingerprint", "docs_chunk_dedup",
+        "docs_chunk_sliding", "docs_interleave_mix", "docs_length_deciles",
+        "docs_length_histogram", "docs_perplexity_filter",
+        "docs_quality_classifier", "docs_quality_filter_report",
+        "docs_stratified_sample", "docs_temperature_mix",
+        "docs_temperature_sample", "docs_tfidf_top3", "docs_vocab_top50",
+        "downsample_p95_tdigest", "embed_int8_topk",
+        "embed_ivf_kmeans_topk", "embed_label_centroids",
     }
-    assert len(rewitness) == 28
+    assert len(rewitness) == 39
     assert set(PRIORITY_PREFIX) == canaries | never_witnessed | rewitness
 
 
