@@ -137,6 +137,14 @@ def main() -> None:
         idle_load=float(os.environ.get("SPARK_GRAFT_IDLE_LOAD", "4.0")),
         idle_load_5m=float(os.environ.get("SPARK_GRAFT_IDLE_LOAD_5M", "8.0")))
     steal_at_start = _steal_jiffies()
+
+    def _steal_since(mark: int | None) -> int | None:
+        """Steal accrued since `mark`; None (not 0) when either read
+        failed — a silent 0 would understate co-tenant interference,
+        the exact condition the field exists to expose (ADVICE r7)."""
+        end = _steal_jiffies()
+        return None if (end is None or mark is None) else end - mark
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -164,6 +172,7 @@ def main() -> None:
     # 1. ingest: events -> points layout -> parquet append, partitioned by
     # metric (the at-scale layout: metric+time-bucket partition pruning)
     out_dir = tempfile.mkdtemp(prefix="nexusbase_ingest_")
+    steal_mark = _steal_jiffies()
     try:
         from pyspark.sql import functions as F
         pts = load_points(spark, sf_dir)
@@ -198,6 +207,7 @@ def main() -> None:
             ingest_s = min(ingest_s, time.time() - t0)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+    steal_ingest = _steal_since(steal_mark)
 
     # 2. headline queries, fully drained. One untimed warmup run, then two
     # timed runs, report the min — the same steady-state protocol as the
@@ -209,6 +219,7 @@ def main() -> None:
     # runs (the warmup counts above already touched every table).
     qs = all_queries()
     timings: dict[str, float] = {}
+    steal_mark = _steal_jiffies()
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).collect()
@@ -218,6 +229,7 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    steal_suite = _steal_since(steal_mark)
 
     # 3. repeated randomized scans (query-throughput shape). The reference
     # workload is defined at CONCURRENCY=10 (cmd/query-perf-client/main.go:50-54
@@ -241,10 +253,28 @@ def main() -> None:
                    start, start + 3_600_000_000_000).collect()
         return time.time() - t0
 
-    t_batch = time.time()
-    with ThreadPoolExecutor(max_workers=10) as ex:
-        lat = list(ex.map(one_scan, params))
-    wall = time.time() - t_batch
+    # Same params all runs; 3 runs per invocation because one number per
+    # round cannot distinguish code from co-tenant on this shared VM
+    # (VERDICT r7 #3: 18.5 / 23.1 / 34.3 qps on the SAME tree under
+    # strict-idle). Report best + every observation + per-run steal so a
+    # depressed run self-identifies. Run 1 doubles as the warm-up (scan
+    # codegen), matching the suite's steady-state protocol where `best`
+    # is the reported number.
+    scan_qps_runs: list[float] = []
+    scan_steal_runs: list[int | None] = []
+    lat: list[float] = []
+    best_wall = float("inf")
+    for _ in range(3):
+        mark = _steal_jiffies()
+        t_batch = time.time()
+        with ThreadPoolExecutor(max_workers=10) as ex:
+            run_lat = list(ex.map(one_scan, params))
+        run_wall = time.time() - t_batch
+        scan_steal_runs.append(_steal_since(mark))
+        scan_qps_runs.append(round(n_scans / run_wall, 2))
+        if run_wall < best_wall:
+            best_wall, lat = run_wall, run_lat
+    wall = best_wall
     lat.sort()
     pct = lambda p: round(lat[min(int(len(lat) * p), len(lat) - 1)], 3)
 
@@ -263,19 +293,24 @@ def main() -> None:
         "ingest_cold_pts_per_sec": round(n_points / ingest_cold_s, 1),
         "ingest_points": n_points,
         "scan_qps": round(n_scans / wall, 2),
+        "scan_qps_runs": scan_qps_runs,
         "scan_concurrency": 10,
         "scan_p50_s": pct(0.50),
         "scan_p90_s": pct(0.90),
         "scan_p99_s": pct(0.99),
         **host,
-        # hypervisor steal accrued DURING the bench: on this shared VM a
-        # co-tenant burst throttles every phase while loadavg stays at 0
-        # (measured: two back-to-back strict-idle runs, 19.7s vs 51.8s
-        # suite — the only witness is the steal counter). Nonzero steal
-        # means the numbers track the neighbor, not the code.
-        "host_steal_jiffies_during_bench":
-            (None if steal_at_start is None
-             else (_steal_jiffies() or steal_at_start) - steal_at_start),
+        # hypervisor steal accrued DURING the bench, total and per phase:
+        # on this shared VM a co-tenant burst throttles a phase while
+        # loadavg stays at 0 (measured: two back-to-back strict-idle
+        # runs, 19.7s vs 51.8s suite — the only witness is the steal
+        # counter). Nonzero steal means that phase tracked the neighbor,
+        # not the code; the per-run scan list lets a depressed scan_qps
+        # self-identify (VERDICT r7 #3). None = the /proc/stat read
+        # failed, NOT zero steal (ADVICE r7).
+        "host_steal_jiffies_during_bench": _steal_since(steal_at_start),
+        "host_steal_jiffies_ingest": steal_ingest,
+        "host_steal_jiffies_suite": steal_suite,
+        "host_steal_jiffies_scan_runs": scan_steal_runs,
     }))
     spark.stop()
 

@@ -39,8 +39,12 @@ class LRUCache:
     connection threads (cache/cache.go holds a sync.Mutex for the same
     reason), so get/put/clear serialize on an internal lock — otherwise
     hit/miss counters race and two concurrent put() evictions can
-    double-fire the eviction callback (ADVICE r6). The eviction callback
-    fires under the lock; it must not call back into the cache."""
+    double-fire the eviction callback (ADVICE r6). Evicted entries are
+    collected under the lock but the callback fires AFTER it is released
+    (ADVICE r7): each eviction still fires exactly once (popitem removes
+    the entry before any other thread can evict it again), and a
+    callback that re-enters the cache — a user _emit hook that reads or
+    warms it — no longer deadlocks on the non-reentrant Lock."""
 
     def __init__(self, capacity: int,
                  on_evicted: Callable[[str, object], None] | None = None):
@@ -72,14 +76,16 @@ class LRUCache:
     def put(self, key: str, value: object) -> None:
         if self.capacity <= 0:
             return
+        evicted: list[tuple[str, object]] = []
         with self._mu:
             if key in self._items:
                 self._items.move_to_end(key)
             self._items[key] = value
             while len(self._items) > self.capacity:
-                old_key, old_val = self._items.popitem(last=False)
-                if self._on_evicted is not None:
-                    self._on_evicted(old_key, old_val)
+                evicted.append(self._items.popitem(last=False))
+        if self._on_evicted is not None:
+            for old_key, old_val in evicted:
+                self._on_evicted(old_key, old_val)
 
     def clear(self) -> None:
         with self._mu:

@@ -20,10 +20,14 @@ harmless. Standard error ~= 1.04 / sqrt(2^lg_k): lg_k=14 -> ~0.8%, 12 KiB
 per sketch. All JVM-side (org.apache.datasketches via Spark built-ins) —
 no Python in the loop.
 
-Approximation is the documented trade: estimates carry the error bound
-above, so this family is driver-checked rows-only (the DuckDB oracle
-cannot reproduce DataSketches registers); exact companions
-(events_series_cardinality) stay in the hash gate.
+Approximation is the documented trade: the DuckDB oracle cannot
+reproduce DataSketches registers, so the gate query
+(events_hll_daily_users) is hash-checked as a BOUNDED-ERROR CLAIM —
+it emits |est/exact - 1| <= bound as a boolean beside the exact count,
+and the oracle asserts the boolean (VERDICT r7 #2). Exact companions
+(events_series_cardinality) and the bit-exact md5-register twins
+(events_hll_md5_daily/weekly_users) carry the estimator math in the
+hash gate directly.
 """
 
 from __future__ import annotations
@@ -337,7 +341,7 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     rows per shard, never elements. Gate query:
     docs_bloom_shard_merge."""
     from functools import reduce
-    u = reduce(lambda a, b: a.unionAll(b), filters)
+    u = reduce(lambda a, b: a.union(b), filters)
     return u.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
 
 

@@ -287,7 +287,7 @@ class DedupIndex:
     # ------------------------------------------------------------ streaming
 
     def for_each_batch(self, threshold: float = 0.3,
-                       max_bucket: int | None = _SINK_DEFAULT,
+                       max_bucket: int | None | object = _SINK_DEFAULT,
                        on_matches=None):
         """Structured-Streaming sink: each document micro-batch is deduped
         against the whole indexed HISTORY (not just the watermark horizon

@@ -305,7 +305,7 @@ class ExactDupIndex:
 
     def for_each_batch(self, matches_path: str | None = None,
                        threshold: float | None = None,
-                       max_bucket: int | None = _SINK_DEFAULT):
+                       max_bucket: int | None | object = _SINK_DEFAULT):
         """Streaming ingest-dedup sink: append each micro-batch, writing
         its exact matches against the pre-batch corpus to
         ``matches_path`` (when given) — the lossless twin of
@@ -339,7 +339,10 @@ class ExactDupIndex:
                     for w in guard:
                         f.write(json.dumps({"batch_id": int(batch_id),
                                             "warning": str(w.message)}) + "\n")
-                for w in guard:  # still surface to the caller's stderr
-                    _warnings.warn_explicit(w.message, w.category,
-                                            w.filename, w.lineno)
+            # record=True swallowed EVERYTHING; re-emit it all (ADVICE r7
+            # — a Spark deprecation raised inside the block must not die
+            # here), guard warnings included
+            for w in caught:
+                _warnings.warn_explicit(w.message, w.category,
+                                        w.filename, w.lineno)
         return run

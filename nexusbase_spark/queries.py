@@ -634,12 +634,13 @@ def q_cursor_page(spark, sf_dir):
 # the r8 re-witness tail regardless, alphabetically before the cut).
 # Witness accounting: a green round 7 made every query registered through
 # round 6 driver-witnessed (235/235); a green round 8 reaches 238/238 —
-# the ENTIRE registry — and leaves a 20-query round-3-vintage tail
-# (nbql_* … onward) for round 9. Registry growth budget this round: ≤3
-# new gate queries (VERDICT r7 #7); new additions join the
-# never-witnessed pool for the round-9 window. Everything still runs when
-# the driver has the budget; the prefix only decides what a capped run
-# proves.
+# every query registered through round 7 — leaving a 20-query
+# round-3-vintage tail plus the single round-8 addition
+# (events_hll_range_users, the DataSketches union-path bounded-error
+# gate; sim-MATCHed tri-SF) for the round-9 window. Registry growth this
+# round: 1 new gate query, inside the ≤3 budget (VERDICT r7 #7).
+# Everything still runs when the driver has the budget; the prefix only
+# decides what a capped run proves.
 PRIORITY_PREFIX = [
     # canary cores: scan, final agg, downsample, MVCC, tombstone, cursor,
     # NBQL planner, dedup pipeline — one witness per family, every round

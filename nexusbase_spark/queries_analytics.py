@@ -1816,26 +1816,121 @@ def q_events_session_conversion(spark, sf_dir):
         F.round(F.avg("dur_s"), 4).alias("avg_duration_s"))
 
 
-@register("events_hll_daily_users", None)
+# Bounded-error gate for the DataSketches HLL path (VERDICT r7 #2).
+# DuckDB cannot reproduce DataSketches registers, so the raw estimate is
+# not hash-checkable — but the CLAIM "the estimate is within the sketch's
+# published error of the truth" IS: Spark emits the comparison as a
+# boolean column; the oracle computes the same exact counts and asserts
+# the boolean is TRUE. An estimator regression (wrong registers, wrong
+# branch, empty sketch) emits FALSE somewhere -> hash mismatch -> red
+# driver row. Bound: relative std err at lg_k=14 is 1.04/sqrt(2^14)
+# ~= 0.81%; 0.065 is ~8 sigma, and DataSketches is EXACT below its coupon
+# threshold anyway (every test SF's daily groups sit far below it).
+_HLL_REL_BOUND = 0.065
+
+
+@register("events_hll_daily_users", f"""
+    WITH g AS (SELECT event_type AS metric,
+                      CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                      user_id
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+    SELECT metric, day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM g GROUP BY metric, day
+""")
 def q_events_hll_daily_users(spark, sf_dir):
     """Mergeable HLL cardinality rollup (operators/sketches.py): one
-    DataSketches HLL per (metric, day), estimated per day. Rows-only
-    driver check BY DESIGN: the estimate is approximate (~0.8% std err at
-    lg_k=14) and DuckDB cannot reproduce DataSketches registers — the
-    exact companion (events_series_cardinality) stays in the hash gate,
-    the ESTIMATOR MATH is hash-gated via the md5-register twin
-    (events_hll_md5_daily_users, integer registers both engines),
-    and tests/test_sketches.py pins the error bound, merge-equals-rescan,
+    DataSketches HLL per (metric, day), estimated per day, HASH-GATED as
+    a bounded-error claim (VERDICT r7 #2 — formerly the registry's one
+    rows-only entry): the output carries the exact distinct count (both
+    engines) and ``within_bound`` = |est/exact - 1| <= {_HLL_REL_BOUND}
+    computed from the live DataSketches estimate on the Spark side and
+    asserted TRUE by the oracle — so a drifting estimator hash-fails
+    rather than hiding behind a rows-only row-count. The ESTIMATOR MATH
+    itself is separately hash-gated bit-exact via the md5-register twins
+    (events_hll_md5_daily_users / _weekly_users), and
+    tests/test_sketches.py pins the error bound, merge-equals-rescan,
     partitioning invariance, and parquet persistence. At 100 TB this is
     the dashboard path: any time-range distinct count is a union of
-    per-day 12 KiB sketches, never a re-scan of raw events."""
+    per-day 12 KiB sketches, never a re-scan of raw events; the exact
+    companion here shares the sketch build's single scan
+    (localCheckpoint) and joins 150-row rollups, not raw events."""
     from nexusbase_spark.operators.sketches import (
         daily_user_sketches, estimate_daily)
 
     ev = load_table(spark, sf_dir, "events")
-    day = (source_ts_ns(ev) / F.lit(86_400_000_000_000)).cast("bigint")
-    sk = daily_user_sketches(ev, day, lg_k=14)
-    return estimate_daily(sk).orderBy("metric", "day")
+    evf = (ev.filter(F.col("user_id").isNotNull()
+                     & F.col("event_type").isNotNull())
+           .select("event_type", "user_id",
+                   F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000))
+                   .cast("bigint").alias("day"))
+           .localCheckpoint(eager=True))  # sketch + exact share one scan
+    sk = daily_user_sketches(evf, F.col("day"), lg_k=14)
+    est = estimate_daily(sk)
+    exact = (evf.groupBy(F.col("event_type").alias("metric"), "day")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_users")))
+    return (est.join(exact, ["metric", "day"])
+            .select("metric", "day", "exact_users",
+                    (F.abs(F.col("users_est") / F.col("exact_users")
+                           - F.lit(1.0)) <= F.lit(_HLL_REL_BOUND))
+                    .alias("within_bound")))
+
+
+@register("events_hll_range_users", """
+    WITH g AS (SELECT event_type AS metric,
+                      CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                      user_id
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    b AS (SELECT min(day) AS d0 FROM g)
+    SELECT metric,
+           CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM g, b
+    WHERE g.day BETWEEN b.d0 AND b.d0 + 13
+    GROUP BY metric
+""")
+def q_events_hll_range_users(spark, sf_dir):
+    """Bounded-error gate for the DataSketches UNION path
+    (operators/sketches.estimate_range) — the dashboard time-slider at
+    100 TB: a two-week distinct-user count answered by hll_union_agg
+    over 14 persisted daily sketches per metric, never a raw re-scan.
+    The md5 twins gate the MERGE ALGEBRA bit-exactly; this gates the
+    LIVE DataSketches union's accuracy the same way the daily query
+    gates the build (VERDICT r7 #2 pattern): exact_users from the same
+    single scan both engines, ``within_bound`` = |est/exact - 1| <=
+    0.065 asserted TRUE by the oracle (HLL union preserves the per-lg_k
+    error bound; lg_k=14 std err ~0.81%), and n_days pinning that >1
+    daily sketch actually fed each union. The range anchor d0 =
+    min(day) is data-derived in both engines (Spark pays a 1-row driver
+    collect on the day-rollup — the documented driver-anchor idiom)."""
+    from nexusbase_spark.operators.sketches import (
+        daily_user_sketches, estimate_range)
+
+    ev = load_table(spark, sf_dir, "events")
+    evf = (ev.filter(F.col("user_id").isNotNull()
+                     & F.col("event_type").isNotNull())
+           .select("event_type", "user_id",
+                   F.floor(source_ts_ns(ev) / F.lit(86_400_000_000_000))
+                   .cast("bigint").alias("day"))
+           .localCheckpoint(eager=True))  # sketches + exact share one scan
+    d0 = evf.agg(F.min("day")).collect()[0][0]
+    sk = daily_user_sketches(evf, F.col("day"), lg_k=14)
+    rng = estimate_range(sk, d0, d0 + 13)
+    exact = (evf.filter((F.col("day") >= d0) & (F.col("day") <= d0 + 13))
+             .groupBy(F.col("event_type").alias("metric"))
+             .agg(F.countDistinct("day").cast("long").alias("n_days"),
+                  F.countDistinct("user_id").cast("long")
+                  .alias("exact_users")))
+    return (rng.join(exact, "metric")
+            .select("metric", "n_days", "exact_users",
+                    (F.abs(F.col("users_est") / F.col("exact_users")
+                           - F.lit(1.0)) <= F.lit(_HLL_REL_BOUND))
+                    .alias("within_bound")))
 
 
 def _cms_cell_sql(j: int, width: int) -> str:
@@ -2051,9 +2146,9 @@ def hll_estimate_select(g, keys: tuple[str, ...] = ("event_type", "day")):
 """)
 def q_events_hll_md5_daily_users(spark, sf_dir):
     """HyperLogLog daily distinct-user estimate, md5-register edition —
-    the HASH-GATED companion of events_hll_daily_users (whose
-    DataSketches registers DuckDB cannot reproduce, leaving it the
-    registry's one rows-only entry). Same estimator math (Flajolet et
+    the bit-exact companion of events_hll_daily_users (whose DataSketches
+    registers DuckDB cannot reproduce, so that query is hash-gated as a
+    bounded-error claim instead). Same estimator math (Flajolet et
     al.: m=256 registers, max leading-zero rank, harmonic mean, linear
     counting below 2.5m), but every register is a pure integer function
     of md5: 60-bit hash from 15 hex chars (the minhash base-hash
@@ -2118,20 +2213,45 @@ def q_events_hll_md5_daily_users(spark, sf_dir):
                  / (s_present + (256 - n_regs) * CAST({_HLL_2P53} AS BIGINT))
                      AS e_raw
           FROM g),
+    wk AS (SELECT event_type, week, CAST(zero_regs AS BIGINT) AS zero_regs,
+                  CAST(floor(CASE WHEN e_raw <= 640.0 AND zero_regs > 0
+                                  THEN 256.0 * ln(256.0 / zero_regs)
+                                  ELSE e_raw END * 1e4 + 0.5) AS BIGINT)
+                      AS wk_scaled
+           FROM e),
+    gd AS (SELECT event_type, day,
+                  sum(CAST(1 AS BIGINT) << (53 - m)) AS s_present,
+                  count(*) AS n_regs
+           FROM daily GROUP BY event_type, day),
+    ed AS (SELECT event_type, CAST(day // 7 AS BIGINT) AS week,
+                  CAST(floor(CASE WHEN e_raw <= 640.0 AND zero_regs > 0
+                                  THEN 256.0 * ln(256.0 / zero_regs)
+                                  ELSE e_raw END * 1e4 + 0.5) AS BIGINT)
+                      AS day_scaled
+           FROM (SELECT event_type, day, 256 - n_regs AS zero_regs,
+                        {_HLL_ALPHA_NUM}
+                        / (s_present
+                           + (256 - n_regs) * CAST({_HLL_2P53} AS BIGINT))
+                            AS e_raw
+                 FROM gd)),
+    ds AS (SELECT event_type, week,
+                  CAST(sum(day_scaled) AS BIGINT) AS daily_sum_scaled
+           FROM ed GROUP BY event_type, week),
     nd AS (SELECT event_type, CAST(day // 7 AS BIGINT) AS week,
                   count(DISTINCT day) AS n_days
            FROM daily GROUP BY 1, 2),
     ex AS (SELECT event_type, CAST(day // 7 AS BIGINT) AS week,
                   count(DISTINCT u) AS exact_users
            FROM h GROUP BY 1, 2)
-    SELECT e.event_type, e.week, CAST(nd.n_days AS BIGINT) AS n_days,
-           CAST(e.zero_regs AS BIGINT) AS zero_regs,
-           floor(CASE WHEN e_raw <= 640.0 AND zero_regs > 0
-                      THEN 256.0 * ln(256.0 / zero_regs)
-                      ELSE e_raw END * 1e4 + 0.5) / 1e4 AS hll_users,
-           CAST(ex.exact_users AS BIGINT) AS exact_users
-    FROM e JOIN nd ON nd.event_type = e.event_type AND nd.week = e.week
-           JOIN ex ON ex.event_type = e.event_type AND ex.week = e.week
+    SELECT wk.event_type, wk.week, CAST(nd.n_days AS BIGINT) AS n_days,
+           wk.zero_regs,
+           wk.wk_scaled / 1e4 AS hll_users,
+           CAST(ex.exact_users AS BIGINT) AS exact_users,
+           ds.daily_sum_scaled / 1e4 AS daily_sum_users,
+           wk.wk_scaled < ds.daily_sum_scaled AS merge_lt_daily_sum
+    FROM wk JOIN nd ON nd.event_type = wk.event_type AND nd.week = wk.week
+            JOIN ex ON ex.event_type = wk.event_type AND ex.week = wk.week
+            JOIN ds ON ds.event_type = wk.event_type AND ds.week = wk.week
 """)
 def q_events_hll_md5_weekly_users(spark, sf_dir):
     """HLL register MAX-merge behind the hash gate — the property that
@@ -2190,12 +2310,37 @@ def q_events_hll_md5_weekly_users(spark, sf_dir):
     ex = (base.withColumn("week", wk)
           .groupBy("event_type", "week")
           .agg(F.countDistinct("u").alias("exact_users")))
+    # distinct-union pin (VERDICT r7 #7): the weekly MAX-merge estimate
+    # must sit strictly BELOW the sum of the 7 daily estimates wherever
+    # users/registers overlap across days — the property that separates
+    # a register MAX-merge from plain addition. Both sums are folded as
+    # SCALED INTEGERS (each daily estimate 1e4-quantized to an int64
+    # first), so the comparison is order-exact cross-engine; the raw
+    # float hll_users stays 4dp-quantized as before. round(hll_users*1e4)
+    # recovers the scaled int exactly (the quantized value is within ulps
+    # of k/1e4 for k < 2^50).
+    gd = daily.groupBy("event_type", "day").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(53 - m AS INT))")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"))
+    ed = hll_estimate_select(gd, keys=("event_type", "day"))
+    ds = (ed.withColumn("week", F.floor(F.col("day") / F.lit(7))
+                        .cast("bigint"))
+          .groupBy("event_type", "week")
+          .agg(F.sum(F.round(F.col("hll_users") * 1e4).cast("long"))
+               .alias("daily_sum_scaled")))
     return (est.join(nd, ["event_type", "week"])
             .join(ex, ["event_type", "week"])
+            .join(ds, ["event_type", "week"])
             .select("event_type", "week",
                     F.col("n_days").cast("long").alias("n_days"),
                     "zero_regs", "hll_users",
-                    F.col("exact_users").cast("long").alias("exact_users")))
+                    F.col("exact_users").cast("long").alias("exact_users"),
+                    (F.col("daily_sum_scaled") / F.lit(1e4))
+                    .alias("daily_sum_users"),
+                    (F.round(F.col("hll_users") * 1e4).cast("long")
+                     < F.col("daily_sum_scaled"))
+                    .alias("merge_lt_daily_sum")))
 
 
 @register("events_ewma_level", f"""

@@ -325,3 +325,30 @@ def test_bloom_merge_equals_monolithic_build(spark):
     got = {r["id"]: r["might"] for r in bloom_might_contain(
         bloom_merge(a, b), probe, "w", m_bits=1024, k=4).collect()}
     assert all(got[i] for i in range(150, 200))  # one-sided: members hit
+
+
+def test_hll_gate_bounds_and_merge_distinct_union_cross_sf(spark):
+    """Cross-SF non-degeneracy asserts for the round-8 HLL gate queries
+    (VERDICT r7 #2 and #7):
+
+    - events_hll_daily_users / events_hll_range_users: the bounded-error
+      booleans the oracle asserts TRUE must actually BE true on real
+      data at every test SF (within 6.5% of exact — DataSketches build
+      and union paths);
+    - events_hll_md5_weekly_users: merge_lt_daily_sum TRUE on EVERY
+      (type, week) with n_days > 1 — the weekly MAX-merge estimate sits
+      strictly below the sum of the daily estimates, so the gate can
+      distinguish a register MAX-merge from plain addition (a degenerate
+      corpus with no cross-day user/register overlap could not)."""
+    from nexusbase_spark.queries import all_queries
+
+    qs = all_queries()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in ("events_hll_daily_users", "events_hll_range_users"):
+            rows = qs[name](spark, sf_dir).collect()
+            assert rows, f"{name} empty at {sf_dir}"
+            assert all(r["within_bound"] for r in rows), (name, sf_dir)
+        wk = qs["events_hll_md5_weekly_users"](spark, sf_dir).collect()
+        assert wk and all(r["n_days"] > 1 for r in wk), sf_dir
+        assert all(r["merge_lt_daily_sum"] for r in wk), sf_dir
+        assert all(r["daily_sum_users"] > r["hll_users"] for r in wk), sf_dir
