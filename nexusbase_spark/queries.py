@@ -453,6 +453,65 @@ def q_percentile_rollup_merged(spark, sf_dir):
     return _r4(out, "p95_value")
 
 
+@register("lineitem_p95_tdigest_rank_bound", """
+    SELECT l_returnflag,
+           CAST(count(l_extendedprice) AS BIGINT) AS n,
+           CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+               AS n_shards,
+           floor(quantile_cont(l_extendedprice, 0.95) * 1e4 + 0.5) / 1e4
+               AS exact_p95,
+           TRUE AS within_rank_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def q_lineitem_p95_tdigest_rank_bound(spark, sf_dir):
+    """T-digest in its APPROXIMATE regime behind the hash gate — the
+    bounded-error pattern of the round-8 HLL gates applied to the third
+    mergeable sketch (downsample_p95_tdigest / percentile_rollup_merged
+    gate the singleton-exact regime, where the digest IS closest-rank
+    interpolation; this query compresses for real): per-(returnflag,
+    ship-month) digests at compression 50 (~83 shards x ~200-330 merged
+    centroids vs n up to 200k values — centroids << n at every SF, so
+    the ~1/delta rank error is live), rolled up per returnflag, then the
+    estimate's actual RANK in the raw data is compared to q:
+    ``within_rank_bound`` = |rank(est)/n - 0.95| <= 0.005, asserted TRUE
+    by the oracle (measured dev <= 4.6e-4 tri-SF — 10x margin; the
+    bound is rank-space, the space t-digest's guarantee lives in, so no
+    distribution assumption). exact_p95 (floor-4dp-quantized both
+    engines) and n/n_shards anchor the group shapes. Scale shape: the
+    rollup BUILD shuffles raw values once (like any downsample); the
+    merge + rank probe then move KB digests and a broadcast 3-row join
+    — any wider time range re-aggregates persisted month digests, never
+    values."""
+    from nexusbase_spark.functions.tdigest import (
+        tdigest_group_digests, tdigest_rollup_quantile)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (li.select("l_returnflag",
+                      F.col("l_extendedprice").cast("double").alias("v"),
+                      F.date_trunc("month", F.col("l_shipdate")).alias("m"))
+            .localCheckpoint(eager=True))  # digests + exact + rank, one scan
+    digs = tdigest_group_digests(base, ["l_returnflag", "m"], "v",
+                                 compression=50)
+    roll = tdigest_rollup_quantile(digs, ["l_returnflag"], 0.95,
+                                   out_col="td_p95", compression=50)
+    stats = base.groupBy("l_returnflag").agg(
+        F.count("v").alias("n"),
+        F.countDistinct("m").cast("long").alias("n_shards"),
+        F.expr("percentile(v, 0.95)").alias("exact_raw"))
+    rank = (base.join(F.broadcast(roll.select("l_returnflag", "td_p95")),
+                      "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg((F.sum(F.when(F.col("v") <= F.col("td_p95"), 1)
+                        .otherwise(0)) / F.count("v")).alias("td_rank")))
+    return (stats.join(rank, "l_returnflag")
+            .select("l_returnflag", "n", "n_shards",
+                    (F.floor(F.col("exact_raw") * 1e4 + F.lit(0.5)) / 1e4)
+                    .alias("exact_p95"),
+                    (F.abs(F.col("td_rank") - F.lit(0.95)) <= F.lit(0.005))
+                    .alias("within_rank_bound")))
+
+
 @register("multi_tag_scan", f"""
     SELECT metric, user, kb, ts, seq, value
     FROM (SELECT event_type AS metric,
@@ -635,10 +694,11 @@ def q_cursor_page(spark, sf_dir):
 # Witness accounting: a green round 7 made every query registered through
 # round 6 driver-witnessed (235/235); a green round 8 reaches 238/238 —
 # every query registered through round 7 — leaving a 20-query
-# round-3-vintage tail plus the single round-8 addition
-# (events_hll_range_users, the DataSketches union-path bounded-error
-# gate; sim-MATCHed tri-SF) for the round-9 window. Registry growth this
-# round: 1 new gate query, inside the ≤3 budget (VERDICT r7 #7).
+# round-3-vintage tail plus the two round-8 additions
+# (events_hll_range_users — DataSketches union-path bounded-error gate —
+# and lineitem_p95_tdigest_rank_bound — t-digest approximate-regime rank
+# gate; both sim-MATCHed tri-SF) for the round-9 window. Registry growth
+# this round: 2 new gate queries, inside the ≤3 budget (VERDICT r7 #7).
 # Everything still runs when the driver has the budget; the prefix only
 # decides what a capped run proves.
 PRIORITY_PREFIX = [

@@ -254,3 +254,38 @@ def test_group_digest_rollup_error_bounded_beyond_singletons(spark):
     # rank of the estimate within 1% of the 0.95 target
     rank = np.searchsorted(arr, got) / len(arr)
     assert abs(rank - 0.95) < 0.01
+
+
+def test_rank_bound_gate_runs_in_compressed_regime():
+    """The round-8 gate query (lineitem_p95_tdigest_rank_bound) claims to
+    exercise the digest's APPROXIMATE regime — unlike the singleton-exact
+    gates, where centroids == values. Pin it: rebuilding the same
+    per-(returnflag, month) -> per-flag merge at compression 50 on
+    sf0.001 lineitem must land far fewer centroids than values (so the
+    ~1/delta rank error is live), while the estimate's true rank stays
+    within half the gate's 0.005 bound."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute("""
+        SELECT l_returnflag, date_trunc('month', l_shipdate),
+               list(l_extendedprice)
+        FROM '/root/testdata/sf0.001/lineitem.parquet' GROUP BY 1, 2
+    """).fetchall()
+    groups: dict = {}
+    for flag, _m, vals in rows:
+        groups.setdefault(flag, []).append(vals)
+    assert len(groups) == 3
+    for flag, shards in groups.items():
+        assert len(shards) > 10          # the merge is non-degenerate
+        td = TDigest(compression=50)
+        for vals in shards:
+            sub = TDigest(compression=50)
+            sub.add_many(vals)
+            td.merge(sub)
+        allv = sorted(v for vals in shards for v in vals)
+        n = len(allv)
+        assert len(td) < n / 4, (flag, len(td), n)  # compression engaged
+        est = td.quantile(0.95)
+        rank = sum(1 for v in allv if v <= est) / n
+        assert abs(rank - 0.95) <= 0.0025, (flag, rank)
