@@ -499,6 +499,8 @@ def q_lineitem_p95_tdigest_rank_bound(spark, sf_dir):
         F.count("v").alias("n"),
         F.countDistinct("m").cast("long").alias("n_shards"),
         F.expr("percentile(v, 0.95)").alias("exact_raw"))
+    # roll is tdigest_rollup_quantile's per-returnflag output (3 rows;
+    # lint: k-row — the groupBy/agg reduction lives inside the helper)
     rank = (base.join(F.broadcast(roll.select("l_returnflag", "td_p95")),
                       "l_returnflag")
             .groupBy("l_returnflag")
