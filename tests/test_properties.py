@@ -6,11 +6,13 @@ roundtrips, duration parsing, cursor pagination completeness.
 
 from __future__ import annotations
 
+import math
 import string
 
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from nexusbase_spark.nbql import ast as A
 from nexusbase_spark.nbql.parser import NBQLError, parse, parse_duration, substitute_params
@@ -495,3 +497,162 @@ def test_param_string_value_roundtrips_through_quoting(v):
     parser's unquoting byte-for-byte (quotes, backslashes, unicode)."""
     q = parse(substitute_params("QUERY m TAGGED (k=?)", (v,)))
     assert q.tags["k"] == v
+
+
+# ---------------------------------------------------------------------------
+# Differential property tests for the core §2.5b windowing operators: the
+# Spark downsample / downsample_hopping vs a brute-force pure-Python model
+# of the documented semantics (epoch alignment, per-series grouping,
+# NaN-keep with NaN-blind min/max, emit-empty zero/NaN fills, hopping
+# membership (t - size, t]). The fixed-parameter oracle gates pin three
+# (interval, range) points; these sweep the parameter space randomly.
+
+_VALS = st.one_of(
+    st.none(),
+    st.sampled_from([float("nan"), float("inf"), float("-inf")]),
+    st.integers(-50, 50).map(float),
+)
+
+
+def _model_aggs(vals):
+    """(count, sum, avg, min, max) of one window's values under the
+    DOWNSAMPLER's documented fidelity: count() counts non-null (NaN/Inf
+    included); sum/avg keep NaN (poisoned) and are 0.0/NaN on empty;
+    min/max are NaN-blind but Inf-comparable, NaN on no candidate."""
+    nn = [v for v in vals if v is not None]
+    cnt = float(len(nn))
+    s = sum(nn) if nn else 0.0
+    a = s / len(nn) if nn else float("nan")
+    cmp_ = [v for v in nn if not math.isnan(v)]
+    mn = min(cmp_) if cmp_ else float("nan")
+    mx = max(cmp_) if cmp_ else float("nan")
+    return cnt, s, a, mn, mx
+
+
+def _feq(x, y):
+    return (math.isnan(x) and math.isnan(y)) or x == y
+
+
+def _points_df(spark, pts):
+    from nexusbase_spark.datamodel import with_series_key
+    rows = [("m", {"h": str(h)}, int(ts), i, v)
+            for i, (h, ts, v) in enumerate(pts)]
+    return with_series_key(spark.createDataFrame(
+        rows,
+        "metric string, tags map<string,string>, ts long, seq long, "
+        "value double"))
+
+
+@pytest.mark.slow
+@given(data=st.data())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_downsample_matches_bruteforce_model(spark, data):
+    """For ANY point set / interval / query range: the tumbling
+    downsample equals the brute-force model — row universe (per-series
+    non-empty windows; with emit_empty the full series x grid product
+    from the RANGE-UNFILTERED universe), epoch alignment, window_end,
+    and count/sum/avg/min/max under the NaN-keep fidelity rules."""
+    from nexusbase_spark.functions.fidelity import AggSpec
+    from nexusbase_spark.operators import downsample
+    from nexusbase_spark.operators.downsample import align
+
+    pts = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 149), _VALS),
+        min_size=1, max_size=40))
+    interval = data.draw(st.sampled_from([7, 10, 64]))
+    emit_empty = data.draw(st.booleans())
+    df = _points_df(spark, pts)
+    specs = [AggSpec("count", "value"), AggSpec("sum", "value"),
+             AggSpec("avg", "value"), AggSpec("min", "value"),
+             AggSpec("max", "value")]
+
+    if emit_empty:
+        q_start = data.draw(st.integers(0, 100))
+        q_end = data.draw(st.integers(q_start + 1, 160))
+        sel = [p for p in pts if q_start <= p[1] <= q_end]  # §2.3 inclusive
+        fdf = df.filter((F.col("ts") >= q_start) & (F.col("ts") <= q_end))
+        out = downsample(fdf, interval, specs, emit_empty=True,
+                         q_start=q_start, q_end=q_end, series_universe=df)
+        first = align(q_start, interval)
+        last = q_end - 1 - ((q_end - 1 - first) % interval)
+        grid = range(first, last + 1, interval)
+        universe = {h for h, _, _ in pts}  # range-INDEPENDENT resolution
+        expect_keys = {(h, w) for h in universe for w in grid}
+        # points at an aligned q_end fall in window q_end, outside the
+        # grid (windows enumerate while start < q_end) — dropped by the
+        # grid join, like the reference's window loop never opens it
+        sel = [p for p in sel if align(p[1], interval) <= last]
+    else:
+        sel = pts
+        out = downsample(df, interval, specs)
+        expect_keys = {(h, align(ts, interval)) for h, ts, _ in pts}
+
+    by_key: dict = {k: [] for k in expect_keys}
+    for h, ts, v in sel:
+        by_key[(h, align(ts, interval))].append(v)
+
+    got = out.collect()
+    got_keys = {(int(r["tags"]["h"]), r["window_start"]) for r in got}
+    assert got_keys == expect_keys
+    assert len(got) == len(expect_keys)
+    for r in got:
+        k = (int(r["tags"]["h"]), r["window_start"])
+        cnt, s, a, mn, mx = _model_aggs(by_key[k])
+        assert r["window_end"] == r["window_start"] + interval
+        assert float(r["count_value"]) == cnt, (k, r)
+        assert _feq(r["sum_value"], s), (k, r)
+        assert _feq(r["avg_value"], a), (k, r)
+        assert _feq(r["min_value"], mn), (k, r)
+        assert _feq(r["max_value"], mx), (k, r)
+
+
+@pytest.mark.slow
+@given(data=st.data())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_downsample_hopping_matches_bruteforce_model(spark, data):
+    """For ANY point set / (size, slide): each point lands in exactly the
+    slide-aligned starts in (t - size, t], windows carry window_end =
+    start + size, and the per-window aggregates follow the same model as
+    the tumbling operator. With slide == size the output equals the
+    tumbling downsample row-for-row."""
+    from nexusbase_spark.functions.fidelity import AggSpec
+    from nexusbase_spark.operators import downsample
+    from nexusbase_spark.operators.downsample import downsample_hopping
+
+    pts = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 149), _VALS),
+        min_size=1, max_size=30))
+    slide = data.draw(st.sampled_from([5, 7]))
+    k = data.draw(st.sampled_from([1, 2, 3]))
+    size = slide * k
+    df = _points_df(spark, pts)
+    specs = [AggSpec("count", "value"), AggSpec("sum", "value"),
+             AggSpec("min", "value"), AggSpec("max", "value")]
+    out = downsample_hopping(df, size, slide, specs).collect()
+
+    by_key: dict = {}
+    for h, ts, v in pts:
+        lo = ts - size - ((ts - size) % slide) + slide  # floored mod: >= 0 here? ts-size may be negative
+        hi = ts - (ts % slide)
+        w = lo
+        while w <= hi:
+            by_key.setdefault((h, w), []).append(v)
+            w += slide
+
+    got_keys = {(int(r["tags"]["h"]), r["window_start"]) for r in out}
+    assert got_keys == set(by_key)
+    for r in out:
+        key = (int(r["tags"]["h"]), r["window_start"])
+        cnt, s, _a, mn, mx = _model_aggs(by_key[key])
+        assert r["window_end"] == r["window_start"] + size
+        assert float(r["count_value"]) == cnt, (key, r)
+        assert _feq(r["sum_value"], s), (key, r)
+        assert _feq(r["min_value"], mn), (key, r)
+        assert _feq(r["max_value"], mx), (key, r)
+
+    if k == 1:  # degenerate hop == tumbling
+        tout = downsample(df, size, specs).collect()
+        t_keys = {(int(r["tags"]["h"]), r["window_start"]) for r in tout}
+        assert t_keys == got_keys
