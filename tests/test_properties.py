@@ -656,3 +656,67 @@ def test_downsample_hopping_matches_bruteforce_model(spark, data):
         tout = downsample(df, size, specs).collect()
         t_keys = {(int(r["tags"]["h"]), r["window_start"]) for r in tout}
         assert t_keys == got_keys
+
+
+@pytest.mark.slow
+@given(data=st.data())
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_final_aggregate_matches_bruteforce_model(spark, data):
+    """For ANY point set (ts collisions, seq ties across/within series,
+    None/NaN/±Inf values): final aggregation equals the brute-force model
+    of aggregator.go — NaN/±Inf inputs SKIPPED (unlike the downsampler),
+    count() counting all non-null, and first/last/frac resolved in global
+    stream order (ts asc, series_key asc, seq DESC): among exact ties
+    'first' takes the HIGHEST seq and 'last' the LOWEST, the heap's
+    iteration order."""
+    from nexusbase_spark.functions.fidelity import AggSpec
+    from nexusbase_spark.operators import final_aggregate
+
+    pts = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9), _VALS),
+        min_size=1, max_size=25))
+    # adversarial seqs: drawn (not enumerate()) so duplicates across
+    # series and collisions with ts happen
+    seqs = data.draw(st.lists(st.integers(0, 6), min_size=len(pts),
+                              max_size=len(pts)))
+    from nexusbase_spark.datamodel import with_series_key
+    rows = [("m", {"h": str(h)}, int(ts), int(sq), v)
+            for (h, ts, v), sq in zip(pts, seqs)]
+    df = with_series_key(spark.createDataFrame(
+        rows,
+        "metric string, tags map<string,string>, ts long, seq long, "
+        "value double"))
+    specs = [AggSpec("count", "*"), AggSpec("count", "value"),
+             AggSpec("sum", "value"), AggSpec("avg", "value"),
+             AggSpec("min", "value"), AggSpec("max", "value"),
+             AggSpec("first", "value"), AggSpec("last", "value"),
+             AggSpec("frac", "value")]
+    r = final_aggregate(df, specs).collect()[0]
+
+    fin = [(f"m|h={h}", ts, sq, v)
+           for (h, ts, v), sq in zip(pts, seqs)
+           if v is not None and math.isfinite(v)]
+    nn = sum(1 for (_h, _t, v) in pts if v is not None)
+    assert r["count_*"] == len(pts)
+    assert r["count_value"] == nn
+    vals = [v for (_k, _t, _s, v) in fin]
+    assert _feq(r["sum_value"], sum(vals) if vals else 0.0)
+    assert _feq(r["avg_value"], sum(vals) / len(vals) if vals
+                else float("nan"))
+    assert _feq(r["min_value"], min(vals) if vals else float("nan"))
+    assert _feq(r["max_value"], max(vals) if vals else float("nan"))
+    if fin:
+        first = min(fin, key=lambda e: (e[1], e[0], -e[2]))[3]
+        last = max(fin, key=lambda e: (e[1], e[0], -e[2]))[3]
+    else:
+        first = last = float("nan")
+    assert _feq(r["first_value"], first)
+    assert _feq(r["last_value"], last)
+    if len(vals) < 2:
+        frac = float("nan")
+    elif first == 0.0:
+        frac = 0.0 if last == 0.0 else math.copysign(float("inf"), last)
+    else:
+        frac = (last - first) / first
+    assert _feq(r["frac_value"], frac)
