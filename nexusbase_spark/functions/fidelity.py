@@ -42,6 +42,17 @@ _P_RE = re.compile(r"^p(\d+(?:\.\d+)?)$")
 AGG_FUNCS = ("count", "sum", "avg", "min", "max", "first", "last", "frac", "stddev")
 
 
+def qcol(name: str) -> Column:
+    """``F.col`` that treats ``name`` as an EXACT column name. Fractional
+    percentiles put a dot in the ``<func>_<field>`` output contract
+    (``p99.9(lat)`` -> column ``p99.9_lat``), and a bare ``F.col`` /
+    string select parses the dot as struct navigation
+    (UNRESOLVED_COLUMN `p99`.`9_lat` — found by the execution-level
+    grammar fuzz). Backtick-quote every by-name re-reference of an
+    aggregate output instead."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def parse_agg_func(func: str) -> tuple[str, float | None]:
     """'p95' -> ('percentile', 0.95); validates 0<=N<=100 (agg_helpers.go:8-16)."""
     func = func.lower()

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nexusbase_spark.functions.fidelity import parse_agg_func
+from nexusbase_spark.functions.fidelity import parse_agg_func, qcol
 from nexusbase_spark.nbql.ast import AggregationSpec, QueryStatement, ShowStatement
 
 _NAN = float("nan")
@@ -154,11 +154,32 @@ def _empty_agg(engine, q: QueryStatement) -> DataFrame:
     return _plan_final(df, q, point_markers=markers)
 
 
+def _dedup_specs(specs):
+    """Collapse duplicate aggregation specs to one output column, first
+    occurrence wins. The reference keys each window's results by
+    "<func>_<field>" in a map (core/aggregation.go:12-17 naming;
+    multi_field_aggregator.go result map), so `count(lat), count(lat)`
+    yields ONE count_lat there; without this, the duplicate out_names
+    here make every later by-name reference (the EMIT EMPTY fill path's
+    withColumn/coalesce) raise AMBIGUOUS_REFERENCE at plan time. Found
+    by the execution-level grammar fuzz
+    (test_grammar_valid_queries_execute_totally). Distinct aliases keep
+    distinct columns."""
+    seen, out = set(), []
+    for s in specs:
+        name = s.alias or f"{s.func}_{s.field}"
+        if name not in seen:
+            seen.add(name)
+            out.append(s)
+    return out
+
+
 def _plan_final(df: DataFrame, q: QueryStatement, *,
                 point_markers: bool = False) -> DataFrame:
     """One row across ALL matching series, keyed by the bare metric
     (engine2/adapter.go:1349-1364); final agg skips NaN/Inf inputs."""
-    exprs = _long_agg_exprs(q.aggregations, skip_non_finite=True,
+    exprs = _long_agg_exprs(_dedup_specs(q.aggregations),
+                            skip_non_finite=True,
                             point_markers=point_markers)
     return df.groupBy(F.lit(q.metric).alias("metric")).agg(*exprs)
 
@@ -174,7 +195,8 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
     see operators/downsample.downsample_hopping for the arithmetic."""
     iv = q.downsample_interval
     slide = q.downsample_slide or iv
-    exprs = _long_agg_exprs(q.aggregations, skip_non_finite=False,
+    aggs = _dedup_specs(q.aggregations)
+    exprs = _long_agg_exprs(aggs, skip_non_finite=False,
                             point_markers=point_markers)
     if slide != iv:
         ts = F.col("ts")
@@ -203,10 +225,10 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
         agg = grid.join(
             agg.drop("tags").withColumn("__present", F.lit(True)),
             ["metric", "series_key", "window_start"], "left")
-        for spec in q.aggregations:
+        for spec in aggs:
             name = spec.alias or f"{spec.func}_{spec.field}"
             fill = F.lit(0.0) if spec.func in ("count", "sum") else _nan()
-            agg = agg.withColumn(name, F.coalesce(F.col(name).cast("double"), fill))
+            agg = agg.withColumn(name, F.coalesce(qcol(name).cast("double"), fill))
         if q.fill_previous:
             # FILL PREVIOUS (grammar extension): LOCF the NaN-marked agg
             # columns along each series' window timeline. count/sum mark
@@ -215,13 +237,13 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
             from nexusbase_spark.operators.timeseries import fill_forward
 
             cols = [spec.alias or f"{spec.func}_{spec.field}"
-                    for spec in q.aggregations
+                    for spec in aggs
                     if spec.func not in ("count", "sum")]
             if cols:
                 agg = fill_forward(agg, ["metric", "series_key"], cols,
                                    ts_col="window_start", is_missing=F.isnan)
                 for c in cols:
-                    agg = agg.withColumn(c, F.coalesce(F.col(c), _nan()))
+                    agg = agg.withColumn(c, F.coalesce(qcol(c), _nan()))
         if q.fill_value is not None:
             # FILL <const> (InfluxQL fill(<value>)): the constant lands in
             # EMPTY windows only, gated on the grid-join absence marker —
@@ -230,13 +252,13 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
             # stays NaN (ADVICE r3: the previous isnan gate overwrote
             # those too). count/sum keep the reference's 0.0 empty marker
             # (same column policy as PREVIOUS/LINEAR).
-            for spec in q.aggregations:
+            for spec in aggs:
                 if spec.func in ("count", "sum"):
                     continue
                 c = spec.alias or f"{spec.func}_{spec.field}"
                 agg = agg.withColumn(
                     c, F.when(F.col("__present").isNull(),
-                              F.lit(float(q.fill_value))).otherwise(F.col(c)))
+                              F.lit(float(q.fill_value))).otherwise(qcol(c)))
         if q.fill_linear:
             # FILL LINEAR (grammar extension): interpolate the NaN-marked
             # agg columns between the surrounding observed windows
@@ -245,14 +267,14 @@ def _plan_downsample(df: DataFrame, q: QueryStatement,
             from nexusbase_spark.operators.timeseries import fill_linear
 
             cols = [spec.alias or f"{spec.func}_{spec.field}"
-                    for spec in q.aggregations
+                    for spec in aggs
                     if spec.func not in ("count", "sum")]
             for c in cols:
                 agg = agg.withColumn(
-                    c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)))
+                    c, F.when(F.isnan(qcol(c)), F.lit(None)).otherwise(qcol(c)))
                 agg = fill_linear(agg, ["metric", "series_key"], c,
                                   ts_col="window_start")
-                agg = agg.withColumn(c, F.coalesce(F.col(c), _nan()))
+                agg = agg.withColumn(c, F.coalesce(qcol(c), _nan()))
 
     if "__present" in agg.columns:
         agg = agg.drop("__present")

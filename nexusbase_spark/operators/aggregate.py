@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nexusbase_spark.datamodel import field_columns
-from nexusbase_spark.functions.fidelity import AggSpec, build_agg_exprs
+from nexusbase_spark.functions.fidelity import AggSpec, build_agg_exprs, qcol
 
 
 def _field_types(df: DataFrame) -> dict[str, str]:
@@ -64,5 +64,6 @@ def final_aggregate(
     if keep_metric:
         out = (df.groupBy("metric").agg(*jexprs)
                .join(df.groupBy("metric").agg(*texprs), "metric"))
-        return out.select("metric", *names)
-    return (df.agg(*jexprs).crossJoin(df.agg(*texprs))).select(*names)
+        return out.select("metric", *[qcol(n_) for n_ in names])
+    return (df.agg(*jexprs).crossJoin(df.agg(*texprs))).select(
+        *[qcol(n_) for n_ in names])

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from nexusbase_spark.functions.fidelity import (
     AggSpec,
     build_agg_exprs,
+    qcol,
     resolve_percentile_impl,
     split_percentile_specs,
 )
@@ -67,7 +68,7 @@ def _grouped_agg(df: DataFrame, win, specs: list[AggSpec], *,
     tagg = df.groupBy(F.col("metric"), F.col("series_key"), win).agg(*texprs)
     joined = jagg.join(tagg, ["metric", "series_key", "window_start"])
     return joined.select("metric", "series_key", "tags", "window_start",
-                         *[s.out_name for s in specs])
+                         *[qcol(s.out_name) for s in specs])
 
 
 def downsample(
@@ -132,8 +133,8 @@ def downsample(
         agg = grid.join(agg.drop("tags"),
                         ["metric", "series_key", "window_start"], "left")
         for s in specs:
-            name = s.out_name
-            agg = agg.withColumn(name, F.coalesce(F.col(name), zero_or_nan[name]))
+            name = s.out_name  # qcol: p99.9_lat carries a dot
+            agg = agg.withColumn(name, F.coalesce(qcol(name), zero_or_nan[name]))
 
     return agg.withColumn("window_end", F.col("window_start") + F.lit(interval_ns))
 

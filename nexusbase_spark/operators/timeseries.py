@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nexusbase_spark.functions.fidelity import qcol
+
 _AGGS = {
     "avg": F.avg,
     "sum": F.sum,
@@ -105,13 +107,14 @@ def fill_linear(df: DataFrame, keys: list[str], col: str,
           .rowsBetween(Window.unboundedPreceding, 0))
     wf = (Window.partitionBy(*keys).orderBy(ts)
           .rowsBetween(0, Window.unboundedFollowing))
-    obs_ts = F.when(F.col(col).isNotNull(), ts)
-    pv = F.last(col, ignorenulls=True).over(wp)
+    # qcol: `col` may carry a dot (p99.9_lat) — exact-name resolution
+    obs_ts = F.when(qcol(col).isNotNull(), ts)
+    pv = F.last(qcol(col), ignorenulls=True).over(wp)
     pt = F.last(obs_ts, ignorenulls=True).over(wp)
-    nv = F.first(col, ignorenulls=True).over(wf)
+    nv = F.first(qcol(col), ignorenulls=True).over(wf)
     nt = F.first(obs_ts, ignorenulls=True).over(wf)
     interp = pv + (nv - pv) * (ts - pt) / (nt - pt)
-    filled = (F.when(F.col(col).isNotNull(), F.col(col))
+    filled = (F.when(qcol(col).isNotNull(), qcol(col))
               .when(pv.isNotNull() & nv.isNotNull() & (nt > pt), interp))
     return df.withColumn(col, filled)
 
@@ -200,9 +203,9 @@ def fill_forward(df: DataFrame, keys: list[str], cols: list[str],
          .rowsBetween(Window.unboundedPreceding, 0))
     out = df
     for c in cols:
-        v = F.col(c)
+        v = qcol(c)  # c may carry a dot (p99.9_lat) — exact-name resolution
         if is_missing is not None:
-            v = F.when(is_missing(F.col(c)), F.lit(None)).otherwise(F.col(c))
+            v = F.when(is_missing(qcol(c)), F.lit(None)).otherwise(qcol(c))
         out = out.withColumn(c, F.last(v, ignorenulls=True).over(w))
     return out
 

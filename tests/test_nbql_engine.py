@@ -609,3 +609,53 @@ def test_show_field_keys(engine):
                    ("path", "string")}
     all_rows = engine.execute("SHOW FIELD KEYS").collect()
     assert {r["metric"] for r in all_rows} >= {"e2e.test.requests"}
+
+
+def test_duplicate_aggregation_specs_collapse(engine):
+    """Duplicate aggregation specs collapse to ONE output column (the
+    reference keys window results by "<func>_<field>" in a map, so
+    `count(latency_ms), count(latency_ms)` has one entry) — previously
+    the duplicate out_names made the EMIT EMPTY fill path raise
+    AMBIGUOUS_REFERENCE at plan time (found by the execution-level
+    grammar fuzz). Distinct aliases keep distinct columns."""
+    base = 1_700_000_040 * 1_000_000_000
+    q = (f"QUERY e2e.test.requests FROM {base} TO {base + 60_000_000_000} "
+         "AGGREGATE BY 1m (count(latency_ms), count(latency_ms), "
+         "sum(latency_ms)) EMIT EMPTY WINDOWS;")
+    rows = engine.execute(q).collect()
+    assert rows
+    cols = rows[0].asDict().keys()
+    assert list(cols).count("count_latency_ms") == 1
+    assert "sum_latency_ms" in cols
+    # final aggregation path too
+    r = engine.execute(
+        f"QUERY e2e.test.requests FROM {base} TO {base + 60_000_000_000} "
+        "AGGREGATE (avg(latency_ms), avg(latency_ms));").collect()[0]
+    assert list(r.asDict().keys()).count("avg_latency_ms") == 1
+    # distinct aliases survive as distinct columns
+    r2 = engine.execute(
+        f"QUERY e2e.test.requests FROM {base} TO {base + 60_000_000_000} "
+        "AGGREGATE (avg(latency_ms) AS a1, avg(latency_ms) AS a2);").collect()[0]
+    assert r2["a1"] == r2["a2"]
+
+
+def test_fractional_percentile_column_name_survives_fill_paths(engine):
+    """p99.9(lat) puts a DOT in the <func>_<field> output column
+    (p99.9_lat); every by-name re-reference (the EMIT EMPTY zero/NaN
+    fill, FILL PREVIOUS/LINEAR/<const>) must resolve it as an exact name,
+    not struct navigation (UNRESOLVED_COLUMN `p99`.`9_lat` — found by the
+    execution-level grammar fuzz; fixed with fidelity.qcol)."""
+    base = 1_700_000_040 * 1_000_000_000
+    for fill in ("", "FILL PREVIOUS", "FILL LINEAR", "FILL 7"):
+        q = (f"QUERY e2e.test.requests FROM {base} TO "
+             f"{base + 180_000_000_000} AGGREGATE BY 1m "
+             f"(p99.9(latency_ms), avg(latency_ms)) EMIT EMPTY WINDOWS "
+             f"{fill};")
+        rows = engine.execute(q).collect()
+        assert rows and "p99.9_latency_ms" in rows[0].asDict()
+    r = engine.execute(
+        f"QUERY e2e.test.requests FROM {base} TO {base + 60_000_000_000} "
+        "AGGREGATE (p99.9(latency_ms));").collect()[0]
+    # inclusive range catches {10,20,30,50,100}: rank .999*(5-1)=3.996
+    # interpolates 50 -> 100 at .996
+    assert abs(r["p99.9_latency_ms"] - 99.8) < 1e-9

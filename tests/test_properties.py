@@ -720,3 +720,95 @@ def test_final_aggregate_matches_bruteforce_model(spark, data):
     else:
         frac = (last - first) / first
     assert _feq(r["frac_value"], frac)
+
+
+# --------------------------------------------- execution-level grammar fuzz
+# The grammar-directed fuzz above stops at the PARSER; this drives drawn
+# statements through engine.execute against real data. Contract: a
+# grammar-valid QUERY either returns rows or raises NBQLError — never an
+# AnalysisException / Py4J error / arithmetic crash from the planner — and
+# an enforced LIMIT is honored. (The round-6 SLIDE-0 ZeroDivisionError
+# lived exactly in this gap: parsed fine, crashed at plan time.)
+
+
+@pytest.fixture(scope="module")
+def fuzz_engine(spark, tmp_path_factory):
+    from nexusbase_spark.engine import NexusEngine
+
+    eng = NexusEngine(spark, str(tmp_path_factory.mktemp("fuzz_wh")))
+    base = 1_700_000_040 * 1_000_000_000  # not minute-aligned
+    rows = []
+    for i in range(40):
+        svc = "a" if i % 3 else "b"
+        rows.append(("fz.m", {"service": svc},
+                     {"lat": float((i * 7) % 23)},
+                     base + i * 13_000_000_000))
+    eng.put_batch(rows)
+    return eng
+
+
+@st.composite
+def _exec_query_stmt(draw):
+    """A grammar-valid QUERY against the fuzz_engine's data domain."""
+    base = 1_700_000_040 * 1_000_000_000
+    parts = ["QUERY fz.m"]
+    rng = draw(st.sampled_from(["abs", "rel", "none"]))
+    has_range = rng != "none"
+    if rng == "abs":
+        a = base + draw(st.integers(-2, 600)) * 1_000_000_000
+        b = a + draw(st.integers(1, 700)) * 1_000_000_000
+        parts.append(f"FROM {a} TO {b}")
+    elif rng == "rel":
+        parts.append(f"FROM RELATIVE({draw(st.integers(1, 600))}s)")
+    tag = draw(st.sampled_from([None, ("service", "=", "a"),
+                                ("service", "=", "zzz"),
+                                ("service", "!=", "b"),
+                                ("service", "=~", "a|b"),
+                                ("service", "!~", "a")]))
+    if tag:
+        k, op, v = tag
+        kv = f'{k}="{v}"' if op == "=" else f'{k}{op}"{v}"'
+        parts.append(f"TAGGED ({kv})")
+    lim = None
+    if draw(st.booleans()):
+        funcs = draw(st.lists(
+            st.sampled_from(["count", "sum", "avg", "min", "max", "first",
+                             "last", "frac", "stddev", "p50", "p99.9"]),
+            min_size=1, max_size=3))
+        spec = ", ".join(f"{f}(lat)" for f in funcs)
+        clause = "AGGREGATE "
+        by = draw(st.booleans())
+        if by:
+            a = draw(st.integers(1, 90))
+            k = draw(st.integers(1, 3))
+            unit = draw(st.sampled_from(["s", "m"]))
+            clause += f"BY {a * k}{unit} "
+            if draw(st.booleans()):
+                clause += f"SLIDE {a}{unit} "
+        parts.append(clause + f"({spec})")
+        if by and has_range and draw(st.booleans()):
+            parts.append("EMIT EMPTY WINDOWS")
+            fill = draw(st.sampled_from([None, "PREVIOUS", "LINEAR", "7"]))
+            if fill:
+                parts.append(f"FILL {fill}")
+    if draw(st.booleans()):
+        parts.append(draw(st.sampled_from(["ASC", "DESC"])))
+    if draw(st.booleans()):
+        lim = draw(st.integers(1, 50))
+        parts.append(f"LIMIT {lim}")
+    return " ".join(parts) + ";", lim
+
+
+@pytest.mark.slow
+@given(stmt=_exec_query_stmt())
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grammar_valid_queries_execute_totally(fuzz_engine, stmt):
+    text, lim = stmt
+    try:
+        df = fuzz_engine.execute(text)
+        rows = df.collect()
+    except NBQLError:
+        return  # documented semantic rejection is allowed; crashes aren't
+    if lim is not None:
+        assert len(rows) <= lim, text
