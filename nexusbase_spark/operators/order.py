@@ -62,8 +62,22 @@ def encode_cursor(ts: int, series_key: str, seq: int) -> str:
 
 
 def decode_cursor(cursor: str) -> Cursor:
-    ts, sk, seq = json.loads(base64.b64decode(cursor))
-    return int(ts), str(sk), int(seq)
+    """Client-supplied string -> (ts, series_key, seq). ANY malformed
+    cursor (bad base64, bad UTF-8, bad JSON, wrong shape/types) raises
+    NBQLError — the servers' clean protocol-rejection class — instead of
+    leaking binascii/JSONDecode/UnicodeDecode errors to the transport
+    (found by fuzzing AFTER with garbage; the reference returns a decode
+    error to the client the same way, api/nbql/executor.go cursor
+    handling)."""
+    from nexusbase_spark.nbql.parser import NBQLError
+
+    try:
+        ts, sk, seq = json.loads(base64.b64decode(cursor, validate=True))
+        return int(ts), str(sk), int(seq)
+    except NBQLError:  # pragma: no cover - int()/str() don't raise it
+        raise
+    except Exception as e:
+        raise NBQLError(f"invalid cursor: {e}") from e
 
 
 def paginate(

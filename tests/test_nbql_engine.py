@@ -659,3 +659,23 @@ def test_fractional_percentile_column_name_survives_fill_paths(engine):
     # inclusive range catches {10,20,30,50,100}: rank .999*(5-1)=3.996
     # interpolates 50 -> 100 at .996
     assert abs(r["p99.9_latency_ms"] - 99.8) < 1e-9
+
+
+def test_malformed_after_cursor_raises_nbql_error(engine):
+    """A client-supplied AFTER cursor that is bad base64 / bad UTF-8 /
+    bad JSON / the wrong shape rejects as NBQLError (the servers' clean
+    protocol error), never a raw binascii/JSONDecode/UnicodeDecode leak
+    (found by cursor fuzzing; fixed in operators/order.decode_cursor).
+    A valid round-tripped cursor still paginates."""
+    from nexusbase_spark.operators.order import encode_cursor
+
+    base = 1_700_000_040 * 1_000_000_000
+    q = (f"QUERY e2e.test.requests FROM {base} TO "
+         f"{base + 120_000_000_000} LIMIT 5 AFTER ")
+    for bad in ("garbage", "AAAA", "====", "a+/=b",
+                encode_cursor(1, "x", 2)[:-2] + "!!"):
+        with pytest.raises(NBQLError):
+            engine.execute(q + f'"{bad}";').collect()
+    ok = encode_cursor(base, "e2e.test.requests|method=GET,service=api", 0)
+    rows = engine.execute(q + f'"{ok}";').collect()
+    assert all(r["ts"] >= base for r in rows)

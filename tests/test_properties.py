@@ -796,6 +796,16 @@ def _exec_query_stmt(draw):
     if draw(st.booleans()):
         lim = draw(st.integers(1, 50))
         parts.append(f"LIMIT {lim}")
+    if draw(st.booleans()):
+        # garbage or valid cursors: malformed ones must reject as
+        # NBQLError, never leak binascii/JSON/Unicode errors (found here)
+        from nexusbase_spark.operators.order import encode_cursor
+        cur = draw(st.one_of(
+            st.text(string.ascii_letters + string.digits + "+/=",
+                    max_size=12),
+            st.just(encode_cursor(1_700_000_040_000_000_000,
+                                  "fz.m|service=a", 3))))
+        parts.append(f'AFTER "{cur}"')
     return " ".join(parts) + ";", lim
 
 
