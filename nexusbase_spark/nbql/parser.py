@@ -157,11 +157,18 @@ def _is_quoted(tok: str) -> bool:
 
 
 _INT_RE = re.compile(r"^-?\d+$")
-_FLOAT_RE = re.compile(r"^-?\d+\.\d+(?:[eE][+-]?\d+)?$")
+# dot form (1.5, 1.5e3) or exponent-only form (2e5): both are numbers a
+# Go-style scanner reaches via ParseFloat after ParseInt fails
+_FLOAT_RE = re.compile(r"^-?\d+(?:\.\d+(?:[eE][+-]?\d+)?|[eE][+-]?\d+)$")
 
 
 def _literal(tok: str):
-    """Typed literal per core/fields.go:15-21: float/int/string/bool."""
+    """Typed literal per core/fields.go:15-21: float/int/string/bool.
+    Integer literals outside int64 raise (strconv.ParseInt errors out of
+    range the same way; previously the unbounded Python int crashed the
+    put path with a raw PySpark VALUE_OUT_OF_BOUNDS — found by PUSH edge
+    probing). Exponent floats may overflow to ±Inf, which the value
+    model stores."""
     if _is_quoted(tok):
         return _unquote(tok)
     up = tok.upper()
@@ -170,7 +177,10 @@ def _literal(tok: str):
     if up == "FALSE":
         return False
     if _INT_RE.match(tok):
-        return int(tok)
+        v = int(tok)
+        if not -(2 ** 63) <= v < 2 ** 63:
+            raise NBQLError(f"integer literal out of int64 range: {tok}")
+        return v
     if _FLOAT_RE.match(tok):
         return float(tok)
     return tok  # bare word -> string

@@ -679,3 +679,28 @@ def test_malformed_after_cursor_raises_nbql_error(engine):
     ok = encode_cursor(base, "e2e.test.requests|method=GET,service=api", 0)
     rows = engine.execute(q + f'"{ok}";').collect()
     assert all(r["ts"] >= base for r in rows)
+
+
+def test_push_numeric_literal_edges(engine):
+    """PUSH literal typing at the edges (found by PUSH edge probing):
+    int64 bounds store; one past either bound rejects as NBQLError at
+    parse (strconv.ParseInt errors out of range — previously the
+    unbounded Python int crashed put with a raw PySpark
+    VALUE_OUT_OF_BOUNDS); exponent-form numbers (2e5, 1e400) are FLOATS
+    (the ParseInt-then-ParseFloat scan), overflowing to +Inf rather than
+    silently storing the string '1e400'; non-numeric barewords remain
+    strings."""
+    base = 1_710_000_000 * 1_000_000_000
+    engine.execute(f"PUSH edge.lit SET (v=9223372036854775807) AT {base};")
+    engine.execute(f"PUSH edge.lit SET (v=-9223372036854775808) AT {base + 1};")
+    for bad in ("9223372036854775808", "-9223372036854775809"):
+        with pytest.raises(NBQLError):
+            engine.execute(f"PUSH edge.lit SET (v={bad}) AT {base + 2};")
+    engine.execute(f"PUSH edge.lit SET (f=2e5, big=1e400, word=hello) AT {base + 3};")
+    rows = {r["ts"]: dict(r["fields"]) for r in engine.execute(
+        f"QUERY edge.lit FROM {base} TO {base + 10};").collect()}
+    assert rows[base]["v"] == "9223372036854775807"
+    assert rows[base + 1]["v"] == "-9223372036854775808"
+    assert rows[base + 3]["f"] == "200000.0"
+    assert rows[base + 3]["big"] == "Infinity"
+    assert rows[base + 3]["word"] == "hello"
