@@ -698,6 +698,26 @@ class NexusEngine:
             return df
         return self.spark.createDataFrame([], schema)
 
+    def _validated_regex(self, pattern: str) -> str:
+        """Reject an invalid =~ / !~ pattern at PLAN time as NBQLError.
+        rlike compiles the pattern inside whole-stage codegen, so a bad
+        client pattern otherwise aborts the whole Spark JOB with a raw
+        PatternSyntaxException out of an executor task (found by matcher
+        fuzzing). Validated against java.util.regex itself — the exact
+        dialect the executor uses (Python's re accepts e.g. 'a{,' which
+        Java rejects, so re.compile would under-reject)."""
+        from nexusbase_spark.nbql.parser import NBQLError
+
+        try:
+            self.spark._jvm.java.util.regex.Pattern.compile(pattern)
+        except Exception as e:
+            msg = getattr(getattr(e, "java_exception", None), "getMessage",
+                          lambda: str(e))()
+            raise NBQLError(
+                f"invalid tag matcher regex {pattern!r}: "
+                f"{str(msg).splitlines()[0]}") from None
+        return pattern
+
     def points(self, metric: str | None = None,
                tags: dict[str, str] | None = None,
                start: int | None = None, end: int | None = None,
@@ -751,9 +771,9 @@ class NexusEngine:
             if op == "!=":
                 df = df.filter(tv.isNotNull() & (tv != v))
             elif op == "=~":
-                df = df.filter(tv.isNotNull() & tv.rlike(v))
+                df = df.filter(tv.isNotNull() & tv.rlike(self._validated_regex(v)))
             elif op == "!~":
-                df = df.filter(tv.isNotNull() & ~tv.rlike(v))
+                df = df.filter(tv.isNotNull() & ~tv.rlike(self._validated_regex(v)))
             else:
                 raise ValueError(f"unknown tag matcher op: {op!r}")
         if start is not None:
@@ -1501,9 +1521,11 @@ class NexusEngine:
                 if op == "!=":
                     df = df.filter(tv.isNotNull() & (tv != v))
                 elif op == "=~":
-                    df = df.filter(tv.isNotNull() & tv.rlike(v))
+                    df = df.filter(tv.isNotNull()
+                                   & tv.rlike(self._validated_regex(v)))
                 elif op == "!~":
-                    df = df.filter(tv.isNotNull() & ~tv.rlike(v))
+                    df = df.filter(tv.isNotNull()
+                                   & ~tv.rlike(self._validated_regex(v)))
             if q.start is not None:
                 df = df.filter(F.col("window_start") >= q.start)
             if q.end is not None:

@@ -704,3 +704,20 @@ def test_push_numeric_literal_edges(engine):
     assert rows[base + 3]["f"] == "200000.0"
     assert rows[base + 3]["big"] == "Infinity"
     assert rows[base + 3]["word"] == "hello"
+
+
+def test_invalid_tag_matcher_regex_rejects_at_plan_time(engine):
+    """An invalid =~ / !~ pattern must reject as NBQLError when the plan
+    is built — rlike compiles the pattern inside codegen, so a bad
+    client pattern otherwise aborts the whole Spark JOB with a raw
+    PatternSyntaxException from an executor task (found by matcher
+    fuzzing). Validation runs against java.util.regex itself: Python's
+    re accepts 'a{,' which Java rejects. Valid patterns still match."""
+    q = "QUERY e2e.test.requests FROM 0 TO 3000000000000000000 TAGGED "
+    for pat in ("[", "(", "a(b", "*x", "a{,"):
+        with pytest.raises(NBQLError, match="invalid tag matcher regex"):
+            engine.execute(q + f'(service=~"{pat}")').collect()
+        with pytest.raises(NBQLError, match="invalid tag matcher regex"):
+            engine.execute(q + f'(service!~"{pat}")').collect()
+    assert engine.execute(q + '(service=~"a(pi|uth)")').count() == 6
+    assert engine.execute(q + '(service!~"^au")').count() == 5

@@ -764,7 +764,11 @@ def _exec_query_stmt(draw):
                                 ("service", "=", "zzz"),
                                 ("service", "!=", "b"),
                                 ("service", "=~", "a|b"),
-                                ("service", "!~", "a")]))
+                                ("service", "!~", "a"),
+                                # invalid patterns must reject as
+                                # NBQLError, not abort the Spark job
+                                ("service", "=~", "a(b"),
+                                ("service", "!~", "*x")]))
     if tag:
         k, op, v = tag
         kv = f'{k}="{v}"' if op == "=" else f'{k}{op}"{v}"'
