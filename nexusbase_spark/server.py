@@ -265,9 +265,17 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
+            # shape errors are the client's fault: 400, not the generic
+            # 500 an AttributeError/TypeError below would produce
+            if not isinstance(payload, dict):
+                self._reply(400, {"error": "payload must be a JSON object"})
+                return
             query = payload.get("query")
-            if not query:
+            if not query or not isinstance(query, str):
                 self._reply(400, {"error": "missing 'query'"})
+                return
+            if not isinstance(payload.get("params", []), (list, tuple)):
+                self._reply(400, {"error": "'params' must be a list"})
                 return
             role = self._authenticated_role()
             params = tuple(payload.get("params", ()))

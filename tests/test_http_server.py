@@ -58,6 +58,14 @@ def test_error_paths(http_engine):
     assert code == 400 and "error" in body
     code, body = _post(http_engine, {})
     assert code == 400
+    # payload-shape errors are 400s, not AttributeError/TypeError 500s
+    for bad in ([1, 2], "just a string", 7):
+        code, body = _post(http_engine, bad)
+        assert code == 400 and "error" in body, bad
+    code, body = _post(http_engine, {"query": 5})
+    assert code == 400
+    code, body = _post(http_engine, {"query": "SHOW METRICS", "params": 5})
+    assert code == 400 and "params" in body["error"]
     req = urllib.request.Request(f"{http_engine}/nope", b"{}")
     try:
         urllib.request.urlopen(req)
