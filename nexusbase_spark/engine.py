@@ -711,8 +711,23 @@ class NexusEngine:
         try:
             self.spark._jvm.java.util.regex.Pattern.compile(pattern)
         except Exception as e:
-            msg = getattr(getattr(e, "java_exception", None), "getMessage",
-                          lambda: str(e))()
+            # Only a PatternSyntaxException is a CLIENT error; anything else
+            # (dead gateway, connection reset) is a server fault and must
+            # propagate as one, not be misreported as a bad pattern
+            # (ADVICE r8). The throwable rides on `java_exception` for a
+            # raw Py4JJavaError and on `_origin` after pyspark's
+            # capture-conversion (PatternSyntaxException arrives as a
+            # captured IllegalArgumentException).
+            je = getattr(e, "java_exception", None)
+            if je is None:
+                je = getattr(e, "_origin", None)
+            try:
+                jclass = je.getClass().getName() if je is not None else None
+            except Exception:
+                jclass = None
+            if jclass != "java.util.regex.PatternSyntaxException":
+                raise
+            msg = je.getMessage()
             raise NBQLError(
                 f"invalid tag matcher regex {pattern!r}: "
                 f"{str(msg).splitlines()[0]}") from None

@@ -25,6 +25,7 @@ from nexusbase_spark.operators.order import (  # noqa: F401
 )
 from nexusbase_spark.operators.joins import (  # noqa: F401
     asof_join,
+    asof_join_tagged,
     range_band_join,
 )
 from nexusbase_spark.operators.sessionize import sessionize  # noqa: F401

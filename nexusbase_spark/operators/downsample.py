@@ -51,19 +51,29 @@ def _grouped_agg(df: DataFrame, win, specs: list[AggSpec], *,
     impl = resolve_percentile_impl(approx_percentile, percentile_impl)
     jvm_specs, td_specs = split_percentile_specs(specs, impl)
     ftypes, okey = _field_types(df), _order_key()
+    # tags is NOT a grouping key: series_key is the canonical sorted-tag
+    # encoding (datamodel.series_key_expr), so it determines tags exactly
+    # and first(tags) per group is exact — same reasoning the emit-empty
+    # series grid already uses. Grouping by the map instead costs a
+    # per-ROW map_sort (Spark normalizes map grouping keys via
+    # _groupingmapsort, 5 nodes in the old downsample_1d plan) and ships
+    # the map inside the shuffle KEY; as an aggregate it rides once per
+    # group in the value (guide §2.3: narrower shuffle keys).
     if not (td_specs and jvm_specs):
         exprs = build_agg_exprs(specs, ftypes, okey,
                                 skip_non_finite=skip_non_finite,
                                 percentile_impl=impl)
-        return df.groupBy(F.col("metric"), F.col("series_key"),
-                          F.col("tags"), win).agg(*exprs)
+        out = df.groupBy(F.col("metric"), F.col("series_key"), win).agg(
+            F.first("tags").alias("tags"), *exprs)
+        return out.select("metric", "series_key", "tags", "window_start",
+                          *[qcol(s.out_name) for s in specs])
     jexprs = build_agg_exprs(jvm_specs, ftypes, okey,
                              skip_non_finite=skip_non_finite)
     texprs = build_agg_exprs(td_specs, ftypes, okey,
                              skip_non_finite=skip_non_finite,
                              percentile_impl="tdigest")
-    jagg = df.groupBy(F.col("metric"), F.col("series_key"),
-                      F.col("tags"), win).agg(*jexprs)
+    jagg = df.groupBy(F.col("metric"), F.col("series_key"), win).agg(
+        F.first("tags").alias("tags"), *jexprs)
     # tags (a map) can't be a join key; series_key determines it
     tagg = df.groupBy(F.col("metric"), F.col("series_key"), win).agg(*texprs)
     joined = jagg.join(tagg, ["metric", "series_key", "window_start"])

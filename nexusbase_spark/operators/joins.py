@@ -79,7 +79,23 @@ def asof_join(
         *[F.col(c).alias(a) for c, a in payload.items()],
     )
     u = lhs.unionByName(rhs)
+    return _asof_finish(u, on, left_rest, payload, right_ts, suffix,
+                        tolerance_ns, direction)
 
+
+def _asof_finish(
+    u: DataFrame,
+    on: list[str],
+    left_rest: list[str],
+    payload: dict[str, str],
+    right_ts: str,
+    suffix: str,
+    tolerance_ns: int | None,
+    direction: str,
+) -> DataFrame:
+    """The windowing half of the as-of join, over the merged frame ``u``
+    carrying ``_ATS``/``_SIDE``/``_TIE`` plus left columns (null on right
+    rows) and aliased payload columns (null on left rows)."""
     # At equal ts the right row must sort BEFORE the left row so the
     # running last() includes it (inclusive match), and among equal-ts
     # right rows the greatest tiebreak sorts last (wins). Forward flips
@@ -107,6 +123,51 @@ def asof_join(
         F.col(_MTS).alias(right_ts + suffix),
         *[F.col(a) for a in payload.values()],
     )
+
+
+def asof_join_tagged(
+    src: DataFrame,
+    is_left,
+    on: list[str],
+    ts: str = "ts",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    tolerance_ns: int | None = None,
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """``asof_join(src.filter(is_left), src.filter(~is_left), ...)`` in
+    ONE scan of ``src`` (guide: remove shuffles/passes outright — the
+    union-of-two-filters form plans two full scans of the same table,
+    which Catalyst cannot merge; at warehouse scale that doubles the
+    dominant input cost).
+
+    ``src`` must already be restricted to rows belonging to either side;
+    ``is_left`` (a boolean Column) tags the left rows. ``left_cols`` are
+    the non-key left columns carried to the output (read from left rows
+    only), ``right_cols`` the payload columns (read from right rows only,
+    emitted as ``<col><suffix>``). Row-for-row identical to the two-sided
+    form: every CASE below mirrors the lhs/rhs projections of
+    ``asof_join`` exactly (null of the same type on the opposite side).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if left_cols is None or right_cols is None:
+        raise ValueError("asof_join_tagged needs explicit left_cols/right_cols")
+    payload = {c: c + suffix for c in right_cols}
+    tie = (F.col(right_tiebreak).cast("long") if right_tiebreak
+           else F.lit(0).cast("long"))
+    u = src.select(
+        *on,
+        F.col(ts).cast("long").alias(_ATS),
+        F.when(is_left, F.lit(1)).otherwise(F.lit(0)).alias(_SIDE),
+        F.when(~is_left, tie).alias(_TIE),
+        *[F.when(is_left, F.col(c)).alias(c) for c in left_cols],
+        *[F.when(~is_left, F.col(c)).alias(a) for c, a in payload.items()],
+    )
+    return _asof_finish(u, on, left_cols, payload, ts, suffix,
+                        tolerance_ns, direction)
 
 
 def range_band_join(

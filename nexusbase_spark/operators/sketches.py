@@ -109,7 +109,7 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     disjoint shards built independently union to exactly the sketch of
     the union (deterministic table equality, tested)."""
     from functools import reduce
-    u = reduce(lambda a, b: a.unionAll(b), sketches)
+    u = reduce(lambda a, b: a.union(b), sketches)
     return u.groupBy("j", "cell").agg(F.sum("cnt").alias("cnt"))
 
 

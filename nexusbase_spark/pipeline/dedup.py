@@ -438,17 +438,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         raise ValueError("simhash supports at most 16 bits (two 8-digit words)")
     tok = spread(df, compute_heavy=True).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    # project the two md5-derived words BEFORE the aggregate: inlined,
+    # every one of the 16 partial_sum inputs re-derives conv(substring(
+    # md5(tok))) and the plan carries 16 md5 calls per token per side
+    # (32 total); aggregate-over-project is not collapsed by Catalyst, so
+    # this materializes the hash once per token (plan: 2 md5 nodes)
     h = F.md5(F.col("tok"))
-    w1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    w2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    words = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("__w1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("__w2"))
     votes = []
     for i in range(bits):
-        word, j = (w1, i) if i < 8 else (w2, i - 8)
+        word, j = (F.col("__w1"), i) if i < 8 else (F.col("__w2"), i - 8)
         # hex digit j+1 is the word's (7-j)-th nibble; its high bit sits at
         # bit 31-4j, and the vote maps {0,1} -> {-1,+1}
         bit = F.shiftright(word, 31 - 4 * j).bitwiseAND(F.lit(1))
         votes.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
-    agg = tok.groupBy(id_col).agg(*votes)
+    agg = words.groupBy(id_col).agg(*votes)
     sig = None
     for i in range(bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))

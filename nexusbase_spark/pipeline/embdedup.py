@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from nexusbase_spark.pipeline.similarity import cosine_sim_expr
+from nexusbase_spark.pipeline.similarity import _dot, _norm
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
@@ -23,14 +23,21 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
     """(id_a, id_b, cosine) for same-bucket pairs with cosine >= threshold,
     id_a < id_b. Exact within buckets; cross-bucket near-dups are missed by
     design (recall/cost trade, like LSH banding)."""
+    # per-row norms pre-projected below the self-join: the per-pair
+    # cosine then folds only the dot (3 -> 1 dim-element folds per pair,
+    # bit-identical — same _norm fold order; measured 2.9x on the sibling
+    # knn_graph pair kernel at sf0.1)
     a = df.select(F.col(part_col).alias("__p"), F.col(id_col).alias("id_a"),
-                  F.col(vec_col).alias("__va"))
+                  F.col(vec_col).alias("__va"),
+                  _norm(F.col(vec_col)).alias("__na"))
     b = df.select(F.col(part_col).alias("__p"), F.col(id_col).alias("id_b"),
-                  F.col(vec_col).alias("__vb"))
+                  F.col(vec_col).alias("__vb"),
+                  _norm(F.col(vec_col)).alias("__nb"))
     pairs = a.join(b, ["__p"]).filter(F.col("id_a") < F.col("id_b"))
     out = pairs.select(
         "id_a", "id_b",
-        cosine_sim_expr(F.col("__va"), F.col("__vb")).alias("cosine"))
+        (_dot(F.col("__va"), F.col("__vb"))
+         / (F.col("__na") * F.col("__nb"))).alias("cosine"))
     return out.filter(F.col("cosine") >= threshold)
 
 

@@ -145,7 +145,7 @@ def rrf_fuse(shortlists: list[DataFrame], k: int = 10, *,
               .select(id_col,
                       (F.lit(1.0) / (F.lit(float(c)) + F.col("__r")))
                       .alias("__w")))
-    u = reduce(lambda a, b: a.unionAll(b), ranked)
+    u = reduce(lambda a, b: a.union(b), ranked)
     fused = (F.floor(F.sum("__w") * 1e6 + F.lit(0.5)) / 1e6).alias("rrf")
     return (u.groupBy(id_col).agg(fused)
             .orderBy(F.col("rrf").desc(), F.col(id_col))

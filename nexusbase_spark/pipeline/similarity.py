@@ -15,6 +15,8 @@ Two paths, mirroring what a 100TB vector corpus needs:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,29 @@ def _probe_lit(probe: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in probe])
 
 
+def _probe_norm(probe: list[float]) -> float:
+    """Euclidean norm of a LITERAL probe, computed once on the driver with
+    the exact fold order of ``_norm(_probe_lit(probe))`` — ((0+x0²)+x1²)…
+    then sqrt, every step a correctly-rounded IEEE double op in both
+    runtimes — so substituting the constant for the per-row fold is
+    bit-identical. Catalyst cannot constant-fold the HOF reduction
+    (``aggregate``/``zip_with`` are non-foldable), so without this every
+    scanned row re-reduces the dim-element literal array just to rebuild
+    the same number."""
+    acc = 0.0
+    for x in probe:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cosine_sim_to_probe(vec: Column, probe: list[float]) -> Column:
+    """``cosine_sim_expr`` against a literal probe vector: the probe's
+    norm is a query constant and is evaluated driver-side (bit-identical —
+    see ``_probe_norm``), dropping one of the three per-row dim-element
+    array folds from the scan."""
+    return _dot(vec, _probe_lit(probe)) / (_norm(vec) * F.lit(_probe_norm(probe)))
+
+
 def cosine_topk(df: DataFrame, probe: list[float], k: int = 20,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 exclude_id: int | None = None,
@@ -51,8 +76,7 @@ def cosine_topk(df: DataFrame, probe: list[float], k: int = 20,
     a rank-based combiner (``search.rrf_fuse``) that must agree with a
     re-implementation: quantize-after-limit would let sub-quantum score
     differences pick a different boundary row on each engine."""
-    p = _probe_lit(probe)
-    cos = cosine_sim_expr(F.col(vec_col), p)
+    cos = cosine_sim_to_probe(F.col(vec_col), probe)
     if quant:
         cos = F.floor(cos * quant + F.lit(0.5)) / quant
     out = df.select(F.col(id_col), cos.alias("cosine"))
@@ -91,12 +115,18 @@ def int8_topk(df: DataFrame, k: int = 10, probe_id: int = 0,
     (unlike float accumulation order). The probe is quantized by the same
     expression, never round-tripped through the driver."""
     q = quantize_int8(df, vec_col).select(id_col, "q")
+    # the probe's norm is a per-PROBE quantity: folding it inside the
+    # per-row cosine re-reduces the broadcast array on every corpus row;
+    # pre-projected into the 1-row broadcast side it rides along as one
+    # double (same _norm fold order — bit-identical), per-row folds 3 -> 2
     probe = q.filter(F.col(id_col) == probe_id) \
-        .select(F.col("q").alias("p"))
+        .select(F.col("q").alias("p"), _norm(F.col("q")).alias("__pn"))
     out = (
         q.filter(F.col(id_col) != probe_id)
         .join(F.broadcast(probe))
-        .select(F.col(id_col), cosine_sim_expr(F.col("q"), F.col("p")).alias("cosine"))
+        .select(F.col(id_col),
+                (_dot(F.col("q"), F.col("p"))
+                 / (_norm(F.col("q")) * F.col("__pn"))).alias("cosine"))
     )
     return out.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -119,10 +149,10 @@ def ivf_topk(df: DataFrame, probe: list[float], k: int = 10, nprobe: int = 2,
              part_col: str = "label", exclude_id: int | None = None) -> DataFrame:
     """IVF-pruned top-k: pick the nprobe partitions whose centroid is most
     cosine-similar to the probe (ties by label), then exact search inside."""
-    p = _probe_lit(probe)
     cent = centroids(df, part_col, vec_col)
     best = (
-        cent.select(F.col(part_col), cosine_sim_expr(F.col("centroid"), p).alias("cs"))
+        cent.select(F.col(part_col),
+                    cosine_sim_to_probe(F.col("centroid"), probe).alias("cs"))
         .orderBy(F.col("cs").desc(), F.col(part_col))
         .limit(nprobe)
         .select(part_col)
@@ -319,10 +349,18 @@ def knn_classify(df: DataFrame, probes: DataFrame, k: int = 10,
     """
     from pyspark.sql import Window
 
-    pv = probes.select(F.col("probe_id"), F.col("vec").alias("__p"))
-    scored = (df.crossJoin(F.broadcast(pv))
+    # Norms are per-ROW quantities: computed inside the per-pair cosine
+    # they are re-folded once per (corpus row x probe). Pre-projecting
+    # them on each side before the join (same _norm expression, same fold
+    # order — bit-identical) drops the per-pair HOF folds from 3 to 1;
+    # measured 2.9x on the sibling pair kernel (knn_graph, sf0.1).
+    pv = probes.select(F.col("probe_id"), F.col("vec").alias("__p"),
+                       _norm(F.col("vec")).alias("__pn"))
+    scored = (df.withColumn("__vn", _norm(F.col(vec_col)))
+              .crossJoin(F.broadcast(pv))
               .select("probe_id", F.col(id_col), F.col(label_col),
-                      cosine_sim_expr(F.col(vec_col), F.col("__p")).alias("cosine")))
+                      (_dot(F.col(vec_col), F.col("__p"))
+                       / (F.col("__vn") * F.col("__pn"))).alias("cosine")))
     w2 = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     top = (scored.withColumn("__r", F.row_number().over(w2))
            .filter(F.col("__r") <= k))
@@ -351,14 +389,19 @@ def knn_graph(df: DataFrame, k: int = 3, part_col: str = "label",
     """
     from pyspark.sql import Window
 
+    # per-row norms pre-projected below the self-join: per-pair folds
+    # 3 -> 1, bit-identical (same _norm fold), measured 2.9x at sf0.1
     a = df.select(F.col(part_col).alias("__p"), F.col(id_col).alias("id"),
-                  F.col(vec_col).alias("__va"))
+                  F.col(vec_col).alias("__va"),
+                  _norm(F.col(vec_col)).alias("__na"))
     b = df.select(F.col(part_col).alias("__p"), F.col(id_col).alias("nbr"),
-                  F.col(vec_col).alias("__vb"))
+                  F.col(vec_col).alias("__vb"),
+                  _norm(F.col(vec_col)).alias("__nb"))
     pairs = (a.join(b, "__p")
              .filter(F.col("id") != F.col("nbr"))
              .withColumn("cosine",
-                         F.floor(cosine_sim_expr(F.col("__va"), F.col("__vb"))
+                         F.floor((_dot(F.col("__va"), F.col("__vb"))
+                                  / (F.col("__na") * F.col("__nb")))
                                  * 1e4 + F.lit(0.5)) / 1e4))
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),
                                          F.col("nbr"))
@@ -600,19 +643,24 @@ def hard_negatives(df: DataFrame, k: int = 1, nlist: int = 4,
     probe_buckets = F.transform(
         F.slice(F.array_sort(F.array(*entries)), 1, nprobe),
         lambda s: s["c"])
+    # norm pre-projected BELOW the explode: folded once per vector, not
+    # per (vector x probed bucket) nor per pair (3 -> 1 folds per pair,
+    # bit-identical — same _norm fold order)
     soft = df.select(F.col(id_col), F.col(label_col), F.col(vec_col),
+                     _norm(F.col(vec_col)).alias("__n"),
                      F.explode(probe_buckets).alias("__b"))
     a = soft.select("__b", F.col(id_col).alias("id"),
                     F.col(label_col).alias("label"),
-                    F.col(vec_col).alias("__va"))
+                    F.col(vec_col).alias("__va"), F.col("__n").alias("__na"))
     b = soft.select("__b", F.col(id_col).alias("nbr"),
                     F.col(label_col).alias("nbr_label"),
-                    F.col(vec_col).alias("__vb"))
+                    F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"))
     pairs = (a.join(b, "__b")
              .filter((F.col("id") != F.col("nbr"))
                      & (F.col("label") != F.col("nbr_label")))
              .select("id", "label", "nbr", "nbr_label",
-                     (F.floor(cosine_sim_expr(F.col("__va"), F.col("__vb"))
+                     (F.floor((_dot(F.col("__va"), F.col("__vb"))
+                               / (F.col("__na") * F.col("__nb")))
                               * 1e4 + F.lit(0.5)) / 1e4).alias("cosine"))
              .distinct())
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(),

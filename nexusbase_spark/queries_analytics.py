@@ -252,15 +252,23 @@ def q_events_asof_enrich(spark, sf_dir):
     last-write-wins among equal-ts views is handled by the join's own
     `right_tiebreak` ordering (greatest seq sorts last inside the same
     (user) sort), so no separate (user, ts) pre-dedup exchange is paid."""
-    from nexusbase_spark.operators import asof_join
+    from nexusbase_spark.operators import asof_join_tagged
 
+    # single-scan form: the two-sided asof_join over clicks/views planned
+    # TWO full scans of events (one per event_type filter — Catalyst
+    # cannot merge them); tagging sides out of one IN-filtered scan is
+    # row-for-row identical and halves the input read (guide §2.4/§6;
+    # plan: 2 Scan parquet -> 1, Union gone)
     pts = _event_points(spark, sf_dir)
-    clicks = pts.filter(F.col("metric") == "click").select(
-        "user", "ts", "seq", F.round("value", 4).alias("click_value"))
-    views = pts.filter(F.col("metric") == "view").select(
-        "user", "ts", "seq", F.round("value", 4).alias("view_value"))
-    out = asof_join(clicks, views, on=["user"], right_cols=["view_value"],
-                    suffix="_view", right_tiebreak="seq")
+    is_click = F.col("metric") == "click"
+    src = (pts.filter(F.col("metric").isin("click", "view"))
+           .select("user", "ts", "seq", is_click.alias("__is_click"),
+                   F.when(is_click, F.round("value", 4)).alias("click_value"),
+                   F.when(~is_click, F.round("value", 4)).alias("view_value")))
+    out = asof_join_tagged(src, F.col("__is_click"), on=["user"], ts="ts",
+                           left_cols=["ts", "seq", "click_value"],
+                           right_cols=["view_value"],
+                           suffix="_view", right_tiebreak="seq")
     return out.select(
         "user", "ts", "seq", "click_value",
         F.col("ts_view").alias("view_ts"),
@@ -1919,6 +1927,11 @@ def q_events_hll_range_users(spark, sf_dir):
                    .cast("bigint").alias("day"))
            .localCheckpoint(eager=True))  # sketches + exact share one scan
     d0 = evf.agg(F.min("day")).collect()[0][0]
+    if d0 is None:  # empty events: the oracle yields an empty result set;
+        # without the guard d0 + 13 raises TypeError on the driver (ADVICE r8)
+        return spark.createDataFrame(
+            [], "metric string, n_days bigint, exact_users bigint, "
+                "within_bound boolean")
     sk = daily_user_sketches(evf, F.col("day"), lg_k=14)
     rng = estimate_range(sk, d0, d0 + 13)
     exact = (evf.filter((F.col("day") >= d0) & (F.col("day") <= d0 + 13))
@@ -2768,18 +2781,21 @@ def q_events_last_touch_attribution(spark, sf_dir):
     operator with a MIXED-type touch stream (union of two metrics, MVCC
     seq tie-break inside the join's own sort; one shuffle on user).
     gap_ns is exact int64 arithmetic."""
-    from nexusbase_spark.operators import asof_join
+    from nexusbase_spark.operators import asof_join_tagged
 
+    # single-scan form (see events_asof_enrich): purchases + touches come
+    # from the same events scan; tagging sides out of one IN-filtered
+    # scan halves the input read (plan: 2 Scan parquet -> 1, Union gone)
     pts = _event_points(spark, sf_dir)
-    purchases = (pts.filter(F.col("metric") == "purchase")
-                 .select("user", "ts", "seq",
-                         F.round("value", 4).alias("amount")))
-    touches = (pts.filter(F.col("metric").isin("click", "view"))
-               .select("user", "ts", "seq",
-                       F.col("metric").alias("touch_type")))
-    out = asof_join(purchases, touches, on=["user"],
-                    right_cols=["touch_type"], suffix="_t",
-                    right_tiebreak="seq")
+    is_p = F.col("metric") == "purchase"
+    src = (pts.filter(F.col("metric").isin("purchase", "click", "view"))
+           .select("user", "ts", "seq", is_p.alias("__is_p"),
+                   F.when(is_p, F.round("value", 4)).alias("amount"),
+                   F.when(~is_p, F.col("metric")).alias("touch_type")))
+    out = asof_join_tagged(src, F.col("__is_p"), on=["user"], ts="ts",
+                           left_cols=["ts", "seq", "amount"],
+                           right_cols=["touch_type"], suffix="_t",
+                           right_tiebreak="seq")
     return out.select(
         "user", "ts", "seq", "amount",
         F.col("ts_t").alias("touch_ts"),

@@ -664,9 +664,15 @@ _STOP_ALL = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
 def q_text_quality(spark, sf_dir):
     """Pre-training quality features: length/token stats, punctuation &
     digit ratios, stopword ratio."""
+    from nexusbase_spark.pipeline.text import tokens_col
     docs = load_table(spark, sf_dir, "documents")
-    qx = quality_exprs(F.col("text"))
-    out = docs.select("doc_id", *[v.alias(k) for k, v in qx.items()])
+    # two-level select: tokenize once, then derive the five token-based
+    # features from the materialized array (see quality_exprs docstring;
+    # plan carries 1 split() instead of 5)
+    base = docs.select("doc_id", "text",
+                       tokens_col(F.col("text")).alias("__toks"))
+    qx = quality_exprs(F.col("text"), toks=F.col("__toks"))
+    out = base.select("doc_id", *[v.alias(k) for k, v in qx.items()])
     return _r4(out, "avg_token_len", "punct_ratio", "digit_ratio", "stopword_ratio")
 
 
@@ -3679,10 +3685,12 @@ def q_docs_budget_select(spark, sf_dir):
     from nexusbase_spark.pipeline.text import quality_exprs, tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_exprs(F.col("text"))
-    d = docs.select(
+    base = docs.select("doc_id", "source", "text",
+                       tokens_col(F.col("text")).alias("__toks"))
+    q = quality_exprs(F.col("text"), toks=F.col("__toks"))
+    d = base.select(
         "doc_id", "source",
-        F.size(tokens_col(F.col("text"))).cast("long").alias("cost"),
+        F.size(F.col("__toks")).cast("long").alias("cost"),
         q["stopword_ratio"].alias("score"))
     sel = budget_select(d, "score", "cost", _BUDGET_TOKENS, "doc_id")
     return (sel.groupBy("source")
