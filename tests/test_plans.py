@@ -290,3 +290,59 @@ def test_round5_stats_queries_prune_columns(spark, qs):
         for cols in scans:
             got = {c.split("#")[0] for c in cols.split(",") if c}
             assert got <= want, (name, got)
+
+
+def test_asof_same_source_single_scan(spark, qs):
+    """The tagged as-of join builds both sides from ONE scan of events:
+    the union-of-two-filters form planned two full scans of the same
+    table, which doubles the dominant input cost at scale (r9)."""
+    import re
+
+    for name in ("events_asof_enrich", "events_last_touch_attribution"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        scans = re.findall(r"FileScan parquet|Scan parquet", plan)
+        assert len(scans) == 1, (name, len(scans))
+        assert "Union" not in plan, name
+
+
+def test_downsample_groups_without_map_normalization(spark, qs):
+    """tags (a map) stays OUT of the downsample grouping key —
+    series_key determines it — so the plan carries no per-row
+    _groupingmapsort normalization and the shuffle key stays narrow (r9)."""
+    for name in ("downsample_1d", "downsample_p95_tdigest"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "_groupingmapsort" not in plan, name
+
+
+def test_simhash_hashes_token_once(spark, qs):
+    """SimHash derives its two words from ONE md5 per token, projected
+    below the vote aggregate — not one md5 per bit (was 16x/32x, r9)."""
+    plan = _plan(qs["doc_dedup_simhash"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert phys.count("md5(") <= 2, phys.count("md5(")
+
+
+def test_text_quality_tokenizes_once(spark, qs):
+    """Quality features derive from a single projected token array —
+    the inlined form re-split the text 5x per row (r9)."""
+    plan = _plan(qs["text_quality"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert phys.count("split(") <= 1, phys.count("split(")
+
+
+def test_pair_cosine_folds_dot_only(spark, qs):
+    """Pairwise cosine kernels pre-project per-row norms below the
+    join: the per-pair projection folds ONLY the dot product (was three
+    dim-element HOF folds per pair — 2.9x measured, r9). The physical
+    plan's final pair-level Project must contain exactly one
+    aggregate(zip_with...) — the dot — and no SQRT over a fold."""
+    import re
+
+    plan = _plan(qs["embed_knn_graph"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    # the pair-level projection is the one emitting the quantized cosine
+    pair_projects = [ln for ln in phys.splitlines()
+                     if "Project" in ln and "FLOOR" in ln and "aggregate(" in ln]
+    assert pair_projects, "pair projection not found"
+    for ln in pair_projects:
+        assert len(re.findall(r"aggregate\(zip_with", ln)) == 1, ln[:200]
