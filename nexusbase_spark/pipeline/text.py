@@ -63,11 +63,15 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), F.lit(0)))
 
 
-def lang_id_expr(text: Column) -> Column:
+def lang_id_expr(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: stopword-hit voting with deterministic
     tie-break by language code order (en < de/es/fr by score, then
-    alphabetical). Returns a language code or 'und'."""
-    toks = tokens_col(text)
+    alphabetical). Returns a language code or 'und'.
+
+    ``toks``: pre-projected token array to tokenize once — inlined, the
+    per-language scores re-derive the split per language (see
+    quality_exprs)."""
+    toks = tokens_col(text) if toks is None else toks
     scores = {
         lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
         for lang, words in LANG_STOPWORDS.items()
@@ -115,13 +119,18 @@ def quality_exprs(text: Column, toks: Column | None = None) -> dict[str, Column]
     }
 
 
-def repetition_ratio(text: Column, n: int = 2) -> Column:
+def repetition_ratio(text: Column, n: int = 2,
+                     toks: Column | None = None) -> Column:
     """Intra-document repetition: fraction of word n-grams that are
     duplicates of an earlier n-gram, ``1 - distinct/total`` (0.0 when the
     doc has no n-grams). High values flag boilerplate/template/spam docs —
     a standard pre-training quality filter alongside ``quality_exprs``.
-    Pure array expressions: computed at scan speed, no shuffle."""
-    grams = word_shingles(text, n)
+    Pure array expressions: computed at scan speed, no shuffle.
+
+    ``toks``: pre-projected token array — the inlined ``word_shingles``
+    form re-derives the split ~2n+1 times (see its docstring)."""
+    grams = (word_shingles(text, n) if toks is None
+             else shingles_of_tokens(toks, n))
     total = F.size(grams)
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(grams)) / total)
@@ -197,13 +206,17 @@ QUALITY_CLASSIFIER_WEIGHTS = {
 
 
 def classifier_margin(text: Column,
-                      weights: dict | None = None) -> Column:
+                      weights: dict | None = None,
+                      toks: Column | None = None) -> Column:
     """Linear quality score (the pre-sigmoid margin; > 0 = keep). The
     margin is the output on purpose: it avoids exp() (whose last ulp can
-    differ across libms) and is monotone in the probability anyway."""
+    differ across libms) and is monotone in the probability anyway.
+
+    ``toks``: pre-projected token array threaded into every feature —
+    tokenize once per row instead of once per feature reference."""
     w = weights or QUALITY_CLASSIFIER_WEIGHTS
-    qx = quality_exprs(text)
-    rep = repetition_ratio(text, 2)
+    qx = quality_exprs(text, toks=toks)
+    rep = repetition_ratio(text, 2, toks=toks)
     return (F.lit(w["bias"])
             + F.lit(w["stopword_ratio"]) * qx["stopword_ratio"]
             + F.lit(w["digit_ratio"]) * qx["digit_ratio"]
@@ -225,7 +238,8 @@ QUALITY_THRESHOLDS = {
 }
 
 
-def quality_filter_exprs(text: Column) -> dict[str, Column]:
+def quality_filter_exprs(text: Column,
+                         toks: Column | None = None) -> dict[str, Column]:
     """Gopher-style quality filter chain: boolean rule flags, a `keep`
     verdict, and the first-failing-rule `reason` (NULL when kept) — the
     decision layer a curation pipeline logs for every dropped doc.
@@ -233,14 +247,18 @@ def quality_filter_exprs(text: Column) -> dict[str, Column]:
     All thresholds compare ratios built from integer lengths, so both
     engines compute bit-identical doubles and the verdicts never drift.
     Scan-speed Column expressions; the downstream filter is
-    `col("keep")`, which Catalyst pushes into the same projection."""
-    qx = quality_exprs(text)
+    `col("keep")`, which Catalyst pushes into the same projection.
+
+    ``toks``: pre-projected token array, tokenize once (see
+    quality_exprs). Only helps PROJECTION contexts — a pushed-down
+    filter re-inlines the alias, so filter callers gain nothing."""
+    qx = quality_exprs(text, toks=toks)
     t = QUALITY_THRESHOLDS
     flags = {
         "too_short": qx["n_tokens"] < t["min_tokens"],
         "too_long": qx["n_tokens"] > t["max_tokens"],
         "high_digit": qx["digit_ratio"] > t["max_digit_ratio"],
-        "high_repetition": repetition_ratio(text, 2) > t["max_repetition"],
+        "high_repetition": repetition_ratio(text, 2, toks=toks) > t["max_repetition"],
         "low_stopword": qx["stopword_ratio"] < t["min_stopword_ratio"],
     }
     reason = F.lit(None).cast("string")

@@ -608,8 +608,15 @@ def _lang_case_sql() -> str:
 @register("text_lang_id", _lang_case_sql())
 def q_text_lang_id(spark, sf_dir):
     """Stopword-voting language ID (first-argmax deterministic tie-break)."""
+    from nexusbase_spark.pipeline.text import tokens_col
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+    # tokenize once below the vote projection (was 26 split() copies —
+    # one per per-language score reference in the argmax fold, r9)
+    base = docs.select("doc_id", "text",
+                       tokens_col(F.col("text")).alias("__toks"))
+    return base.select(
+        "doc_id",
+        lang_id_expr(F.col("text"), toks=F.col("__toks")).alias("lang_pred"))
 
 
 @register("docs_langid_confusion", f"""
@@ -1956,11 +1963,17 @@ def q_docs_quality_filter(spark, sf_dir):
     run persists next to the filtered corpus. Thresholds compare ratios
     of integer lengths, so both engines agree exactly (no rounding in
     the decision path)."""
-    from nexusbase_spark.pipeline.text import QUALITY_RULE_ORDER, quality_filter_exprs
+    from nexusbase_spark.pipeline.text import (QUALITY_RULE_ORDER,
+                                               quality_filter_exprs,
+                                               tokens_col)
 
     docs = load_table(spark, sf_dir, "documents")
-    fx = quality_filter_exprs(F.col("text"))
-    return docs.select(
+    # tokenize once below the report projection (was 48 split() copies —
+    # each flag + keep + reason re-derived the token array, r9)
+    base = docs.select("doc_id", "text",
+                       tokens_col(F.col("text")).alias("__toks"))
+    fx = quality_filter_exprs(F.col("text"), toks=F.col("__toks"))
+    return base.select(
         "doc_id", *[fx[n].alias(n) for n in QUALITY_RULE_ORDER],
         fx["keep"].alias("keep"), fx["reason"].alias("reason"))
 
@@ -3040,12 +3053,19 @@ def q_docs_quality_classifier(spark, sf_dir):
     from integer lengths and the dot product is a fixed expression-order
     sum, so both engines compute bit-identical doubles at scan speed with
     zero UDFs."""
-    from nexusbase_spark.pipeline.text import classifier_margin
+    from nexusbase_spark.pipeline.text import classifier_margin, tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    z = classifier_margin(F.col("text"))
-    return docs.select("doc_id", F.round(z, 4).alias("margin"),
-                       (z > 0).alias("keep"))
+    # three-level select: tokenize once, score once, then derive both
+    # outputs from the scored column (inlined, the plan carried ~30
+    # split() copies — one per feature reference per output — r9)
+    base = docs.select("doc_id", "text",
+                       tokens_col(F.col("text")).alias("__toks"))
+    scored = base.select(
+        "doc_id",
+        classifier_margin(F.col("text"), toks=F.col("__toks")).alias("__z"))
+    return scored.select("doc_id", F.round(F.col("__z"), 4).alias("margin"),
+                         (F.col("__z") > 0).alias("keep"))
 
 
 _DOC_LOGPROB_SQL = """
@@ -4645,13 +4665,24 @@ def q_docs_quality_kappa(spark, sf_dir):
     must fit int64 -- fine to ~3e9 docs; beyond that, compute in
     per-shard confusion counts and combine (same formula)."""
     from nexusbase_spark.pipeline.text import (classifier_margin,
-                                               quality_filter_exprs)
+                                               quality_filter_exprs,
+                                               tokens_col)
 
     docs = load_table(spark, sf_dir, "documents")
-    gold = quality_filter_exprs(F.col("text"))["keep"]
-    pred = classifier_margin(F.col("text")) > 0
+    # pre-project the two verdict booleans below the aggregate: inlined,
+    # each of the four confusion sums re-derived BOTH full verdicts and
+    # the plan carried 248 split() copies (aggregate-over-project is not
+    # collapsed when the aliases are non-cheap and multiply-referenced,
+    # same mechanism as simhash/text_quality — r9)
+    base = docs.select("text", tokens_col(F.col("text")).alias("__toks"))
+    flags = base.select(
+        quality_filter_exprs(F.col("text"), toks=F.col("__toks"))["keep"]
+        .alias("__gold"),
+        (classifier_margin(F.col("text"), toks=F.col("__toks")) > 0)
+        .alias("__pred"))
+    gold, pred = F.col("__gold"), F.col("__pred")
     b = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
-    conf = docs.agg(
+    conf = flags.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(b(gold & pred)).alias("n11"),
         F.sum(b(gold & ~pred)).alias("n10"),
@@ -5000,12 +5031,18 @@ def q_docs_quality_auc(spark, sf_dir):
     from pyspark.sql import Window
 
     from nexusbase_spark.pipeline.text import (classifier_margin,
-                                               quality_filter_exprs)
+                                               quality_filter_exprs,
+                                               tokens_col)
 
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(classifier_margin(F.col("text")).alias("score"),
-                    F.when(quality_filter_exprs(F.col("text"))["keep"], 1)
-                    .otherwise(0).alias("y"))
+    # tokenize once below the score/label projection (was ~31 split()
+    # copies across the two verdict expressions — r9)
+    base = docs.select("text", tokens_col(F.col("text")).alias("__toks"))
+    g = base.select(
+        classifier_margin(F.col("text"), toks=F.col("__toks")).alias("score"),
+        F.when(quality_filter_exprs(F.col("text"),
+                                    toks=F.col("__toks"))["keep"], 1)
+        .otherwise(0).alias("y"))
     tot = g.agg(F.sum("y").alias("n1"),
                 (F.count(F.lit(1)) - F.sum("y")).alias("n0")) \
         .collect()[0]

@@ -346,3 +346,14 @@ def test_pair_cosine_folds_dot_only(spark, qs):
     assert pair_projects, "pair projection not found"
     for ln in pair_projects:
         assert len(re.findall(r"aggregate\(zip_with", ln)) == 1, ln[:200]
+
+
+def test_quality_family_tokenizes_once(spark, qs):
+    """Every quality/lang-id projection or aggregate derives from ONE
+    projected token array — inlined, the verdict expressions re-derived
+    the split per feature reference (kappa's plan carried 248 copies, r9)."""
+    for name in ("docs_quality_classifier", "docs_quality_filter_report",
+                 "docs_quality_kappa", "docs_quality_auc", "text_lang_id"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        phys = plan.split("== Physical Plan ==", 1)[1]
+        assert phys.count("split(") <= 1, (name, phys.count("split("))
