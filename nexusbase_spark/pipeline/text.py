@@ -168,8 +168,19 @@ def winnow_fingerprints(text: Column, n: int = 3, w: int = 4) -> Column:
     ``zip_with(least)`` passes, no per-element lambda re-evaluation);
     slices are clamped to size-(w-1) windows so no null padding enters
     ``least``. Docs with fewer than n+w-1 tokens produce an empty array.
+
+    The w+1 slice references re-evaluate ``hashes`` unless it is a
+    pre-projected column — on a hot path, materialize the hash array
+    first and call ``winnow_from_hashes`` directly (the benched winnow
+    query does; plan md5 8 -> 1).
     """
-    hashes = F.transform(word_shingles(text, n), F.md5)
+    return winnow_from_hashes(F.transform(word_shingles(text, n), F.md5), w)
+
+
+def winnow_from_hashes(hashes: Column, w: int = 4) -> Column:
+    """The windowed-minimum half of winnowing over an already-computed
+    positional hash array (ideally a projected column, so the w+1 slice
+    references below don't re-derive the hashes per reference)."""
     cnt = F.greatest(F.size(hashes) - (w - 1), F.lit(0))
     mins = F.slice(hashes, 1, cnt)
     for j in range(1, w):
@@ -380,7 +391,8 @@ GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and",
 GOPHER_MIN_REQUIRED_STOPWORDS = 2
 
 
-def gopher_rules_exprs(text: Column) -> dict[str, Column]:
+def gopher_rules_exprs(text: Column,
+                       toks: Column | None = None) -> dict[str, Column]:
     """The published Gopher word-level quality rules (Rae et al. 2021):
     word-count bounds, mean-word-length bounds, symbol-to-word ratio,
     alphabetic-word fraction, and the required-stopword rule. Every
@@ -390,8 +402,11 @@ def gopher_rules_exprs(text: Column) -> dict[str, Column]:
 
     Returns metric columns + per-rule booleans + the conjunction
     ``keep``. Scan-speed Column expressions, no shuffle, no UDF.
+
+    ``toks``: pre-projected token array, tokenize once (see
+    quality_exprs — the rules reference the tokens four times).
     """
-    toks = tokens_col(text)
+    toks = tokens_col(text) if toks is None else toks
     n_words = F.size(toks)
     word_chars = F.aggregate(toks, F.lit(0),
                              lambda acc, t: acc + F.length(t))

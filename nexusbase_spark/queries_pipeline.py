@@ -64,12 +64,15 @@ SHINGLES_SQL = f"""
 
 def _docs_aug(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens_col(F.col("text"))
-    ncut = F.greatest(F.floor(F.size(toks) * 0.6).cast("int"), F.lit(3))
+    # tokenize once in the copies branch (size + slice both reference the
+    # token array; inlined each re-derived the split — r9)
+    ncut = F.greatest(F.floor(F.size("__toks") * 0.6).cast("int"), F.lit(3))
     copies = (
         docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", tokens_col(F.col("text")).alias("__toks"))
         .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                F.array_join(F.slice(toks, 1, ncut), " ").alias("text"))
+                F.array_join(F.slice(F.col("__toks"), 1, ncut), " ")
+                .alias("text"))
     )
     return docs.unionByName(copies)
 
@@ -469,11 +472,22 @@ def q_doc_winnow_fingerprint(spark, sf_dir):
     """Winnowing: positional 3-gram hashes, window-of-4 minima, distinct
     selected hashes per doc — every shared 6-token run guarantees a
     shared fingerprint row (SIGMOD'03 winnowing on Spark arrays)."""
-    from nexusbase_spark.pipeline.text import winnow_fingerprints
+    from nexusbase_spark.pipeline.text import (shingles_of_tokens,
+                                               tokens_col,
+                                               winnow_from_hashes)
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # pre-project tokens, then the positional hash array: the w+1 slice
+    # references inside the windowed minimum re-derived ALL the
+    # per-shingle md5s per reference, and the shingle slices re-derived
+    # the split (plan md5 8 -> 1, split 6 -> 1 — r9)
+    toked = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    hashed = toked.select(
         "doc_id",
-        F.explode(winnow_fingerprints(F.col("text"), 3, 4)).alias("fp"))
+        F.transform(shingles_of_tokens(F.col("__toks"), 3),
+                    F.md5).alias("__h"))
+    return hashed.select(
+        "doc_id",
+        F.explode(winnow_from_hashes(F.col("__h"), 4)).alias("fp"))
 
 
 @register("doc_containment_pairs", f"""
@@ -640,9 +654,15 @@ def q_docs_langid_confusion(spark, sf_dir):
     label-cardinality-bounded matrix, not the corpus."""
     from pyspark.sql import Window
 
+    from nexusbase_spark.pipeline.text import tokens_col
+
     docs = load_table(spark, sf_dir, "documents")
-    m = (docs.select(F.col("lang").alias("label"),
-                     lang_id_expr(F.col("text")).alias("pred"))
+    # tokenize once below the vote projection (was 26 split() copies, r9)
+    base = docs.select("lang", "text",
+                       tokens_col(F.col("text")).alias("__toks"))
+    m = (base.select(F.col("lang").alias("label"),
+                     lang_id_expr(F.col("text"),
+                                  toks=F.col("__toks")).alias("pred"))
          .groupBy("label", "pred").agg(F.count(F.lit(1)).alias("n")))
     w = Window.partitionBy("label")
     return m.select(
@@ -727,11 +747,14 @@ def q_docs_gopher_rules(spark, sf_dir):
     comparisons so no float ulp can flip a flag
     (pipeline/text.gopher_rules_exprs; the line-based Gopher rules need
     newline structure this corpus doesn't carry)."""
-    from nexusbase_spark.pipeline.text import gopher_rules_exprs
+    from nexusbase_spark.pipeline.text import gopher_rules_exprs, tokens_col
 
     docs = load_table(spark, sf_dir, "documents")
-    gx = gopher_rules_exprs(F.col("text"))
-    out = docs.select("doc_id", *[v.alias(k) for k, v in gx.items()])
+    # tokenize once below the rules projection (was 26 split() copies, r9)
+    base = docs.select("doc_id", "text",
+                       tokens_col(F.col("text")).alias("__toks"))
+    gx = gopher_rules_exprs(F.col("text"), toks=F.col("__toks"))
+    out = base.select("doc_id", *[v.alias(k) for k, v in gx.items()])
     q4 = lambda c: F.floor(F.col(c) * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
     return (out.withColumn("mean_word_len", q4("mean_word_len"))
             .withColumn("alpha_frac", q4("alpha_frac")))
@@ -955,9 +978,14 @@ def q_text_token_count(spark, sf_dir):
 def q_text_repetition(spark, sf_dir):
     """Intra-doc repetition ratio (duplicate word-2-gram fraction) — the
     boilerplate/template/spam signal of pre-training quality filters."""
-    from nexusbase_spark.pipeline.text import repetition_ratio
+    from nexusbase_spark.pipeline.text import repetition_ratio, tokens_col
     docs = load_table(spark, sf_dir, "documents")
-    out = docs.select("doc_id", repetition_ratio(F.col("text"), 2).alias("rep_ratio"))
+    # tokenize once below the ratio projection (was 12 split() copies, r9)
+    base = docs.select("doc_id", "text",
+                       tokens_col(F.col("text")).alias("__toks"))
+    out = base.select("doc_id",
+                      repetition_ratio(F.col("text"), 2,
+                                       toks=F.col("__toks")).alias("rep_ratio"))
     return _r4(out, "rep_ratio")
 
 
@@ -4743,16 +4771,25 @@ def q_docs_calibration_bins(spark, sf_dir):
     integer-lattice summed then 4dp-quantized. One scan, one
     map-side-combined groupBy over <=10 cells."""
     from nexusbase_spark.pipeline.text import (classifier_margin,
-                                               quality_filter_exprs)
+                                               quality_filter_exprs,
+                                               tokens_col)
 
     docs = load_table(spark, sf_dir, "documents")
-    z = classifier_margin(F.col("text"))
-    gold = quality_filter_exprs(F.col("text"))["keep"]
+    # three-level select: tokenize once, score once, then derive bin /
+    # pq / y from the scored columns — inlined, the 10 bin-edge
+    # comparisons each re-derived the whole margin and the plan carried
+    # 166 split() copies (r9)
+    base = docs.select("text", tokens_col(F.col("text")).alias("__toks"))
+    scored = base.select(
+        classifier_margin(F.col("text"), toks=F.col("__toks")).alias("__z"),
+        quality_filter_exprs(F.col("text"),
+                             toks=F.col("__toks"))["keep"].alias("__gold"))
+    z, gold = F.col("__z"), F.col("__gold")
     bin_ = sum((F.when(z >= float(e), 1).otherwise(0)
                 for e in _LOGIT_EDGES), F.lit(0)).cast("long")
     pq = F.floor(1.0 / (1.0 + F.exp(-z)) * 1e6 + F.lit(0.5)).cast("long")
     y = F.when(gold, 1).otherwise(0)
-    b = docs.select(bin_.alias("bin"), pq.alias("pq"), y.alias("y"))
+    b = scored.select(bin_.alias("bin"), pq.alias("pq"), y.alias("y"))
     return (b.groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  (F.floor(F.sum("pq") / (F.count(F.lit(1)) * 1e6) * 1e4

@@ -353,7 +353,15 @@ def test_quality_family_tokenizes_once(spark, qs):
     projected token array — inlined, the verdict expressions re-derived
     the split per feature reference (kappa's plan carried 248 copies, r9)."""
     for name in ("docs_quality_classifier", "docs_quality_filter_report",
-                 "docs_quality_kappa", "docs_quality_auc", "text_lang_id"):
+                 "docs_quality_kappa", "docs_quality_auc", "text_lang_id",
+                 "docs_calibration_bins", "docs_langid_confusion",
+                 "text_repetition", "docs_gopher_rules",
+                 "doc_winnow_fingerprint"):
         plan = _plan(qs[name](spark, SF_DIR))
         phys = plan.split("== Physical Plan ==", 1)[1]
         assert phys.count("split(") <= 1, (name, phys.count("split("))
+    # winnow additionally hashes each shingle once, not once per window
+    # slice reference
+    plan = _plan(qs["doc_winnow_fingerprint"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert phys.count("md5(") <= 1, phys.count("md5(")
