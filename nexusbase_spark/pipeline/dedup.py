@@ -119,10 +119,15 @@ def base_hash31(col: Column) -> Column:
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
-    """(id, shingle) with set semantics (distinct within doc)."""
+    """(id, shingle) with set semantics (distinct within doc). Tokenizes
+    in its own projection so the n+1 shingle-slice references don't each
+    re-derive the whole-text split (r9)."""
+    from nexusbase_spark.pipeline.text import shingles_of_tokens, tokens_col
     return (
-        df.select(F.col(id_col), F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"))
+        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(
+            F.array_distinct(shingles_of_tokens(F.col("__toks"), n)))
+            .alias("shingle"))
     )
 
 
@@ -130,10 +135,14 @@ def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n: int = 3) -> DataFrame:
     """(id, shset: array<string>) — the doc's distinct shingles, computed
     NARROWLY (no explode, no shuffle). Docs too short to have any shingle
-    are dropped, matching the explode form's semantics."""
+    are dropped, matching the explode form's semantics. Tokenizes in its
+    own projection (see shingle_sets, r9)."""
+    from nexusbase_spark.pipeline.text import shingles_of_tokens, tokens_col
     return (
-        df.select(F.col(id_col),
-                  F.array_distinct(word_shingles(F.col(text_col), n)).alias("shset"))
+        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col),
+                F.array_distinct(shingles_of_tokens(F.col("__toks"), n))
+                .alias("shset"))
         .filter(F.size("shset") > 0)
     )
 

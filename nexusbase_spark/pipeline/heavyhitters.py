@@ -81,11 +81,15 @@ def heavy_hitters_topk(df: DataFrame, k: int = 20, *,
     Correct for any k when the top-k all have count > n/capacity (always
     true when capacity ≥ vocabulary — the MG pass never evicts then).
     """
-    toks = tokens_col(F.col(text_col))
+    # tokenize in its own projection: the n-gram shingle slices reference
+    # the token array several times and inlined each re-derives the
+    # whole-text split (r9)
+    base = df.select(tokens_col(F.col(text_col)).alias("__t0"))
+    toks = F.col("__t0")
     if ngram > 1:
         from nexusbase_spark.pipeline.text import shingles_of_tokens
         toks = shingles_of_tokens(toks, ngram)
-    arrays = df.select(toks.alias("toks"))
+    arrays = base.select(toks.alias("toks"))
     cands = mg_candidates(arrays, capacity)
     exploded = arrays.select(F.explode("toks").alias("token"))
     return (exploded.join(F.broadcast(cands), "token", "left_semi")

@@ -35,8 +35,11 @@ from nexusbase_spark.pipeline.dedup import MINHASH_P, base_hash31
 from nexusbase_spark.pipeline.text import shingles_of_tokens, tokens_col
 
 
-def _grams(text: Column, m: int) -> Column:
-    toks = tokens_col(text)
+def _grams(text: Column, m: int, toks: Column | None = None) -> Column:
+    """Hashed uni+bigram profile. ``toks``: pre-projected token array —
+    inlined, the unigram concat and the bigram shingle slices re-derive
+    the split per reference (r9)."""
+    toks = tokens_col(text) if toks is None else toks
     grams = F.concat(toks, shingles_of_tokens(toks, 2))
     return F.transform(grams, lambda g: base_hash31(g) % m)
 
@@ -53,8 +56,11 @@ def dsir_select(docs: DataFrame, target_flag: Column, k: int = 50,
     lambda+gumbel ranking key). Deterministic: the ranking key is
     floor-quantized to 1e-6 before the top-k and ties break on id.
     """
-    base = docs.select(F.col(id_col), target_flag.alias("__tgt"),
-                       F.explode(_grams(F.col(text_col), m)).alias("b"))
+    base = (docs.select(F.col(id_col), target_flag.alias("__tgt"),
+                        tokens_col(F.col(text_col)).alias("__toks"))
+            .select(F.col(id_col), F.col("__tgt"),
+                    F.explode(_grams(F.lit(None), m,
+                                     toks=F.col("__toks"))).alias("b")))
     raw = base.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
     tgt = (base.filter("__tgt").groupBy("b")
            .agg(F.count(F.lit(1)).alias("cnt_t")))

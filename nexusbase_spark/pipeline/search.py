@@ -61,8 +61,12 @@ def bm25_scores(df: DataFrame, query_terms: list[str], *,
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = tokens_col(F.col(text_col))
+    # tokenize in its own projection: dl + one tf per term otherwise each
+    # re-derive the whole-text split (r9)
+    toks = F.col("__toks")
     scored = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"),
+    ).select(
         F.col(id_col),
         F.size(toks).alias("dl"),
         *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
@@ -450,8 +454,12 @@ def bm25_topk_served(df: DataFrame, stats: CorpusStats,
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     n_docs, avgdl, dfs = stats.lookup(query_terms)
-    toks = tokens_col(F.col(text_col))
+    # tokenize in its own projection: dl + one tf per term otherwise each
+    # re-derive the whole-text split (r9)
+    toks = F.col("__toks")
     scored = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"),
+    ).select(
         F.col(id_col),
         F.size(toks).alias("dl"),
         *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],

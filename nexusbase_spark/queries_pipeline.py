@@ -1840,10 +1840,15 @@ def q_docs_boilerplate_ngrams(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text")
+    # tokenize in its own projection (the 4-gram shingle slices reference
+    # the token array 5x; inlined each re-derived the split — r9)
     g = docs.select(
         "doc_id", "source",
+        tokens_col(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id", "source",
         F.explode(F.array_distinct(
-            shingles_of_tokens(tokens_col(F.col("text")), 4))).alias("s"))
+            shingles_of_tokens(F.col("__toks"), 4))).alias("s"))
     freq = (g.groupBy("source", "s")
             .agg(F.countDistinct("doc_id").alias("doc_freq"))
             .filter(F.col("doc_freq") >= 2))
