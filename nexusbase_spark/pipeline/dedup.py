@@ -94,6 +94,31 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        carry_cols: list[str] | None = None) -> DataFrame:
+    """KEEPER rows only of exact dedup by md5 of normalized text — the
+    aggregation form of :func:`exact_dedup_groups` for pipelines that
+    never look at the non-keeper rows (r10).
+
+    The window form must ship EVERY row through the content-hash
+    exchange and sort it so each doc can read its group's stats; when
+    only the keeper (min id) per group survives, ``min_by`` aggregates
+    do the same selection with map-side partial aggregation — the
+    exchange carries ~one candidate row per (group x map task) instead
+    of the corpus, and the Sort + Window disappear from the plan
+    (guide §2.3 aggregate-before-you-shuffle, §2.4). Output: one row
+    per distinct content_hash with the keeper's ``id_col`` and
+    ``carry_cols`` (ties impossible — ids are unique, min_by keys on
+    the id itself)."""
+    h = F.md5(F.trim(F.lower(F.col(text_col)))).alias("content_hash")
+    extra = list(carry_cols or [])
+    aggs = [F.min(id_col).alias(id_col)] + [
+        F.min_by(F.col(c), F.col(id_col)).alias(c) for c in extra]
+    return (df.select(F.col(id_col), h, *extra)
+            .groupBy("content_hash").agg(*aggs))
+
+
 # MinHash universal-hash family: ONE md5 per shingle -> 31-bit base hash,
 # then k affine derivations h_j = (a_j*h + b_j) mod P. 8x less hashing than
 # k md5s per shingle (the md5 IS the corpus-scale cost), and portable: both
@@ -223,23 +248,24 @@ def _banded_docs(df: DataFrame, id_col: str, text_col: str, n: int,
                  num_hashes: int, bands: int,
                  persist: bool = True) -> tuple[DataFrame, DataFrame]:
     """Shared shingle->signature->banding stage: returns ``(docs, banded)``
-    where docs = (id, shset, hset) [persisted unless ``persist=False``]
-    and banded = (id, sz, band_idx, band_key). See _lsh_verified_pairs
-    for the narrow-array design rationale."""
+    where docs = (id, shset, hset, sz, h0..h{k-1}) [persisted unless
+    ``persist=False``] and banded = (id, sz, band_idx, band_key). See
+    _lsh_verified_pairs for the narrow-array design rationale.
+
+    The k min-hash SIGNATURES are computed below the persist (r10): the
+    banded frame is consumed twice (both sides of the candidate
+    self-join), and with only the raw per-shingle hashes cached each
+    side re-ran the k array_min(transform(...)) folds over every doc's
+    hash array — the dominant per-doc CPU of this stage — above the
+    cache (verified in the executed plan). Persisting the signatures
+    runs the folds once; hset stays in the projection for the
+    DedupIndex store (its exact-verification sets)."""
     from nexusbase_spark.plans import spread
     from nexusbase_spark.pipeline.text import shingles_of_tokens, tokens_col
-    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
-    toks = spread(toks, compute_heavy=True)
-    docs = (
-        toks.select(F.col(id_col),
-                    F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("shset"))
-        .filter(F.size("shset") > 0)
-        .withColumn("hset", F.transform("shset", base_hash31))
-    )
-    if persist:
-        docs = docs.persist()
     rows_per = num_hashes // bands
     assert rows_per * bands == num_hashes
+    toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+    toks = spread(toks, compute_heavy=True)
 
     def hash_j(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
@@ -247,7 +273,16 @@ def _banded_docs(df: DataFrame, id_col: str, text_col: str, n: int,
         F.array_min(F.transform("hset", hash_j(a, b))).alias(f"h{j}")
         for j, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    sig = docs.select(F.col(id_col), F.size("shset").alias("sz"), *sig_cols)
+    docs = (
+        toks.select(F.col(id_col),
+                    F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("shset"))
+        .filter(F.size("shset") > 0)
+        .withColumn("hset", F.transform("shset", base_hash31))
+        .select(F.col(id_col), F.col("shset"), F.col("hset"),
+                F.size("shset").alias("sz"), *sig_cols)
+    )
+    if persist:
+        docs = docs.persist()
     band_entries = F.array(*[
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -255,7 +290,7 @@ def _banded_docs(df: DataFrame, id_col: str, text_col: str, n: int,
         )
         for b in range(bands)
     ])
-    banded = sig.select(
+    banded = docs.select(
         F.col(id_col), F.col("sz"), F.explode(band_entries).alias("e")
     ).select(id_col, "sz", F.col("e.band_idx").alias("band_idx"),
              F.col("e.band_key").alias("band_key"))
@@ -290,9 +325,10 @@ def _lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str, n: int,
     # Tokenize BEFORE the exchange (the repartition in _banded_docs
     # materializes the token arrays, so the whole-text regex split runs
     # exactly once per doc — measured ~2.5x on this stage); hset holds
-    # ONE md5 per shingle, materialized by the persist so the k signature
-    # transforms reuse it (HOF lambdas are not CSE'd; the lambdas take
-    # exactly ONE parameter — a captured default arg would silently
+    # ONE md5 per shingle and the k min-hash signatures are materialized
+    # by the persist, so neither the hashing nor the signature folds
+    # re-run per cache reader (HOF lambdas are not CSE'd; the lambdas
+    # take exactly ONE parameter — a captured default arg would silently
     # switch transform() to its (element, index) form).
     docs, banded = _banded_docs(df, id_col, text_col, n, num_hashes, bands)
     if max_bucket is not None:

@@ -2740,18 +2740,21 @@ def q_docs_curation_pipeline(spark, sf_dir):
     lazily, Catalyst plans the lot as one job (filter pushed to the
     scan, dedup's hash window is the only wide exchange before the
     rollup), and nothing materializes between stages."""
-    from nexusbase_spark.pipeline.dedup import exact_dedup_groups
+    from nexusbase_spark.pipeline.dedup import exact_dedup_keepers
     from nexusbase_spark.pipeline.split import assign_split
     from nexusbase_spark.pipeline.text import quality_filter_exprs
 
     docs = load_table(spark, sf_dir, "documents")
     fx = quality_filter_exprs(F.col("text"))
     kept = docs.filter(fx["keep"])
-    # carry n_chars THROUGH the dedup window instead of joining back to
+    # carry n_chars THROUGH the dedup stage instead of joining back to
     # `kept`: the join-back form evaluates the quality filter twice
-    # (once per branch; measured 2x this query's wall time)
-    uniq = (exact_dedup_groups(kept, carry_cols=["n_chars"])
-            .filter(F.col("doc_id") == F.col("keeper")))
+    # (once per branch; measured 2x this query's wall time). Keeper-only
+    # aggregation form (r10): this pipeline never reads non-keeper rows,
+    # so min_by aggregation replaces the window — map-side partial
+    # aggregation shrinks the content-hash exchange to ~one row per
+    # group and drops the Sort + Window from the plan.
+    uniq = exact_dedup_keepers(kept, carry_cols=["n_chars"])
     out = assign_split(uniq, "doc_id",
                        {"train": 0.8, "val": 0.1, "test": 0.1})
     return (out.groupBy("split")
@@ -3150,9 +3153,16 @@ def q_docs_perplexity_filter(spark, sf_dir):
           .select("token",
                   F.log((F.col("cnt") + 1) / (F.col("total") + F.col("vocab")))
                   .alias("logp")))
+    # checkpoint the per-doc score frame (doc_id, alp — two columns, one
+    # row per doc): it feeds both the threshold percentiles and the band
+    # filter, and the two consumers prune different columns so their
+    # exchanges don't canonicalize equal — ReuseExchange never fired and
+    # the whole scan+explode+join+aggregate score pipeline ran TWICE
+    # (executed plan, r10). Materializing the tiny frame runs it once.
     doc = (t.join(F.broadcast(lp), "token")
            .groupBy("doc_id")
-           .agg(F.round(F.avg("logp"), 4).alias("alp")))
+           .agg(F.round(F.avg("logp"), 4).alias("alp"))
+           .localCheckpoint(eager=True))
     th = doc.agg(F.expr("percentile(alp, 0.10)").alias("lo"),
                  F.expr("percentile(alp, 0.90)").alias("hi"))
     kept = (doc.crossJoin(F.broadcast(th))
@@ -3476,7 +3486,13 @@ def q_embed_semdedup_prune(spark, sf_dir):
     copies = (emb.filter(F.col("vec_id") % 10 == 0)
               .select((F.col("vec_id") + 1000000).alias("vec_id"), "label",
                       perturbed.alias("embedding")))
-    aug = base.unionByName(copies)
+    # persist the augmented corpus: it feeds FOUR consumers (both sides
+    # of the cluster-local pair join, the anti-join left side, and the
+    # per-label totals), and unpersisted each consumer re-ran the two
+    # parquet scans + the perturbation projection — 8 physical scans of
+    # embeddings in the executed plan (r10); with the persist the union
+    # materializes once and every consumer reads the cache
+    aug = base.unionByName(copies).persist()
     surv = semdedup_prune(aug, threshold=0.99)
     tot = aug.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
     kept = surv.groupBy("label").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -31,6 +31,26 @@ def test_winnowing_guarantee(spark):
         winnow_fingerprints(F.col("text"), 3, 4))).count() == 0
 
 
+def test_exact_dedup_keepers_matches_window_form(spark):
+    """The keeper-only aggregation form (r10) selects exactly the rows
+    the window form keeps — same keeper per duplicate group (min id),
+    same carried columns from the KEEPER row (duplicates agree on
+    normalized text, not on raw text, so carry values can differ within
+    a group)."""
+    from nexusbase_spark.pipeline.dedup import (exact_dedup_groups,
+                                                exact_dedup_keepers)
+    df = spark.createDataFrame(
+        [(1, "Hello World ", 12), (2, "hello world", 11),
+         (3, "unique doc", 10), (4, "HELLO WORLD", 11)],
+        "doc_id long, text string, n_chars long")
+    want = {(r["doc_id"], r["n_chars"])
+            for r in exact_dedup_groups(df, carry_cols=["n_chars"])
+            .filter(F.col("doc_id") == F.col("keeper")).collect()}
+    got = {(r["doc_id"], r["n_chars"])
+           for r in exact_dedup_keepers(df, carry_cols=["n_chars"]).collect()}
+    assert got == want == {(1, 12), (3, 10)}
+
+
 def test_containment_catches_truncation(spark):
     """A 60%-prefix copy scores containment 1.0 but Jaccard ~0.55: the
     asymmetric metric finds it at threshold 0.8, Jaccard at 0.8 doesn't."""

@@ -348,6 +348,68 @@ def test_pair_cosine_folds_dot_only(spark, qs):
         assert len(re.findall(r"aggregate\(zip_with", ln)) == 1, ln[:200]
 
 
+def test_multi_percentile_shares_one_buffer(spark, qs):
+    """final_agg_firstlast's three exact percentiles share ONE
+    percentile(value, [0.5, 0.95, 0.99]) aggregate buffer — three
+    separate percentile aggregates each buffer every value of the group
+    independently (3x memory, per-row update work and partial-aggregate
+    exchange bytes, r10)."""
+    import re
+
+    plan = _plan(qs["final_agg_firstlast"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    partials = re.findall(r"partial_percentile\(", phys)
+    assert len(partials) == 1, len(partials)
+    assert "[0.5,0.95,0.99]" in phys
+
+
+def test_minhash_signatures_materialized_below_selfjoin(spark, qs):
+    """The LSH kernel's persist holds the k min-hash SIGNATURES, not just
+    the per-shingle hashes: both candidate self-join sides read h0..h7
+    from the cache instead of re-running the k array_min(transform(...))
+    folds per side (verified against the executed plan, r10)."""
+    import re
+
+    plan = _plan(qs["doc_dedup_minhash_lsh"](spark, SF_DIR))
+    cached_reads = re.findall(r"InMemoryTableScan \[([^\]]*)\]", plan)
+    assert cached_reads, "minhash kernel lost its persist"
+    sig_reads = [c for c in cached_reads if "h0#" in c and "h7#" in c]
+    assert sig_reads, cached_reads
+
+
+def test_semdedup_augmented_corpus_persisted(spark, qs):
+    """embed_semdedup_prune persists the augmented corpus: its four
+    consumers (pair-join sides, anti-join left, per-label totals) read
+    the cache instead of re-running the two embedding scans plus the
+    perturbation projection each (8 physical scans in the executed
+    plan before, r10)."""
+    plan = _plan(qs["embed_semdedup_prune"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan
+
+
+def test_perplexity_score_branch_runs_once(spark, qs):
+    """docs_perplexity_filter materializes the per-doc score frame: the
+    threshold percentiles and the band filter prune different columns,
+    so their exchanges never canonicalize equal and the whole
+    scan+explode+join+aggregate score pipeline ran twice (r10). After
+    the checkpoint the returned plan scans parquet only for the lang
+    join."""
+    plan = _plan(qs["docs_perplexity_filter"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") <= 1, phys.count("Scan parquet")
+
+
+def test_curation_dedup_has_no_window(spark, qs):
+    """docs_curation_pipeline keeps only the dedup keepers, so its dedup
+    stage is a min_by AGGREGATION (map-side partial aggregation — the
+    exchange carries ~one row per group), never the ship-every-row
+    Sort + Window form (r10)."""
+    plan = _plan(qs["docs_curation_pipeline"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert "Window" not in phys
+    assert "partial_min_by" in phys
+
+
 def test_quality_family_tokenizes_once(spark, qs):
     """Every quality/lang-id projection or aggregate derives from ONE
     projected token array — inlined, the verdict expressions re-derived
