@@ -57,9 +57,9 @@ def curation_keepers(docs: DataFrame, threshold: float = 0.8,
     ~97min emission floor uncapped vs 7.9s capped, zero genuine pairs
     lost). Pass ``max_bucket=None`` for the exhaustively lossless
     opt-out when the corpus is known template-free."""
-    from nexusbase_spark.pipeline.text import quality_filter_exprs
-    fx = quality_filter_exprs(F.col(text_col))
-    kept = docs.filter(fx["keep"]).localCheckpoint(eager=True)
+    from nexusbase_spark.pipeline.text import quality_keep_filter_expr
+    kept = (docs.filter(quality_keep_filter_expr(F.col(text_col)))
+            .localCheckpoint(eager=True))
     pairs = prefix_filter_pairs(kept, threshold=threshold, id_col=id_col,
                                 text_col=text_col, max_bucket=max_bucket)
     verdicts = canonical_keep(kept, dedup_clusters(pairs),

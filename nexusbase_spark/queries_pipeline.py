@@ -2742,11 +2742,13 @@ def q_docs_curation_pipeline(spark, sf_dir):
     rollup), and nothing materializes between stages."""
     from nexusbase_spark.pipeline.dedup import exact_dedup_keepers
     from nexusbase_spark.pipeline.split import assign_split
-    from nexusbase_spark.pipeline.text import quality_filter_exprs
+    from nexusbase_spark.pipeline.text import quality_keep_filter_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    fx = quality_filter_exprs(F.col("text"))
-    kept = docs.filter(fx["keep"])
+    # filter-safe let-binding form: tokenizes once per row inside the
+    # pushed Filter (the projected-alias trick can't survive pushdown;
+    # was 16 split() copies per row under fallback eval — r10, 1.37x)
+    kept = docs.filter(quality_keep_filter_expr(F.col("text")))
     # carry n_chars THROUGH the dedup stage instead of joining back to
     # `kept`: the join-back form evaluates the quality filter twice
     # (once per branch; measured 2x this query's wall time). Keeper-only

@@ -44,6 +44,7 @@ def test_user_admin_roundtrip(tmp_path, capsys):
         user_admin.main(["delete", "-file", f, "-username", "nobody"])
 
 
+@pytest.mark.nightly
 def test_snapshot_and_restore_utils(spark, tmp_path_factory, capsys):
     import restore_util
     import snapshot_util

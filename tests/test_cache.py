@@ -132,6 +132,7 @@ def cached_engine(spark, tmp_path_factory):
     return eng
 
 
+@pytest.mark.nightly
 def test_cache_hit_and_write_invalidation(cached_engine):
     eng = cached_engine
     q = 'QUERY cache.metric FROM 0 TO 3000000000000000000 AGGREGATE (sum(v), count(v))'
@@ -180,6 +181,7 @@ def test_cache_pagination_from_cached_rows(cached_engine):
     assert q1 == p1 and q2 == p2
 
 
+@pytest.mark.nightly
 def test_cache_overflow_never_full_collects(cached_engine):
     """A LIMIT-less result bigger than cache_max_rows must NOT be collected
     to the driver in full: the bounded probe (cache_max_rows + 1 rows)
@@ -205,6 +207,7 @@ def test_cache_overflow_never_full_collects(cached_engine):
     assert eng.result_cache.hits == 1
 
 
+@pytest.mark.nightly
 def test_cache_relative_query(cached_engine):
     """RELATIVE queries are cacheable (cache_key.go:27-30) and stay correct
     because the data-max-ts anchor only moves on a write (= invalidation)."""
@@ -220,6 +223,7 @@ def test_cache_relative_query(cached_engine):
     assert r3[0]["count_v"] == 1  # only the new anchor-minute point
 
 
+@pytest.mark.nightly
 def test_write_amplification_listener(spark, tmp_path_factory):
     bus = HookBus()
     waf = WriteAmplificationListener()

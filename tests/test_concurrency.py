@@ -44,6 +44,7 @@ def _run_threads(n, target):
     return errs
 
 
+@pytest.mark.nightly
 def test_concurrent_puts_assign_unique_seqs_and_lose_nothing(engine):
     """8 writer threads x 6 put_batch each, l0_trigger=3 so L0 flushes
     fire concurrently with other threads' appends. Every seq must be
@@ -72,6 +73,7 @@ def test_concurrent_puts_assign_unique_seqs_and_lose_nothing(engine):
     assert out[0]["count_v"] == n_threads * per
 
 
+@pytest.mark.nightly
 def test_queries_during_flushes_never_see_torn_state(engine):
     """One thread floods put_batch (forcing repeated L0 flushes), another
     loops FLUSH ALL, while two reader threads drain count(*) queries via
@@ -140,6 +142,7 @@ def test_queries_during_flushes_never_see_torn_state(engine):
     assert seen, "readers never completed a query"
 
 
+@pytest.mark.nightly
 def test_concurrent_deletes_and_puts_keep_seq_order(engine):
     """Tombstone writers and point writers interleave; seqs must stay
     unique across BOTH paths (a tombstone sharing a seq with a later
@@ -230,6 +233,7 @@ def test_scan_lock_interrupted_writer_wait_does_not_leak_counter():
         pass
 
 
+@pytest.mark.nightly
 def test_concurrent_tcp_clients_end_to_end(spark, tmp_path_factory):
     """The real deployment shape: N socket clients pushing and querying
     ONE threaded TCP server concurrently (each connection = one server
@@ -271,6 +275,7 @@ def test_concurrent_tcp_clients_end_to_end(spark, tmp_path_factory):
         srv.shutdown()
 
 
+@pytest.mark.nightly
 def test_engine_open_and_flush_tolerate_crashed_append_dirs(spark, tmp_path_factory):
     """Crash consistency: a process killed mid-append leaves a directory
     that EXISTS but holds no committed parquet (only the committer's
@@ -302,6 +307,7 @@ def test_engine_open_and_flush_tolerate_crashed_append_dirs(spark, tmp_path_fact
     assert eng2._seq == 2
 
 
+@pytest.mark.nightly
 def test_empty_warehouse_query_does_not_mutate_points_schema(
         spark, tmp_path_factory):
     """Regression: StructType.add mutates in place, so the empty-

@@ -22,6 +22,7 @@ BASE = [
 ]
 
 
+@pytest.mark.nightly
 def test_probe_matches_batch_kernel(spark, tmp_path):
     """A probe against the index finds exactly the cross pairs the batch
     MinHash kernel finds on the union corpus (restricted to new-vs-old),
@@ -48,6 +49,7 @@ def test_probe_matches_batch_kernel(spark, tmp_path):
     assert idx.doc_count() == 4
 
 
+@pytest.mark.nightly
 def test_append_grows_store_and_no_self_match(spark, tmp_path):
     """append returns matches vs the PRE-append store (a lazy plan would
     re-read the appended rows and self-match at jaccard 1.0), and later
@@ -64,6 +66,7 @@ def test_append_grows_store_and_no_self_match(spark, tmp_path):
         (31, 1), (31, 21)}
 
 
+@pytest.mark.nightly
 def test_append_drop_policy(spark, tmp_path):
     """admit_dups=False: duplicate docs are reported but NOT indexed —
     the streaming-dedup policy."""
@@ -79,6 +82,7 @@ def test_append_drop_policy(spark, tmp_path):
     assert 42 in ids and 41 not in ids
 
 
+@pytest.mark.nightly
 def test_probe_max_bucket_cap(spark, tmp_path):
     """A hot store bucket (many identical docs) is droppable with
     max_bucket, bounding the candidate join."""
@@ -94,6 +98,7 @@ def test_probe_max_bucket_cap(spark, tmp_path):
     assert capped == 0
 
 
+@pytest.mark.nightly
 def test_band_partitioned_layout(spark, tmp_path):
     """The store is partitioned by band_idx — each band's bucket join
     reads its own subdirectory (file-level pruning at scale)."""
@@ -103,6 +108,7 @@ def test_band_partitioned_layout(spark, tmp_path):
     assert parts == {f"band_idx={b}" for b in range(4)}
 
 
+@pytest.mark.nightly
 def test_streaming_ingest_dedup(spark, tmp_path):
     """DedupIndex.for_each_batch as a Structured Streaming sink: each
     micro-batch dedupes against ALL indexed history (including earlier
@@ -143,6 +149,7 @@ def test_streaming_ingest_dedup(spark, tmp_path):
     assert 52 in ids and 51 not in ids and 61 not in ids
 
 
+@pytest.mark.nightly
 def test_verify_clean_then_stale_then_resync(spark, tmp_path):
     """verify() is green right after build; deleting base docs flags
     them stale (and a never-indexed doc flags missing); resync() drops
@@ -171,6 +178,7 @@ def test_verify_clean_then_stale_then_resync(spark, tmp_path):
     assert idx.probe(probe, threshold=0.5).count() == 0
 
 
+@pytest.mark.nightly
 def test_verify_detects_corrupted_signature(spark, tmp_path):
     """A text rewrite the index never saw (same doc_id, new content —
     the compact()-rewrote-the-corpus case) surfaces as mismatched, even

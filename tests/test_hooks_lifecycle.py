@@ -71,6 +71,7 @@ def wired(spark, tmp_path_factory):
     return eng, rec
 
 
+@pytest.mark.nightly
 def test_start_put_and_wal_events(wired):
     eng, rec = wired
     assert rec.names()[:2] == ["pre_start_engine", "post_start_engine"]
@@ -166,6 +167,7 @@ def test_compact_snapshot_close_events(wired):
     assert rec.names()[-1] == "post_close_engine"
 
 
+@pytest.mark.nightly
 def test_query_and_cache_events(wired):
     eng, rec = wired
     eng.put("hq.metric", {"h": "a"}, {"v": 1.0}, BASE)
@@ -185,6 +187,7 @@ def test_query_and_cache_events(wired):
     assert "on_cache_eviction" in rec.names()
 
 
+@pytest.mark.nightly
 def test_wal_recovery_on_reopen(spark, tmp_path_factory):
     wh = str(tmp_path_factory.mktemp("reopen_wh"))
     eng = NexusEngine(spark, wh)
@@ -196,6 +199,7 @@ def test_wal_recovery_on_reopen(spark, tmp_path_factory):
     assert eng2.get("hr.metric", {"h": "a"}, BASE) == {"v": 1.0}
 
 
+@pytest.mark.nightly
 def test_bulk_ingest_series_create(wired):
     """The bulk path detects new series via an anti-join against the
     catalog — only when someone is listening."""

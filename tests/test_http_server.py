@@ -32,6 +32,7 @@ def _post(base, payload):
         return e.code, json.loads(e.read())
 
 
+@pytest.mark.nightly
 def test_push_then_query_roundtrip(http_engine):
     code, _ = _post(http_engine, {
         "query": 'PUSH web.hits TAGGED (site="a") SET (n=1, ok=TRUE) AT 1000'})

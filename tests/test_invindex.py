@@ -65,6 +65,7 @@ def test_term_lookup_prunes_buckets(spark, tmp_path):
     assert by_doc[1] == (2, 3) and by_doc[5] == (1, 5)
 
 
+@pytest.mark.nightly
 def test_verify_and_resync_lifecycle(spark, tmp_path):
     """Clean after build; corpus rewrite (delete + add + in-place text
     mutation) flags stale/missing/mismatched and breaks globals; resync
@@ -94,6 +95,7 @@ def test_verify_and_resync_lifecycle(spark, tmp_path):
     assert rep["mismatched"] == 1 and not rep["ok"]
 
 
+@pytest.mark.nightly
 def test_empty_and_tokenless_docs(spark, tmp_path):
     """Empty text tokenizes to one empty token (split semantics, same as
     the DuckDB oracle's string_split) so the doc still counts in N;
@@ -118,6 +120,7 @@ def test_empty_and_tokenless_docs(spark, tmp_path):
     assert rep["ok"] and rep["missing"] == 0
 
 
+@pytest.mark.nightly
 def test_streaming_ingest_updates_index(spark, tmp_path):
     """InvertedIndex.for_each_batch as a Structured Streaming sink:
     retrieval served from the index matches the batch recompute over
@@ -152,6 +155,7 @@ def test_streaming_ingest_updates_index(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.nightly
 def test_retention_event_verify_then_resync_heals(spark, tmp_path):
     """Retention interplay (VERDICT r4 next #5): the base corpus is
     retention-compacted (old docs dropped, nothing added or mutated) —

@@ -89,6 +89,7 @@ def spark_visible(spark, puts, tomb_point, tomb_series, tomb_range):
 @given(ops=st.lists(OP, min_size=1, max_size=24))
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.nightly
 def test_mvcc_tombstone_interleavings(spark, ops):
     if not any(op[0] == "put" for op in ops):
         ops = ops + [("put", SERIES[0], 0)]

@@ -219,6 +219,7 @@ def test_emit_empty_series_grid_is_range_independent(engine):
     assert all(r["count_*"] == 0.0 and r["sum_latency_ms"] == 0.0 for r in rows)
 
 
+@pytest.mark.nightly
 def test_mvcc_whole_point_replacement(engine, spark):
     """A re-push at the same (series, ts) replaces the ENTIRE fields map
     (iterator/iterator.go:270-289 — value = whole encoded fields)."""
@@ -230,6 +231,7 @@ def test_mvcc_whole_point_replacement(engine, spark):
     assert rows[0]["fields"] == {"x": "9.0"}  # y is GONE, not merged
 
 
+@pytest.mark.nightly
 def test_remove_series_and_resurrect(engine):
     ts0 = 1_810_000_000 * 1_000_000_000
     for i in range(3):
@@ -242,6 +244,7 @@ def test_remove_series_and_resurrect(engine):
     assert len(rows) == 1 and rows[0]["fields"]["value"] == "42.0"
 
 
+@pytest.mark.nightly
 def test_remove_point_and_range_inclusive(engine):
     ts0 = 1_820_000_000 * 1_000_000_000
     engine.put_batch([
@@ -260,6 +263,11 @@ def test_remove_point_and_range_inclusive(engine):
 
 
 def test_show_metadata(engine):
+    # self-seeded: e2e.mvcc used to arrive from the (now nightly-tier)
+    # MVCC replacement test; a core test must not depend on another
+    # test's ingest. Distinct ts/tags so both orders stay equivalent.
+    engine.put("e2e.mvcc", {"h": "meta"}, {"x": 1.0},
+               1_801_000_000 * 1_000_000_000)
     metrics = [r[0] for r in engine.execute("SHOW METRICS").collect()]
     assert "e2e.test.requests" in metrics and "e2e.mvcc" in metrics
     keys = [r[0] for r in engine.execute("SHOW TAG KEYS FROM e2e.test.requests").collect()]
@@ -271,6 +279,14 @@ def test_show_metadata(engine):
 
 def test_limit_and_cursor_pagination(engine, spark):
     from nexusbase_spark.operators.order import encode_cursor
+    # self-seeded (the e2e.remove2 producer is nightly-tier now): six
+    # points in a ts band far from the remove test's [1.82e18, +2000ns]
+    # window so full runs see both sets without interference
+    ts1 = 1_830_000_000 * 1_000_000_000
+    engine.put_batch([
+        ("e2e.remove2", {"host": "p"}, {"value": float(t)}, ts1 + t)
+        for t in range(6)
+    ])
     df = engine.execute("QUERY e2e.remove2 FROM 0 TO 3000000000000000000 LIMIT 3")
     page1 = df.collect()
     assert len(page1) == 3
@@ -326,6 +342,7 @@ def test_points_wide_typed_export(engine):
         engine.points_wide({"x": "decimal"})
 
 
+@pytest.mark.nightly
 def test_compact_with_retention(spark, tmp_path_factory):
     """compact() folds tombstones in and drops rows older than the
     retention cutoff (engine2/compaction_manager.go:734-757)."""
@@ -348,6 +365,7 @@ def test_validation_rejected(engine):
         engine.put("ok.metric", {"__reserved": "x"}, {"v": 1.0}, 1)
 
 
+@pytest.mark.nightly
 def test_bulk_ingest_multifield_point(spark, tmp_path_factory):
     """All long rows of one bulk-ingested point share a seq: the MVCC read
     must return BOTH fields, and a later batch's re-push must replace the
@@ -368,6 +386,7 @@ def test_bulk_ingest_multifield_point(spark, tmp_path_factory):
     assert rows[0]["fields"] == {"v": "9.9"}
 
 
+@pytest.mark.nightly
 def test_count_star_markers_and_v1_upgrade(spark, tmp_path_factory):
     """Format v2: count(*) rides per-point marker rows — a plain
     conditional count, no Expand even mixed with other aggs. A v1
@@ -408,6 +427,7 @@ def test_count_star_markers_and_v1_upgrade(spark, tmp_path_factory):
     assert "Expand" not in e1.execute(q)._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.nightly
 def test_incremental_snapshot_chain(spark, tmp_path_factory):
     """Incremental snapshots store only new files (manifest chain,
     snapshot/manager.go's full+incremental design); restoring the child
@@ -441,6 +461,7 @@ def test_incremental_snapshot_chain(spark, tmp_path_factory):
     assert [r["fields"]["v"] for r in rows] == ["9.0"]
 
 
+@pytest.mark.nightly
 def test_l0_tier_merge_and_flush(spark, tmp_path_factory):
     """put/put_batch land in l0/ (one file per partition dir); the 4th
     batch triggers the L0->base merge (config.yaml:37 L0 trigger); FLUSH
@@ -480,6 +501,7 @@ def test_l0_tier_merge_and_flush(spark, tmp_path_factory):
     assert [r["fields"]["v"] for r in rows] == ["99.0"]
 
 
+@pytest.mark.nightly
 def test_day_partitioned_layout_prunes(spark, tmp_path_factory):
     """v2 layout partitions points by (metric, day): time-range queries
     carry a day partition filter (directory pruning), results unchanged
@@ -639,6 +661,7 @@ def test_duplicate_aggregation_specs_collapse(engine):
     assert r2["a1"] == r2["a2"]
 
 
+@pytest.mark.nightly
 def test_fractional_percentile_column_name_survives_fill_paths(engine):
     """p99.9(lat) puts a DOT in the <func>_<field> output column
     (p99.9_lat); every by-name re-reference (the EMIT EMPTY zero/NaN
@@ -661,6 +684,7 @@ def test_fractional_percentile_column_name_survives_fill_paths(engine):
     assert abs(r["p99.9_latency_ms"] - 99.8) < 1e-9
 
 
+@pytest.mark.nightly
 def test_malformed_after_cursor_raises_nbql_error(engine):
     """A client-supplied AFTER cursor that is bad base64 / bad UTF-8 /
     bad JSON / the wrong shape rejects as NBQLError (the servers' clean
@@ -681,6 +705,7 @@ def test_malformed_after_cursor_raises_nbql_error(engine):
     assert all(r["ts"] >= base for r in rows)
 
 
+@pytest.mark.nightly
 def test_push_numeric_literal_edges(engine):
     """PUSH literal typing at the edges (found by PUSH edge probing):
     int64 bounds store; one past either bound rejects as NBQLError at

@@ -48,6 +48,7 @@ def test_no_hash_hazard_output_types(lint_con):
         f"in the oracle SQL): {offenders}")
 
 
+@pytest.mark.nightly
 def test_no_negative_zero_cells(lint_con):
     """IEEE -0.0 reprs as '-0.0' and hash-mismatches a 0.0 from the other
     engine even though they compare equal (bit us on

@@ -9,7 +9,24 @@ from nexusbase_spark.queries import QUERIES, all_queries
 from tests.parity import compare
 
 all_queries()  # trigger registration of sibling registries
-ORACLE_CASES = sorted(name for name, (_fn, sql) in QUERIES.items() if sql is not None)
+
+# Parity cases whose Spark side alone runs tens of seconds at sf0.001
+# (iterative CC/BPE rounds, PPJoin chains, index builds): nightly tier —
+# the driver's own oracle gate (CORRECTNESS) covers them independently,
+# and the r9 driver pytest run timed out before finishing the suite
+# (VERDICT r9 #1: split the wall into a driver-completable core + a
+# nightly tail, without deleting coverage).
+SLOW_PARITY = {
+    "doc_dedup_bucket_clusters", "docs_bm25_indexed", "docs_bm25_served",
+    "docs_bpe_merges", "docs_curation_v2", "docs_curation_v3_dsir",
+    "embed_cluster_purity", "embed_ivfpq_residual_topk",
+}
+ORACLE_CASES = [
+    pytest.param(name, marks=pytest.mark.nightly) if name in SLOW_PARITY
+    else name
+    for name in sorted(n for n, (_fn, sql) in QUERIES.items()
+                       if sql is not None)
+]
 
 
 @pytest.mark.parametrize("name", ORACLE_CASES)

@@ -170,6 +170,7 @@ def test_corpus_mix_shares(spark):
     assert rows["a"]["pct_weight"] == 40.0 and rows["b"]["pct_weight"] == 60.0
 
 
+@pytest.mark.nightly
 def test_lsh_topk_recall_and_multiprobe(spark):
     """A near-duplicate of the probe always lands in its bucket (identical
     signs -> identical signature), and hamming-1 multi-probe candidates
@@ -480,6 +481,7 @@ def test_bm25_topk_is_distributed_topk(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.nightly
 def test_corpus_stats_incremental_equals_batch(spark, tmp_path):
     """CorpusStats maintained by incremental update()s over three batches
     serves EXACTLY the ranking the batch bm25_topk computes on the union
@@ -516,6 +518,7 @@ def test_corpus_stats_incremental_equals_batch(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.nightly
 def test_corpus_stats_streaming_sink(spark, tmp_path):
     """CorpusStats.for_each_batch as a Structured Streaming sink: stats
     stay current as document batches arrive; retrieval served from the
@@ -571,6 +574,7 @@ def test_heavy_hitters_exact_when_capacity_covers_vocab(spark):
     assert got == want
 
 
+@pytest.mark.nightly
 def test_heavy_hitters_mg_guarantee_under_eviction(spark):
     """With capacity 2 and a stream where 'hot' has count > n/2, the MG
     pass must keep 'hot' as a candidate, and the recount reports its EXACT
@@ -775,6 +779,7 @@ def test_epoch_shuffle_determinism_and_coverage(spark):
         {(r["doc_id"], r["shard"], r["pos"]) for r in out}
 
 
+@pytest.mark.nightly
 def test_budget_select_semantics(spark):
     """Selection cost never exceeds the budget; higher-score bins are
     taken before lower ones; budget >= total selects everything; the
@@ -1115,6 +1120,7 @@ def test_table_diff_classifies_and_null_safety(spark):
     assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
 
 
+@pytest.mark.nightly
 def test_pca_rotation_orthonormal_and_improves_pq(spark):
     """OPQ-lite: the fitted rotation is orthonormal (neighbor structure
     preserved — rotated search equals raw search), and on correlated
@@ -1288,6 +1294,7 @@ def test_mmr_select_string_ids(spark):
     assert rows[0]["mmr_score"] == 0.9
 
 
+@pytest.mark.nightly
 def test_corpus_stats_retention_retire_verify_resync(spark, tmp_path):
     """Retention interplay for the stats store (VERDICT r4 next #5):
     aging docs out of the base corpus makes verify() report drift;

@@ -100,6 +100,7 @@ def test_append_no_self_match_and_later_probe_sees_batch(spark, tmp_path):
     assert olds == {1, 21}
 
 
+@pytest.mark.nightly
 def test_verify_and_resync_lifecycle(spark, tmp_path):
     """Retention + rewrite: dropped base docs flag stale, new docs flag
     missing, an in-place text rewrite flags mismatched; resync heals all

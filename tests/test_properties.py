@@ -97,6 +97,7 @@ def test_param_substitution_count(params):
 @given(limit=st.sampled_from([1, 7, 37, 40]))
 @settings(max_examples=4, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.nightly
 def test_pagination_no_dup_no_loss(spark, limit):
     """Keyset pagination partitions the full result: no duplicates, no
     losses, any page size (fixture 6's contract, FIXTURES.md)."""
@@ -547,6 +548,7 @@ def _points_df(spark, pts):
 @given(data=st.data())
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.nightly
 def test_downsample_matches_bruteforce_model(spark, data):
     """For ANY point set / interval / query range: the tumbling
     downsample equals the brute-force model — row universe (per-series
@@ -662,6 +664,7 @@ def test_downsample_hopping_matches_bruteforce_model(spark, data):
 @given(data=st.data())
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.nightly
 def test_final_aggregate_matches_bruteforce_model(spark, data):
     """For ANY point set (ts collisions, seq ties across/within series,
     None/NaN/±Inf values): final aggregation equals the brute-force model
@@ -817,6 +820,7 @@ def _exec_query_stmt(draw):
 @given(stmt=_exec_query_stmt())
 @settings(max_examples=30, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.nightly
 def test_grammar_valid_queries_execute_totally(fuzz_engine, stmt):
     text, lim = stmt
     try:

@@ -43,6 +43,7 @@ def test_rollup_create_matches_direct(eng):
     assert _materialized(eng) == _direct(eng)
 
 
+@pytest.mark.nightly
 def test_rollup_refresh_appends_and_late_data(eng):
     eng.create_rollup("r", "m", DAY, SPECS)
     # new day AND late data into an existing day
@@ -55,6 +56,7 @@ def test_rollup_refresh_appends_and_late_data(eng):
     assert eng.refresh_rollup("r") == 0
 
 
+@pytest.mark.nightly
 def test_rollup_refresh_applies_deletes(eng):
     eng.create_rollup("r", "m", DAY, SPECS)
     eng.delete_range("m", {"h": "a"}, D0 + DAY, D0 + 2 * DAY - 1)  # day 1
@@ -69,6 +71,7 @@ def test_rollup_refresh_applies_deletes(eng):
     assert not any(k[0].startswith("m|h=b") for k in got)
 
 
+@pytest.mark.nightly
 def test_rollup_emptied_completely_still_readable(eng):
     """A refresh that deletes EVERY remaining day partition must leave the
     rollup queryable (regression: parquet schema inference has nothing to
@@ -87,6 +90,7 @@ def test_rollup_emptied_completely_still_readable(eng):
     assert _materialized(eng) == _direct(eng)
 
 
+@pytest.mark.nightly
 def test_rollup_unrelated_deletes_do_not_dirty(eng):
     """Point/series tombstones on OTHER metrics/series must not mark this
     rollup's days dirty (refresh cost would scale with global delete
@@ -103,6 +107,7 @@ def test_rollup_unrelated_deletes_do_not_dirty(eng):
     assert _materialized(eng) == _direct(eng)
 
 
+@pytest.mark.nightly
 def test_rollup_untouched_days_not_rewritten(eng, tmp_path):
     import os
     eng.create_rollup("r", "m", DAY, SPECS)
@@ -117,6 +122,7 @@ def test_rollup_untouched_days_not_rewritten(eng, tmp_path):
     assert before == after                     # day 1's files untouched
 
 
+@pytest.mark.nightly
 def test_rollup_nbql_surface(eng):
     """The rollup lifecycle through the language: CREATE ROLLUP /
     REFRESH ROLLUP / QUERY ROLLUP [FROM..TO]."""
@@ -193,6 +199,7 @@ def test_rollup_streaming_maintenance(spark, tmp_path):
     assert day0[0]["count_*"] == 2 and day0[0]["sum_v"] == 6.0
 
 
+@pytest.mark.nightly
 def test_rollup_survives_base_retention(eng):
     """The downsampled-retention pattern (keep rollups forever, raw data
     for a window): compacting old raw days away does NOT dirty the rollup
@@ -212,6 +219,7 @@ def test_rollup_survives_base_retention(eng):
     assert all(after[k] == before[k] for k in before)
 
 
+@pytest.mark.nightly
 def test_rollup_transparent_rewrite(eng):
     """A plain aligned downsample query is served FROM the rollup when it
     is fresh, matches base recompute exactly, and falls back (never
@@ -247,6 +255,7 @@ def test_rollup_transparent_rewrite(eng):
     assert served_after[key][0] == served[key][0] + 1
 
 
+@pytest.mark.nightly
 def test_rollup_rewrite_serves_tag_filters(eng):
     """Tag predicates select whole series, so they serve from the rollup
     (row filter on materialized windows) and match base recompute."""
@@ -271,6 +280,7 @@ def test_rollup_rewrite_serves_tag_filters(eng):
     assert mm[0]["sum_v"] == 8.0
 
 
+@pytest.mark.nightly
 def test_verify_rollup_clean_and_tampered(eng, tmp_path):
     """A fresh rollup audits clean; deleting one day partition behind the
     engine's back is caught as that day's mismatch; sampling is
@@ -295,6 +305,7 @@ def test_verify_rollup_clean_and_tampered(eng, tmp_path):
     assert not rep2["ok"] and rep2["mismatched_days"] == [gone]
 
 
+@pytest.mark.nightly
 def test_verify_rollup_catches_stale_value(eng):
     """Late data folded into the base WITHOUT a refresh makes the audit
     flag exactly the stale day; after refresh_rollup it's clean again."""
@@ -306,6 +317,7 @@ def test_verify_rollup_catches_stale_value(eng):
     assert eng.verify_rollup("r")["ok"]
 
 
+@pytest.mark.nightly
 def test_verify_rollup_nbql_surface(eng):
     eng.create_rollup("r", "m", DAY, SPECS)
     row = eng.execute("VERIFY ROLLUP r SAMPLE 1").collect()[0]
@@ -313,6 +325,7 @@ def test_verify_rollup_nbql_surface(eng):
     assert row["mismatched_days"] == []
 
 
+@pytest.mark.nightly
 def test_rollup_rewrite_coarser_reaggregation(eng):
     """A 2-day aligned query with re-aggregable functions is served from
     the 1-day rollup by re-windowing (rollup_rewrites increments) and

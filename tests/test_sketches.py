@@ -3,6 +3,8 @@ merge = re-scan equivalence, partitioning invariance, parquet persistence."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -101,6 +103,7 @@ def test_cms_overestimates_bounded_and_merges_exactly(spark):
     assert all(est2[k] >= t for k, t in true.items())
 
 
+@pytest.mark.nightly
 def test_cms_store_streaming_matches_batch(spark, tmp_path):
     """CMSStore under ingest: after each micro-batch the served
     estimates equal a batch-built CMS over everything ingested so far
@@ -145,6 +148,7 @@ def test_cms_store_streaming_matches_batch(spark, tmp_path):
     assert st.estimate(items) == got
 
 
+@pytest.mark.nightly
 def test_cms_candidate_gate_lossless_prefilter(spark, tmp_path):
     """The CMS pre-filter in front of exact heavy-hitter verification
     (NOTES r5 backlog): tokens stream through a foreachBatch gate that

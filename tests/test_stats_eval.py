@@ -784,6 +784,7 @@ def test_norm_profile_detects_zero_vectors(spark, tmp_path):
 # PQ distortion
 
 
+@pytest.mark.nightly
 def test_pq_distortion_zero_on_codebook_points(spark, tmp_path):
     """A corpus of exactly four distinct 64-dim vectors (each repeated):
     Lloyd seeds on the first four rows, every assignment is exact, every
@@ -804,6 +805,7 @@ def test_pq_distortion_zero_on_codebook_points(spark, tmp_path):
 # dedup rate curve
 
 
+@pytest.mark.nightly
 def test_dedup_rate_curve_monotone_and_zero_rows(spark, sf_dir):
     """On the real corpus: five threshold rows always present, both
     curves monotone NON-INCREASING in the threshold, and
@@ -840,6 +842,7 @@ def test_token_budget_curve_invariants(spark, sf_dir):
     assert sum(r["n_docs"] for r in out) == n_docs
 
 
+@pytest.mark.nightly
 def test_seasonal_strength_planted_cycles(spark, tmp_path):
     """A metric whose hourly volume is a clean 24h cycle scores high
     seasonal strength; a flat-volume metric scores ~0 on both. (Events
@@ -894,6 +897,7 @@ def test_hll_md5_single_user_linear_counting(spark, tmp_path):
     assert r[0]["hll_users"] == want
 
 
+@pytest.mark.nightly
 def test_hll_md5_estimate_tracks_exact_cardinality(spark, tmp_path):
     """1000 distinct users on one day (m=256 registers, std err ~6.5%):
     the estimate lands within 20% of the truth, and a second day with

@@ -50,6 +50,7 @@ def point_stream(spark, tmp_path):
     return stream, feed
 
 
+@pytest.mark.nightly
 def test_subscribe_delivery_and_hooks(spark, point_stream, tmp_path):
     stream, feed = point_stream
     delivered: list = []
@@ -89,6 +90,7 @@ def test_subscribe_delivery_and_hooks(spark, point_stream, tmp_path):
     assert new_series == ["cpu.usage|host=a"]
 
 
+@pytest.mark.nightly
 def test_subscribe_drop_on_overflow(spark, point_stream):
     """Reference pubsub parity (engine2/pubsub.go:80-82,104-120): a
     subscriber buffer is a bounded 'channel' with non-blocking enqueue —
@@ -189,6 +191,7 @@ def test_bounded_subscriber_close_race():
     assert sub.sent == 0 and sub.matched == 0 and sub.dropped == 0
 
 
+@pytest.mark.nightly
 def test_stream_ingest_into_engine(spark, tmp_path):
     """Live stream -> engine warehouse: rows fed while the stream runs are
     queryable through NBQL afterwards; WAF listener counts denials."""
@@ -245,6 +248,7 @@ def test_kafka_wire_parse_batch(spark):
     assert all(r["metric"] == "k.m" and r["ts"] == 1_000 for r in rows.values())
 
 
+@pytest.mark.nightly
 def test_kafka_shaped_stream_into_engine(spark, tmp_path):
     """End-to-end with a kafka-SHAPED stream (a text file stream provides
     the same ``value`` column the Kafka source yields — the reader swap is
@@ -283,6 +287,7 @@ def test_kafka_shaped_stream_into_engine(spark, tmp_path):
     assert [r["fields"]["v"] for r in rows] == ["2.0"]
 
 
+@pytest.mark.nightly
 def test_live_downsample_watermarked(spark, point_stream):
     stream, feed = point_stream
     agg = live_downsample(stream, 60 * 1_000_000_000, watermark_delay="0 seconds")
@@ -301,6 +306,7 @@ def test_live_downsample_watermarked(spark, point_stream):
     assert key in got and got[key] == (4, 6.0)
 
 
+@pytest.mark.nightly
 def test_live_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: intra-batch gap splits emit
     CLOSED sessions; the open session stays in state across micro-batches
@@ -421,6 +427,7 @@ def test_live_sessionize_tws(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
+@pytest.mark.nightly
 def test_live_dedup_within_watermark(spark, point_stream):
     """Replayed points (same series_key+ts) are dropped across micro-batches
     while the key is inside the watermark horizon; distinct timestamps all
@@ -451,6 +458,7 @@ def test_live_dedup_within_watermark(spark, point_stream):
     assert len(by_key) == 1 and by_key[0]["value"] == 1.0
 
 
+@pytest.mark.nightly
 def test_live_downsample_hopping_overlap(spark, point_stream):
     """Sliding windows: a point lands in size/slide overlapping windows;
     counts per window reflect exactly the points inside [start, start+size)."""
@@ -477,6 +485,7 @@ def test_live_downsample_hopping_overlap(spark, point_stream):
     assert got.get(60 * NS) is None
 
 
+@pytest.mark.nightly
 def test_live_downsample_subsecond_windows(spark, point_stream):
     """Sub-second hopping windows keep exact boundaries (regression:
     intervals were floored to whole seconds with a 1s minimum, silently
@@ -508,6 +517,7 @@ def test_live_downsample_subsecond_windows(spark, point_stream):
         live_downsample_hopping(stream, 1500, 500)  # 1.5µs size: not whole µs
 
 
+@pytest.mark.nightly
 def test_live_heavy_hitters_state_accumulates(spark, tmp_path):
     """Sharded MG state: counts accumulate ACROSS micro-batches (exact
     while shard vocab fits capacity), every occurrence of a token lands in
@@ -587,6 +597,7 @@ def test_live_heavy_hitters_bounded_state(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.nightly
 def test_live_percentile_digest_state(spark, tmp_path):
     """Digest state accumulates across micro-batches: after two batches
     the p50 equals the exact median of ALL values seen (singleton
@@ -669,6 +680,7 @@ def test_import_jsonl_bulk_load(spark, tmp_path):
     assert eng.execute(f"QUERY j.m FROM 0 TO {ts + 10}").count() == 2
 
 
+@pytest.mark.nightly
 def test_streaming_cusum_matches_batch(spark, tmp_path):
     """The live CUSUM fold across two micro-batches equals the batch
     closed-form operator on the concatenated data when fed the same
@@ -730,6 +742,7 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.nightly
 def test_streaming_holt_matches_batch(spark, tmp_path):
     """The live Holt fold across two micro-batches equals the batch
     struct-fold operator on the concatenated series: same level, trend,
@@ -780,6 +793,7 @@ def test_streaming_holt_matches_batch(spark, tmp_path):
     assert last["forecast"] == bref["forecast"]
 
 
+@pytest.mark.nightly
 def test_streaming_panel_matches_batch(spark, tmp_path):
     """The live exact-k panel across two micro-batches equals the batch
     per_group_sample_k over the union — same members, same ranks —
@@ -827,6 +841,7 @@ def test_streaming_panel_matches_batch(spark, tmp_path):
     assert sum(1 for g, _ in live if g == "g2") == 3
 
 
+@pytest.mark.nightly
 def test_streaming_expectations_sink(spark, tmp_path):
     """Each micro-batch appends its contract report; violation counts
     are per batch and the history table accumulates one row per check
@@ -870,6 +885,7 @@ def test_streaming_expectations_sink(spark, tmp_path):
     assert by[(batches[1], "x_pos")] == 0
 
 
+@pytest.mark.nightly
 def test_hybrid_rrf_served_from_streaming_stores(spark, tmp_path):
     """The hybrid serving path under continuous ingest (NOTES r4 backlog
     #5): ONE document stream feeds BOTH retrieval stores — CorpusStats
@@ -942,6 +958,7 @@ def test_hybrid_rrf_served_from_streaming_stores(spark, tmp_path):
         vxq.stop()
 
 
+@pytest.mark.nightly
 def test_drift_monitor_streaming_psi_matches_batch(spark, tmp_path):
     """DriftMonitor under ingest: PSI after each micro-batch equals the
     batch recompute (psi_of_counts over histograms of everything
@@ -1078,6 +1095,7 @@ def test_drift_monitor_restart_safety(spark, tmp_path):
     assert sum(reopened.current_counts()) == 80
 
 
+@pytest.mark.nightly
 def test_expectations_by_group_trend_detects_deteriorating_source(
         spark, tmp_path):
     """Per-source ingest-gate trending (NOTES r5 backlog): the grouped
@@ -1146,6 +1164,7 @@ def test_expectations_by_group_trend_detects_deteriorating_source(
     assert abs(trend["good"]["slope"]) < 1e-9
 
 
+@pytest.mark.nightly
 def test_quality_mix_monitor_matches_batch(spark, tmp_path):
     """The streaming quality-mix monitor: two doc micro-batches append
     per-bin doc/token counts; the store-served totals equal the batch
@@ -1205,6 +1224,7 @@ def test_quality_mix_monitor_matches_batch(spark, tmp_path):
     assert all(r["bin"] <= 4 for r in b2)
 
 
+@pytest.mark.nightly
 def test_streaming_soak_all_stores_one_stream(spark, tmp_path):
     """Cross-store soak (VERDICT r5 #5): ONE continuous document stream
     drives the TSDB rollup and every pipeline store — DedupIndex,

@@ -69,6 +69,7 @@ def test_prefix_tag_key_sort_edge(spark, tmp_path):
     assert rows[0]["series_key"] == "m|a=1,a0=2"
 
 
+@pytest.mark.nightly
 def test_catalog_overapprox_is_result_neutral(eng):
     """Tombstoned series stay in the catalog (over-approximation) without
     leaking rows; compact() prunes them from the index."""
@@ -79,6 +80,7 @@ def test_catalog_overapprox_is_result_neutral(eng):
     assert _vals(eng.points(metric="cpu", tags={"dc": "eu"})) == [1.0]
 
 
+@pytest.mark.nightly
 def test_legacy_warehouse_is_reindexed(eng, spark, tmp_path):
     """Opening a warehouse with points but no catalog builds one (the
     completeness invariant), and bulk ingest keeps it complete."""

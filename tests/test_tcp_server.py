@@ -31,6 +31,7 @@ def tcp(spark, tmp_path_factory):
     srv.shutdown()
 
 
+@pytest.mark.nightly
 def test_push_query_stream(tcp):
     host, port = tcp
     c = NBQLClient(host, port)
@@ -52,6 +53,9 @@ def test_error_frame_and_corrupt_crc(tcp):
     host, port = tcp
     c = NBQLClient(host, port)
     try:
+        # self-seeded: SHOW METRICS needs at least one ingested metric,
+        # which used to arrive from the (now nightly-tier) stream test
+        c.push('PUSH net.err TAGGED (if="eth1") SET (drops=1) AT 1000')
         with pytest.raises(RuntimeError, match="unknown statement"):
             c.query("EXPLODE EVERYTHING")
         # connection survives an NBQL error
@@ -84,6 +88,7 @@ def test_manipulate_remove_via_tcp(tcp):
         c.close()
 
 
+@pytest.mark.nightly
 def test_tcp_auth_handshake_and_roles(spark, tmp_path_factory):
     """Authenticated server: handshake before frames (tcp_connection_
     handler.go:40-114), bad password rejected, reader role denied writes
@@ -121,6 +126,7 @@ def test_tcp_auth_handshake_and_roles(spark, tmp_path_factory):
         srv.shutdown()
 
 
+@pytest.mark.nightly
 def test_client_convenience_surface(tcp):
     """Reference-client parity: parameterized query, push_point,
     push_bulk with chunking, context manager

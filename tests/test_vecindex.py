@@ -60,6 +60,7 @@ def test_index_incremental_assign(spark, corpus, index):
     assert got["cluster"] == base["cluster"]
 
 
+@pytest.mark.nightly
 def test_verify_and_resync_after_corpus_rewrite(spark, corpus, tmp_path_factory):
     """verify() green after build; a retention rewrite (drop some ids,
     add new ones) flags stale+missing; resync() drops/assigns without
@@ -93,6 +94,7 @@ def test_verify_and_resync_after_corpus_rewrite(spark, corpus, tmp_path_factory)
     assert not any(v < 8 for v in got)
 
 
+@pytest.mark.nightly
 def test_ivfpq_index_serving_matches_brute(spark, corpus, tmp_path_factory):
     """IVFPQ layout: codes stored beside vectors, search_pq routes ->
     ADC-shortlists from codes -> exact re-ranks, and on the separated
@@ -123,6 +125,7 @@ def test_ivfpq_index_serving_matches_brute(spark, corpus, tmp_path_factory):
                           corpus, nlist=4, iters=3).search_pq(probe)
 
 
+@pytest.mark.nightly
 def test_ivfpq_residual_serving_and_finer_quantization(spark, corpus,
                                                        tmp_path_factory):
     """Residual IVFPQ: codes quantize x - centroid(cluster). Serving
@@ -163,6 +166,7 @@ def test_ivfpq_residual_serving_and_finer_quantization(spark, corpus,
     assert mean_book_norm(res) < 0.5 * mean_book_norm(raw)
 
 
+@pytest.mark.nightly
 def test_pq_append_encodes_with_stored_books_and_serves(spark, corpus,
                                                         tmp_path_factory):
     """append() on a PQ index encodes new rows with the STORED codebooks
@@ -195,6 +199,7 @@ def test_pq_append_encodes_with_stored_books_and_serves(spark, corpus,
     assert served == brute
 
 
+@pytest.mark.nightly
 def test_pq_resync_reencodes_missing(spark, corpus, tmp_path_factory):
     """resync() on a PQ index must re-encode appended missing rows —
     NULL codes would silently drop them from the ADC scan."""
@@ -212,6 +217,7 @@ def test_pq_resync_reencodes_missing(spark, corpus, tmp_path_factory):
     assert idx.verify(corpus)["ok"]
 
 
+@pytest.mark.nightly
 def test_vecindex_streaming_sink_appends(spark, corpus, tmp_path_factory):
     """for_each_batch as a Structured-Streaming sink: vectors landed by
     the stream become servable without a rebuild."""
