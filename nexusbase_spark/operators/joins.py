@@ -161,11 +161,14 @@ def asof_join_tagged(
     u = src.select(
         *on,
         F.col(ts).cast("long").alias(_ATS),
-        F.when(is_left, F.lit(1)).otherwise(F.lit(0)).alias(_SIDE),
+        # NULL is_left must DROP the row, not alias it to the right side:
+        # a phantom right row (null payload, null tie) would still win the
+        # as-of match and blank out ts_<suffix> for later left rows.
+        F.when(is_left, F.lit(1)).when(~is_left, F.lit(0)).alias(_SIDE),
         F.when(~is_left, tie).alias(_TIE),
         *[F.when(is_left, F.col(c)).alias(c) for c in left_cols],
         *[F.when(~is_left, F.col(c)).alias(a) for c, a in payload.items()],
-    )
+    ).where(F.col(_SIDE).isNotNull())
     return _asof_finish(u, on, left_cols, payload, ts, suffix,
                         tolerance_ns, direction)
 

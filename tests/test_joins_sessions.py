@@ -54,6 +54,25 @@ def test_asof_forward_picks_nearest_following(spark):
     assert row["v_r"] == "next" and row["ts_r"] == 12
 
 
+def test_asof_tagged_null_tag_rows_are_dropped(spark):
+    """A NULL is_left tag must drop the row entirely — it must not become
+    a phantom right-side row whose null payload still wins the as-of
+    match and blanks ts_r for later left rows (ADVICE r9 #1)."""
+    from nexusbase_spark.operators import asof_join_tagged
+
+    src = _df(spark, [("u", 5, None, "real", 0),     # real right row
+                      ("u", 8, None, None, None),    # NULL tag row at ts=8
+                      ("u", 10, 1, None, 1)],        # left row at ts=10
+              "k string, ts long, lid long, v string, side long")
+    out = asof_join_tagged(
+        src, F.when(F.col("side") == 1, True)
+              .when(F.col("side") == 0, False),
+        on=["k"], left_cols=["lid"], right_cols=["v"]).collect()
+    assert len(out) == 1
+    # the ts=5 right row matches; the null-tag ts=8 row did not shadow it
+    assert out[0]["v_r"] == "real" and out[0]["ts_r"] == 5
+
+
 def test_range_band_join_boundaries_and_cross_bucket(spark):
     left = _df(spark, [("u", 0, 100), ("u", 9, 101)], "k string, ts long, lseq long")
     right = _df(spark, [("u", 0, 200), ("u", 10, 201), ("u", 11, 202),
