@@ -165,10 +165,14 @@ def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
     from nexusbase_spark.pipeline.text import shingles_of_tokens, tokens_col
     return (
         df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+        # size(__toks) >= n  ⇔  the doc has at least one shingle (same
+        # null semantics); filtering on size(shset) pushed the predicate
+        # below the projection with the shingle pipeline re-inlined —
+        # 6 split() copies per row at the scan just to test emptiness.
+        .filter(F.size("__toks") >= n)
         .select(F.col(id_col),
                 F.array_distinct(shingles_of_tokens(F.col("__toks"), n))
                 .alias("shset"))
-        .filter(F.size("shset") > 0)
     )
 
 
@@ -265,6 +269,14 @@ def _banded_docs(df: DataFrame, id_col: str, text_col: str, n: int,
     rows_per = num_hashes // bands
     assert rows_per * bands == num_hashes
     toks = df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+    # Drop shingle-less docs HERE, as size(__toks) >= n (equivalent to the
+    # former size(shset) > 0 filter, null semantics included: a doc has a
+    # shingle iff it has >= n tokens). Filtering on shset pushed the
+    # predicate below the __toks projection with the alias re-inlined —
+    # the scan re-derived the whole-text split 6x per row (18x on derived
+    # texts) just to test emptiness; on __toks the pushed condition
+    # carries ONE split, and rows drop before the repartition exchange.
+    toks = toks.filter(F.size("__toks") >= n)
     toks = spread(toks, compute_heavy=True)
 
     def hash_j(a: int, b: int):
@@ -276,7 +288,6 @@ def _banded_docs(df: DataFrame, id_col: str, text_col: str, n: int,
     docs = (
         toks.select(F.col(id_col),
                     F.array_distinct(shingles_of_tokens(F.col("__toks"), n)).alias("shset"))
-        .filter(F.size("shset") > 0)
         .withColumn("hset", F.transform("shset", base_hash31))
         .select(F.col(id_col), F.col("shset"), F.col("hset"),
                 F.size("shset").alias("sz"), *sig_cols)

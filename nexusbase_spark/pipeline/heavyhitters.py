@@ -89,7 +89,14 @@ def heavy_hitters_topk(df: DataFrame, k: int = 20, *,
     if ngram > 1:
         from nexusbase_spark.pipeline.text import shingles_of_tokens
         toks = shingles_of_tokens(toks, ngram)
-    arrays = base.select(toks.alias("toks"))
+    # Persist the n-gram arrays: consumed twice (the MG candidate pass and
+    # the exact-recount explode), so without the cache the scan+tokenize+
+    # shingle pipeline ran twice — and the optimizer's inferred
+    # size(toks)>0 filter below the explode pushed to the scan with the
+    # whole shingle expression re-inlined (8 split() copies per row).
+    # Cached, both consumers read the materialized arrays and the inferred
+    # filter tests the cached column.
+    arrays = base.select(toks.alias("toks")).persist()
     cands = mg_candidates(arrays, capacity)
     exploded = arrays.select(F.explode("toks").alias("token"))
     return (exploded.join(F.broadcast(cands), "token", "left_semi")

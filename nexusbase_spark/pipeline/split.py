@@ -284,7 +284,14 @@ def budget_select(df: DataFrame, score_col: str, cost_col: str, budget: int,
     # driver-side TypeError negating None in the bin sort (ADVICE r3).
     df = df.filter(F.col(score_col).isNotNull())
     sc = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0 - 1e-9))
-    d = df.withColumn("__bin", F.floor(sc * bins).cast("long"))
+    # Persist the scored frame: it is consumed THREE times (the bin-cost
+    # rollup below — which materializes it via collect() anyway — the
+    # full-bins filter, and the cutoff-bin window), and without the cache
+    # each consumer re-ran the scoring scan with the isnotnull(score) /
+    # __bin filters pushed below the score projection re-inlining the
+    # tokenization at the scan (4 split() copies per row). The cached
+    # frame is narrow (ids + score + cost + bin).
+    d = df.withColumn("__bin", F.floor(sc * bins).cast("long")).persist()
     bin_rows = sorted(
         ((r["__bin"], r["__c"]) for r in
          d.groupBy("__bin").agg(F.sum(F.col(cost_col)).alias("__c")).collect()),

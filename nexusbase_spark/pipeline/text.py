@@ -189,11 +189,18 @@ def winnow_from_hashes(hashes: Column, w: int = 4) -> Column:
     return F.array_distinct(mins)
 
 
-def fingerprint_mink(text: Column, n: int = 3, k: int = 4) -> Column:
+def fingerprint_mink(text: Column | None, n: int = 3, k: int = 4,
+                     toks: Column | None = None) -> Column:
     """Document fingerprint: bottom-k sketch of word-n-gram hashes,
     concatenated to one hex string. A winnowing-style content signature:
-    stable under small edits, mergeable, and constant-size per doc."""
-    hashes = F.transform(word_shingles(text, n), F.md5)
+    stable under small edits, mergeable, and constant-size per doc.
+
+    ``toks``: pre-projected token array — inlined, the shingle slices
+    re-derive the whole-text split per reference (6 copies in one
+    CodegenFallback projection; see word_shingles)."""
+    grams = (word_shingles(text, n) if toks is None
+             else shingles_of_tokens(toks, n))
+    hashes = F.transform(grams, F.md5)
     bottom = F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
     return F.array_join(bottom, "")
 

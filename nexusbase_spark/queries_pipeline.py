@@ -453,8 +453,16 @@ def q_doc_ngram_jaccard(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     """Bottom-4 sketch of word-3-gram md5s — constant-size per-doc content
     signature, stable under small edits."""
+    from nexusbase_spark.pipeline.text import tokens_col
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint_mink(F.col("text"), 3, 4).alias("fingerprint"))
+    # two-level select: tokenize once below, shingle/hash above (the
+    # inlined form re-derived the split 6x per row in one projection)
+    toked = docs.select("doc_id", tokens_col(F.col("text")).alias("__toks"))
+    return toked.select(
+        "doc_id",
+        fingerprint_mink(None, 3, 4,
+                         toks=F.col("__toks")).alias("fingerprint"))
 
 
 @register("doc_winnow_fingerprint", """

@@ -455,3 +455,36 @@ def test_quality_family_tokenizes_once(spark, qs):
     plan = _plan(qs["doc_winnow_fingerprint"](spark, SF_DIR))
     phys = plan.split("== Physical Plan ==", 1)[1]
     assert phys.count("md5(") <= 1, phys.count("md5(")
+
+
+def test_shingle_filters_and_reused_frames_tokenize_once(spark, qs):
+    """Round-10 sweep residuals stay fixed: shingle-less docs are dropped
+    via size(__toks) >= n (the equivalent size(shset) > 0 form pushed
+    below the token projection with the whole shingle pipeline re-inlined
+    — 6 split() copies per row at the scan, 18 on derived texts);
+    fingerprint_mink takes pre-projected tokens; and the twice-consumed
+    frames in heavy_hitters_topk / budget_select are persisted so the
+    scoring scan runs once."""
+    plan = _plan(qs["doc_fingerprint"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert phys.count("split(") <= 1, phys.count("split(")
+
+    plan = _plan(qs["docs_heavy_hitter_bigrams"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan, "MG/recount arrays lost their persist"
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    # the cached child renders once per cache reference (2 textual); the
+    # executed materialization tokenizes once — bound the per-line count
+    worst = max((ln.count("split(") for ln in phys.splitlines()), default=0)
+    assert worst <= 1, worst
+    assert phys.count("split(") <= 2, phys.count("split(")
+
+    plan = _plan(qs["docs_budget_select"](spark, SF_DIR))
+    assert "InMemoryRelation" in plan, "scored frame lost its persist"
+
+    # minhash banding: each scan branch's pushed emptiness filter carries
+    # the tokenizer once (the augmented-corpus branch additionally holds
+    # its derived-text inner splits — 3 total on that line, was 18)
+    plan = _plan(qs["doc_dedup_minhash_lsh"](spark, SF_DIR))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    worst = max((ln.count("split(") for ln in phys.splitlines()), default=0)
+    assert worst <= 3, worst
