@@ -41,6 +41,15 @@ EXPECTED_MULTI: dict[str, tuple[int, str]] = {
     "docs_curation_pipeline": (2, "exists() let-binding: 1 split in the "
                                   "pushed Filter + 1 in the keeper carry "
                                   "projection (plans/r10)"),
+    "docs_bpe_encode": (4, "the encode expression is structurally "
+                           "split(replace(concat_ws(split(text)))) — the "
+                           "inner split is the token join of the encode "
+                           "itself, one projection, not a repeated corpus "
+                           "scan; 2 copies per scan render"),
+    "docs_curation_v3_dsir": (4, "four pipeline STAGES (curation filter, "
+                                 "DSIR target/corpus grams, keeper carry) "
+                                 "each tokenize once — every plan line "
+                                 "carries <= 1 split (r10 probe)"),
 }
 # Generic bound for textual copies when a query's plan renders a cached
 # or unioned documents subtree more than once (InMemoryRelation renders
