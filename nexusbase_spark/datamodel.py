@@ -41,6 +41,18 @@ def series_key_expr(metric: Column, tags: Column) -> Column:
     Mirrors core/tsdb_keys.go:116-151 (legacy string series key with sorted
     tags); deterministic and group-able. Pure built-in expressions so it
     stays inside whole-stage codegen.
+
+    DATA CONTRACT (ADVICE r9 #2): the encoding is injective over tag maps
+    only while tag VALUES contain neither '=' nor ','. Tag keys and
+    metric names cannot contain them (NAME_RE, mirrored from
+    core/validator.go:13), but the reference validates label names only —
+    values are unrestricted there too, so its string series key
+    (core/tsdb_keys.go) carries the identical injectivity assumption.
+    Operators that group by series_key and take first(tags) (downsample's
+    grouped aggregate, the emit-empty grid, the tdigest join) rely on it.
+    Escaping is deliberately NOT added here: the unescaped key is the
+    reference's wire format and appears verbatim in query output; a
+    deployment ingesting adversarial tag values must sanitize upstream.
     """
     kv = F.transform(
         F.array_sort(F.map_entries(tags)),
